@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference pipeline hand-tunes its physical execution (2 processes × N query
+threads, micro-batches of ``clickhouse_batch_size`` rows — reference ``run.py:34,45``,
+``etl.py:41``).  Here all of that is delegated to Spark: AQE re-plans at runtime,
+shuffle partitions are sized for the deployment, and Arrow is enabled for any
+pandas-UDF edges (vectorized python, never row-at-a-time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster these are
+# overridden by spark-submit conf.  AQE handles skew + post-shuffle coalescing so a
+# too-large static shuffle-partition count is self-correcting.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MB scan splits: at 100 TB that is ~800k tasks — fine for a 1000-executor
+    # cluster; raise to 256-512 MB for colder storage.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Small dimension tables (domain/qid/category/network decodes) must broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    # The reference's event keys are case-sensitive Python dict keys (userName
+    # vs username are DISTINCT inputs that collide only via the rename map,
+    # clickhouse/helpers.py:31-32); match that.
+    "spark.sql.caseSensitive": "true",
+    # The driver's events.parquet carries TIMESTAMP(NANOS); Spark has no ns
+    # timestamp, so read as int64 nanos and cast in the registry (µs, floor —
+    # same truncation DuckDB applies, keeping oracle hashes aligned).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "qradar-datapipeline-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for the test harness; on a
+    cluster, leave it unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,67 @@
+"""Table registry: parquet sources → named temp views (SURVEY §2 A1/A2).
+
+The reference's "source" is a QRadar REST search streamed as JSON
+(``qradar/qradarconnector.py:108-166``); its table registry is the queries.json /
+ep_clients.json loader (``attributes.py:42-51``).  Here a source is any path Spark
+can scan; registration makes it addressable from both the DataFrame API and SQL
+(the AQL frontend resolves ``FROM events`` / ``FROM GLOBALVIEW(...)`` against
+these views).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.sources.qevents import qevents_sql
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register: bool = True
+) -> dict[str, DataFrame]:
+    """Read every synthetic table; optionally register temp views by name."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if name == "events":
+            # ts is TIMESTAMP(NANOS) in the file → int64 nanos under
+            # nanosAsLong; floor-divide to µs (DuckDB's ns→µs truncation).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return out
+
+
+def register_qevents(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Register the QRadar-shaped `qevents` view derived from `events`.
+
+    Requires `events` to be registered (load_tables does it). The derivation SQL
+    is shared with the DuckDB oracle (sources/qevents.py) so both engines see the
+    identical synthetic relation.
+    """
+    if "events" not in [t.name for t in spark.catalog.listTables()]:
+        load_tables(spark, sf_dir)
+    df = spark.sql(qevents_sql("spark"))
+    df.createOrReplaceTempView("qevents")
+    return df

@@ -1,0 +1,59 @@
+"""Summing roll-up ≡ SummingMergeTree fold (SURVEY §5 item 3)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators.rollup import (
+    merge_rollup,
+    summing_rollup,
+)
+
+T = datetime.datetime
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            # same dims, same hour → collapse + sum (FIXTURES A5)
+            (T(2024, 7, 19, 10, 5), "dimA", 2),
+            (T(2024, 7, 19, 10, 55), "dimA", 3),
+            # same dims, next hour → separate bucket
+            (T(2024, 7, 19, 11, 0), "dimA", 7),
+            # different dim, same hour
+            (T(2024, 7, 19, 10, 30), "dimB", 1),
+            # null grouping key groups with itself (allow_nullable_key=1 parity)
+            (T(2024, 7, 19, 10, 1), None, 4),
+            (T(2024, 7, 19, 10, 2), None, 6),
+        ],
+        ["Start_Time", "dim", "Event_Count"],
+    )
+
+
+def test_summing_rollup_collapses_equal_keys(spark):
+    out = summing_rollup(_events(spark)).collect()
+    got = {(r["Start_Time"], r["dim"]): r["Event_Count"] for r in out}
+    assert got[(T(2024, 7, 19, 10), "dimA")] == 5
+    assert got[(T(2024, 7, 19, 11), "dimA")] == 7
+    assert got[(T(2024, 7, 19, 10), "dimB")] == 1
+    assert got[(T(2024, 7, 19, 10), None)] == 10
+    assert len(got) == 4
+    assert all(r["event_date"] == datetime.date(2024, 7, 19) for r in out)
+
+
+def test_merge_rollup_unbounded_lateness(spark, tmp_path):
+    """Late rows merge whenever they arrive — SummingMergeTree's merge-on-read
+    semantics (SURVEY §7.2 item 2: batch MERGE is the exact-parity mode)."""
+    path = str(tmp_path / "rollup")
+    merge_rollup(spark, _events(spark), path)
+    # a very late row for an existing (hour, dim) key
+    late = spark.createDataFrame(
+        [(T(2024, 7, 19, 10, 59), "dimA", 100)], ["Start_Time", "dim", "Event_Count"]
+    )
+    merge_rollup(spark, late, path)
+    got = {
+        (r["Start_Time"], r["dim"]): r["Event_Count"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[(T(2024, 7, 19, 10), "dimA")] == 105
+    assert got[(T(2024, 7, 19, 11), "dimA")] == 7
