@@ -51,8 +51,11 @@ SELECT
     WHEN event_id % 4 = 2 THEN 2886729728 + (__h1 % 1048576)
     ELSE __h1
   END AS sourceIPlong,
+  -- % 7 deliberately coprime with the highlevelcategory modulus (% 3): the
+  -- AllowedOutbound AQL query needs events with hlc=4000 AND a public dest IP,
+  -- which a shared modulus would make structurally impossible.
   CASE
-    WHEN event_id % 3 = 0 THEN 167772160 + (__h2 % 16777216)
+    WHEN event_id % 7 = 0 THEN 167772160 + (__h2 % 16777216)
     ELSE __h2
   END AS destinationIPlong,
   CAST(1 + (__h1 % 65535) AS INT) AS sourcePort,
@@ -64,7 +67,17 @@ SELECT
   event_id % 50 AS logSourceId,
   CAST(event_id % 10 AS INT) AS magnitude,
   'user_' || CAST(user_id AS STRING) AS userName,
-  event_type AS eventName
+  event_type AS eventName,
+  -- custom-property columns the AQL corpus references with double-quoted
+  -- identifiers (reference qradar/input/queries.json:2-3: "Rule Name",
+  -- "Mitre Tactic", "Policy Name", Action, geographic locations)
+  'rule_' || CAST(event_id % 7 AS STRING) AS {q}Rule Name{q},
+  'tactic_' || CAST(event_id % 5 AS STRING) AS {q}Mitre Tactic{q},
+  'technique_' || CAST(event_id % 8 AS STRING) AS {q}Mitre Technique{q},
+  'country_' || CAST(__h1 % 10 AS STRING) AS sourceGeographicLocation,
+  'country_' || CAST(__h2 % 10 AS STRING) AS destinationGeographicLocation,
+  CASE WHEN event_id % 2 = 0 THEN 'Allow' ELSE 'Deny' END AS Action,
+  'policy_' || CAST(event_id % 3 AS STRING) AS {q}Policy Name{q}
 FROM base
 """
 
@@ -90,12 +103,12 @@ _QEVENTS_WRAPPED = (
 def qevents_sql(dialect: str, events_table: str = "events") -> str:
     """Render the qevents derivation for 'spark' or 'duckdb'."""
     if dialect == "spark":
-        epoch_ms = "unix_millis(ts)"
+        epoch_ms, q = "unix_millis(ts)", "`"
     elif dialect == "duckdb":
-        epoch_ms = "epoch_ms(ts)"
+        epoch_ms, q = "epoch_ms(ts)", '"'
     else:
         raise ValueError(f"unknown dialect {dialect!r}")
-    return _QEVENTS_WRAPPED.format(epoch_ms=epoch_ms, events_table=events_table)
+    return _QEVENTS_WRAPPED.format(epoch_ms=epoch_ms, events_table=events_table, q=q)
 
 
 def qevents_cte(dialect: str, events_table: str = "events") -> str:

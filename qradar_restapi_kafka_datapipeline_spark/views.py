@@ -1,0 +1,97 @@
+"""GLOBALVIEW materialization + reference sets (SURVEY §2 A2/A9/A15, §7.1 M5).
+
+The reference's ``new_queries.json:2-10`` scans nine QRadar pre-aggregated
+GLOBALVIEWs (``SELECT * FROM GLOBALVIEW('MongoDB_<name>','NORMAL')``).  A
+GLOBALVIEW is a continuously-maintained ``GROUP BY dims @ hourly grain +
+SUM(eventCount)`` materialization — the same shape as the SummingMergeTree sink
+(SURVEY §1.1).  The engine maintains them as aggregates over the event relation
+and routes ``FROM GLOBALVIEW(...)`` scans to them (explicit routing, §4).
+
+Each view's definition is ONE dialect-neutral SQL body (valid in Spark SQL and
+DuckDB), so the correctness oracle can inline the identical definition.
+
+At scale: materialize with ``materialize_globalviews`` (day-partitioned parquet,
+maintained incrementally via streaming/rollup_stream.py); registered temp views
+over the event relation are the zero-copy fallback the tests use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# name → WHERE filter over qevents. Dims + hourly grain are shared. These stand
+# in for QRadar's view definitions (which live server-side, invisible to the
+# reference repo); the structure — filter → group at hour → SUM — is the load-
+# bearing part.
+GLOBALVIEW_SPECS: dict[str, str] = {
+    "MongoDB_AuthenticationFailure": "eventName = 'error'",
+    "MongoDB_AuthenticationSuccess": "eventName = 'signup'",
+    "MongoDB_VPNAccess": "eventName = 'click'",
+    "MongoDB_TopSecurityEvents": "magnitude >= 7",
+    "MongoDB_CREEvents": "devicetype = 0",
+    "MongoDB_UBA": "eventName = 'view'",
+    "MongoDB_GroupModification": "category IN (4005, 4010, 4015)",
+    "MongoDB_GroupModificationAzureActiveDirectory":
+        "category IN (4020, 4025) AND devicetype % 2 = 0",
+    "MongoDB_LogonType": "qid % 10 IN (2, 10)",
+}
+
+_VIEW_DIMS = ["domainId", "userName", "sourceip", "eventName"]
+
+
+def globalview_sql(name: str, source: str = "qevents") -> str:
+    """The view's defining aggregate, valid in both Spark SQL and DuckDB."""
+    where = GLOBALVIEW_SPECS[name]
+    dims = ", ".join(_VIEW_DIMS)
+    return (
+        f"SELECT {dims}, date_trunc('hour', ts) AS ts, "
+        f"CAST(SUM(eventCount) AS BIGINT) AS SUM_eventCount "
+        f"FROM {source} WHERE {where} "
+        f"GROUP BY {dims}, date_trunc('hour', ts)"
+    )
+
+
+def register_globalviews(spark: SparkSession, source: str = "qevents") -> list[str]:
+    """Register all nine views as temp views over the event relation."""
+    for name in GLOBALVIEW_SPECS:
+        spark.sql(globalview_sql(name, source)).createOrReplaceTempView(name)
+    return list(GLOBALVIEW_SPECS)
+
+
+def materialize_globalviews(
+    spark: SparkSession, base_path: str, source: str = "qevents"
+) -> None:
+    """Write each view day-partitioned — the continuously-maintained form.
+
+    Queries then scan collapsed data with partition pruning on the START/STOP
+    bounds, exactly the reference's GLOBALVIEW + SummingMergeTree read path.
+    """
+    for name in GLOBALVIEW_SPECS:
+        df = spark.sql(globalview_sql(name, source))
+        (
+            df.withColumn("event_date", df["ts"].cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(f"{base_path}/{name}")
+        )
+
+
+# --- reference sets (SURVEY §2 A9) ------------------------------------------
+
+REF_SETS_SQL = (
+    "SELECT DISTINCT 'Known DNS traffic' AS set_name, destinationip AS value "
+    "FROM qevents WHERE destinationIPlong % 17 = 0"
+)
+
+
+def register_ref_sets(spark: SparkSession) -> DataFrame:
+    """Register the named reference sets relation.
+
+    The reference resolves REFERENCESETCONTAINS inside QRadar against its named
+    set store; the engine keeps sets as a (set_name, value) relation.  The AQL
+    frontend rewrites membership tests to IN-subqueries against this view —
+    Catalyst turns those into broadcast semi-joins.
+    """
+    df = spark.sql(REF_SETS_SQL)
+    df.createOrReplaceTempView("ref_sets")
+    return df

@@ -1,0 +1,107 @@
+"""AQL frontend end-to-end: all 13 reference queries vs the DuckDB oracle.
+
+This is the t2 pattern (SURVEY §5 item 2) at sf0.001: translate the reference's
+own AQL strings (qradar/input/queries.json, new_queries.json) to Spark SQL, run
+them, and hash-compare against the identical AQL translated to DuckDB over the
+same parquet.
+"""
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from qradar_restapi_kafka_datapipeline_spark.plans.aql import (
+    AQLFrontend,
+    aql_oracle_sql,
+    translate,
+)
+from qradar_restapi_kafka_datapipeline_spark.sources.registry import register_qevents
+from qradar_restapi_kafka_datapipeline_spark.views import (
+    register_globalviews,
+    register_ref_sets,
+)
+
+REF_QUERIES = "/root/reference/qradar/input/queries.json"
+REF_NEW_QUERIES = "/root/reference/qradar/input/new_queries.json"
+
+PARAMS = dict(
+    customer_name="customer_1",
+    start_time="2024-01-01 00:00:00",
+    stop_time="2024-02-01 00:00:00",
+    event_processor="ep1",
+)
+
+
+def _load_corpus():
+    corpus = {}
+    for path in (REF_QUERIES, REF_NEW_QUERIES):
+        if os.path.exists(path):
+            corpus.update(json.load(open(path)))
+    return corpus
+
+
+CORPUS = _load_corpus()
+
+
+@pytest.fixture(scope="module")
+def frontend(spark, tables, sf_dir):
+    register_qevents(spark, sf_dir)
+    register_globalviews(spark)
+    register_ref_sets(spark)
+    return AQLFrontend(spark)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    return con
+
+
+def _rows_key(df):
+    cols = sorted(df.columns)
+    return sorted("|".join(map(str, r)) for r in df[cols].itertuples(index=False, name=None))
+
+
+@pytest.mark.skipif(not CORPUS, reason="reference corpus not available")
+@pytest.mark.parametrize("name", sorted(CORPUS))
+def test_aql_query_matches_oracle(name, frontend, duck):
+    aql = CORPUS[name]
+    spd = frontend.sql(aql, PARAMS).toPandas()
+    dpd = duck.execute(aql_oracle_sql(aql, PARAMS)).df()
+    assert sorted(spd.columns) == sorted(dpd.columns)
+    assert _rows_key(spd) == _rows_key(dpd)
+
+
+def test_translate_shapes():
+    aql = (
+        "SELECT eventCount AS 'Event Count', \"Rule Name\" as 'Rule (c)' "
+        "FROM events WHERE INCIDR('10.0.0.0/8', sourceip) "
+        "AND NOT REFERENCESETCONTAINS('S', destinationIP) "
+        "START '2024-01-01 00:00:00' STOP '2024-01-02 00:00:00' "
+        "PARAMETERS REMOTESERVERS=ARIELSERVERS4EPNAME(PROCESSORNAME(ep1))"
+    )
+    out = translate(aql, dialect="spark", columns=["eventCount", "sourceip", "destinationip"])
+    assert "PARAMETERS" not in out
+    assert "`Event Count`" in out and "`Rule Name`" in out
+    assert "INCIDR" not in out.upper() or "& 4278190080" in out  # folded
+    assert "IN (SELECT value FROM ref_sets" in out
+    assert "ts >= timestamp'2024-01-01 00:00:00'" in out
+    # case-normalized to canonical column
+    assert "destinationip IN" in out
+
+
+def test_translate_globalview_routing():
+    aql = "SELECT * FROM GLOBALVIEW('MongoDB_UBA','NORMAL') WHERE domainId = 1"
+    assert "FROM MongoDB_UBA" in translate(aql, dialect="spark")
+    duck_sql = translate(aql, dialect="duckdb")
+    assert "GROUP BY" in duck_sql and "GLOBALVIEW" not in duck_sql
+
+
+def test_frontend_rejects_bad_globalview_name():
+    with pytest.raises(ValueError):
+        translate("SELECT * FROM GLOBALVIEW('bad-name; DROP','NORMAL')")
