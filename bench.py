@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Pipeline shape mirrors production (and the reference): an *ingest* stage
+materializes the normalized event relation once (the reference normalizes every
+event in Python before ClickHouse, etl.py:16-49; we pay it once, columnar), then
+queries run against the materialized relation so their plans are small, codegen
+stays under janino limits, and scans prune columns/partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from qradar_restapi_kafka_datapipeline_spark.engine import get_spark
+from qradar_restapi_kafka_datapipeline_spark.entry_queries import registry, setup
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative coverage: flagship AQL, GLOBALVIEW scan, every §2B operator
+# family, and the multi-join/window analytics. Dedup/similarity entries are
+# included when present in the registry.
+HEADLINE = [
+    "aql_AllowedInboundTraffic",
+    "aql_AllowedOutboundTraffic",
+    "aql_TopSecurityEvents",
+    "incidr_classification",
+    "full_network_name",
+    "refset_membership",
+    "summing_rollup_hourly",
+    "normalize_dates",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "top_users_per_event_type",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_scores",
+    "knn_bruteforce_cosine",
+]
+
+
+def _consume(df) -> int:
+    """Execute the full plan without driver-side materialization."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+
+    # Ingest stage: materialize the normalized event relation (timed).
+    tmp = tempfile.mkdtemp(prefix="bench_qevents_")
+    try:
+        t0 = time.time()
+        frontend = setup(spark, SF_DIR)
+        spark.table("qevents").write.mode("overwrite").parquet(f"{tmp}/qevents")
+        spark.read.parquet(f"{tmp}/qevents").createOrReplaceTempView("qevents")
+        # re-derive the views that read qevents so they use the materialized one
+        from qradar_restapi_kafka_datapipeline_spark.views import (
+            register_globalviews,
+            register_ref_sets,
+        )
+
+        register_globalviews(spark)
+        register_ref_sets(spark)
+        timings["ingest_materialize_qevents"] = round(time.time() - t0, 3)
+        total += timings["ingest_materialize_qevents"]
+
+        for name in HEADLINE:
+            if name not in reg:
+                continue
+            t0 = time.time()
+            _consume(reg[name].run(spark, SF_DIR))
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt
+            total += dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,249 @@
+"""Query registry backing ``__spark_entry__`` (the driver's correctness gate).
+
+Each entry pairs a Spark execution (``run(spark, sf_dir) -> DataFrame``) with an
+equivalent DuckDB oracle SQL string over the same parquet tables.  Three entry
+styles, by what they exercise:
+
+- **AQL-parity** (SURVEY §2A): the reference's own AQL text run through the AQL
+  frontend on the Spark side and through the same translator in DuckDB dialect
+  on the oracle side — one source of truth, two engines.
+- **shared-SQL** (pipeline operators §2B + general analytics): one
+  dialect-common SQL body; Spark runs it over registered views, the oracle runs
+  it with the qevents derivation inlined as a CTE.
+- **DataFrame-API** (operators that showcase the Spark-native layer): the
+  oracle is hand-written SQL with identical aliases.
+
+Float discipline: every aggregated double is ROUNDed at the true decimal
+precision of its inputs (2 dp monetary × 2 dp rates ⇒ 4 dp products), so the
+~1e-12 summation-order noise between engines can never flip a rounded digit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qradar_restapi_kafka_datapipeline_spark.aql_corpus import AQL_CORPUS, DEFAULT_PARAMS
+from qradar_restapi_kafka_datapipeline_spark.plans.aql import (
+    AQLFrontend,
+    aql_oracle_sql,
+)
+from qradar_restapi_kafka_datapipeline_spark.plans.dialect import fullnetworkname_expr
+from qradar_restapi_kafka_datapipeline_spark.sources.qevents import qevents_sql
+from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
+    load_tables,
+    register_qevents,
+)
+from qradar_restapi_kafka_datapipeline_spark.views import (
+    REF_SETS_SQL,
+    register_globalviews,
+    register_ref_sets,
+)
+
+
+@dataclass
+class Q:
+    """One registry entry: Spark runner + optional DuckDB oracle SQL."""
+
+    run: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+_SETUP_DONE: dict[tuple[int, str], AQLFrontend] = {}
+
+
+def setup(spark: SparkSession, sf_dir: str) -> AQLFrontend:
+    """Idempotent per-(session, sf_dir) view + function registration."""
+    key = (id(spark), sf_dir)
+    if key not in _SETUP_DONE:
+        load_tables(spark, sf_dir)
+        register_qevents(spark, sf_dir)
+        register_globalviews(spark)
+        register_ref_sets(spark)
+        _SETUP_DONE[key] = AQLFrontend(spark)
+    return _SETUP_DONE[key]
+
+
+def _duck_cte(body: str) -> str:
+    """Wrap a shared-SQL body with the qevents + ref_sets CTEs for DuckDB."""
+    return (
+        f"WITH qevents AS ({qevents_sql('duckdb')}), "
+        f"ref_sets AS ({REF_SETS_SQL}) {body}"
+    )
+
+
+def _aql_entry(aql: str) -> Q:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return setup(spark, sf_dir).sql(aql, DEFAULT_PARAMS)
+
+    return Q(run=run, oracle=aql_oracle_sql(aql, DEFAULT_PARAMS))
+
+
+def _shared_sql_entry(body_spark: str, body_duck: str | None = None) -> Q:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        setup(spark, sf_dir)
+        return spark.sql(body_spark)
+
+    return Q(run=run, oracle=_duck_cte(body_duck or body_spark))
+
+
+def _table_sql_entry(body: str) -> Q:
+    """Shared SQL over the raw driver tables only (no qevents CTE needed)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        setup(spark, sf_dir)
+        return spark.sql(body)
+
+    return Q(run=run, oracle=body)
+
+
+# --- dialect helpers for the epoch/date entries ------------------------------
+
+def _ts_from_epoch(dialect: str, col: str = "startTime") -> str:
+    """Reference epoch autodetect (>1e10 ⇒ ms, clickhouse/helpers.py:74-76) as
+    exact integer µs — no float rounding on either engine."""
+    us = (
+        f"CAST(CASE WHEN {col} > 10000000000 THEN {col} * 1000 "
+        f"ELSE {col} * 1000000 END AS BIGINT)"
+    )
+    return f"timestamp_micros({us})" if dialect == "spark" else f"make_timestamp({us})"
+
+
+def _weekfrom(dialect: str, ts: str) -> str:
+    """Previous Saturday (Saturday→itself) as dd/MM/yyyy (helpers.py:79-81)."""
+    if dialect == "spark":
+        return f"date_format(date_sub(CAST({ts} AS DATE), dayofweek({ts}) % 7), 'dd/MM/yyyy')"
+    # DuckDB only subtracts INT (not BIGINT) from DATE
+    return f"strftime(CAST({ts} AS DATE) - CAST((dayofweek({ts}) + 1) % 7 AS INT), '%d/%m/%Y')"
+
+
+def _reportdate(dialect: str, ts: str) -> str:
+    if dialect == "spark":
+        return f"date_format(CAST({ts} AS DATE), 'dd/MM/yyyy')"
+    return f"strftime(CAST({ts} AS DATE), '%d/%m/%Y')"
+
+
+def _normalize_dates_body(dialect: str) -> str:
+    ts = _ts_from_epoch(dialect)
+    return (
+        f"SELECT {_weekfrom(dialect, ts)} AS WeekFrom, "
+        f"{_reportdate(dialect, ts)} AS ReportDate, "
+        f"COUNT(*) AS n, CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        f"FROM qevents GROUP BY 1, 2"
+    )
+
+
+# --- registry ----------------------------------------------------------------
+
+def registry() -> dict[str, Q]:
+    q: dict[str, Q] = {}
+
+    # ---- AQL-parity: the reference's whole query corpus (SURVEY §2A) -------
+    for name, aql in AQL_CORPUS.items():
+        q[f"aql_{name}"] = _aql_entry(aql)
+
+    # ---- A8: INCIDR classification over the event stream -------------------
+    q["incidr_classification"] = _shared_sql_entry(
+        "SELECT CASE "
+        "WHEN ((CAST(split_part(sourceip, '.', 1) AS BIGINT)*16777216 + "
+        "CAST(split_part(sourceip, '.', 2) AS BIGINT)*65536 + "
+        "CAST(split_part(sourceip, '.', 3) AS BIGINT)*256 + "
+        "CAST(split_part(sourceip, '.', 4) AS BIGINT)) & 4278190080) = 167772160 THEN 'rfc1918_10' "
+        "WHEN ((CAST(split_part(sourceip, '.', 1) AS BIGINT)*16777216 + "
+        "CAST(split_part(sourceip, '.', 2) AS BIGINT)*65536 + "
+        "CAST(split_part(sourceip, '.', 3) AS BIGINT)*256 + "
+        "CAST(split_part(sourceip, '.', 4) AS BIGINT)) & 4293918720) = 2886729728 THEN 'rfc1918_172' "
+        "WHEN ((CAST(split_part(sourceip, '.', 1) AS BIGINT)*16777216 + "
+        "CAST(split_part(sourceip, '.', 2) AS BIGINT)*65536 + "
+        "CAST(split_part(sourceip, '.', 3) AS BIGINT)*256 + "
+        "CAST(split_part(sourceip, '.', 4) AS BIGINT)) & 4294901760) = 3232235520 THEN 'rfc1918_192' "
+        "ELSE 'public' END AS ip_class, "
+        "COUNT(*) AS n, CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM qevents GROUP BY 1"
+    )
+
+    # ---- A11: FULLNETWORKNAME longest-prefix decode, aggregated -------------
+    q["full_network_name"] = _shared_sql_entry(
+        f"SELECT {fullnetworkname_expr('sourceip')} AS src_net, "
+        "COUNT(*) AS n FROM qevents GROUP BY 1"
+    )
+
+    # ---- A9: reference-set membership (broadcast semi-join in Spark) --------
+    q["refset_membership"] = _shared_sql_entry(
+        "SELECT CASE WHEN destinationip IN "
+        "(SELECT value FROM ref_sets WHERE set_name = 'Known DNS traffic') "
+        "THEN 'known_dns' ELSE 'other_traffic' END AS cls, "
+        "COUNT(*) AS n FROM qevents GROUP BY 1"
+    )
+
+    # ---- A13: time-range scan + projection ----------------------------------
+    q["time_range_scan"] = _shared_sql_entry(
+        "SELECT event_id, eventName, eventCount FROM qevents "
+        "WHERE ts >= timestamp'2024-01-05 00:00:00' "
+        "AND ts < timestamp'2024-01-12 00:00:00'"
+    )
+
+    # ---- B11: the SummingMergeTree-equivalent hourly roll-up ----------------
+    q["summing_rollup_hourly"] = _shared_sql_entry(
+        "SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
+        "COUNT(*) AS n_rows, CAST(SUM(eventCount) AS BIGINT) AS Event_Count "
+        "FROM qevents GROUP BY 1, 2, 3"
+    )
+
+    # ---- B5/B9: epoch autodetect + WeekFrom/ReportDate derivation -----------
+    q["normalize_dates"] = _shared_sql_entry(
+        _normalize_dates_body("spark"), _normalize_dates_body("duckdb")
+    )
+
+    # ---- A15/A2 equivalent: view-shaped aggregation with HAVING -------------
+    q["globalview_aggregate"] = _shared_sql_entry(
+        "SELECT domainId, eventName, CAST(SUM(eventCount) AS BIGINT) AS SUM_eventCount "
+        "FROM qevents GROUP BY 1, 2 HAVING SUM(eventCount) > 10"
+    )
+
+    # ---- general analytics over the TPC-H-ish tables (bench headliners) -----
+    q["pricing_summary"] = _table_sql_entry(
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= timestamp'2024-06-01 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+    q["top_revenue_orders"] = _table_sql_entry(
+        "SELECT l_orderkey, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+        "o_orderdate "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+    )
+
+    q["revenue_by_nation"] = _table_sql_entry(
+        "SELECT n_name, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY n_name"
+    )
+
+    q["top_users_per_event_type"] = _table_sql_entry(
+        "SELECT event_type, user_id, total_value FROM ("
+        "  SELECT event_type, user_id, "
+        "  ROUND(SUM(value), 2) AS total_value, "
+        "  ROW_NUMBER() OVER (PARTITION BY event_type "
+        "    ORDER BY ROUND(SUM(value), 2) DESC, user_id ASC) AS rk "
+        "  FROM events GROUP BY event_type, user_id"
+        ") t WHERE rk <= 3"
+    )
+
+    return q
