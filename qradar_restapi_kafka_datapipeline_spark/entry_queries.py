@@ -246,4 +246,183 @@ def registry() -> dict[str, Q]:
         ") t WHERE rk <= 3"
     )
 
+    _north_star_entries(q)
     return q
+
+
+# ---------------------------------------------------------------------------
+# north-star: dedup / similarity / text analysis / multimodal (SURVEY §7.1 M6)
+# ---------------------------------------------------------------------------
+
+def _df_entry(run: Callable[[SparkSession, str], DataFrame], oracle: str | None) -> Q:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        setup(spark, sf_dir)
+        return run(spark, sf_dir)
+
+    return Q(run=wrapped, oracle=oracle)
+
+
+def _md5_norm(dialect: str) -> str:
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import normalized_md5_sql
+
+    return normalized_md5_sql("text", dialect)
+
+
+def _north_star_entries(q: dict[str, Q]) -> None:
+    from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+    from qradar_restapi_kafka_datapipeline_spark.operators import similarity as S
+    from qradar_restapi_kafka_datapipeline_spark.operators import text as T
+
+    # ---- exact dedup ---------------------------------------------------------
+    q["dedup_exact"] = _df_entry(
+        lambda spark, sf: D.exact_dup_groups(spark.table("documents")),
+        "SELECT " + _md5_norm("duckdb") + " AS fingerprint, "
+        "MIN(doc_id) AS canonical_id, COUNT(*) AS group_size "
+        "FROM documents GROUP BY 1 HAVING COUNT(*) > 1",
+    )
+    q["dedup_exact_stats"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT source, COUNT(*) AS n_docs, "
+            f"COUNT(DISTINCT {_md5_norm('spark')}) AS n_distinct "
+            "FROM documents GROUP BY source"
+        ),
+        "SELECT source, COUNT(*) AS n_docs, "
+        f"COUNT(DISTINCT {_md5_norm('duckdb')}) AS n_distinct "
+        "FROM documents GROUP BY source",
+    )
+
+    # ---- n-gram Jaccard (exact verify; capped input — LSH is the scale path) -
+    _JK, _JTHRESH, _JCAP = 3, 0.12, 300
+    q["dedup_ngram_jaccard"] = _df_entry(
+        lambda spark, sf: D.ngram_jaccard_pairs(
+            spark.table("documents").where(f"doc_id < {_JCAP}"),
+            shingle_k=_JK,
+            threshold=_JTHRESH,
+        ),
+        f"""
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents WHERE doc_id < {_JCAP}
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+          FROM docs, UNNEST(generate_series(1, greatest(len(w) - {_JK - 1}, 1))) AS t(i)
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE common * 1.0 / (ca.n + cb.n - common) >= {_JTHRESH}
+        """,
+    )
+
+    # ---- MinHash LSH + SimHash: Spark-native hashes ⇒ rows-only checks ------
+    q["dedup_minhash_lsh"] = _df_entry(
+        lambda spark, sf: D.minhash_lsh_pairs(
+            spark.table("documents"), threshold=0.3
+        ),
+        None,
+    )
+    q["dedup_simhash"] = _df_entry(
+        lambda spark, sf: D.simhash_pairs(spark.table("documents"), max_hamming=8),
+        None,
+    )
+
+    # ---- embedding-cosine near-dup + kNN -------------------------------------
+    # 0.42: the synthetic embeddings are random (max pairwise cos ≈ 0.51), so a
+    # production-style 0.9 threshold would select nothing; 0.42 exercises the
+    # operator on the distribution's tail.
+    q["dedup_embedding_cosine"] = _df_entry(
+        lambda spark, sf: D.embedding_cosine_pairs(
+            spark.table("embeddings"), threshold=0.42, id_cap=500
+        ),
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE vec_id < 500) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM e a, e b WHERE a.vec_id < b.vec_id "
+        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
+    )
+    q["knn_bruteforce_cosine"] = _df_entry(
+        lambda spark, sf: S.knn_bruteforce(
+            spark.table("embeddings"), query_ids=list(range(10)), k=3
+        ),
+        "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings), "
+        "s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(qv, nv), 6) AS cos "
+        "FROM q, c WHERE q_id != n_id), "
+        "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
+        "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
+    )
+    q["knn_lsh_cosine"] = _df_entry(
+        lambda spark, sf: S.knn_lsh(
+            spark.table("embeddings"), query_ids=list(range(10)), k=3
+        ),
+        None,
+    )
+
+    # ---- text analysis -------------------------------------------------------
+    q["text_langid_distribution"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            f"SELECT {T.lang_id_sql('text')} AS lang_pred, COUNT(*) AS n "
+            "FROM documents GROUP BY 1"
+        ),
+        f"SELECT {T.lang_id_sql('text')} AS lang_pred, COUNT(*) AS n "
+        "FROM documents GROUP BY 1",
+    )
+    q["text_quality_scores"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            f"SELECT doc_id, {T.quality_score_sql('text', 'spark')} AS quality "
+            "FROM documents"
+        ),
+        f"SELECT doc_id, {T.quality_score_sql('text', 'duckdb')} AS quality "
+        "FROM documents",
+    )
+    q["text_token_stats"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            f"SELECT doc_id, {T.word_count_sql('text', 'spark')} AS n_words, "
+            f"{T.bpe_token_estimate_sql('text')} AS n_tokens_est, "
+            "length(text) AS n_chars_measured FROM documents"
+        ),
+        f"SELECT doc_id, {T.word_count_sql('text', 'duckdb')} AS n_words, "
+        f"{T.bpe_token_estimate_sql('text')} AS n_tokens_est, "
+        "length(text) AS n_chars_measured FROM documents",
+    )
+    q["text_fingerprint"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            f"SELECT doc_id, {_md5_norm('spark')} AS fp_md5, "
+            f"{T.rolling_hash_sql('text', 'spark')} AS fp_rolling FROM documents"
+        ),
+        f"SELECT doc_id, {_md5_norm('duckdb')} AS fp_md5, "
+        f"{T.rolling_hash_sql('text', 'duckdb')} AS fp_rolling FROM documents",
+    )
+
+    # ---- multimodal plumbing (deterministic fake kernel; real batching) ------
+    q["multimodal_features"] = _df_entry(
+        lambda spark, sf: M.extract_features(
+            M.attach_binary_payload(spark.table("documents"))
+        ),
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, "
+        "CAST(64 + (length(text) % 16) * 32 AS INT) AS width, "
+        "CAST(64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS INT) AS height, "
+        "CAST((length(text) % 7) + 1 AS INT) AS n_frames FROM documents",
+    )
+    q["multimodal_frame_sample"] = _df_entry(
+        lambda spark, sf: M.frame_sample(
+            M.extract_features(M.attach_binary_payload(spark.table("documents")))
+        ),
+        "SELECT doc_id, CAST(t.i AS INT) AS frame_idx FROM ("
+        "SELECT doc_id, (length(text) % 7) + 1 AS n_frames FROM documents) d, "
+        "UNNEST(generate_series(0, d.n_frames - 1, 2)) AS t(i)",
+    )

@@ -1,0 +1,343 @@
+"""Deduplication operators for training-data pipelines (north-star M6).
+
+Five dedup families, each chosen for a different point on the exact↔fuzzy ×
+cheap↔thorough plane, all expressed as DataFrame transformations that scale by
+partitioning on content keys (never by collecting to the driver):
+
+- **exact**        — hash-groupBy on a normalized fingerprint. One shuffle on
+                     the md5 key; at 100 TB the shuffle carries (hash, id) pairs
+                     only, never the text.
+- **MinHash LSH**  — shingle → K minhashes → band → bucket-join. The classic
+                     sub-quadratic near-dup pipeline: candidate pairs only form
+                     inside equal (band, band-hash) buckets.
+- **SimHash**      — 64-bit sign-aggregated token sketch; near-dups = small
+                     Hamming distance, found via band rotation (4×16-bit keys).
+- **n-gram Jaccard** — exact word-shingle similarity by explode + self-join on
+                     shingle; the verify step for LSH candidates (quadratic in
+                     bucket size, so use capped/candidate inputs).
+- **embedding cosine** — semantic near-dup over an embedding column, brute
+                     pairwise above a threshold (use LSH-bucketed for scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators.text import normalized_md5
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint, canonical
+    (min) id, and group size — only groups with >1 member."""
+    return (
+        df.select(F.col(id_col), normalized_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one (min-id) row per distinct normalized text."""
+    w = df.select(
+        "*", normalized_md5(text_col).alias("__fp")
+    )
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, [id_col, "__fp"], "left_semi").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _word_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """DISTINCT word k-shingles per document (set semantics for Jaccard)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return (
+        df.select(F.col(id_col), F.explode(idx).alias("__i"), words.alias("__w"))
+        .select(
+            F.col(id_col),
+            # try_element_at: docs shorter than k words yield one partial
+            # shingle (concat_ws skips the NULLs) instead of an ANSI
+            # out-of-bounds error
+            F.concat_ws(
+                " ",
+                *[
+                    F.try_element_at(F.col("__w"), (F.col("__i") + j + 1).cast("int"))
+                    for j in range(k)
+                ],
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, minhash[num_hashes]) — min over per-seed xxhash64 of each shingle.
+
+    One explode + one groupBy: the shuffle carries (id, shingle-hash) pairs.
+    xxhash64 with integer seeds is Spark-native, deterministic, and JVM-side.
+    """
+    sh = _word_shingles(df, id_col, text_col, shingle_k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, band-hash) bucket.
+
+    rows_per_band = num_hashes // bands; the bucket join is an equi-join on
+    (band_id, band_hash) — shuffle-partitioned by bucket, no cross product.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by exact Jaccard."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    sh = _word_shingles(df, id_col, text_col, shingle_k)
+    return _verify_jaccard(cands, sh, id_col, threshold)
+
+
+def _verify_jaccard(
+    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na")
+    cb = counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb")
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, quadratic — for capped/candidate inputs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """All-pairs word-k-gram Jaccard ≥ threshold via shingle self-join.
+
+    Quadratic in per-shingle document frequency — the exact-verify tool, not
+    the scale path (that's minhash_lsh_pairs). Cap the input first.
+    """
+    sh = _word_shingles(df, id_col, text_col, shingle_k)
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle_b"))
+    pairs = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-bit sign of Σ over tokens of ±1 (bit of token hash).
+
+    Explode tokens → for each of 64 bits sum ±1 → pack bits. One shuffle.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for b in range(64):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        packed = term if packed is None else (packed + term)
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Bucket on four 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one of 4
+    chunks equal), then verify with bit_count — no cross product.
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
+        for c in range(4)
+    ]
+    keyed = sh.select(id_col, "simhash", *chunks)
+    chunk_structs = F.explode(
+        F.array(*[
+            F.struct(F.lit(c).alias("chunk_id"), F.col(f"c_{c}").alias("chunk_val"))
+            for c in range(4)
+        ])
+    ).alias("ch")
+    banded = keyed.select(id_col, "simhash", chunk_structs).select(
+        id_col, "simhash", "ch.chunk_id", "ch.chunk_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a: str, b: str):
+    """Deterministic cosine of two array<float> columns: sequential fold
+    (F.aggregate), double accumulation — same result every run/partitioning."""
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    id_cap: int | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold — brute force (use LSH-bucketed at scale)."""
+    if id_cap is not None:
+        emb = emb.where(F.col(id_col) < id_cap)
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

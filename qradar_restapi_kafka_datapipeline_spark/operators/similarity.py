@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (north-star M6).
+
+Two paths:
+- **brute-force top-k** — the correctness baseline: broadcast the (small) query
+  set against the full corpus, deterministic cosine (sequential fold), window
+  top-k.  Scales linearly in corpus size × queries; right answer, O(N·Q).
+- **LSH-bucketed top-k** — the scale path: sign-random-projection sketches put
+  near vectors in shared buckets; candidates come from equal-bucket joins, then
+  exact cosine re-ranks.  Projections are derived deterministically from
+  (plane, dim) hashes, so results are reproducible with no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from qradar_restapi_kafka_datapipeline_spark.operators.dedup import cosine_expr
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is tiny (a handful of probe vectors) → broadcast; the big
+    corpus streams through one task wave with no shuffle until the final
+    per-query top-k (k rows per query).
+    """
+    q = emb.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    if query_ids is not None:
+        q = q.where(F.col("q_id").isin(query_ids))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
+def _sign_sketch(vec_col: str, planes: int, dims: int, table: int = 0):
+    """Deterministic sign-random-projection sketch as an int64 bucket key.
+
+    Projection matrix entries derive from integer mixing of (table, plane, dim):
+    pseudo-random in {-3..3}, identical across sessions — the whole sketch is a
+    pure Column expression (codegen, no UDF, no RNG state to manage).
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        weights = F.array(
+            *[
+                F.lit(float((((table * 1000003 + p) * 2654435761 + d * 40503) % 7) - 3))
+                for d in range(dims)
+            ]
+        )
+        # zip_with keeps the dot product a runtime loop (compact codegen)
+        # instead of `dims` unrolled multiply-adds per plane.
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit * F.lit(1 << p).cast("long")
+    return bucket
+
+
+def _multi_table_buckets(vec_col: str, planes: int, dims: int, tables: int):
+    """(table_id, bucket) pairs for OR-amplified LSH: a near pair is a
+    candidate if it collides in ANY table — the standard recall amplifier."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    _sign_sketch(vec_col, planes, dims, t).alias("bucket"),
+                )
+                for t in range(tables)
+            ]
+        )
+    )
+
+
+def knn_lsh(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dims: int = 64,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates from equal sign-sketch buckets in ANY of
+    ``tables`` hash tables (OR-amplification), exact cosine re-rank.
+
+    2^planes buckets per table ⇒ expected corpus·tables/2^planes candidates per
+    query — the IVF-style scale path; raise ``tables`` for recall, ``planes``
+    for selectivity."""
+    sk = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _multi_table_buckets(vec_col, planes, dims, tables).alias("tb"),
+    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+    q = sk.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"),
+        "table_id", "bucket",
+    )
+    if query_ids is not None:
+        q = q.where(F.col("q_id").isin(query_ids))
+    c = sk.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"),
+        "table_id", "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["table_id", "bucket"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "qv", "n_id", "nv")
+        .distinct()
+        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )

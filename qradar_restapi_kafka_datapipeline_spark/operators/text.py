@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines (north-star M6).
+
+Language-ID (n-gram/stopword heuristic), quality scoring, token counting, and
+document fingerprinting over a text column — the building blocks an LLM data
+pipeline runs across billions of documents.
+
+Design: each op is an SQL expression builder valid in BOTH Spark SQL and DuckDB
+(single source of truth; the oracle can't drift), exposed to DataFrame users as
+Column functions via ``F.expr``.  Everything is built-in string/array functions
+— JVM-side, whole-stage-codegen, no Python in the row path — so the ops scale
+to a 100 TB corpus exactly like any other projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# language ID — marker-phrase counting (deterministic heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " los ", " y "],
+    "fr": [" le ", " les ", " et ", " des "],
+    "de": [" der ", " und ", " die ", " nicht "],
+}
+
+
+def _count_expr(col: str, marker: str) -> str:
+    m = marker.replace("'", "''")
+    return f"((length({col}) - length(replace({col}, '{m}', ''))) / {len(marker)})"
+
+
+def lang_score_sql(col: str, lang: str) -> str:
+    return "(" + " + ".join(_count_expr(col, m) for m in _LANG_MARKERS[lang]) + ")"
+
+
+def lang_id_sql(col: str) -> str:
+    """Argmax over marker scores; deterministic tie-break by fixed order."""
+    scores = {lang: lang_score_sql(col, lang) for lang in _LANG_MARKERS}
+    branches = []
+    langs = list(_LANG_MARKERS)
+    for i, lang in enumerate(langs):
+        others = [
+            (f">= {scores[o]}" if j > i else f"> {scores[o]}")
+            for j, o in enumerate(langs)
+            if o != lang
+        ]
+        cond = " AND ".join(f"{scores[lang]} {o}" for o in others)
+        branches.append(f"WHEN {scores[lang]} > 0 AND {cond} THEN '{lang}'")
+    return "(CASE " + " ".join(branches) + " ELSE 'und' END)"
+
+
+def lang_id(col: str = "text") -> Column:
+    return F.expr(lang_id_sql(col))
+
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace + a BPE-ish estimate
+# ---------------------------------------------------------------------------
+
+def word_count_sql(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"size(split(trim({col}), '\\\\s+'))"
+    return f"len(regexp_split_to_array(trim({col}), '\\s+'))"
+
+
+def bpe_token_estimate_sql(col: str) -> str:
+    """~1 token per 4 chars, floor at word count — the standard rough estimate."""
+    return f"CAST(ceil(length({col}) / 4.0) AS BIGINT)"
+
+
+def word_count(col: str = "text") -> Column:
+    return F.expr(word_count_sql(col, "spark"))
+
+
+def bpe_token_estimate(col: str = "text") -> Column:
+    return F.expr(bpe_token_estimate_sql(col))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+def quality_score_sql(col: str, dialect: str) -> str:
+    """Composite [0,1]-ish quality score, ROUND(…, 4) for cross-engine hashing.
+
+    Components (all deterministic integer/char counts):
+    - length_score: saturating chars/2000
+    - stopword_ratio: en-stopword hits per word (junk text scores ~0)
+    - punct_penalty: '.'+','+';' density beyond 10% of chars
+    """
+    words = word_count_sql(col, dialect)
+    stops = "(" + " + ".join(
+        _count_expr(col, m) for m in (" the ", " and ", " of ", " a ", " to ")
+    ) + ")"
+    punct = (
+        f"(length({col}) - length(replace(replace(replace({col}, '.', ''), "
+        f"',', ''), ';', '')))"
+    )
+    length_score = f"LEAST(length({col}) / 2000.0, 1.0)"
+    stop_score = f"LEAST({stops} * 5.0 / {words}, 1.0)"
+    punct_pen = f"GREATEST({punct} * 1.0 / GREATEST(length({col}), 1) - 0.1, 0.0)"
+    # +1e-9 pushes exact half-way values (e.g. len 87 → 0.02175) off the 4 dp
+    # rounding boundary, where Spark and DuckDB round in opposite directions.
+    return f"ROUND(0.5 * {length_score} + 0.5 * {stop_score} - {punct_pen} + 1e-9, 4)"
+
+
+def quality_score(col: str = "text") -> Column:
+    return F.expr(quality_score_sql(col, "spark"))
+
+
+# ---------------------------------------------------------------------------
+# fingerprints — md5 of normalized text + polynomial rolling hash
+# ---------------------------------------------------------------------------
+
+def normalized_md5_sql(col: str, dialect: str) -> str:
+    """md5 of lower-cased whitespace-collapsed text (exact-dup fingerprint)."""
+    if dialect == "spark":
+        norm = f"regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
+    else:
+        norm = f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+    return f"md5({norm})"
+
+
+def rolling_hash_sql(col: str, dialect: str) -> str:
+    """Polynomial rolling hash Σ c_i·31^i mod 1e9+7, folded left-to-right.
+
+    Same fold in both engines (Spark ``aggregate``, DuckDB ``list_reduce``) —
+    order-deterministic by construction, unlike a SUM.
+    """
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(split({col}, ''), c -> ascii(c)), 0L, "
+            f"(a, b) -> (a * 31 + b) % 1000000007)"
+        )
+    # explicit BIGINT: DuckDB's ascii() yields INT32 and a*31 overflows it
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({col}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
+    )
+
+
+def normalized_md5(col: str = "text") -> Column:
+    return F.expr(normalized_md5_sql(col, "spark"))
+
+
+def rolling_hash(col: str = "text") -> Column:
+    return F.expr(rolling_hash_sql(col, "spark"))

@@ -1,0 +1,120 @@
+"""North-star operators: dedup / similarity / text / multimodal (SURVEY M6).
+
+Synthetic-planted cases: the driver tables are random (few true near-dups), so
+these tests plant known duplicates and verify each operator finds exactly them.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+    dedup_exact,
+    exact_dup_groups,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_features,
+    frame_sample,
+)
+from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again in the yard"
+NEAR = BASE.replace("lazy", "sleepy")  # one-word change → high Jaccard
+FAR = "completely different content about spark query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),            # exact dup of 1
+            (3, "  " + BASE + " "),  # whitespace-normalized dup of 1
+            (4, NEAR),            # near-dup of 1
+            (5, FAR),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1 and groups[0]["group_size"] == 3
+
+
+def test_dedup_exact_keeps_min_id(spark, docs):
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0
+    assert 0.3 <= pairs[(1, 4)] < 1.0   # one-word change
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    assert (1, 5) not in pairs or pairs[(1, 5)] > 10  # unrelated text far away
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),   # near 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_embedding_cosine_pairs(spark, vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in embedding_cosine_pairs(vectors, threshold=0.9).collect()}
+    assert list(pairs) == [(1, 2)] and pairs[(1, 2)] > 0.99
+
+
+def test_knn_bruteforce_ranks_near_first(spark, vectors):
+    rows = knn_bruteforce(vectors, query_ids=[1], k=2).collect()
+    assert [r["n_id"] for r in sorted(rows, key=lambda r: r["rk"])][0] == 2
+
+
+def test_knn_lsh_subset_of_bruteforce_quality(spark, vectors):
+    # LSH with few planes on 4 vectors: the (1,2) pair shares a bucket
+    rows = knn_lsh(vectors, query_ids=[1], k=2, planes=4, dims=4).collect()
+    assert any(r["n_id"] == 2 for r in rows)
+
+
+def test_multimodal_stub_and_plumbing(spark, docs):
+    media = attach_binary_payload(docs)
+    feats = extract_features(media)
+    got = {r["doc_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == len(BASE)
+    assert got[1]["width"] == 64 + (len(BASE) % 16) * 32
+    frames = frame_sample(feats).groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in frames)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
