@@ -1,0 +1,99 @@
+"""Streaming summing roll-up (SURVEY §2 B11 streaming mode, §7.2 item 2).
+
+Two modes, one logical pipeline:
+
+- **exact mode (default)** — ``foreachBatch`` + :func:`operators.rollup.merge_rollup`:
+  every micro-batch is aggregate-added into the day-partitioned roll-up table.
+  Accepts UNBOUNDED lateness, exactly like ClickHouse SummingMergeTree's
+  merge-on-read (reference ``clickhouse/clickhouse.py:70-81``) — a row arriving
+  a week late still folds into its hour bucket.  Checkpointing makes the sink
+  exactly-once per epoch (strictly better than the reference's
+  ``insert_deduplicate=False`` at-least-once, ``clickhouse/clickhouse.py:20``).
+- **watermark mode** — a native watermarked tumbling-window aggregate for
+  low-latency dashboards.  DOCUMENTED DEVIATION: rows later than the watermark
+  are dropped; use exact mode when SummingMergeTree parity matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from qradar_restapi_kafka_datapipeline_spark.operators.rollup import (
+    DEFAULT_MEASURE,
+    DEFAULT_TIME_COL,
+    merge_rollup,
+)
+
+
+def streaming_rollup_exact(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    measure: str = DEFAULT_MEASURE,
+    time_col: str = DEFAULT_TIME_COL,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """SummingMergeTree-parity sink: aggregate-add each micro-batch.
+
+    ``available_now=True`` drains the backlog then stops — the batch-ingest
+    mode (reference's one-shot ``etl``); ``False`` runs continuously at
+    ``processing_time`` cadence (its hypothetical live mode).
+    """
+
+    def fold(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_rollup(
+            batch.sparkSession, batch, out_path, measure=measure, time_col=time_col
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def streaming_rollup_watermarked(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    measure: str = DEFAULT_MEASURE,
+    time_col: str = DEFAULT_TIME_COL,
+    watermark: str = "2 hours",
+    dims: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Low-latency native windowed aggregate (late rows beyond ``watermark``
+    are dropped — the documented deviation from SummingMergeTree)."""
+    if dims is None:
+        dims = [c for c in df.columns if c not in (measure, time_col)]
+    agg = (
+        df.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), "1 hour").alias("w"), *dims)
+        .agg(F.sum(measure).alias(measure))
+        .select(
+            F.col("w.start").alias(time_col),
+            *dims,
+            measure,
+        )
+        .withColumn("event_date", F.to_date(F.col(time_col)))
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .partitionBy("event_date")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,110 @@
+"""Streaming ingest + roll-up tests (SURVEY §5 item 4).
+
+File-source streams stand in for Kafka (same Source API, no broker needed):
+JSONL landing dir → pinned-schema stream → normalize → summing roll-up sink.
+Late-data policy: exact mode folds unbounded lateness; watermark mode drops.
+"""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.sources.ingest import (
+    normalize_stream,
+    read_jsonl_stream,
+    table_name,
+)
+from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+    streaming_rollup_exact,
+    streaming_rollup_watermarked,
+)
+
+EV = dict(
+    domainName="customer_1", domainId=1, eventCount=2, sourceIP="10.0.0.1",
+    destinationIP="8.8.8.8", sourcePort=1000, destinationPort=53,
+    qid=5, category=4002, highlevelcategory=4000, devicetype=3,
+    logSourceId=7, userName="u1", magnitude=5,
+)
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, path)
+
+
+def _rows(ts_list):
+    return [{**EV, "startTime": t} for t in ts_list]
+
+
+H10 = 1_721_383_200_000  # 2024-07-19 10:00:00 UTC in ms
+H11 = H10 + 3_600_000
+
+
+def test_stream_ingest_to_exact_rollup(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(f"{src}/page0.jsonl", _rows([H10 + 60_000, H10 + 120_000, H11]))
+    stream = normalize_stream(read_jsonl_stream(spark, src))
+    q = streaming_rollup_exact(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["Start_Time"]: r["Event_Count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 2
+    assert sorted(got.values()) == [2, 4]  # two rows in hour 10, one in hour 11
+
+    # late page arrives — a NEW availableNow run folds it in (checkpoint
+    # resumes from the recorded offset, so only the new file is read)
+    _write_jsonl(f"{src}/page1.jsonl", _rows([H10 + 300_000]))
+    stream2 = normalize_stream(read_jsonl_stream(spark, src))
+    q2 = streaming_rollup_exact(stream2, out, ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        r["Start_Time"]: r["Event_Count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert sorted(got2.values()) == [2, 6]  # late row folded into hour 10
+
+
+def test_stream_watermarked_rollup(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "rollup_wm")
+    ckpt = str(tmp_path / "ckpt_wm")
+    _write_jsonl(f"{src}/page0.jsonl", _rows([H10, H10 + 60_000, H11]))
+    stream = normalize_stream(read_jsonl_stream(spark, src))
+    q = streaming_rollup_watermarked(stream, out, ckpt, watermark="1 hour")
+    q.awaitTermination(120)
+    # append mode emits a window only once the watermark passes its end; the
+    # max event time so far (11:00) minus 1 h leaves both windows open.
+    # A later batch advances the watermark and flushes them:
+    _write_jsonl(f"{src}/page1.jsonl", _rows([H10 + 4 * 3_600_000]))
+    stream2 = normalize_stream(read_jsonl_stream(spark, src))
+    q2 = streaming_rollup_watermarked(stream2, out, ckpt, watermark="1 hour")
+    q2.awaitTermination(120)
+    df = spark.read.parquet(out)
+    got = {r["Start_Time"]: r["Event_Count"] for r in df.collect()}
+    assert sorted(got.values()) == [2, 4]  # hours 10 and 11 closed + emitted
+    assert len(got) == 2  # the 14:00 window is still open (late-drop policy)
+
+
+def test_normalized_stream_schema(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _write_jsonl(f"{src}/p.jsonl", _rows([H10]))
+    stream = normalize_stream(read_jsonl_stream(spark, src))
+    assert stream.isStreaming
+    cols = set(stream.columns)
+    assert {"Event_Count", "Start_Time", "WeekFrom", "ReportDate", "Source_IP"} <= cols
+
+
+def test_table_name_sanitization():
+    # reference etl.py:68-77 strips space ' " & _ from the customer name
+    assert table_name("Cust omer&_1", "AllowedInbound") == "Customer1_AllowedInbound"
