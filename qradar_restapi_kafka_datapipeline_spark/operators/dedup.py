@@ -59,7 +59,13 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ---------------------------------------------------------------------------
 
 def _word_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """DISTINCT word k-shingles per document (set semantics for Jaccard)."""
+    """DISTINCT word k-shingles per document (set semantics for Jaccard).
+
+    Repartition before the explode: a document table often arrives as few fat
+    files (here: one), and a 300×-row fan-out from a single partition runs on a
+    single core. Spreading docs first makes the explode wave-parallel.
+    """
+    df = df.repartition(F.col(id_col))
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -89,17 +95,20 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, minhash[num_hashes]) — min over per-seed xxhash64 of each shingle.
+    """(id, minhash[num_hashes]) — min over per-seed hashes of each shingle.
 
     One explode + one groupBy: the shuffle carries (id, shingle-hash) pairs.
-    xxhash64 with integer seeds is Spark-native, deterministic, and JVM-side.
+    The shingle STRING is hashed once (xxhash64); the per-seed family re-hashes
+    that int64 — 64 long-hashes per shingle instead of 64 string-hashes, which
+    is the difference between arithmetic and re-scanning ~25 bytes 64 times.
     """
     sh = _word_shingles(df, id_col, text_col, shingle_k)
+    base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"mh_{seed}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return base.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_candidates(
@@ -151,10 +160,20 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates verified by exact Jaccard."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
+
+    The shingle relation feeds signatures AND the verify join — persist it so
+    the explode+distinct runs once, not three times (AQE then broadcasts the
+    tiny candidate set into the verify joins).
+    """
+    sh = _word_shingles(df, id_col, text_col, shingle_k).persist()
+    base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
+    mins = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = base.groupBy(id_col).agg(*mins)
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    sh = _word_shingles(df, id_col, text_col, shingle_k)
     return _verify_jaccard(cands, sh, id_col, threshold)
 
 
@@ -232,7 +251,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Explode tokens → for each of 64 bits sum ±1 → pack bits. One shuffle.
     """
-    tok = df.select(
+    tok = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
