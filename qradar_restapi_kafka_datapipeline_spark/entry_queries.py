@@ -247,7 +247,75 @@ def registry() -> dict[str, Q]:
     )
 
     _north_star_entries(q)
+    _analytics_entries(q)
     return q
+
+
+def _analytics_entries(q: dict[str, Q]) -> None:
+    """Operators beyond the reference's surface (SURVEY §2 'not present' list):
+    sessionization, grouping sets, percentiles, approx-distinct, skew-salted
+    aggregation (oracle = the plain GROUP BY it must equal)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        sessionize,
+        sessionize_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.skew import salted_sum
+
+    q["sessionize_events"] = _df_entry(
+        lambda spark, sf: sessionize(
+            spark.table("events"), gap_minutes=30, agg_cols={"value": "total_value"}
+        ),
+        sessionize_sql("duckdb", gap_minutes=30),
+    )
+
+    _gs = (
+        "SELECT event_type, cohort, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+        "FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) t "
+        "GROUP BY GROUPING SETS ((event_type), (cohort), ())"
+    )
+    q["grouping_sets_summary"] = _table_sql_entry(_gs)
+
+    q["percentile_values"] = Q(
+        run=lambda spark, sf: (
+            setup(spark, sf),
+            spark.sql(
+                "SELECT event_type, "
+                "ROUND(percentile(value, 0.5) + 1e-9, 4) AS p50, "
+                "ROUND(percentile(value, 0.95) + 1e-9, 4) AS p95 "
+                "FROM events GROUP BY event_type"
+            ),
+        )[1],
+        oracle=(
+            "SELECT event_type, "
+            "ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS p50, "
+            "ROUND(quantile_cont(value, 0.95) + 1e-9, 4) AS p95 "
+            "FROM events GROUP BY event_type"
+        ),
+    )
+
+    q["distinct_users_per_type"] = _table_sql_entry(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type"
+    )
+    q["approx_distinct_users"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT event_type, approx_count_distinct(user_id) AS n_users_approx "
+            "FROM events GROUP BY event_type"
+        ),
+        None,  # HLL sketch is Spark-specific — rows-only check
+    )
+
+    q["salted_rollup"] = _df_entry(
+        lambda spark, sf: salted_sum(
+            spark.sql("SELECT eventName, eventCount FROM qevents"),
+            keys=["eventName"],
+            measures={"eventCount": "total_events"},
+        ),
+        _duck_cte(
+            "SELECT eventName, CAST(SUM(eventCount) AS BIGINT) AS total_events "
+            "FROM qevents GROUP BY eventName"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

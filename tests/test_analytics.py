@@ -1,0 +1,106 @@
+"""Sessionize / salted aggregation / HTTP push sink tests."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
+from qradar_restapi_kafka_datapipeline_spark.operators.skew import salted_sum
+from qradar_restapi_kafka_datapipeline_spark.sinks.http_push import (
+    HttpPushSink,
+    PushClientError,
+    PushServerError,
+    parse_jsonl_gzip,
+)
+
+T = datetime.datetime
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, T(2024, 1, 1, 10, 0), 1.0),
+        (1, T(2024, 1, 1, 10, 10), 2.0),   # same session (10 min gap)
+        (1, T(2024, 1, 1, 11, 0), 3.0),    # 50 min gap → new session
+        (2, T(2024, 1, 1, 10, 5), 4.0),    # other user, own session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {(r["user_id"], r["session_id"]): r
+           for r in sessionize(df, gap_minutes=30,
+                               agg_cols={"value": "total_value"}).collect()}
+    assert len(out) == 3
+    assert out[(1, 0)]["n_events"] == 2 and out[(1, 0)]["total_value"] == 3.0
+    assert out[(1, 1)]["n_events"] == 1 and out[(1, 1)]["session_start"] == T(2024, 1, 1, 11, 0)
+    assert out[(2, 0)]["n_events"] == 1
+
+
+def test_salted_sum_equals_plain_groupby(spark):
+    # skewed: one hot key with 10k rows
+    df = spark.range(0, 11_000).select(
+        F.when(F.col("id") < 10_000, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id") % 7)
+        ).alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    salted = {r["k"]: r["total"] for r in
+              salted_sum(df, ["k"], {"v": "total"}, salt_buckets=8).collect()}
+    plain = {r["k"]: r["total"] for r in
+             df.groupBy("k").agg(F.sum("v").alias("total")).collect()}
+    assert salted == plain
+
+
+class FakeHttp:
+    def __init__(self, fail_code=None):
+        self.posts = []
+        self.fail_code = fail_code
+
+    def __call__(self, method, url, data=None, headers=None):
+        self.posts.append((url, data, headers))
+
+        class R:
+            status_code = self.fail_code or 200
+            text = "err" if self.fail_code else "ok"
+
+        return R()
+
+
+def test_http_push_sink_wire_format(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "s"])
+    http = FakeHttp()
+    sink = HttpPushSink("https://imply.example/p/events/e", http,
+                        auth_header="Basic xyz", max_rows_per_post=2)
+    pushed = sink.push_batch(df)
+    assert pushed == 3
+    assert len(http.posts) == 2  # 2 + 1 rows, chunked
+    url, payload, headers = http.posts[0]
+    assert headers["Content-Encoding"] == "gzip"
+    assert headers["Authorization"] == "Basic xyz"
+    rows = parse_jsonl_gzip(payload)
+    assert {r["id"] for r in rows} == {1, 2}
+    all_rows = [r for _, p, _ in http.posts for r in parse_jsonl_gzip(p)]
+    assert sorted(r["id"] for r in all_rows) == [1, 2, 3]
+
+
+def test_http_push_sink_error_taxonomy(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    import pytest
+
+    with pytest.raises(PushClientError):
+        HttpPushSink("https://x", FakeHttp(fail_code=403)).push_batch(df)
+    with pytest.raises(PushServerError):
+        HttpPushSink("https://x", FakeHttp(fail_code=503)).push_batch(df)
+
+
+def test_http_push_streaming_writer(spark, tmp_path):
+    import json, os
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(f"{src}/a.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": i}) + "\n")
+    stream = spark.readStream.schema("id BIGINT").json(src)
+    http = FakeHttp()
+    sink = HttpPushSink("https://x/e", http)
+    q = sink.writer(stream, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(60)
+    got = [r for _, p, _ in http.posts for r in parse_jsonl_gzip(p)]
+    assert sorted(r["id"] for r in got) == [0, 1, 2, 3, 4]
