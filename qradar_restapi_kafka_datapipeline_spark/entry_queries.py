@@ -55,9 +55,18 @@ _SETUP_DONE: dict[tuple[int, str], AQLFrontend] = {}
 
 
 def setup(spark: SparkSession, sf_dir: str) -> AQLFrontend:
-    """Idempotent per-(session, sf_dir) view + function registration."""
+    """Idempotent per-(session, sf_dir) view + function registration.
+
+    The driver hands us ITS session, not one from get_spark(), so the configs
+    the engine depends on are applied here at runtime (all three are
+    runtime-settable SQLConfs): nanos-parquet reading, case-sensitive dict-key
+    semantics, and UTC so epoch math matches the oracle.
+    """
     key = (id(spark), sf_dir)
     if key not in _SETUP_DONE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         load_tables(spark, sf_dir)
         register_qevents(spark, sf_dir)
         register_globalviews(spark)
