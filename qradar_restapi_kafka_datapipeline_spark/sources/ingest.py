@@ -40,12 +40,35 @@ def read_jsonl_stream(
     path: str,
     schema: StructType | str = RAW_EVENT_DDL,
     max_files_per_trigger: int | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """Streaming scan of a JSONL directory with a pinned schema."""
-    reader = spark.readStream.schema(schema)
+    """Streaming scan of a JSONL directory with a pinned schema.
+
+    ``corrupt_col`` keeps unparseable lines instead of dissolving them into
+    all-NULL rows: the raw text lands in that column (PERMISSIVE mode), so a
+    quarantine sink can ``where(col(corrupt_col).isNotNull())`` them out.
+    """
+    reader = spark.readStream
+    if corrupt_col is not None:
+        if isinstance(schema, str):
+            schema = f"{schema}, {corrupt_col} STRING"
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    reader = reader.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(path)
+
+
+def split_quarantine(df: DataFrame, corrupt_col: str) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split on the corrupt-record column.
+
+    The quarantine side keeps the full row (Spark also disallows projecting
+    ONLY the corrupt column from raw JSON — QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    partially-parsed fields are useful forensics anyway.
+    """
+    clean = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull())
+    return clean, bad
 
 
 def read_kafka_stream(
