@@ -179,6 +179,34 @@ def _rewrite_quotes(q: str, dialect: str) -> str:
     return q
 
 
+def _rewrite_last(q: str, time_col: str, now_expr: str | None) -> str:
+    """AQL ``LAST n MINUTES|HOURS|DAYS`` → sliding time-range predicate.
+
+    ``now_expr`` anchors the window (SQL expression text); defaults to the
+    engine clock — pass a timestamp literal for reproducible runs/tests.
+    """
+    m = re.search(r"\bLAST\s+(\d+)\s+(MINUTES?|HOURS?|DAYS?)\b", q, flags=re.I)
+    if not m:
+        return q
+    n, unit = m.group(1), m.group(2).upper().rstrip("S")
+    now = now_expr or "current_timestamp()"
+    pred = f"({time_col} >= {now} - INTERVAL '{n}' {unit})"
+    q = q[: m.start()] + q[m.end():]  # drop the LAST clause wherever it sat
+    clause = r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT)\b"
+    mw = re.search(r"\bWHERE\b", q, flags=re.I)
+    if mw:
+        # wrap the existing WHERE body so `pred AND (body)` binds correctly
+        tail = re.search(clause, q[mw.end():], flags=re.I)
+        end = mw.end() + (tail.start() if tail else len(q) - mw.end())
+        return (
+            q[: mw.end()] + f" {pred} AND (" + q[mw.end():end].strip() + ") "
+            + q[end:]
+        )
+    tail = re.search(clause, q, flags=re.I)
+    at = tail.start() if tail else len(q)
+    return q[:at] + f" WHERE {pred} " + q[at:]
+
+
 def _rewrite_start_stop(q: str, time_col: str) -> str:
     m = re.search(r"\bSTART\s+'([^']+)'\s+STOP\s+'([^']+)'", q, flags=re.I)
     if not m:
@@ -206,8 +234,14 @@ def translate(
     time_col: str = "ts",
     ref_sets_view: str = "ref_sets",
     columns: list[str] | None = None,
+    now_expr: str | None = None,
 ) -> str:
-    """AQL text → executable SQL text in the target dialect."""
+    """AQL text → executable SQL text in the target dialect.
+
+    GROUP BY / ORDER BY / LIMIT / HAVING pass through untouched (valid in both
+    dialects); the AQL-specific clauses (START/STOP, LAST, PARAMETERS,
+    GLOBALVIEW, quoted aliases, scalar functions) are rewritten.
+    """
     q = aql.format(**params) if params else aql
     q = _strip_parameters(q)
     q = _rewrite_globalview(q, dialect, events_view)
@@ -216,6 +250,7 @@ def translate(
     q = _inline_functions(q, dialect)
     q = _rewrite_quotes(q, dialect)
     q = _rewrite_start_stop(q, time_col)
+    q = _rewrite_last(q, time_col, now_expr)
     if dialect == "spark" and columns:
         q = _normalize_identifier_case(q, columns)
     return q

@@ -105,3 +105,30 @@ def test_translate_globalview_routing():
 def test_frontend_rejects_bad_globalview_name():
     with pytest.raises(ValueError):
         translate("SELECT * FROM GLOBALVIEW('bad-name; DROP','NORMAL')")
+
+
+def test_translate_last_clause_with_group_by():
+    aql = ("SELECT eventName, SUM(eventCount) AS total FROM events "
+           "WHERE magnitude > 3 GROUP BY eventName ORDER BY total DESC "
+           "LIMIT 5 LAST 30 MINUTES")
+    out = translate(aql, dialect="spark",
+                    now_expr="timestamp'2024-01-15 12:00:00'")
+    assert "LAST" not in out.upper().replace("'", "")
+    assert "ts >= timestamp'2024-01-15 12:00:00' - INTERVAL '30' MINUTE" in out
+    assert out.index("INTERVAL") < out.index("GROUP BY")  # pred inside WHERE
+    assert "AND (magnitude > 3)" in out
+    assert "ORDER BY total DESC" in out and "LIMIT 5" in out
+
+
+def test_last_clause_executes(frontend):
+    df = frontend.spark.sql(
+        translate(
+            "SELECT COUNT(*) AS n FROM events LAST 3 DAYS",
+            dialect="spark",
+            events_view="qevents",
+            now_expr="timestamp'2024-01-08 00:00:00'",
+        )
+    )
+    n = df.first()["n"]
+    full = frontend.spark.table("qevents").count()
+    assert 0 < n < full  # a strict, non-empty subset of the month
