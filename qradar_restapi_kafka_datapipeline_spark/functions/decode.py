@@ -71,9 +71,10 @@ def full_network_name(
 
     Plan shape: broadcast range join (ip BETWEEN net_low AND net_high) →
     ``row_number() OVER (PARTITION BY row ORDER BY prefix_len DESC)`` → keep rank 1 →
-    ``coalesce(name, 'other')``.  The window partitions by the event's own row id, so
-    no data moves: the join is a BroadcastNestedLoopJoin against an O(100)-row
-    table and the rank is computed within each task.
+    ``coalesce(name, 'other')``.  The join side is broadcast (O(100)-row dim);
+    the dedup window shuffles once on the synthetic row id.  When the network
+    table is known at plan time, prefer :func:`network_name_expr` — the folded
+    CASE is shuffle-free and fully codegen'd (the AQL frontend uses it).
     """
     low, high = cidr_bounds(F.col("cidr"), F.col("prefix_len"))
     nets = networks.select(

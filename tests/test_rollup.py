@@ -57,3 +57,16 @@ def test_merge_rollup_unbounded_lateness(spark, tmp_path):
     }
     assert got[(T(2024, 7, 19, 10), "dimA")] == 105
     assert got[(T(2024, 7, 19, 11), "dimA")] == 7
+
+
+def test_write_rollup_day_partitioned(spark, tmp_path):
+    """B12: the plain day-partitioned append sink."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.rollup import write_rollup
+    import os
+
+    path = str(tmp_path / "plain")
+    write_rollup(_events(spark), path)
+    parts = [d for d in os.listdir(path) if d.startswith("event_date=")]
+    assert parts == ["event_date=2024-07-19"]
+    back = spark.read.parquet(path)
+    assert back.agg(F.sum("Event_Count")).first()[0] == 23
