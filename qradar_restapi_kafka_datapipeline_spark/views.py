@@ -76,6 +76,52 @@ def materialize_globalviews(
         )
 
 
+def update_globalviews_incremental(
+    spark: SparkSession, base_path: str, new_events: DataFrame
+) -> None:
+    """Fold a batch of NEW events into each materialized view — the
+    continuously-maintained form (QRadar maintains GLOBALVIEWs incrementally;
+    SummingMergeTree merges on arrival).  Aggregate-add semantics via
+    merge_rollup, so late events of any age fold into their hour bucket.
+
+    Use from a streaming foreachBatch:
+        lambda batch, _: update_globalviews_incremental(spark, path, batch)
+    """
+    from qradar_restapi_kafka_datapipeline_spark.operators.rollup import merge_rollup
+
+    new_events.createOrReplaceTempView("__gv_increment")
+    for name in GLOBALVIEW_SPECS:
+        inc = spark.sql(globalview_sql(name, "__gv_increment"))
+        merge_rollup(
+            spark,
+            inc,
+            f"{base_path}/{name}",
+            measure="SUM_eventCount",
+            time_col="ts",
+        )
+
+
+def register_materialized_globalviews(spark: SparkSession, base_path: str) -> list[str]:
+    """Route GLOBALVIEW scans to materialized day-partitioned tables.
+
+    After this, ``FROM GLOBALVIEW('MongoDB_X','NORMAL')`` reads collapsed
+    parquet (parquet min/max stats skip row groups outside the START/STOP
+    bounds; the hour-truncated ts correlates 1:1 with the day partitions) —
+    the reference's read path: pre-aggregated, zero recompute per query.
+    """
+    registered = []
+    for name in GLOBALVIEW_SPECS:
+        path = f"{base_path}/{name}"
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            continue
+        cols = [c for c in df.columns if c != "event_date"]
+        df.select(*cols).createOrReplaceTempView(name)
+        registered.append(name)
+    return registered
+
+
 # --- reference sets (SURVEY §2 A9) ------------------------------------------
 
 REF_SETS_SQL = (
