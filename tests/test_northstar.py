@@ -118,3 +118,36 @@ def test_multimodal_stub_and_plumbing(spark, docs):
     assert all(r["count"] >= 1 for r in frames)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+class TestLshInternalOracles:
+    """The rows-only registry ops (no DuckDB oracle) checked against their
+    exact in-engine counterparts — LSH must be a subset with identical scores."""
+
+    def test_minhash_lsh_consistent_with_exact_jaccard(self, spark, sf_dir):
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lsh = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in minhash_lsh_pairs(docs, threshold=0.1).collect()}
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        assert set(lsh) <= set(exact)
+        assert all(abs(lsh[k] - exact[k]) < 1e-9 for k in lsh)
+        assert len(lsh) >= 0.9 * len(exact)  # near-total recall at this threshold
+
+    def test_knn_lsh_scores_match_bruteforce(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qids = list(range(10))
+        full = {(r["q_id"], r["n_id"]): r["cos"]
+                for r in knn_bruteforce(emb, qids, k=500).collect()}
+        approx = {(r["q_id"], r["n_id"]): r["cos"]
+                  for r in knn_lsh(emb, qids, k=3).collect()}
+        # every approximate result carries the EXACT cosine for that pair
+        assert approx and all(abs(approx[k] - full[k]) < 1e-9 for k in approx)
+        top3 = {(r["q_id"], r["n_id"]) for r in knn_bruteforce(emb, qids, k=3).collect()}
+        recall = len(top3 & set(approx)) / len(top3)
+        assert recall >= 0.2  # random-embedding floor; see knn_lsh docstring
