@@ -60,4 +60,22 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_codegen_fallback(spark)
+    return spark
+
+
+def _quiet_codegen_fallback(spark: SparkSession) -> None:
+    """Drop the janino stack trace spam when an oversized expression falls back
+    to interpreted mode — the fallback is intended behavior for view-expanded
+    predicates (the materialized path stays in codegen); the ERROR-level trace
+    is pure noise."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.OFF
+        configurator.setLevel(
+            "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator", level
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the default logging

@@ -153,6 +153,16 @@ def registry() -> dict[str, Q]:
     for name, aql in AQL_CORPUS.items():
         q[f"aql_{name}"] = _aql_entry(aql)
 
+    # ---- AQL aggregation through the frontend (A3+A10+A15 in one query) ----
+    q["aql_agg_by_customer"] = _aql_entry(
+        "SELECT DOMAINNAME(domainId) AS customer, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events, "
+        "COUNT(*) AS n_rows "
+        "FROM events WHERE magnitude >= 5 "
+        "GROUP BY DOMAINNAME(domainId) "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- A8: INCIDR classification over the event stream -------------------
     q["incidr_classification"] = _shared_sql_entry(
         "SELECT CASE "

@@ -179,19 +179,10 @@ def _rewrite_quotes(q: str, dialect: str) -> str:
     return q
 
 
-def _rewrite_last(q: str, time_col: str, now_expr: str | None) -> str:
-    """AQL ``LAST n MINUTES|HOURS|DAYS`` → sliding time-range predicate.
-
-    ``now_expr`` anchors the window (SQL expression text); defaults to the
-    engine clock — pass a timestamp literal for reproducible runs/tests.
-    """
-    m = re.search(r"\bLAST\s+(\d+)\s+(MINUTES?|HOURS?|DAYS?)\b", q, flags=re.I)
-    if not m:
-        return q
-    n, unit = m.group(1), m.group(2).upper().rstrip("S")
-    now = now_expr or "current_timestamp()"
-    pred = f"({time_col} >= {now} - INTERVAL '{n}' {unit})"
-    q = q[: m.start()] + q[m.end():]  # drop the LAST clause wherever it sat
+def _inject_where_pred(q: str, pred: str) -> str:
+    """Fold ``pred`` into the query's WHERE clause (creating one if absent),
+    always ahead of GROUP BY/ORDER BY/HAVING/LIMIT — AQL's time clauses sit
+    AFTER those, where plain in-place insertion would be invalid SQL."""
     clause = r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT)\b"
     mw = re.search(r"\bWHERE\b", q, flags=re.I)
     if mw:
@@ -207,15 +198,28 @@ def _rewrite_last(q: str, time_col: str, now_expr: str | None) -> str:
     return q[:at] + f" WHERE {pred} " + q[at:]
 
 
+def _rewrite_last(q: str, time_col: str, now_expr: str | None) -> str:
+    """AQL ``LAST n MINUTES|HOURS|DAYS`` → sliding time-range predicate.
+
+    ``now_expr`` anchors the window (SQL expression text); defaults to the
+    engine clock — pass a timestamp literal for reproducible runs/tests.
+    """
+    m = re.search(r"\bLAST\s+(\d+)\s+(MINUTES?|HOURS?|DAYS?)\b", q, flags=re.I)
+    if not m:
+        return q
+    n, unit = m.group(1), m.group(2).upper().rstrip("S")
+    now = now_expr or "current_timestamp()"
+    pred = f"({time_col} >= {now} - INTERVAL '{n}' {unit})"
+    return _inject_where_pred(q[: m.start()] + q[m.end():], pred)
+
+
 def _rewrite_start_stop(q: str, time_col: str) -> str:
     m = re.search(r"\bSTART\s+'([^']+)'\s+STOP\s+'([^']+)'", q, flags=re.I)
     if not m:
         return q
     t0, t1 = m.group(1), m.group(2)
-    has_where = re.search(r"\bWHERE\b", q[: m.start()], flags=re.I) is not None
-    kw = "AND" if has_where else "WHERE"
-    pred = f"{kw} ({time_col} >= timestamp'{t0}' AND {time_col} < timestamp'{t1}')"
-    return q[: m.start()] + pred + q[m.end():]
+    pred = f"({time_col} >= timestamp'{t0}' AND {time_col} < timestamp'{t1}')"
+    return _inject_where_pred(q[: m.start()] + q[m.end():], pred)
 
 
 def _normalize_identifier_case(q: str, columns: list[str]) -> str:
