@@ -39,6 +39,9 @@ HEADLINE = [
     "refset_membership",
     "summing_rollup_hourly",
     "normalize_dates",
+    "aql_agg_by_customer",
+    "sessionize_events",
+    "salted_rollup",
     "pricing_summary",
     "top_revenue_orders",
     "revenue_by_nation",
