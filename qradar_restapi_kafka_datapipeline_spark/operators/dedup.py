@@ -278,19 +278,35 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Bucket on four 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one of 4
-    chunks equal), then verify with bit_count — no cross product.
+    Bucket on ``max_hamming + 1`` bit-chunks (pigeonhole: distance ≤ h means
+    at least one of h+1 chunks is equal — so recall is EXACT), then verify
+    with bit_count — no cross product.  More chunks ⇒ narrower chunks ⇒ more
+    bucket collisions, so large ``max_hamming`` trades candidate volume for
+    the guarantee; capped at 16 chunks (4-bit), beyond which recall degrades
+    and a warning would be dishonest — raise there and make the caller choose.
     """
+    n_chunks = max_hamming + 1
+    if n_chunks > 16:
+        raise ValueError("max_hamming > 15 needs chunks narrower than 4 bits; "
+                         "use a different sketch (e.g. minhash) at that radius")
+    # chunk widths must PARTITION all 64 bits (an uncovered bit would break
+    # the pigeonhole guarantee): distribute the remainder over the first chunks
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     sh = simhash(df, id_col, text_col)
+    # width 64 (max_hamming=0) → all-ones mask, which is -1 in int64
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c_{c}")
-        for c in range(4)
+        F.shiftrightunsigned(F.col("simhash"), offsets[c])
+        .bitwiseAND(F.lit(-1 if widths[c] >= 64 else (1 << widths[c]) - 1))
+        .alias(f"c_{c}")
+        for c in range(n_chunks)
     ]
     keyed = sh.select(id_col, "simhash", *chunks)
     chunk_structs = F.explode(
         F.array(*[
             F.struct(F.lit(c).alias("chunk_id"), F.col(f"c_{c}").alias("chunk_val"))
-            for c in range(4)
+            for c in range(n_chunks)
         ])
     ).alias("ch")
     banded = keyed.select(id_col, "simhash", chunk_structs).select(

@@ -151,3 +151,24 @@ class TestLshInternalOracles:
         top3 = {(r["q_id"], r["n_id"]) for r in knn_bruteforce(emb, qids, k=3).collect()}
         recall = len(top3 & set(approx)) / len(top3)
         assert recall >= 0.2  # random-embedding floor; see knn_lsh docstring
+
+    def test_simhash_pairs_exact_recall_vs_bruteforce(self, spark, sf_dir):
+        """Pigeonhole banding must find EVERY pair within the radius —
+        checked against a brute-force XOR popcount over all pairs."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import simhash, simhash_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for h in (3, 7):
+            banded = {(r["id_a"], r["id_b"]): r["hamming"]
+                      for r in simhash_pairs(docs, max_hamming=h).collect()}
+            sh = simhash(docs)
+            a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+            b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+            brute = {
+                (r["id_a"], r["id_b"]): r["d"]
+                for r in a.join(b, F.col("id_a") < F.col("id_b"))
+                .withColumn("d", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+                .where(F.col("d") <= h)
+                .collect()
+            }
+            assert banded == brute, f"max_hamming={h}"
