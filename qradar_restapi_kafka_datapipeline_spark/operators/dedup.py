@@ -165,6 +165,12 @@ def minhash_lsh_pairs(
     The shingle relation feeds signatures AND the verify join — persist it so
     the explode+distinct runs once, not three times (AQE then broadcasts the
     tiny candidate set into the verify joins).
+
+    Recall note: with b bands of r rows, a pair of true Jaccard s is a
+    candidate with probability 1-(1-s^r)^b — the s-curve midpoint for the
+    16×4 default is ≈(1/b)^(1/r)≈0.5. A ``threshold`` far below that midpoint
+    will verify every candidate it sees but can MISS low-similarity pairs;
+    raise ``bands`` (lower r) to shift the curve left when hunting faint dups.
     """
     sh = _word_shingles(df, id_col, text_col, shingle_k).persist()
     base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__h"))

@@ -104,3 +104,16 @@ def test_http_push_streaming_writer(spark, tmp_path):
     q.awaitTermination(60)
     got = [r for _, p, _ in http.posts for r in parse_jsonl_gzip(p)]
     assert sorted(r["id"] for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_approx_distinct_within_hll_error_bound(spark, tables):
+    """The rows-only approx_count_distinct entry sanity-checked against exact
+    distinct counts (HLL++ default rsd is 5%; allow 3x slack)."""
+    approx = {r["event_type"]: r["a"] for r in spark.sql(
+        "SELECT event_type, approx_count_distinct(user_id) AS a "
+        "FROM events GROUP BY event_type").collect()}
+    exact = {r["event_type"]: r["e"] for r in spark.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS e "
+        "FROM events GROUP BY event_type").collect()}
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.15 * exact[k], 2), (k, approx[k], exact[k])
