@@ -324,6 +324,113 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         None,  # HLL sketch is Spark-specific — rows-only check
     )
 
+    # ---- windowed time-series: 7-day rolling revenue over daily aggregates --
+    # The global (un-partitioned) window runs AFTER the daily pre-aggregation,
+    # so at 100 TB it orders ~#distinct-days rows (thousands), not raw orders.
+    q["rolling_7day_revenue"] = _table_sql_entry(
+        "WITH daily AS ("
+        "  SELECT o_orderdate AS day, "
+        "  ROUND(SUM(o_totalprice) + 1e-9, 2) AS revenue, "
+        "  COUNT(*) AS n_orders FROM orders GROUP BY o_orderdate"
+        ") "
+        "SELECT day, revenue, n_orders, "
+        "ROUND(SUM(revenue) OVER (ORDER BY day "
+        "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-9, 2) AS rev_7d, "
+        "CAST(SUM(n_orders) OVER (ORDER BY day "
+        "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_7d "
+        "FROM daily"
+    )
+
+    # ---- CUBE: all 4 grouping combinations in one pass ----------------------
+    q["cube_event_summary"] = _table_sql_entry(
+        "SELECT event_type, cohort, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+        "FROM (SELECT event_type, user_id % 5 AS cohort, value FROM events) t "
+        "GROUP BY CUBE(event_type, cohort)"
+    )
+
+    # ---- set operations: INTERSECT / EXCEPT user segments -------------------
+    q["set_ops_user_segments"] = _table_sql_entry(
+        "SELECT 'purchase_and_error' AS segment, COUNT(*) AS n_users FROM ("
+        "  SELECT user_id FROM events WHERE event_type = 'purchase'"
+        "  INTERSECT"
+        "  SELECT user_id FROM events WHERE event_type = 'error') a "
+        "UNION ALL "
+        "SELECT 'purchase_not_error' AS segment, COUNT(*) AS n_users FROM ("
+        "  SELECT user_id FROM events WHERE event_type = 'purchase'"
+        "  EXCEPT"
+        "  SELECT user_id FROM events WHERE event_type = 'error') b"
+    )
+
+    # ---- LAG: per-user inter-event gaps (dialect split on epoch-ms fn) ------
+    _gap = (
+        "SELECT event_id, user_id, "
+        "CAST({ms}(ts) - {ms}(LAG(ts) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS ms_since_prev "
+        "FROM events"
+    )
+    q["event_gaps_lag"] = _df_entry(
+        lambda spark, sf: spark.sql(_gap.format(ms="unix_millis")),
+        _gap.format(ms="epoch_ms"),
+    )
+
+    # ---- range join: value-band bucketing via inline table ------------------
+    # Small band table ⇒ Spark broadcasts it (BroadcastNestedLoopJoin on the
+    # range predicate) — each event row tests ≤3 bands, no shuffle.
+    q["range_join_value_bands"] = _table_sql_entry(
+        "SELECT band, COUNT(*) AS n, ROUND(SUM(value) + 1e-9, 2) AS total_value "
+        "FROM events JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), "
+        "('high', 150.0, 1e18)) AS b(band, lo, hi) "
+        "ON value >= lo AND value < hi GROUP BY band"
+    )
+
+    # ---- conditional aggregation (pivot-style per-type measures) ------------
+    q["conditional_agg_per_user"] = _table_sql_entry(
+        "SELECT user_id, "
+        "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase, "
+        "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error, "
+        "ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) "
+        "AS purchase_value "
+        "FROM events GROUP BY user_id"
+    )
+
+    # ---- as-of join: each event picks the user's latest signup at-or-before -
+    from qradar_restapi_kafka_datapipeline_spark.operators.asof import asof_join
+
+    def _run_asof(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        ev = spark.table("events")
+        signups = (
+            ev.where(F.col("event_type") == "signup")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("signup_event_id"))
+        )
+        j = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            signups,
+            on="user_id",
+            right_cols=["signup_event_id"],
+            suffix="_s",
+        )
+        return j.select(
+            "event_id",
+            "user_id",
+            F.col("signup_event_id_s").alias("signup_event_id"),
+            (F.unix_millis("ts") - F.unix_millis("ts_s"))
+            .cast("long")
+            .alias("ms_since_signup"),
+        )
+
+    q["asof_join_last_signup"] = _df_entry(
+        _run_asof,
+        "WITH s AS (SELECT user_id, ts, MAX(event_id) AS signup_event_id "
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) "
+        "SELECT e.event_id, e.user_id, s.signup_event_id, "
+        "CAST(epoch_ms(e.ts) - epoch_ms(s.ts) AS BIGINT) AS ms_since_signup "
+        "FROM events e ASOF LEFT JOIN s "
+        "ON e.user_id = s.user_id AND e.ts >= s.ts",
+    )
+
     q["salted_rollup"] = _df_entry(
         lambda spark, sf: salted_sum(
             spark.sql("SELECT eventName, eventCount FROM qevents"),

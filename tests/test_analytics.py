@@ -117,3 +117,74 @@ def test_approx_distinct_within_hll_error_bound(spark, tables):
         "FROM events GROUP BY event_type").collect()}
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(0.15 * exact[k], 2), (k, approx[k], exact[k])
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_basic_and_edges(spark):
+    from qradar_restapi_kafka_datapipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 9, 0), "before-any"),    # no right row yet → nulls
+            (1, T(2024, 1, 1, 10, 0), "tie"),          # equal ts → inclusive match
+            (1, T(2024, 1, 1, 12, 0), "after-two"),    # latest of two wins
+            (2, T(2024, 1, 1, 10, 30), "other-key"),   # keys don't cross
+            (3, T(2024, 1, 1, 10, 0), "no-right-key"), # key absent on right
+        ],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 100),
+            (1, T(2024, 1, 1, 11, 0), 110),
+            (2, T(2024, 1, 1, 10, 0), 200),
+        ],
+        ["k", "ts", "payload"],
+    )
+    out = {r["tag"]: r for r in asof_join(left, right, on="k").collect()}
+    assert out["before-any"]["payload_asof"] is None
+    assert out["before-any"]["ts_asof"] is None
+    assert out["tie"]["payload_asof"] == 100          # r.ts <= l.ts is inclusive
+    assert out["after-two"]["payload_asof"] == 110    # most recent, not first
+    assert out["after-two"]["ts_asof"] == T(2024, 1, 1, 11, 0)
+    assert out["other-key"]["payload_asof"] == 200
+    assert out["no-right-key"]["payload_asof"] is None
+    # left columns pass through untouched
+    assert set(out["tie"].asDict()) == {"k", "ts", "tag", "payload_asof", "ts_asof"}
+
+
+def test_asof_join_matches_naive_quadratic(spark):
+    """Union-window result ≡ the obvious join-then-argmax on random data."""
+    from pyspark.sql.window import Window
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.asof import asof_join
+
+    left = spark.range(200).select(
+        (F.col("id") % 7).alias("k"),
+        F.timestamp_micros((F.xxhash64("id") % 1_000_000) * 1_000_000).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 9).alias("k"),
+        F.timestamp_micros((F.xxhash64("id", F.lit(1)) % 1_000_000) * 1_000_000).alias("ts"),
+        F.col("id").alias("rid"),
+    ).groupBy("k", "ts").agg(F.max("rid").alias("rid"))  # unique (k, ts)
+
+    got = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(left, right, on="k", right_cols=["rid"]).collect()
+    }
+
+    j = left.join(right.withColumnRenamed("ts", "rts"), "k", "left").where(
+        F.col("rts").isNull() | (F.col("rts") <= F.col("ts"))
+    )
+    w = Window.partitionBy("lid").orderBy(F.col("rts").desc())
+    naive = j.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    want = {r["lid"]: r["rid"] for r in naive.collect()}
+    # naive left-join drops unmatched keys from `want` only when key had SOME
+    # right rows but all later — the filter keeps a null-rts row then; align:
+    for lid in got:
+        assert got[lid] == want.get(lid), f"lid={lid}: {got[lid]} != {want.get(lid)}"

@@ -6,7 +6,10 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 column names, and an order-insensitive value hash. Run before every commit
 that touches the registry:
 
-    python3 tools/check_correctness.py [sf_dir]
+    python3 tools/check_correctness.py [sf_dir] [name_prefix ...]
+
+Optional name prefixes restrict the run to matching registry entries (fast
+iteration on new queries).
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def value_hash(df) -> tuple[int, str, list[str]]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
     spark = get_spark(app_name="check-correctness")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -48,6 +52,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
+    if prefixes:
+        qs = {n: f for n, f in qs.items() if n.startswith(prefixes)}
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
