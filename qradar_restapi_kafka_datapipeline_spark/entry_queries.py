@@ -565,6 +565,15 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         None,
     )
+    # IVF: data-adaptive coarse quantizer (driver-trained on a bounded sample)
+    # — measured recall@3 ≈ 0.9 on the random corpus vs ≈ 0.3 for sign-LSH at
+    # the same candidate budget. Spark-native centroid literals ⇒ rows-only.
+    q["knn_ivf_cosine"] = _df_entry(
+        lambda spark, sf: S.knn_ivf(
+            spark.table("embeddings"), query_ids=list(range(10)), k=3
+        ),
+        None,
+    )
 
     # ---- text analysis -------------------------------------------------------
     q["text_langid_distribution"] = _df_entry(

@@ -26,6 +26,7 @@ from qradar_restapi_kafka_datapipeline_spark.operators.rollup import (
 from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
 from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from qradar_restapi_kafka_datapipeline_spark.operators.skew import salted_sum
@@ -46,6 +47,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "exact_dup_groups",
     "knn_bruteforce",
+    "knn_ivf",
     "knn_lsh",
     "lang_id",
     "merge_rollup",

@@ -92,6 +92,109 @@ def _multi_table_buckets(vec_col: str, planes: int, dims: int, tables: int):
     )
 
 
+def _train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    sample_n: int,
+    iters: int,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer trained on a deterministic sample.
+
+    IVF quantizers are trained on a bounded sample even at full scale (this is
+    how FAISS does it): the sample is the ``sample_n`` lowest-id vectors —
+    deterministic across runs/partitionings — and Lloyd iterations run on the
+    driver in numpy.  Only the resulting ``n_centroids × dim`` floats ever
+    leave the driver, folded into the assignment expression as literals; the
+    corpus itself is never collected.
+    """
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    cents = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents.tolist()
+
+
+def _nearest_lists(vec_col: str, centroids: list[list[float]], nprobe: int):
+    """Array of the ``nprobe`` nearest centroid ids (by dot product — centroids
+    are unit-norm, so argmax dot = argmax cosine).  Pure Column expression:
+    array_sort over (−dot, cid) structs, slice, project cid — no UDF."""
+    structs = []
+    for cid, cv in enumerate(centroids):
+        weights = F.array(*[F.lit(float(w)) for w in cv])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        structs.append(F.struct((-dot).alias("nd"), F.lit(cid).alias("cid")))
+    ranked = F.array_sort(F.array(*structs))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 1024,
+    iters: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning: corpus vectors
+    live in their nearest-centroid list; each query probes its ``nprobe``
+    nearest lists and re-ranks candidates with exact cosine.
+
+    Expected candidates per query ≈ corpus·nprobe/n_centroids — tune the ratio,
+    not the absolutes, when scaling (e.g. 100 M vectors → 4096 lists, nprobe
+    64 keeps ~1.5 % scanned).  Unlike sign-LSH the partition adapts to the data
+    distribution (centroids move toward density), so clustered real-world
+    embeddings get sharply better recall at equal candidate budget.
+    """
+    cents = _train_ivf_centroids(emb, n_centroids, id_col, vec_col, sample_n, iters)
+    corpus = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("nv"),
+        F.element_at(_nearest_lists(vec_col, cents, 1), 1).alias("list_id"),
+    )
+    q = emb
+    if query_ids is not None:
+        q = q.where(F.col(id_col).isin(query_ids))
+    q = q.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_lists(vec_col, cents, nprobe)).alias("list_id"),
+    )
+    # (q_id, list_id) and (n_id, list_id) are both unique ⇒ no distinct needed
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "list_id")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )
+
+
 def knn_lsh(
     emb: DataFrame,
     query_ids: list[int] | None = None,
