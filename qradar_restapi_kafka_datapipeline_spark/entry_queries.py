@@ -64,6 +64,9 @@ def setup(spark: SparkSession, sf_dir: str) -> AQLFrontend:
     """
     key = (id(spark), sf_dir)
     if key not in _SETUP_DONE:
+        from qradar_restapi_kafka_datapipeline_spark.engine import _quiet_codegen_fallback
+
+        _quiet_codegen_fallback(spark)  # driver sessions skip get_spark()
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.caseSensitive", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
