@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 from qradar_restapi_kafka_datapipeline_spark.operators.text import normalized_md5
 
 
+def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy per-row work.
+
+    A single-file parquet table scans as ONE partition, so hash/explode work
+    runs on one core.  Repartition up to the cluster's parallelism — but only
+    when the scan is actually narrow: at 100 TB the input is thousands of
+    splits already, and an unconditional repartition would add a full-text
+    shuffle for nothing.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(by)) if by else df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -35,7 +50,7 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Groups of byte-identical (normalized) documents: fingerprint, canonical
     (min) id, and group size — only groups with >1 member."""
     return (
-        df.select(F.col(id_col), normalized_md5(text_col).alias("fingerprint"))
+        _spread(df).select(F.col(id_col), normalized_md5(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -47,7 +62,7 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one (min-id) row per distinct normalized text."""
-    w = df.select(
+    w = _spread(df).select(
         "*", normalized_md5(text_col).alias("__fp")
     )
     keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
@@ -61,11 +76,11 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def _word_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """DISTINCT word k-shingles per document (set semantics for Jaccard).
 
-    Repartition before the explode: a document table often arrives as few fat
+    Spread before the explode: a document table often arrives as few fat
     files (here: one), and a 300×-row fan-out from a single partition runs on a
     single core. Spreading docs first makes the explode wave-parallel.
     """
-    df = df.repartition(F.col(id_col))
+    df = _spread(df, by=id_col)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -257,7 +272,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Explode tokens → for each of 64 bits sum ±1 → pack bits. One shuffle.
     """
-    tok = df.repartition(F.col(id_col)).select(
+    tok = _spread(df, by=id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
