@@ -290,6 +290,20 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         sessionize_sql("duckdb", gap_minutes=30),
     )
 
+    # Streaming state machine vs batch plan: the applyInPandasWithState
+    # sessionizer replays the events table as a 3-batch file stream and must
+    # hash-match the SAME DuckDB oracle as the batch entry (session_id
+    # projected away — stream emission order has no stable numbering).
+    from qradar_restapi_kafka_datapipeline_spark.streaming.stateful import (
+        sessionize_events_streaming,
+    )
+
+    q["streaming_sessionize_parity"] = _df_entry(
+        lambda spark, sf: sessionize_events_streaming(spark, sf),
+        "SELECT user_id, session_start, session_end, n_events, total_value "
+        f"FROM ({sessionize_sql('duckdb', gap_minutes=30)}) t",
+    )
+
     _gs = (
         "SELECT event_type, cohort, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
         "FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) t "

@@ -51,11 +51,13 @@ SESSION_OUT_SCHEMA = StructType(
     ]
 )
 
-# open session per user: (start_ms, end_ms, n_events, value_sum)
+# open session per user: (start_us, end_us, n_events, value_sum).
+# Microseconds, not ms: Spark TimestampType is µs and batch sessionize emits
+# MIN(ts)/MAX(ts) at full precision — a ms fold would truncate session bounds.
 SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
         StructField("n", LongType()),
         StructField("vsum", DoubleType()),
     ]
@@ -71,6 +73,9 @@ def _session_fn(gap_ms: int):
     open session goes back into state with an event-time timeout at
     ``end + gap`` — when the watermark passes that, no future event can extend
     the session, so the timeout path emits it and clears state.
+
+    ``total_value`` is the raw float sum — rounding is presentation, left to
+    the consumer (parity entries round exactly like their batch twin).
     """
     import pandas as pd  # executor-side import
 
@@ -82,13 +87,13 @@ def _session_fn(gap_ms: int):
                 {
                     "user_id": [key[0]] * len(rows),
                     "session_start": [
-                        pd.Timestamp(s, unit="ms", tz="UTC") for s, *_ in rows
+                        pd.Timestamp(s, unit="us", tz="UTC") for s, *_ in rows
                     ],
                     "session_end": [
-                        pd.Timestamp(e, unit="ms", tz="UTC") for _, e, *_ in rows
+                        pd.Timestamp(e, unit="us", tz="UTC") for _, e, *_ in rows
                     ],
                     "n_events": [n for _, _, n, _ in rows],
-                    "total_value": [round(v, 2) for *_, v in rows],
+                    "total_value": [v for *_, v in rows],
                 }
             )
 
@@ -102,7 +107,7 @@ def _session_fn(gap_ms: int):
         pdf = pd.concat(parts).sort_values("ts")
         ts = pd.to_datetime(pdf["ts"])
         epoch = pd.Timestamp(0, tz=ts.dt.tz) if ts.dt.tz is not None else pd.Timestamp(0)
-        ts_ms = ((ts - epoch) // pd.Timedelta(milliseconds=1)).tolist()
+        ts_us = ((ts - epoch) // pd.Timedelta(microseconds=1)).tolist()
         vals = pdf["value"].tolist()
 
         if state.exists:
@@ -113,10 +118,10 @@ def _session_fn(gap_ms: int):
             vsum = 0.0
 
         closed = []
-        for t, v in zip(ts_ms, vals):
+        for t, v in zip(ts_us, vals):
             if start is None:
                 start, end, n, vsum = t, t, 1, float(v)
-            elif t - end > gap_ms:
+            elif t // 1000 - end // 1000 > gap_ms:
                 closed.append((start, end, n, vsum))
                 start, end, n, vsum = t, t, 1, float(v)
             else:
@@ -125,7 +130,10 @@ def _session_fn(gap_ms: int):
                 vsum += float(v)
 
         state.update((start, end, n, vsum))
-        state.setTimeoutTimestamp(end + gap_ms)
+        # Gap test is ms-truncated (the batch plan's unix_millis semantics):
+        # an event still joins while ms(t) - ms(end) <= gap, so the session is
+        # only safely closed once the watermark passes ms(end) + gap + 1.
+        state.setTimeoutTimestamp(end // 1000 + gap_ms + 1)
         if closed:
             yield emit(closed)
 
@@ -173,6 +181,84 @@ def streaming_sessionize(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_events_streaming(
+    spark,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Run the STREAMING sessionizer over the static ``events`` table and
+    return a batch DataFrame equal to batch :func:`operators.sessionize.
+    sessionize` — the engine's proof that its streaming state machine computes
+    the same relation as its batch plan.
+
+    Mechanics: the events parquet is replayed as a 3-micro-batch file stream
+    (``maxFilesPerTrigger=1`` + ``availableNow``).  Batches 2 and 3 are
+    far-future sentinel events for a reserved user (-1): the first advances
+    the watermark past every real session's ``end + gap``, the second gives
+    the engine a batch in which those event-time timeouts fire — so every
+    real session is CLOSED and emitted.  Sentinels are filtered from the
+    result.  State is µs-precision, so session bounds match batch
+    ``MIN(ts)``/``MAX(ts)`` exactly.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="sessionize_stream_")
+    src = os.path.join(base, "landing")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "b0.parquet")
+    )
+
+    def sentinel(path: str, ts_ns: int) -> None:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "ts": pa.array([ts_ns], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["__sentinel__"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ),
+            path,
+        )
+
+    Y2034_NS = 2_019_686_400 * 1_000_000_000
+    sentinel(os.path.join(src, "z1.parquet"), Y2034_NS)
+    sentinel(os.path.join(src, "z2.parquet"), Y2034_NS + 86_400 * 1_000_000_000)
+    # file source orders batches by mtime: force a deterministic sequence
+    now = 1_700_000_000
+    for i, f in enumerate(["b0.parquet", "z1.parquet", "z2.parquet"]):
+        os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out, ckpt = os.path.join(base, "sessions"), os.path.join(base, "ckpt")
+    streaming_sessionize(
+        stream, out, ckpt, gap_minutes=gap_minutes, watermark=watermark
+    ).awaitTermination()
+    return (
+        spark.read.schema(SESSION_OUT_SCHEMA)
+        .parquet(out)
+        .where(F.col("user_id") >= 0)
+        .withColumn("total_value", F.round("total_value", 2))
+    )
 
 
 def streaming_dedup(
