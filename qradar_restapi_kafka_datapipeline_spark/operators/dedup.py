@@ -193,15 +193,24 @@ def minhash_lsh_pairs(
         F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
-    sigs = base.groupBy(id_col).agg(*mins)
+    # |shingles(doc)| rides along in the SAME aggregate as the minhashes —
+    # the verify step needs it, and folding it here saves two whole extra
+    # aggregation passes (shuffle each) over the shingle relation.
+    sigs = base.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("__n"))
     cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    return _verify_jaccard(cands, sh, id_col, threshold)
+    counts = sigs.select(F.col(id_col), F.col("__n").alias("n"))
+    return _verify_jaccard(cands, sh, id_col, threshold, counts=counts)
 
 
 def _verify_jaccard(
-    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
-    counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if counts is None:
+        counts = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     common = (
