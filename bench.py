@@ -71,14 +71,10 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="bench_qevents_")
     try:
         t0 = time.time()
-        frontend = setup(spark, SF_DIR)
         # events.parquet is one file → one partition; spread the SOURCE before
         # the derivation so the projection itself runs wave-parallel (at real
         # scale the source arrives pre-split)
-        from qradar_restapi_kafka_datapipeline_spark.sources.registry import register_qevents
-
-        spark.table("events").repartition(32).createOrReplaceTempView("events")
-        register_qevents(spark, SF_DIR)
+        frontend = setup(spark, SF_DIR, events_partitions=32)
         spark.table("qevents").write.mode("overwrite").parquet(f"{tmp}/qevents")
         spark.read.parquet(f"{tmp}/qevents").createOrReplaceTempView("qevents")
         # re-derive the views that read qevents so they use the materialized one
