@@ -225,6 +225,26 @@ def registry() -> dict[str, Q]:
         "FROM qevents GROUP BY 1, 2, 3"
     )
 
+    # Streaming-vs-batch parity for the roll-up: the incremental foreachBatch
+    # merge (SummingMergeTree-exact mode) replayed over a 3-micro-batch split
+    # of qevents must equal the one-shot hourly aggregate (no n_rows — the
+    # summing sink folds the measure only, like SummingMergeTree itself).
+    def _rollup_stream_run(spark: SparkSession, sf: str) -> DataFrame:
+        from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+            rollup_events_streaming,
+        )
+
+        return rollup_events_streaming(spark, sf)
+
+    q["streaming_rollup_parity"] = _df_entry(
+        _rollup_stream_run,
+        _duck_cte(
+            "SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
+            "CAST(SUM(eventCount) AS BIGINT) AS Event_Count "
+            "FROM qevents GROUP BY 1, 2, 3"
+        ),
+    )
+
     # ---- B5/B9: epoch autodetect + WeekFrom/ReportDate derivation -----------
     q["normalize_dates"] = _shared_sql_entry(
         _normalize_dates_body("spark"), _normalize_dates_body("duckdb")
@@ -553,6 +573,40 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             spark.table("documents"), threshold=0.3
         ),
         None,
+    )
+    # High-similarity LSH CAN be value-checked against the exact-Jaccard
+    # oracle: the verify step makes precision exact, and at threshold 0.85
+    # the 16-band/4-row s-curve miss probability for the data's true pairs
+    # (all >= 0.89 Jaccard at the gate SF) is (1-0.89^4)^16 < 1e-6 — and
+    # xxhash64 is deterministic, so "caught" is a property of the data, not
+    # a per-run draw (verified caught at sf0.001/0.01/0.1).
+    q["dedup_minhash_lsh_highsim"] = _df_entry(
+        lambda spark, sf: D.minhash_lsh_pairs(
+            spark.table("documents"), threshold=0.85
+        ),
+        """
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+          FROM docs, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+        WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.85
+        """,
     )
     q["dedup_simhash"] = _df_entry(
         lambda spark, sf: D.simhash_pairs(spark.table("documents"), max_hamming=8),

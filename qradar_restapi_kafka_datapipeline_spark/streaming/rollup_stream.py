@@ -62,6 +62,63 @@ def streaming_rollup_exact(
     return writer.start()
 
 
+def rollup_events_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFrame:
+    """Replay the qevents relation through the EXACT streaming roll-up and
+    return the final table — the proof that the incremental foreachBatch
+    merge computes the same relation as the one-shot batch aggregate
+    (reference SummingMergeTree merge-on-read ≡ merge-on-write here).
+
+    The roll-up inputs are split across ``n_batches`` parquet files replayed
+    as micro-batches (``maxFilesPerTrigger=1``); rows of the same hour land
+    in different batches, so the aggregate-add path (not just first-insert)
+    is exercised.  No watermark/sentinel machinery is needed: exact mode
+    accepts unbounded lateness by construction.
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = spark.table("qevents").select("ts", "domainId", "eventName", "eventCount")
+    base = tempfile.mkdtemp(prefix="rollup_stream_")
+    src = os.path.join(base, "landing")
+    os.makedirs(src)
+
+    tbl = pa.Table.from_pandas(cols.toPandas(), preserve_index=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us", tz="UTC")),
+    )
+    now = 1_700_000_000
+    for i in range(n_batches):
+        # positional round-robin: any split yields the same merged result —
+        # that invariance is exactly what the entry asserts
+        part = tbl.filter(
+            pa.array([j % n_batches == i for j in range(tbl.num_rows)], pa.bool_())
+        )
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = os.path.join(base, "rollup"), os.path.join(base, "ckpt")
+    streaming_rollup_exact(
+        stream, out, ckpt, measure="eventCount", time_col="ts"
+    ).awaitTermination()
+    return spark.read.parquet(out).select(
+        F.col("ts").alias("Start_Time"),
+        "domainId",
+        "eventName",
+        F.col("eventCount").cast("bigint").alias("Event_Count"),
+    )
+
+
 def streaming_rollup_watermarked(
     df: DataFrame,
     out_path: str,
