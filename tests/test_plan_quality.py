@@ -70,3 +70,25 @@ def test_rollup_partial_aggregation(spark, reg, sf_dir):
     # map-side partial aggregate before the shuffle: two HashAggregate nodes
     plan = _formatted_plan(reg["summing_rollup_hourly"].run(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_pipeline_exchange_budget(spark, reg, sf_dir):
+    # The LSH pipeline's shuffle budget: shingle spread + signature agg +
+    # candidate distinct + verify common-agg (+AQE reuse). A regression that
+    # reintroduces per-use aggregation passes over the shingle relation
+    # (e.g. recomputing per-doc counts) pushes this past the budget.
+    plan = _formatted_plan(reg["dedup_minhash_lsh"].run(spark, sf_dir))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 6, f"{n_exchanges} exchanges in minhash plan"
+
+
+def test_minhash_counts_ride_signature_aggregate(spark, sf_dir):
+    # |shingles(doc)| must come out of the SAME aggregate as the minhash
+    # signatures — a separate count aggregation doubles full passes over the
+    # shingle relation at 100 TB.
+    from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
+
+    df = D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85)
+    plan = _formatted_plan(df)
+    sig_aggs = re.findall(r"Functions(?:.*?min.*?){8,}", plan)
+    assert sig_aggs, "no wide min-aggregate (minhash signatures) in plan"

@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Measured scaling curves for the heavy operators (100 TB design evidence).
+
+Amplifies sf0.1 by K in /tmp — each copy is a DISTINCT user/doc population
+(ids offset; document text word-interleaved with a copy tag so cross-copy
+Jaccard ≈ 0.25 and the near-dup pair structure stays linear in K) — then
+times the shuffle-heavy operators at 1x/4x/16x. Linear wall-time growth at
+fixed parallelism means the plans are shuffle-bound, not driver-bound: the
+property that survives a 1000-executor scale-out.
+
+    python3 tools/scale_curve.py [K ...]    # default 1 4 16
+
+Prints one JSON line per (K, operator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.engine import get_spark
+from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def amplify(spark, out_dir: str, k: int) -> None:
+    """K shifted copies of events + documents (distinct populations per copy)."""
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    max_eid = ev.agg(F.max("event_id")).first()[0] + 1
+    max_uid = ev.agg(F.max("user_id")).first()[0] + 1
+    copies = [
+        ev.select(
+            (F.col("event_id") + i * max_eid).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * max_uid).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(k)
+    ]
+    union = copies[0]
+    for c in copies[1:]:
+        union = union.unionByName(c)
+    union.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    max_did = docs.agg(F.max("doc_id")).first()[0] + 1
+    dcopies = []
+    for i in range(k):
+        d = docs.select(
+            (F.col("doc_id") + i * max_did).alias("doc_id"),
+            "source",
+            "lang",
+            "text",
+        )
+        if i > 0:
+            # interleave a copy tag every 4th word: shingle overlap with the
+            # original drops below any near-dup threshold, keeping the true
+            # pair count linear in K instead of quadratic
+            d = d.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        lambda w, j: F.when(
+                            j % 4 == F.lit(3), F.concat(F.lit(f"c{i}_"), w)
+                        ).otherwise(w),
+                    ),
+                    " ",
+                ),
+            )
+        dcopies.append(d)
+    dunion = dcopies[0]
+    for c in dcopies[1:]:
+        dunion = dunion.unionByName(c)
+    dunion.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    # the other tables pass through (operators under test don't scale them)
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings".split()
+    ):
+        src = f"{BASE_SF}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark(app_name="scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def consume(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
+
+    for k in ks:
+        base = tempfile.mkdtemp(prefix=f"scale_{k}x_")
+        try:
+            amplify(spark, base, k)
+            setup(spark, base)
+            ops = {
+                "dedup_exact": lambda: D.exact_dup_groups(spark.table("documents")),
+                "dedup_minhash_lsh_highsim": lambda: D.minhash_lsh_pairs(
+                    spark.table("documents"), threshold=0.85
+                ),
+                "sessionize_events": lambda: sessionize(
+                    spark.table("events"),
+                    gap_minutes=30,
+                    agg_cols={"value": "total_value"},
+                ),
+                "summing_rollup_hourly": lambda: spark.sql(
+                    "SELECT date_trunc('hour', ts) AS h, domainId, eventName, "
+                    "SUM(eventCount) AS ec FROM qevents GROUP BY 1, 2, 3"
+                ),
+            }
+            n_events = spark.table("events").count()
+            n_docs = spark.table("documents").count()
+            for name, build in ops.items():
+                # steady state: min of 2 (co-tenant noise, codegen warm-up)
+                times = []
+                for _ in range(2):
+                    t0 = time.time()
+                    consume(build())
+                    times.append(time.time() - t0)
+                print(
+                    json.dumps(
+                        {
+                            "k": k,
+                            "op": name,
+                            "sec": round(min(times), 2),
+                            "events": n_events,
+                            "docs": n_docs,
+                        }
+                    ),
+                    flush=True,
+                )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
