@@ -75,6 +75,41 @@ def test_stream_ingest_to_exact_rollup(spark, tmp_path):
     assert sorted(got2.values()) == [2, 6]  # late row folded into hour 10
 
 
+def test_exact_rollup_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Crash between merge and checkpoint-commit ⇒ Spark replays the epoch.
+
+    An aggregate-ADD sink double-counts on replay unless the epoch ledger
+    skips it — simulate the crash by deleting the checkpoint commit marker
+    for epoch 0 (offsets survive, commit doesn't: exactly the replay window)
+    and restarting from the same checkpoint.
+    """
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_jsonl(f"{src}/page0.jsonl", _rows([H10 + 60_000, H10 + 120_000, H11]))
+    stream = normalize_stream(read_jsonl_stream(spark, src))
+    q = streaming_rollup_exact(stream, out, ckpt)
+    q.awaitTermination(120)
+    q.stop()  # release the checkpoint lease before restarting over it
+    before = sorted(
+        (r["Start_Time"], r["Event_Count"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+    # the crash window: commit marker gone (incl. the local-FS .crc sidecar,
+    # or the atomic rename that rewrites it trips over the stale checksum)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+    stream2 = normalize_stream(read_jsonl_stream(spark, src))
+    streaming_rollup_exact(stream2, out, ckpt).awaitTermination(120)
+    after = sorted(
+        (r["Start_Time"], r["Event_Count"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert after == before  # replayed epoch folded ZERO new rows
+
+
 def test_stream_watermarked_rollup(spark, tmp_path):
     src = str(tmp_path / "landing")
     out = str(tmp_path / "rollup_wm")
