@@ -129,18 +129,24 @@ def main() -> None:
             n_events = spark.table("events").count()
             n_docs = spark.table("documents").count()
             for name, build in ops.items():
-                # steady state: min of 2 (co-tenant noise, codegen warm-up)
+                # steady state: min of 3 (co-tenant noise, codegen warm-up);
+                # loadavg recorded so polluted lines are identifiable — a
+                # reading > ~2 means another tenant was burning the cores
                 times = []
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.time()
                     consume(build())
                     times.append(time.time() - t0)
+                with open("/proc/loadavg") as f:
+                    load1 = float(f.read().split()[0])
                 print(
                     json.dumps(
                         {
                             "k": k,
                             "op": name,
                             "sec": round(min(times), 2),
+                            "runs": [round(t, 2) for t in times],
+                            "loadavg1": load1,
                             "events": n_events,
                             "docs": n_docs,
                         }
