@@ -612,6 +612,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: D.simhash_pairs(spark.table("documents"), max_hamming=8),
         None,
     )
+    # Portable-hash mode IS value-checkable: the md5-derived token hash is
+    # reproducible in DuckDB, and chunk-bucketing recall is exact (pigeonhole)
+    # so the output spec is ALL pairs at Hamming <= h, brute-forced by the
+    # oracle. The entry above keeps xxhash64 (production fast path).
+    q["dedup_simhash_portable"] = _df_entry(
+        lambda spark, sf: D.simhash_pairs(
+            spark.table("documents"), max_hamming=8, portable_hash=True
+        ),
+        D.simhash_duckdb_sql(max_hamming=8),
+    )
 
     # ---- embedding-cosine near-dup + kNN -------------------------------------
     # 0.42: the synthetic embeddings are random (max pairwise cos ≈ 0.51), so a
@@ -655,6 +665,28 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             spark.table("embeddings"), query_ids=list(range(10)), k=3
         ),
         None,
+    )
+    # nprobe = n_centroids ⇒ every list probed ⇒ the candidate set is the full
+    # corpus and IVF degenerates to exact search: the centroid training,
+    # assignment expression, probe explode and re-rank join are all on the
+    # oracle-checked path (the approximate entry above then differs only by
+    # the probe budget).
+    q["knn_ivf_exhaustive_cosine"] = _df_entry(
+        lambda spark, sf: S.knn_ivf(
+            spark.table("embeddings"),
+            query_ids=list(range(10)),
+            k=3,
+            n_centroids=16,
+            nprobe=16,
+        ),
+        "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings), "
+        "s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(qv, nv), 6) AS cos "
+        "FROM q, c WHERE q_id != n_id), "
+        "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
+        "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
     )
 
     # ---- text analysis -------------------------------------------------------

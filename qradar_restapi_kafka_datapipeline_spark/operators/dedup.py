@@ -276,15 +276,35 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+#: portable 60-bit token hash — md5 is available in every engine, so a sketch
+#: built on it can be value-checked cross-engine (DuckDB: ('0x'||substr(
+#: md5(t),1,15))::BIGINT gives the identical value). xxhash64 stays the fast
+#: path: one JVM intrinsic vs md5's full digest.
+PORTABLE_TOKEN_HASH = "CAST(CONV(SUBSTR(MD5({c}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
     """64-bit SimHash: per-bit sign of Σ over tokens of ±1 (bit of token hash).
 
     Explode tokens → for each of 64 bits sum ±1 → pack bits. One shuffle.
+    ``portable_hash`` swaps xxhash64 for :data:`PORTABLE_TOKEN_HASH` (60
+    effective bits, bits 60-63 always 0) so the sketch is reproducible in any
+    engine with md5 — the oracle mode; xxhash64 is the production mode.
     """
+    token_h = (
+        F.expr(PORTABLE_TOKEN_HASH.format(c="tok"))
+        if portable_hash
+        else F.xxhash64("tok")
+    )
     tok = _spread(df, by=id_col).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -300,11 +320,42 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return agg.select(F.col(id_col), packed.alias("simhash"))
 
 
+def simhash_duckdb_sql(max_hamming: int, source: str = "documents") -> str:
+    """DuckDB oracle for :func:`simhash_pairs` with ``portable_hash=True``.
+
+    Recomputes the sketch from first principles (tokens → md5-derived 60-bit
+    hash → per-bit sign sums → packed int) and takes ALL pairs at Hamming ≤ h
+    by brute force — legitimate as an oracle because the chunk-bucketing's
+    pigeonhole recall is exact, so the bucketed output must equal the
+    all-pairs spec, not approximate it.
+    """
+    h = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(60)
+    )
+    pack = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM {source}
+    ),
+    th AS (SELECT doc_id, {h} AS h FROM tok),
+    bits AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -324,7 +375,7 @@ def simhash_pairs(
     base, rem = divmod(64, n_chunks)
     widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col, portable_hash=portable_hash)
     # width 64 (max_hamming=0) → all-ones mask, which is -1 in int64
     chunks = [
         F.shiftrightunsigned(F.col("simhash"), offsets[c])
