@@ -129,3 +129,58 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     streaming_dedup(_stream(spark, src), out, ckpt).awaitTermination(120)
     eids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert eids == [1, 2, 3]  # first-wins, both in-batch and cross-batch
+
+
+def test_sessionize_gap_boundary_ms_truncation(spark, tmp_path):
+    """Gap semantics are ms-TRUNCATED (unix_millis parity with the batch
+    plan): a pair exactly 30 min apart stays in one session (> gap required),
+    and a pair 30 min + 500 us apart ALSO stays together because both engines
+    compare truncated milliseconds — only >= gap + 1 ms splits. Regression
+    for the us-precision state machine taking the raw-us diff."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
+
+    GAP_US = 30 * 60 * 1_000_000
+    T0US = T0 * 1000
+    rows = [
+        # user 1: exactly-gap pair -> ONE session
+        (1, T0US), (1, T0US + GAP_US),
+        # user 2: gap + 500us -> truncated diff == gap -> still ONE session
+        (2, T0US), (2, T0US + GAP_US + 500),
+        # user 3: gap + 1ms -> truncated diff > gap -> TWO sessions
+        (3, T0US), (3, T0US + GAP_US + 1000),
+    ]
+    batch = spark.createDataFrame(
+        [(u, t, 1.0) for u, t in rows], "user_id BIGINT, ts_us BIGINT, value DOUBLE"
+    ).withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in sessionize(batch, agg_cols={"value": "total_value"}).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 1), (3, 1)}
+
+    # the streaming state machine must agree on every boundary
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    _write_jsonl(
+        f"{src}/p0.jsonl",
+        [{"user_id": u, "ts_us": t, "value": 1.0} for u, t in rows]
+        + [{"user_id": 99, "ts_us": T0US + 48 * 3_600_000_000, "value": 0.0}],
+    )
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts_us BIGINT, value DOUBLE")
+        .json(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+    )
+    streaming_sessionize(stream, out, ckpt).awaitTermination(120)
+    # second run: the far-future closer advanced the watermark; timeouts fire
+    _write_jsonl(
+        f"{src}/p1.jsonl",
+        [{"user_id": 99, "ts_us": T0US + 49 * 3_600_000_000, "value": 0.0}],
+    )
+    streaming_sessionize(stream, out, ckpt).awaitTermination(120)
+    sgot = {
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(out).where("user_id < 99").collect()
+    }
+    assert sgot == got
