@@ -92,3 +92,34 @@ def test_minhash_counts_ride_signature_aggregate(spark, sf_dir):
     plan = _formatted_plan(df)
     sig_aggs = re.findall(r"Functions(?:.*?min.*?){8,}", plan)
     assert sig_aggs, "no wide min-aggregate (minhash signatures) in plan"
+
+
+def test_rollup_sink_day_partition_pruning(spark, sf_dir, tmp_path):
+    # The day-partitioned roll-up layout exists so START/STOP time bounds
+    # prune at the file-listing level (ClickHouse PARTITION BY toYYYYMMDD
+    # parity). A date predicate must land in PartitionFilters — not a
+    # post-scan Filter — or at 100 TB every day's files get listed and read.
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+    from qradar_restapi_kafka_datapipeline_spark.operators.rollup import write_rollup
+
+    setup(spark, sf_dir)
+    src = spark.sql(
+        "SELECT ts AS Start_Time, domainId, eventName, eventCount AS Event_Count "
+        "FROM qevents"
+    )
+    path = str(tmp_path / "rollup")
+    write_rollup(src, path, mode="overwrite")
+
+    bounded = spark.read.parquet(path).where(
+        "event_date >= DATE'2024-01-02' AND event_date < DATE'2024-01-04'"
+    )
+    plan = _formatted_plan(bounded)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan[:800]
+    # and the pruned scan must touch only the two bounded days
+    n_days = spark.read.parquet(path).selectExpr(
+        "count(distinct event_date)"
+    ).first()[0]
+    assert n_days > 2  # the table spans more days than the bound
+    touched = bounded.select("event_date").distinct().count()
+    assert touched == 2
