@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Single-node throughput measurement backing BASELINE.md's rows/s claims.
+
+Amplifies sf0.1's events to ~K×100k rows (distinct user populations per
+copy — tools/scale_curve.py's amplifier), then measures:
+
+- ``ingest_pipeline``: the full reference-equivalent path — qevents
+  derivation (epoch autodetect, decode-ready columns) + write to parquet.
+  The reference does this row-at-a-time in one Python thread
+  (ijson parse + dict transforms, etl.py:16-49): order 10-50k rows/s.
+- ``summing_rollup``: hourly roll-up aggregate to the day-partitioned sink
+  (SummingMergeTree-parity terminal aggregation).
+
+    python3 tools/throughput.py [K]        # default 50 → 5M rows
+
+Prints one JSON line per measurement (min of 2 runs, loadavg recorded —
+this host is shared, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from qradar_restapi_kafka_datapipeline_spark.engine import get_spark
+from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+from tools.scale_curve import amplify
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    spark = get_spark(app_name="throughput")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix=f"throughput_{k}x_")
+    try:
+        amplify(spark, base, k)
+        setup(spark, base)
+        n = spark.table("events").count()
+
+        def report(name: str, times: list[float]) -> None:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+            sec = min(times)
+            print(
+                json.dumps(
+                    {
+                        "metric": name,
+                        "rows": n,
+                        "sec": round(sec, 2),
+                        "rows_per_sec": int(n / sec),
+                        "runs": [round(t, 2) for t in times],
+                        "loadavg1": load1,
+                    }
+                ),
+                flush=True,
+            )
+
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            spark.table("qevents").write.mode("overwrite").parquet(
+                f"{base}/out_qevents_{i}"
+            )
+            times.append(time.time() - t0)
+        report("ingest_pipeline_rows_per_sec", times)
+
+        spark.read.parquet(f"{base}/out_qevents_0").createOrReplaceTempView(
+            "qevents_mat"
+        )
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            spark.sql(
+                "SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
+                "SUM(eventCount) AS Event_Count, to_date(ts) AS event_date "
+                "FROM qevents_mat GROUP BY 1, 2, 3, 5"
+            ).write.mode("overwrite").partitionBy("event_date").parquet(
+                f"{base}/out_rollup_{i}"
+            )
+            times.append(time.time() - t0)
+        report("summing_rollup_rows_per_sec", times)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
