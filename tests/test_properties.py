@@ -81,3 +81,59 @@ def test_clean_column_name_idempotent_and_complete(name):
     assert clean_column_name(cleaned) == cleaned  # idempotent
     for ch in " /(),":
         assert ch not in cleaned
+
+
+def test_sessionize_differential_vs_reference_impl(spark):
+    """Differential test: sessionize() vs an independent pure-Python fold on
+    randomized event sets (seeded). Catches window-frame or gap-comparison
+    regressions the fixed-fixture tests can't reach."""
+    import random
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
+
+    GAP_MS = 30 * 60 * 1000
+    for seed in (7, 41, 1337):
+        rng = random.Random(seed)
+        rows = []
+        for uid in range(25):
+            t = 1_700_000_000_000 + rng.randrange(0, 86_400_000)
+            for _ in range(rng.randrange(1, 40)):
+                # cluster most gaps near the 30-min boundary to stress it
+                t += rng.choice(
+                    [rng.randrange(0, 5_000), GAP_MS + rng.randrange(-2, 3)]
+                )
+                rows.append((uid, t, float(rng.randrange(1, 100))))
+
+        def ref_sessions(evts):
+            out = []
+            by_user = {}
+            for u, t, v in sorted(evts):
+                by_user.setdefault(u, []).append((t, v))
+            for u, seq in by_user.items():
+                start, end, n, s = None, None, 0, 0.0
+                for t, v in seq:
+                    if start is None:
+                        start, end, n, s = t, t, 1, v
+                    elif t - end > GAP_MS:
+                        out.append((u, start, end, n, round(s, 2)))
+                        start, end, n, s = t, t, 1, v
+                    else:
+                        end, n, s = t, n + 1, s + v
+                if start is not None:
+                    out.append((u, start, end, n, round(s, 2)))
+            return sorted(out)
+
+        df = spark.createDataFrame(
+            rows, "user_id BIGINT, ts_ms BIGINT, value DOUBLE"
+        ).selectExpr("user_id", "timestamp_millis(ts_ms) AS ts", "value")
+        got = sorted(
+            (
+                r["user_id"],
+                int(r["session_start"].timestamp() * 1000),
+                int(r["session_end"].timestamp() * 1000),
+                r["n_events"],
+                r["total_value"],
+            )
+            for r in sessionize(df, agg_cols={"value": "total_value"}).collect()
+        )
+        assert got == ref_sessions(rows), f"seed {seed} diverged"
