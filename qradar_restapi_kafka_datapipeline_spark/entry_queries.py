@@ -371,6 +371,21 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         None,  # HLL sketch is Spark-specific — rows-only check
     )
+    # The HLL entry's value-checked CONTRACT: the approximate count must sit
+    # within 3x the declared rsd (5% default) of the exact count, both
+    # computed in one aggregate. HLL++ is deterministic for fixed data, so
+    # a bound violation hash-mismatches the oracle's TRUE column instead of
+    # slipping through a rows-only check.
+    q["approx_distinct_error_bound"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, "
+            "CAST(ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id)) "
+            "<= 0.15 * COUNT(DISTINCT user_id) AS BOOLEAN) AS within_bound "
+            "FROM events GROUP BY event_type"
+        ),
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact, "
+        "TRUE AS within_bound FROM events GROUP BY event_type",
+    )
 
     # ---- windowed time-series: 7-day rolling revenue over daily aggregates --
     # The global (un-partitioned) window runs AFTER the daily pre-aggregation,
