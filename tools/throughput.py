@@ -85,6 +85,34 @@ def main() -> None:
             )
             times.append(time.time() - t0)
         report("summing_rollup_rows_per_sec", times)
+
+        # Streaming drain rate: the exact foreachBatch summing sink consuming
+        # the same relation as an availableNow file stream (the reference's
+        # one-shot etl mode, but exactly-once and columnar).
+        from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+            streaming_rollup_exact,
+        )
+
+        src_df = spark.read.parquet(f"{base}/out_qevents_0").select(
+            "ts", "domainId", "eventName", "eventCount"
+        )
+        times = []
+        for i in range(2):
+            stream = (
+                spark.readStream.schema(src_df.schema)
+                .option("maxFilesPerTrigger", 16)
+                .parquet(f"{base}/out_qevents_0")
+            )
+            t0 = time.time()
+            streaming_rollup_exact(
+                stream,
+                f"{base}/stream_rollup_{i}",
+                f"{base}/stream_ckpt_{i}",
+                measure="eventCount",
+                time_col="ts",
+            ).awaitTermination()
+            times.append(time.time() - t0)
+        report("streaming_rollup_drain_rows_per_sec", times)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
