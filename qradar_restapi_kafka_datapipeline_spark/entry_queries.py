@@ -371,6 +371,25 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         None,  # HLL sketch is Spark-specific — rows-only check
     )
+    # Rank-bound contract for approx_percentile (same pattern as the HLL
+    # bound below): the sketch's median must land between the exact p45 and
+    # p55 — with the default accuracy (1e4) the rank error is ~1e-4, so 5%
+    # rank tolerance is a hard floor, and a violation hash-mismatches the
+    # oracle's TRUE column. Deterministic: KLL-style sketch, fixed data.
+    q["approx_percentile_rank_bound"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT event_type, "
+            "ROUND(percentile(value, 0.5) + 1e-9, 4) AS p50_exact, "
+            "CAST(approx_percentile(value, 0.5) BETWEEN "
+            "percentile(value, 0.45) AND percentile(value, 0.55) "
+            "AS BOOLEAN) AS within_rank_bound "
+            "FROM events GROUP BY event_type"
+        ),
+        "SELECT event_type, "
+        "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) + 1e-9, 4) "
+        "AS p50_exact, TRUE AS within_rank_bound FROM events GROUP BY event_type",
+    )
+
     # The HLL entry's value-checked CONTRACT: the approximate count must sit
     # within 3x the declared rsd (5% default) of the exact count, both
     # computed in one aggregate. HLL++ is deterministic for fixed data, so

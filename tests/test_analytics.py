@@ -188,3 +188,28 @@ def test_asof_join_matches_naive_quadratic(spark):
     # right rows but all later — the filter keeps a null-rts row then; align:
     for lid in got:
         assert got[lid] == want.get(lid), f"lid={lid}: {got[lid]} != {want.get(lid)}"
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty relations flow through the heavy operators without error and
+    yield empty results — at scale, empty partitions/days/sources are
+    routine, not exceptional."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
+    from qradar_restapi_kafka_datapipeline_spark.operators.rollup import summing_rollup
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id BIGINT, source STRING, lang STRING, text STRING"
+    )
+    assert D.exact_dup_groups(empty_docs).count() == 0
+    assert D.minhash_lsh_pairs(empty_docs, threshold=0.5).count() == 0
+    assert D.simhash_pairs(empty_docs, max_hamming=4).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    assert sessionize(empty_ev, agg_cols={"value": "total_value"}).count() == 0
+
+    empty_rollup_src = spark.createDataFrame(
+        [], "Start_Time TIMESTAMP, domainId BIGINT, Event_Count BIGINT"
+    )
+    assert summing_rollup(empty_rollup_src).count() == 0
