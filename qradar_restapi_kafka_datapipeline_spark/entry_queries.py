@@ -661,6 +661,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # 0.42: the synthetic embeddings are random (max pairwise cos ≈ 0.51), so a
     # production-style 0.9 threshold would select nothing; 0.42 exercises the
     # operator on the distribution's tail.
+    # Scale path for embedding near-dup: sign-LSH bucket join + exact verify.
+    # Rows-only: on this corpus of uniformly random vectors the 0.42
+    # threshold sits at the similarity floor where bucket-collision recall is
+    # intentionally low (the s-curve rejects non-dups); the clustered-data
+    # test proves LSH == brute force where real near-dups exist.
+    q["dedup_embedding_lsh"] = _df_entry(
+        lambda spark, sf: D.embedding_near_dup_lsh(
+            spark.table("embeddings"), threshold=0.42
+        ),
+        None,
+    )
     q["dedup_embedding_cosine"] = _df_entry(
         lambda spark, sf: D.embedding_cosine_pairs(
             spark.table("embeddings"), threshold=0.42, id_cap=500

@@ -4,6 +4,7 @@ multimodal, sessionization, skew handling, schema evolution, maintenance."""
 from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
     dedup_exact,
     embedding_cosine_pairs,
+    embedding_near_dup_lsh,
     exact_dup_groups,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -45,6 +46,7 @@ __all__ = [
     "clean_column_name",
     "dedup_exact",
     "embedding_cosine_pairs",
+    "embedding_near_dup_lsh",
     "exact_dup_groups",
     "knn_bruteforce",
     "knn_ivf",

@@ -439,6 +439,56 @@ def cosine_expr(a: str, b: str):
     return dot / (na * nb)
 
 
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 4,
+    dims: int = 64,
+    tables: int = 8,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: sign-LSH bucket join → exact verify.
+
+    The scale path for :func:`embedding_cosine_pairs` — candidates only form
+    inside equal (table, bucket) cells, a shuffle equi-join with no cross
+    product, then exact cosine makes precision exact. Recall per true pair at
+    angle θ is 1-(1-(1-θ/π)^planes)^tables — ≈1 for real near-dups (cos .99 →
+    .9999+ with the 4×8 default); uniformly RANDOM vectors near the decision
+    floor collide rarely, which is the s-curve working as intended. Same
+    output schema as the brute-force operator, so the two are drop-in
+    interchangeable (tested: LSH ⊆ brute force with identical cos values).
+    """
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        _multi_table_buckets,
+    )
+
+    sk = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _multi_table_buckets(vec_col, planes, dims, tables).alias("tb"),
+    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+    a = sk.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        "table_id", "bucket",
+    )
+    b = sk.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        "table_id", "bucket",
+    )
+    cands = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -188,3 +188,38 @@ class TestLshInternalOracles:
                 .collect()
             }
             assert banded == brute, f"max_hamming={h}"
+
+
+def test_embedding_lsh_near_dup_matches_bruteforce_on_clustered_data(spark):
+    """On clustered data (the real-world shape), the LSH-bucketed near-dup
+    finds EVERY perturbed-copy pair the brute-force operator finds, with
+    identical cosine values — precision is exact by construction, and at
+    cos≈0.99 the 4x8 sign-LSH misses with probability < 1e-5."""
+    import random
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_near_dup_lsh,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((i * 2, [float(x) for x in base]))
+        # perturbed copy: cos ≈ 0.995
+        rows.append(
+            (i * 2 + 1, [float(x + rng.gauss(0, 0.1)) for x in base])
+        )
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    brute = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_near_dup_lsh(emb, threshold=0.9).collect()
+    }
+    assert len(brute) >= 40  # every copy pair is a true near-dup
+    assert lsh == brute  # full recall on clustered data, identical values
