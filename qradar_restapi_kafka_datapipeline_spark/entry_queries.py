@@ -301,7 +301,36 @@ def registry() -> dict[str, Q]:
 
     _north_star_entries(q)
     _analytics_entries(q)
+    _curation_entries(q)
     return q
+
+
+def _curation_entries(q: dict[str, Q]) -> None:
+    """Training-data curation layer (operators/curation.py): deterministic
+    stratified sampling, the lang/quality/dedup curation funnel, and
+    token-budget sequence packing (value-checked contract)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import curation as C
+
+    _RATES = {"src0": 10000, "src1": 10000, "src2": 5000}
+    q["sample_stratified_by_source"] = _df_entry(
+        lambda spark, sf: C.stratified_sample(
+            spark.table("documents"), _RATES, default_bp=2500
+        ),
+        C.stratified_sample_sql("duckdb", _RATES, default_bp=2500),
+    )
+    q["curate_corpus_en"] = _df_entry(
+        lambda spark, sf: spark.sql(C.curate_corpus_sql("spark")),
+        C.curate_corpus_sql("duckdb"),
+    )
+    # Next-fit packing is sequential-per-shard (no SQL oracle can replay it),
+    # so the value check is the contract: exact doc/token totals + budget and
+    # bin-count-bound booleans the oracle asserts TRUE.
+    q["pack_sequences_contract"] = _df_entry(
+        lambda spark, sf: C.pack_contract(
+            spark.table("documents"), budget=512, shard_size=100
+        ),
+        C.pack_contract_oracle_sql(budget=512),
+    )
 
 
 def _analytics_entries(q: dict[str, Q]) -> None:
@@ -421,6 +450,56 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "CAST(SUM(n_orders) OVER (ORDER BY day "
         "  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_7d "
         "FROM daily"
+    )
+
+    # ---- sliding windows: 2h window, 1h slide (each event in 2 windows) -----
+    # Spark's window() sliding aggregation vs an explicit per-window UNNEST in
+    # the oracle. Slide aligns to epoch hours, so window starts are the
+    # event's hour and the hour before.
+    q["sliding_window_rollup"] = _shared_sql_entry(
+        "SELECT window.start AS window_start, eventName, COUNT(*) AS n, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM qevents GROUP BY window(ts, '2 hours', '1 hour'), eventName",
+        "SELECT w AS window_start, eventName, COUNT(*) AS n, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM (SELECT eventName, eventCount, "
+        "UNNEST([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w "
+        "FROM qevents) t GROUP BY 1, 2",
+    )
+
+    # ---- ROLLUP: hierarchical subtotals (type, (type,cohort), grand) --------
+    q["rollup_event_summary"] = _table_sql_entry(
+        "SELECT event_type, cohort, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+        "FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) t "
+        "GROUP BY ROLLUP(event_type, cohort)"
+    )
+
+    # ---- ranking-window family: ntile / percent_rank / cume_dist / first ----
+    # Total order (value, event_id) inside each partition makes every rank
+    # function deterministic cross-engine.
+    q["window_rank_family"] = _table_sql_entry(
+        "SELECT event_id, user_id, event_type, "
+        "CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) "
+        "AS INT) AS value_quartile, "
+        "ROUND(PERCENT_RANK() OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id) + 1e-9, 6) AS pct_rank, "
+        "ROUND(CUME_DIST() OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id) + 1e-9, 6) AS cume, "
+        "FIRST_VALUE(event_id) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS first_event_id "
+        "FROM events"
+    )
+
+    # ---- anti-join: customers with no large order (>300k), by nation --------
+    # NOT EXISTS ⇒ left-anti hash join; nation dim broadcasts. (Every
+    # custkey has SOME order in the synthetic data, so the price predicate
+    # is what makes the anti-join non-trivial at every SF.)
+    q["customers_without_orders"] = _table_sql_entry(
+        "SELECT n_name, COUNT(*) AS n_customers "
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders "
+        "WHERE o_custkey = c_custkey AND o_totalprice > 300000) "
+        "GROUP BY n_name"
     )
 
     # ---- CUBE: all 4 grouping combinations in one pass ----------------------

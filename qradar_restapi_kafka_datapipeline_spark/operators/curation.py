@@ -1,0 +1,255 @@
+"""Training-data curation operators (north-star M6 continuation).
+
+The three ops an LLM-corpus pipeline runs after text analysis and dedup:
+deterministic stratified sampling (per-source keep rates), an end-to-end
+curation filter (language x quality x length x exact-dedup canonicalization),
+and token-budget sequence packing.
+
+Scale design: sampling and curation are pure projections/filters + one
+window — no Python in the row path, filters push to the parquet scan, and the
+only shuffle is the fingerprint window partition.  Packing is imperative by
+nature (next-fit bin packing), so it runs as ``applyInPandas`` over BOUNDED
+(strat, shard) groups — shard = floor(id / shard_size) keeps every group a
+fixed size no matter how large the corpus, at the cost of at most one
+under-filled bin per shard boundary.  No group ever exceeds ``shard_size``
+rows, so executor memory is bounded at 100 TB the same as at 1 GB.
+
+Reference tie-in: the reference has no curation layer (it is a security-event
+ETL, see SURVEY.md §0); these ops are the north-star training-data extensions
+the build brief adds on top of reference parity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+    bpe_token_estimate_sql,
+    lang_id_sql,
+    normalized_md5_sql,
+    quality_score_sql,
+    word_count_sql,
+)
+
+# ---------------------------------------------------------------------------
+# portable deterministic id hash — md5-derived, identical in Spark and DuckDB
+# ---------------------------------------------------------------------------
+
+
+def portable_id_hash_sql(col: str, dialect: str) -> str:
+    """60-bit md5-derived hash of an id, reproducible in any engine.
+
+    Spark: ``CONV(SUBSTR(MD5(...)))``; DuckDB: hex-literal cast.  Same value
+    bit-for-bit, so a sampling decision keyed on it is portable — rerunning
+    the pipeline (or a different engine) selects the SAME rows, which is what
+    makes a training-data sample auditable.
+    """
+    s = f"CAST({col} AS STRING)"
+    if dialect == "spark":
+        return f"CAST(CONV(SUBSTR(MD5({s}), 1, 15), 16, 10) AS BIGINT)"
+    return f"('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_sql(
+    dialect: str,
+    rates_bp: dict[str, int],
+    default_bp: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> str:
+    """Hash-gated per-stratum sampling: keep iff h(id) % 10000 < rate_bp.
+
+    ``rates_bp`` maps stratum value -> keep rate in basis points (10000 =
+    keep all).  A pure filter: no shuffle, no RNG state, pushdown-eligible,
+    and the kept set is a deterministic function of the ids — the property
+    that lets a 100 TB sampling job be resumed/audited/reproduced.
+    """
+    h = portable_id_hash_sql(id_col, dialect)
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(rates_bp.items())
+    )
+    rate = f"(CASE {strat_col} {whens} ELSE {default_bp} END)"
+    return (
+        f"SELECT {id_col}, {strat_col}, ({h} % 10000) AS hash_slot "
+        f"FROM {table} WHERE ({h} % 10000) < {rate}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    default_bp: int,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    h = portable_id_hash_sql(id_col, "spark")
+    rate = None
+    for k, v in sorted(rates_bp.items()):
+        rate = (
+            F.when(F.col(strat_col) == k, F.lit(v))
+            if rate is None
+            else rate.when(F.col(strat_col) == k, F.lit(v))
+        )
+    rate_col = rate.otherwise(F.lit(default_bp)) if rate is not None else F.lit(default_bp)
+    slot = F.expr(h) % 10000
+    return df.where(slot < rate_col).select(
+        F.col(id_col), F.col(strat_col), slot.alias("hash_slot")
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation: lang filter x quality x length x exact-dedup
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus_sql(
+    dialect: str,
+    min_quality: float = 0.3,
+    min_words: int = 5,
+    max_words: int = 100000,
+    lang: str = "en",
+    table: str = "documents",
+) -> str:
+    """The standard curation funnel as ONE dialect-common SQL body.
+
+    scored -> filtered -> fingerprint-window dedup (keep lowest doc_id per
+    normalized-md5 group).  Every expression is a built-in string function
+    (JVM-side in Spark), and the single shuffle is the dedup window keyed on
+    the fingerprint — the same shuffle exact dedup needs anyway.
+    """
+    return (
+        "WITH scored AS ("
+        f"  SELECT doc_id, source, {lang_id_sql('text')} AS lang_pred, "
+        f"  {quality_score_sql('text', dialect)} AS quality, "
+        f"  {word_count_sql('text', dialect)} AS n_words, "
+        f"  {normalized_md5_sql('text', dialect)} AS fp "
+        f"  FROM {table}"
+        "), kept AS ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn "
+        "  FROM scored "
+        f"  WHERE lang_pred = '{lang}' AND quality >= {min_quality} "
+        f"  AND n_words BETWEEN {min_words} AND {max_words}"
+        ") "
+        "SELECT doc_id, source, quality, CAST(n_words AS BIGINT) AS n_words "
+        "FROM kept WHERE rn = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — next-fit token-budget bin packing in bounded shards
+# ---------------------------------------------------------------------------
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("shard", LongType()),
+        StructField("bin_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    shard_size: int = 100,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Pack documents into token-budget bins (LLM pretraining batch shaping).
+
+    Next-fit in deterministic ``id_col`` order within each (stratum, shard)
+    group; a doc longer than the budget is truncated to it (real pipelines
+    chunk long docs — the budget cap keeps every bin feasible).  Guarantees:
+
+    - every bin's token total <= budget;
+    - bin count per group <= 2 * ceil(group_tokens / budget) (next-fit bound);
+    - assignment is a pure function of (ids, token counts) — reproducible.
+
+    ``applyInPandas`` is legitimate here (SURVEY §7.2 custom-op ladder):
+    next-fit is inherently sequential per group, inexpressible as window
+    functions without recursion.  Sharding bounds group size so the Arrow
+    batch per task is O(shard_size) regardless of corpus size.
+    """
+    tokens = F.least(
+        F.expr(bpe_token_estimate_sql("text")), F.lit(budget)
+    ).cast("long")
+    base = df.select(
+        F.col(strat_col).alias("source"),
+        (F.col(id_col) / shard_size).cast("long").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens.alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_ids = []
+        cur_bin, cur_tokens = 0, 0
+        for t in pdf["n_tokens"]:
+            if cur_tokens + t > budget and cur_tokens > 0:
+                cur_bin += 1
+                cur_tokens = 0
+            cur_tokens += int(t)
+            bin_ids.append(cur_bin)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        return pdf[["source", "shard", "bin_id", "doc_id", "n_tokens"]]
+
+    return base.groupBy("source", "shard").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def pack_contract(df: DataFrame, budget: int = 2048, shard_size: int = 100) -> DataFrame:
+    """Value-checkable contract over :func:`pack_sequences` (per source):
+
+    - ``n_docs`` / ``total_tokens`` must equal the input's (oracle-exact);
+    - ``all_bins_within_budget``: no bin exceeds the budget;
+    - ``bin_count_within_bound``: per-shard next-fit bound 2*ceil(T/B) holds.
+
+    Same pattern as the approx-distinct error-bound entry: the engine
+    computes the booleans, the oracle asserts TRUE, so a packing bug
+    hash-mismatches instead of slipping through a rows-only check.
+    """
+    packed = pack_sequences(df, budget=budget, shard_size=shard_size)
+    per_bin = packed.groupBy("source", "shard", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count("*").alias("bin_docs"),
+    )
+    per_shard = per_bin.groupBy("source", "shard").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("bin_tokens").alias("shard_tokens"),
+        F.sum("bin_docs").alias("shard_docs"),
+        F.max("bin_tokens").alias("max_bin_tokens"),
+    )
+    return per_shard.groupBy("source").agg(
+        F.sum("shard_docs").cast("long").alias("n_docs"),
+        F.sum("shard_tokens").cast("long").alias("total_tokens"),
+        F.every(F.col("max_bin_tokens") <= budget).alias("all_bins_within_budget"),
+        F.every(
+            F.col("n_bins") <= 2 * F.ceil(F.col("shard_tokens") / budget)
+        ).alias("bin_count_within_bound"),
+    )
+
+
+def pack_contract_oracle_sql(budget: int = 2048, table: str = "documents") -> str:
+    """DuckDB side of the contract: exact doc/token totals + TRUE booleans."""
+    tokens = f"LEAST({bpe_token_estimate_sql('text')}, {budget})"
+    return (
+        f"SELECT source, COUNT(*) AS n_docs, "
+        f"CAST(SUM({tokens}) AS BIGINT) AS total_tokens, "
+        "TRUE AS all_bins_within_budget, TRUE AS bin_count_within_bound "
+        f"FROM {table} GROUP BY source"
+    )

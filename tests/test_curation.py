@@ -1,0 +1,120 @@
+"""Unit tests for the training-data curation layer (operators/curation.py).
+
+Covers the three ops' semantic contracts on small constructed inputs (packing
+invariants, sampling determinism, funnel dedup rule); the registry entries
+cross-check the same ops against DuckDB at the gate SFs.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators import curation as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, t, s in rows]
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_next_fit_order_and_budget(spark):
+    # tokens = ceil(len/4): 25 chars -> 7 tokens each; budget 20 -> bins of 2
+    rows = [(i, "x" * 25, "s") for i in range(5)]
+    out = C.pack_sequences(_docs(spark, rows), budget=20, shard_size=1000)
+    got = {r.doc_id: (r.bin_id, r.n_tokens) for r in out.collect()}
+    assert got == {0: (0, 7), 1: (0, 7), 2: (1, 7), 3: (1, 7), 4: (2, 7)}
+
+
+def test_pack_truncates_oversized_doc(spark):
+    rows = [(0, "x" * 1000, "s"), (1, "x" * 8, "s")]
+    out = C.pack_sequences(_docs(spark, rows), budget=50, shard_size=1000)
+    by_id = {r.doc_id: r for r in out.collect()}
+    assert by_id[0].n_tokens == 50  # ceil(1000/4)=250 capped at budget
+    assert by_id[0].bin_id != by_id[1].bin_id  # full bin can't take doc 1
+
+
+def test_pack_shards_bound_group_size(spark):
+    rows = [(i, "x" * 25, "s") for i in range(10)]
+    out = C.pack_sequences(_docs(spark, rows), budget=1000, shard_size=5)
+    shards = {r.doc_id: r.shard for r in out.collect()}
+    assert shards[4] == 0 and shards[5] == 1  # bins never cross shards
+    bins = out.groupBy("shard", "bin_id").count().collect()
+    assert all(r["count"] <= 5 for r in bins)
+
+
+def test_pack_contract_booleans_hold(spark, tables):
+    out = C.pack_contract(spark.table("documents"), budget=512, shard_size=100)
+    rows = out.collect()
+    assert rows and all(r.all_bins_within_budget for r in rows)
+    assert all(r.bin_count_within_bound for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def test_sample_deterministic_and_rate_gated(spark):
+    rows = [(i, "t", "keep" if i % 2 else "drop") for i in range(200)]
+    df = _docs(spark, rows)
+    full = C.stratified_sample(df, {"keep": 10000, "drop": 0}, default_bp=0)
+    ids = sorted(r.doc_id for r in full.collect())
+    assert ids == [i for i in range(200) if i % 2]  # keep-all + drop-all exact
+    again = sorted(r.doc_id for r in full.collect())
+    assert ids == again  # pure function of ids, no RNG state
+
+
+def test_sample_rate_is_approximate_at_partial_bp(spark):
+    rows = [(i, "t", "s") for i in range(1000)]
+    kept = C.stratified_sample(_docs(spark, rows), {}, default_bp=5000).count()
+    assert 400 <= kept <= 600  # md5 uniformity, 50% +- 10pp
+
+
+def test_sample_hash_slot_matches_portable_hash(spark):
+    rows = [(7, "t", "s")]
+    out = C.stratified_sample(_docs(spark, rows), {}, default_bp=10000).collect()
+    expect = spark.sql(
+        f"SELECT {C.portable_id_hash_sql('7', 'spark')} % 10000 AS h"
+    ).collect()[0].h
+    assert out[0].hash_slot == expect
+
+
+# ---------------------------------------------------------------------------
+# curate_corpus
+# ---------------------------------------------------------------------------
+
+
+def test_curate_dedup_keeps_lowest_doc_id(spark):
+    good = (
+        "the cat and the dog of the house and the yard went to the market "
+        "and the sellers of the town saw the animals and the people. " * 4
+    )
+    rows = [(10, good, "a"), (3, good, "b"), (5, good + " extra", "c")]
+    df = _docs(spark, rows)
+    df.createOrReplaceTempView("curate_in")
+    out = spark.sql(C.curate_corpus_sql("spark", table="curate_in")).collect()
+    ids = sorted(r.doc_id for r in out)
+    assert 3 in ids and 10 not in ids  # exact dup canonicalizes to min id
+    assert 5 in ids  # near-dup (different fingerprint) survives
+
+
+def test_curate_filters_short_and_nonenglish(spark):
+    rows = [
+        (1, "el la los y el la los y " * 10, "a"),  # spanish markers
+        (2, "the and of " * 2, "a"),  # too short (< 5 words after trim? no — 6 words, but low quality)
+        (3, "word", "a"),  # 1 word
+    ]
+    df = _docs(spark, rows)
+    df.createOrReplaceTempView("curate_in2")
+    out = spark.sql(
+        C.curate_corpus_sql("spark", table="curate_in2", min_quality=0.0)
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert 1 not in ids  # lang_pred = es
+    assert 3 not in ids  # below min_words
