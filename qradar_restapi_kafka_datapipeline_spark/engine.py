@@ -32,9 +32,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # vs username are DISTINCT inputs that collide only via the rename map,
     # clickhouse/helpers.py:31-32); match that.
     "spark.sql.caseSensitive": "true",
-    # The driver's events.parquet carries TIMESTAMP(NANOS); Spark has no ns
-    # timestamp, so read as int64 nanos and cast in the registry (µs, floor —
-    # same truncation DuckDB applies, keeping oracle hashes aligned).
+    # Some testdata generations carry TIMESTAMP(NANOS) in events.parquet;
+    # Spark has no ns timestamp, so read those as int64 nanos and cast in the
+    # registry (µs, floor — same truncation DuckDB applies). A no-op for
+    # µs-precision files (the registry branches on the type it actually sees).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",

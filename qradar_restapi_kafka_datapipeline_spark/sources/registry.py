@@ -52,9 +52,19 @@ def load_tables(
             return None
         df = spark.read.parquet(path)
         if name == "events":
-            # ts is TIMESTAMP(NANOS) in the file → int64 nanos under
-            # nanosAsLong; floor-divide to µs (DuckDB's ns→µs truncation).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Normalize ts across testdata generations: TIMESTAMP(NANOS)
+            # files arrive as int64 nanos under nanosAsLong → floor-divide
+            # to µs (DuckDB's ns→µs truncation); tz-naive TIMESTAMP(MICROS)
+            # files arrive as TIMESTAMP_NTZ → cast to the session (UTC)
+            # timestamp, an identity under UTC and what DuckDB's epoch_ms
+            # computes on the same naive value.
+            from pyspark.sql.types import LongType, TimestampNTZType
+
+            dt = df.schema["ts"].dataType
+            if isinstance(dt, LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif isinstance(dt, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return name, df
 
     with ThreadPoolExecutor(max_workers=len(TABLES)) as pool:

@@ -217,12 +217,23 @@ def sessionize_events_streaming(
         os.path.join(sf_dir, "events.parquet"), os.path.join(src, "b0.parquet")
     )
 
-    def sentinel(path: str, ts_ns: int) -> None:
+    # Sentinel ts must carry the SAME parquet type as the driver's file so the
+    # directory reads under one schema. Two testdata generations exist:
+    # TIMESTAMP(NANOS) (read as int64 under nanosAsLong) and tz-naive
+    # TIMESTAMP(MICROS).
+    src_ts_type = pq.read_schema(os.path.join(src, "b0.parquet")).field("ts").type
+    ts_is_long = not pa.types.is_timestamp(src_ts_type)
+
+    def sentinel(path: str, ts_us: int) -> None:
+        if ts_is_long:
+            ts_arr = pa.array([ts_us * 1000], pa.int64())
+        else:
+            ts_arr = pa.array([ts_us], pa.timestamp("us")).cast(src_ts_type)
         pq.write_table(
             pa.table(
                 {
                     "event_id": pa.array([-1], pa.int64()),
-                    "ts": pa.array([ts_ns], pa.int64()),
+                    "ts": ts_arr,
                     "user_id": pa.array([-1], pa.int64()),
                     "event_type": pa.array(["__sentinel__"], pa.string()),
                     "value": pa.array([0.0], pa.float64()),
@@ -232,23 +243,25 @@ def sessionize_events_streaming(
             path,
         )
 
-    Y2034_NS = 2_019_686_400 * 1_000_000_000
-    sentinel(os.path.join(src, "z1.parquet"), Y2034_NS)
-    sentinel(os.path.join(src, "z2.parquet"), Y2034_NS + 86_400 * 1_000_000_000)
+    Y2034_US = 2_019_686_400 * 1_000_000
+    sentinel(os.path.join(src, "z1.parquet"), Y2034_US)
+    sentinel(os.path.join(src, "z2.parquet"), Y2034_US + 86_400 * 1_000_000)
     # file source orders batches by mtime: force a deterministic sequence
     now = 1_700_000_000
     for i, f in enumerate(["b0.parquet", "z1.parquet", "z2.parquet"]):
         os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
 
+    ts_sql = "BIGINT" if ts_is_long else "TIMESTAMP"
     stream = (
         spark.readStream.schema(
-            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            f"event_id BIGINT, ts {ts_sql}, user_id BIGINT, "
             "event_type STRING, value DOUBLE, props STRING"
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out, ckpt = os.path.join(base, "sessions"), os.path.join(base, "ckpt")
     streaming_sessionize(
         stream, out, ckpt, gap_minutes=gap_minutes, watermark=watermark
