@@ -849,6 +849,35 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         f"{T.rolling_hash_sql('text', 'duckdb')} AS fp_rolling FROM documents",
     )
 
+    # ---- cross-split contamination (n-gram overlap vs train split) -----------
+    from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+        contamination_oracle_sql,
+        contamination_report,
+    )
+
+    q["contamination_check"] = _df_entry(
+        lambda spark, sf: contamination_report(spark.table("documents")),
+        contamination_oracle_sql(),
+    )
+
+    # ---- prefix dedup (first-N-words fingerprint) ----------------------------
+    q["dedup_prefix"] = _df_entry(
+        lambda spark, sf: D.prefix_dup_groups(spark.table("documents")),
+        D.prefix_dup_oracle_sql(),
+    )
+
+    # ---- Gopher-style repetition signals -------------------------------------
+    q["text_repetition_stats"] = _df_entry(
+        lambda spark, sf: spark.sql(T.repetition_stats_sql("spark")),
+        T.repetition_stats_sql("duckdb"),
+    )
+
+    # ---- domain mixing weights ----------------------------------------------
+    q["domain_mix_weights"] = _df_entry(
+        lambda spark, sf: spark.sql(T.domain_mix_sql()),
+        T.domain_mix_sql(),
+    )
+
     # ---- multimodal plumbing (deterministic fake kernel; real batching) ------
     q["multimodal_features"] = _df_entry(
         lambda spark, sf: M.extract_features(

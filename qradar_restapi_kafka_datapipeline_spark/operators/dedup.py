@@ -60,6 +60,42 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def prefix_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 20,
+) -> DataFrame:
+    """Groups of documents sharing the same first-``n_words`` prefix (lowered,
+    whitespace-split) — the cheap web-crawl screen for boilerplate/mirrored
+    pages whose bodies diverge after a common head.  Same shuffle contract as
+    :func:`exact_dup_groups`: one groupBy on a 16-byte fingerprint; text never
+    crosses the wire."""
+    words = F.slice(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), 1, n_words)
+    fp = F.md5(F.concat_ws(" ", words))
+    return (
+        _spread(df)
+        .select(F.col(id_col), fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def prefix_dup_oracle_sql(n_words: int = 20, source: str = "documents") -> str:
+    """DuckDB twin of :func:`prefix_dup_groups` (list slice ``[1:n]`` clamps
+    at the list end exactly like Spark's ``slice``)."""
+    return (
+        "SELECT md5(array_to_string("
+        f"regexp_split_to_array(trim(lower(text)), '\\s+')[1:{n_words}], ' ')) "
+        "AS prefix_fp, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size "
+        f"FROM {source} GROUP BY 1 HAVING COUNT(*) > 1"
+    )
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep one (min-id) row per distinct normalized text."""
     w = _spread(df).select(
@@ -79,6 +115,16 @@ def _word_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFra
     Spread before the explode: a document table often arrives as few fat
     files (here: one), and a 300×-row fan-out from a single partition runs on a
     single core. Spreading docs first makes the explode wave-parallel.
+
+    Implementation note: building the shingle ARRAY with a higher-order
+    ``transform`` + ``array_distinct`` before one explode looks shuffle-free
+    on paper, but higher-order functions evaluate interpreted (outside
+    whole-stage codegen) and CollapseProject re-inlines the regex ``split``
+    into every lambda element — measured no faster (and under load, slower).
+    The explode-then-project form below keeps every expression inside codegen
+    (the Generate node is the projection barrier) and the trailing
+    ``.distinct()``'s map-side partial aggregation dedups before the shuffle,
+    so the wire carries each (id, shingle) once — the acceptable cost.
     """
     df = _spread(df, by=id_col)
     words = F.split(F.trim(F.col(text_col)), r"\s+")

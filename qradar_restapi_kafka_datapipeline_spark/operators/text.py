@@ -150,3 +150,74 @@ def normalized_md5(col: str = "text") -> Column:
 
 def rolling_hash(col: str = "text") -> Column:
     return F.expr(rolling_hash_sql(col, "spark"))
+
+
+# ---------------------------------------------------------------------------
+# repetition stats — Gopher-style quality signals (dup words, top bigram)
+# ---------------------------------------------------------------------------
+
+def repetition_stats_sql(dialect: str, source: str = "documents") -> str:
+    """Per-document repetition signals (Rae et al. 2021 'Gopher' rules §A1.1,
+    token-count flavor): ``dup_word_frac`` = 1 − distinct/total words, and
+    ``top_bigram_frac`` = share of tokens covered by the most frequent word
+    bigram (capped at 1).  High values flag boilerplate/spam for the curation
+    funnel.
+
+    One dialect-common body: per-doc explode → two aggregates, both shuffling
+    only (doc_id, token-or-bigram) pairs partitioned by doc — the same
+    distribution contract as the dedup shingle pipeline.
+    """
+    if dialect == "spark":
+        split = "split(trim(text), '\\\\s+')"
+        tok_src = f"SELECT doc_id, explode(w) AS tok FROM w"
+        bg_src = (
+            "SELECT doc_id, concat_ws(' ', try_element_at(w, CAST(i + 1 AS INT)), "
+            "try_element_at(w, CAST(i + 2 AS INT))) AS bigram "
+            "FROM (SELECT doc_id, w, "
+            "explode(sequence(0, greatest(size(w) - 2, 0))) AS i FROM w) t"
+        )
+    elif dialect == "duckdb":
+        split = "regexp_split_to_array(trim(text), '\\s+')"
+        tok_src = "SELECT doc_id, unnest(w) AS tok FROM w"
+        bg_src = (
+            "SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS bigram "
+            "FROM w, UNNEST(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)"
+        )
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+    return f"""
+    WITH w AS (SELECT doc_id, {split} AS w FROM {source}),
+    tok AS ({tok_src}),
+    wordstats AS (
+      SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT tok) AS n_distinct
+      FROM tok GROUP BY doc_id
+    ),
+    bg AS ({bg_src}),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    bgm AS (SELECT doc_id, MAX(c) AS max_bg FROM bgc GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+           ROUND(1.0 - s.n_distinct * 1.0 / s.n_words + 1e-9, 6) AS dup_word_frac,
+           ROUND(LEAST(m.max_bg * 2.0 / s.n_words, 1.0) + 1e-9, 6) AS top_bigram_frac
+    FROM wordstats s JOIN bgm m ON s.doc_id = m.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# domain mixing weights — per-(source, lang) token shares
+# ---------------------------------------------------------------------------
+
+def domain_mix_sql(source: str = "documents") -> str:
+    """Per-(source, lang) doc/token totals and the corpus-share mixing weight
+    a sampler would draw from — dialect-common (only shared functions).
+
+    The window total (``SUM(SUM(...)) OVER ()``) runs over the few-hundred-row
+    aggregate, not the corpus, so the un-partitioned window is a non-issue at
+    any scale.
+    """
+    bpe = bpe_token_estimate_sql("text")
+    return (
+        "SELECT source, lang, COUNT(*) AS n_docs, "
+        f"CAST(SUM({bpe}) AS BIGINT) AS n_tokens, "
+        f"ROUND(SUM({bpe}) * 1.0 / SUM(SUM({bpe})) OVER () + 1e-9, 6) AS mix_weight "
+        f"FROM {source} GROUP BY source, lang"
+    )

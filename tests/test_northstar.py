@@ -223,3 +223,67 @@ def test_embedding_lsh_near_dup_matches_bruteforce_on_clustered_data(spark):
     }
     assert len(brute) >= 40  # every copy pair is a true near-dup
     assert lsh == brute  # full recall on clustered data, identical values
+
+
+# ---------------------------------------------------------------------------
+# contamination / prefix dedup / repetition stats (planted cases)
+# ---------------------------------------------------------------------------
+
+def test_contamination_report_planted(spark):
+    from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    # split rule: doc_id % 5 == 0 → test; BASE appears verbatim in train (id 1)
+    # so test doc 0 is fully contaminated; FAR shares no 3-gram with any train
+    # doc so test doc 5 is clean.
+    docs = spark.createDataFrame(
+        [(0, BASE), (5, FAR), (1, BASE), (2, NEAR)], ["doc_id", "text"]
+    )
+    rep = {r["doc_id"]: r for r in contamination_report(docs).collect()}
+    assert set(rep) == {0, 5}  # only test-split docs reported
+    assert rep[0]["contamination_rate"] == 1.0
+    assert rep[0]["n_contaminated"] == rep[0]["n_shingles"]
+    assert rep[5]["n_contaminated"] == 0 and rep[5]["contamination_rate"] == 0.0
+
+
+def test_prefix_dup_groups_planted(spark):
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        prefix_dup_groups,
+    )
+
+    prefix = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, prefix + " unique tail alpha"),
+            (2, prefix + " different ending beta"),
+            (3, "another corpus entirely with its own words"),
+        ],
+        ["doc_id", "text"],
+    )
+    groups = prefix_dup_groups(docs, n_words=20).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1 and groups[0]["group_size"] == 2
+    # a longer prefix window sees the diverging tails → no groups
+    assert prefix_dup_groups(docs, n_words=22).count() == 0
+
+
+def test_repetition_stats_planted(spark):
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        repetition_stats_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, "a a a a"), (2, "one two three four")], ["doc_id", "text"]
+    ).createOrReplaceTempView("rep_docs")
+    rows = {
+        r["doc_id"]: r
+        for r in spark.sql(repetition_stats_sql("spark", source="rep_docs")).collect()
+    }
+    # "a a a a": 1 distinct of 4 words; bigram "a a" occurs 3x → capped at 1.0
+    assert rows[1]["n_words"] == 4
+    assert abs(rows[1]["dup_word_frac"] - 0.75) < 1e-6
+    assert rows[1]["top_bigram_frac"] == 1.0
+    # all-distinct: dup 0; every bigram unique → 2/4 token coverage
+    assert abs(rows[2]["dup_word_frac"]) < 1e-6
+    assert abs(rows[2]["top_bigram_frac"] - 0.5) < 1e-6
