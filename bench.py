@@ -47,9 +47,12 @@ HEADLINE = [
     "revenue_by_nation",
     "top_users_per_event_type",
     "dedup_exact",
+    "dedup_prefix",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "contamination_check",
     "text_quality_scores",
+    "text_repetition_stats",
     "knn_bruteforce_cosine",
 ]
 

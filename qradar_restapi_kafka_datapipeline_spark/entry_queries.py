@@ -245,6 +245,26 @@ def registry() -> dict[str, Q]:
         ),
     )
 
+    # Watermarked (low-latency) mode parity: replayed CONTIGUOUS IN EVENT TIME
+    # so the 2 h watermark drops nothing and the append-mode windowed aggregate
+    # must equal the same batch hourly oracle. Together with the exact-mode
+    # entry above, both streaming modes are pinned to one batch truth.
+    def _rollup_wm_run(spark: SparkSession, sf: str) -> DataFrame:
+        from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+            rollup_events_streaming_watermarked,
+        )
+
+        return rollup_events_streaming_watermarked(spark, sf)
+
+    q["streaming_watermarked_rollup_parity"] = _df_entry(
+        _rollup_wm_run,
+        _duck_cte(
+            "SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
+            "CAST(SUM(eventCount) AS BIGINT) AS Event_Count "
+            "FROM qevents GROUP BY 1, 2, 3"
+        ),
+    )
+
     # ---- B5/B9: epoch autodetect + WeekFrom/ReportDate derivation -----------
     q["normalize_dates"] = _shared_sql_entry(
         _normalize_dates_body("spark"), _normalize_dates_body("duckdb")

@@ -140,6 +140,89 @@ def rollup_events_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFrame
     )
 
 
+def rollup_events_streaming_watermarked(
+    spark,
+    sf_dir: str,
+    n_batches: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Replay qevents through the WATERMARKED roll-up and return the final
+    table — the parity proof for the low-latency mode.
+
+    The exact-mode replay (:func:`rollup_events_streaming`) can split rows
+    round-robin because aggregate-add accepts unbounded lateness; here the
+    split is CONTIGUOUS IN EVENT TIME (how a real stream arrives), so every
+    row lands within ``watermark`` of the running max event time and nothing
+    is dropped — making the append-mode windowed aggregate equal the batch
+    ``GROUP BY hour`` exactly.  Two far-future sentinel batches push the final
+    watermark past every real window's end so the last windows flush (append
+    mode only emits a window once the watermark passes it); sentinels carry a
+    reserved ``domainId`` and are filtered from the result.
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = (
+        spark.table("qevents")
+        .select("ts", "domainId", "eventName", "eventCount")
+        .orderBy("ts")
+    )
+    base = tempfile.mkdtemp(prefix="rollup_wm_stream_")
+    src = os.path.join(base, "landing")
+    os.makedirs(src)
+
+    tbl = pa.Table.from_pandas(cols.toPandas(), preserve_index=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl["ts"].cast(pa.timestamp("us", tz="UTC")),
+    )
+    now = 1_700_000_000
+    chunk = (tbl.num_rows + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        part = tbl.slice(i * chunk, chunk)  # time-ordered contiguous ranges
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    y2034_us = 2_019_686_400 * 1_000_000
+    for j, ts_us in enumerate([y2034_us, y2034_us + 86_400_000_000]):
+        sent = pa.table(
+            {
+                "ts": pa.array([ts_us], pa.timestamp("us", tz="UTC")),
+                "domainId": pa.array([-1], pa.int64()),
+                "eventName": pa.array(["__sentinel__"], pa.string()),
+                "eventCount": pa.array([0], pa.int64()),
+            }
+        )
+        path = os.path.join(src, f"z{j}.parquet")
+        pq.write_table(sent, path)
+        os.utime(path, (now + 10 * (n_batches + j), now + 10 * (n_batches + j)))
+
+    stream = (
+        spark.readStream.schema(cols.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, ckpt = os.path.join(base, "rollup"), os.path.join(base, "ckpt")
+    streaming_rollup_watermarked(
+        stream, out, ckpt, measure="eventCount", time_col="ts", watermark=watermark
+    ).awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .where(F.col("domainId") >= 0)
+        .select(
+            F.col("ts").alias("Start_Time"),
+            "domainId",
+            "eventName",
+            F.col("eventCount").cast("bigint").alias("Event_Count"),
+        )
+    )
+
+
 def streaming_rollup_watermarked(
     df: DataFrame,
     out_path: str,

@@ -123,3 +123,24 @@ def test_rollup_sink_day_partition_pruning(spark, sf_dir, tmp_path):
     assert n_days > 2  # the table spans more days than the bound
     touched = bounded.select("event_date").distinct().count()
     assert touched == 2
+
+
+def test_contamination_join_is_equi_not_cross(spark, reg, sf_dir):
+    # the test-vs-train shingle overlap must be a shuffle/broadcast EQUI-join
+    # keyed on the shingle — a nested-loop or cartesian shape here is O(n^2)
+    # in corpus size and would never survive 100 TB
+    plan = _formatted_plan(reg["contamination_check"].run(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, "train-overlap should be a left-semi join"
+
+
+def test_prefix_dedup_single_narrow_shuffle(spark, reg, sf_dir):
+    # one groupBy on the 16-byte fingerprint; the scan reads only (doc_id,
+    # text) and the text itself never crosses the wire (fingerprint does)
+    plan = _formatted_plan(reg["dedup_prefix"].run(spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"doc_id", "text"}, read_cols
+    assert plan.count("HashAggregate") >= 2  # map-side partial before shuffle
