@@ -342,6 +342,14 @@ def _curation_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(C.curate_corpus_sql("spark")),
         C.curate_corpus_sql("duckdb"),
     )
+    q["curate_quality_quantile"] = _df_entry(
+        lambda spark, sf: spark.sql(C.quality_quantile_sql("spark")),
+        C.quality_quantile_sql("duckdb"),
+    )
+    q["corpus_length_histogram"] = _df_entry(
+        lambda spark, sf: spark.sql(C.length_histogram_sql()),
+        C.length_histogram_sql(),
+    )
     # Next-fit packing is sequential-per-shard (no SQL oracle can replay it),
     # so the value check is the contract: exact doc/token totals + budget and
     # bin-count-bound booleans the oracle asserts TRUE.

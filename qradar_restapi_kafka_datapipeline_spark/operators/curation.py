@@ -149,6 +149,42 @@ def curate_corpus_sql(
     )
 
 
+def quality_quantile_sql(dialect: str, p: float = 0.25, table: str = "documents") -> str:
+    """Per-language RELATIVE quality pruning: keep docs at or above the
+    language's p-quantile quality.
+
+    Deliberately an aggregate + re-join, NOT a ``PERCENT_RANK`` window: the
+    window form global-sorts every language partition (billions of rows at
+    100 TB), while this shape computes one threshold per language (map-side
+    partial aggregate, |langs| rows out) and broadcast-joins it back — the
+    scan stays embarrassingly parallel.  Only the quantile function name
+    differs per dialect (Spark ``percentile`` / DuckDB ``quantile_cont``,
+    both (n-1)·p linear interpolation on identical ROUND(…,4) inputs, so the
+    threshold doubles agree bit-for-bit).
+    """
+    fn = "percentile" if dialect == "spark" else "quantile_cont"
+    return (
+        "WITH q AS ("
+        f"  SELECT doc_id, lang, {quality_score_sql('text', dialect)} AS quality "
+        f"  FROM {table}"
+        "), thr AS ("
+        f"  SELECT lang, {fn}(quality, {p}) AS q_thr FROM q GROUP BY lang"
+        ") "
+        "SELECT q.doc_id, q.lang, q.quality FROM q "
+        "JOIN thr ON q.lang = thr.lang WHERE q.quality >= thr.q_thr"
+    )
+
+
+def length_histogram_sql(bucket_chars: int = 50, table: str = "documents") -> str:
+    """Corpus length histogram (dialect-common; the standard curation
+    diagnostic before choosing length cutoffs)."""
+    return (
+        f"SELECT CAST(FLOOR(length(text) / {bucket_chars}.0) AS INT) AS len_bucket, "
+        "COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars "
+        f"FROM {table} GROUP BY 1"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sequence packing — next-fit token-budget bin packing in bounded shards
 # ---------------------------------------------------------------------------

@@ -111,10 +111,17 @@ def main() -> None:
         try:
             amplify(spark, base, k)
             setup(spark, base)
+            from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+                contamination_report,
+            )
+
             ops = {
                 "dedup_exact": lambda: D.exact_dup_groups(spark.table("documents")),
                 "dedup_minhash_lsh_highsim": lambda: D.minhash_lsh_pairs(
                     spark.table("documents"), threshold=0.85
+                ),
+                "contamination_check": lambda: contamination_report(
+                    spark.table("documents")
                 ),
                 "sessionize_events": lambda: sessionize(
                     spark.table("events"),
