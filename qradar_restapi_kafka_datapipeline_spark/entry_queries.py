@@ -177,6 +177,17 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL top-k: GROUP BY + ORDER BY + LIMIT + START/STOP through the
+    # frontend (clause-reordering path: the time predicate must fold into
+    # WHERE ahead of the GROUP BY even though AQL writes it after LIMIT)
+    q["aql_topk_event_names"] = _aql_entry(
+        "SELECT QIDNAME(qid) AS event_name, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE magnitude >= 3 GROUP BY QIDNAME(qid) "
+        "ORDER BY total_events DESC, event_name ASC LIMIT 5 "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- A8: INCIDR classification over the event stream -------------------
     q["incidr_classification"] = _shared_sql_entry(
         "SELECT CASE "
