@@ -732,11 +732,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # (all >= 0.89 Jaccard at the gate SF) is (1-0.89^4)^16 < 1e-6 — and
     # xxhash64 is deterministic, so "caught" is a property of the data, not
     # a per-run draw (verified caught at sf0.001/0.01/0.1).
-    q["dedup_minhash_lsh_highsim"] = _df_entry(
-        lambda spark, sf: D.minhash_lsh_pairs(
-            spark.table("documents"), threshold=0.85
-        ),
-        """
+    _highsim_pairs_sql = """
         WITH docs AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
           FROM documents
@@ -758,7 +754,28 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         JOIN counts ca ON ca.doc_id = id_a
         JOIN counts cb ON cb.doc_id = id_b
         WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.85
-        """,
+        """
+    q["dedup_minhash_lsh_highsim"] = _df_entry(
+        lambda spark, sf: D.minhash_lsh_pairs(
+            spark.table("documents"), threshold=0.85
+        ),
+        _highsim_pairs_sql,
+    )
+
+    # ---- duplicate clusters: connected components over the verified pairs ----
+    # Spark runs min-label propagation over the LSH pair graph; the oracle
+    # recomputes the SAME pair relation exactly (the highsim equivalence
+    # above) and takes its transitive closure by recursive CTE. Pairwise
+    # dedup under-removes on chains (A~B, B~C); the cluster view is what a
+    # production pipeline actually deletes against.
+    pairs_sql_noround = (
+        "SELECT id_a, id_b FROM (" + _highsim_pairs_sql + ") p"
+    )
+    q["dedup_clusters"] = _df_entry(
+        lambda spark, sf: D.dup_clusters(
+            D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85)
+        ),
+        D.dup_clusters_oracle_sql(pairs_sql_noround),
     )
     q["dedup_simhash"] = _df_entry(
         lambda spark, sf: D.simhash_pairs(spark.table("documents"), max_hamming=8),

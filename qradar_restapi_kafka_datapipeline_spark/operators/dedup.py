@@ -280,6 +280,92 @@ def _verify_jaccard(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters — connected components over the verified pair graph
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS: ``(doc_id, cluster_id)`` where
+    ``cluster_id`` is the minimum doc id reachable through the pair graph —
+    the canonical document every member dedups to.
+
+    Pairwise output alone under-removes: A~B and B~C pairs leave {A,B,C} as
+    two independent decisions; the component view removes ``size-1`` docs per
+    cluster exactly once.
+
+    Implementation is min-label propagation: each round joins labels across
+    edges and keeps the per-node minimum, converging in O(component diameter)
+    rounds — near-dup clusters are shallow (chains longer than a few hops are
+    rare), so 3-4 rounds typical.  Each round is one equi-join + one groupBy,
+    both shuffle-partitioned on the node id; the driver sees only the
+    converged/changed COUNT per round (a scalar — the standard fixpoint
+    check), never the graph.  For adversarial deep-chain graphs at extreme
+    scale, swap in alternating large/small-star (same interface); the corpus
+    dedup case does not need it.
+    """
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(F.col("u").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE over the same pair
+    relation (fine at gate scale — the pair graph is small), min reachable id
+    per node."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+      )
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+    )
+    SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+    """
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, quadratic — for capped/candidate inputs)
 # ---------------------------------------------------------------------------
 

@@ -287,3 +287,15 @@ def test_repetition_stats_planted(spark):
     # all-distinct: dup 0; every bigram unique → 2/4 token coverage
     assert abs(rows[2]["dup_word_frac"]) < 1e-6
     assert abs(rows[2]["top_bigram_frac"] - 0.5) < 1e-6
+
+
+def test_dup_clusters_chain_collapses(spark):
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import dup_clusters
+
+    # A~B, B~C, C~D chain plus an isolated pair: components must collapse
+    # transitively to the min id, across more hops than one propagation round
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
