@@ -506,6 +506,36 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "FROM qevents) t GROUP BY 1, 2",
     )
 
+    # ---- event-rate anomaly: trailing z-score over hourly counts ------------
+    # Spike detection per event type: each hour scored against the TRAILING
+    # 24 h (ROWS ... 1 PRECEDING — never the current hour, no leakage). The
+    # window runs over the hourly PRE-aggregate (~#hours x #types rows), not
+    # raw events, so the sort is tiny at any scale. Cross-engine float
+    # discipline, the hard way: the naive (s2 - s1²/k)/(k-1) form suffers
+    # catastrophic cancellation that lands DIFFERENTLY per engine (observed
+    # 1e-5 z divergence on identical integer inputs), so z is algebraically
+    # rearranged to z = (n·k − s1)·√(k(k−1)) / (k·√(s2·k − s1²)) — every
+    # intermediate an exact BIGINT, the only double ops two correctly-rounded
+    # IEEE sqrts, one multiply and one divide: bit-identical in any engine.
+    _anomaly = (
+        "SELECT h AS hour, eventName, CAST(n AS BIGINT) AS n_events, "
+        "ROUND((n * k - s1) * sqrt(CAST(k * (k - 1) AS DOUBLE)) / "
+        "  (k * NULLIF(sqrt(CAST(s2 * k - s1 * s1 AS DOUBLE)), 0)) + 1e-9, 4) AS z "
+        "FROM ("
+        "  SELECT h, eventName, n,"
+        "    CAST(SUM(n) OVER w AS BIGINT) AS s1,"
+        "    CAST(SUM(n * n) OVER w AS BIGINT) AS s2,"
+        "    CAST(COUNT(*) OVER w AS BIGINT) AS k"
+        "  FROM ("
+        "    SELECT date_trunc('hour', ts) AS h, eventName, COUNT(*) AS n"
+        "    FROM qevents GROUP BY 1, 2"
+        "  ) hourly"
+        "  WINDOW w AS (PARTITION BY eventName ORDER BY h"
+        "    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)"
+        ") stats WHERE k >= 12"
+    )
+    q["event_rate_anomaly"] = _shared_sql_entry(_anomaly)
+
     # ---- ROLLUP: hierarchical subtotals (type, (type,cohort), grand) --------
     q["rollup_event_summary"] = _table_sql_entry(
         "SELECT event_type, cohort, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
