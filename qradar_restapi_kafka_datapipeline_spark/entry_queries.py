@@ -559,6 +559,20 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "FROM events"
     )
 
+    # ---- correlated scalar subquery (TPC-H Q17 shape) -----------------------
+    # Catalyst decorrelates the per-part AVG into an aggregate + join — the
+    # plan property that matters at scale (a literal per-row subquery re-scan
+    # would be quadratic). Both engines decorrelate; the oracle is identical.
+    q["small_quantity_revenue"] = _table_sql_entry(
+        "SELECT p_brand, ROUND(SUM(l_extendedprice) / 7.0 + 1e-9, 4) AS avg_yearly, "
+        "COUNT(*) AS n_lines "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand IN ('Brand#1', 'Brand#2') AND l_quantity < ("
+        "  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+        "  WHERE l2.l_partkey = p_partkey) "
+        "GROUP BY p_brand"
+    )
+
     # ---- anti-join: customers with no large order (>300k), by nation --------
     # NOT EXISTS ⇒ left-anti hash join; nation dim broadcasts. (Every
     # custkey has SOME order in the synthetic data, so the price predicate

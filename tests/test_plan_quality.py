@@ -144,3 +144,11 @@ def test_prefix_dedup_single_narrow_shuffle(spark, reg, sf_dir):
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert read_cols == {"doc_id", "text"}, read_cols
     assert plan.count("HashAggregate") >= 2  # map-side partial before shuffle
+
+
+def test_correlated_subquery_decorrelates(spark, reg, sf_dir):
+    # the per-part AVG threshold must become an aggregate + join, not a
+    # re-executed per-row subquery (quadratic at scale)
+    plan = _formatted_plan(reg["small_quantity_revenue"].run(spark, sf_dir))
+    assert "Subquery" not in plan, "scalar subquery not decorrelated"
+    assert "CartesianProduct" not in plan
