@@ -403,6 +403,17 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         f"FROM ({sessionize_sql('duckdb', gap_minutes=30)}) t",
     )
 
+    # At-least-once replay through the watermark-bounded streaming dedup must
+    # reconstruct exactly the distinct key relation.
+    from qradar_restapi_kafka_datapipeline_spark.streaming.stateful import (
+        dedup_events_streaming,
+    )
+
+    q["streaming_dedup_parity"] = _df_entry(
+        lambda spark, sf: dedup_events_streaming(spark, sf),
+        "SELECT event_id FROM events",
+    )
+
     _gs = (
         "SELECT event_type, cohort, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
         "FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) t "

@@ -304,3 +304,52 @@ def streaming_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_events_streaming(spark, sf_dir: str, watermark: str = "45 days") -> DataFrame:
+    """Replay the events table TWICE through the watermark-bounded streaming
+    dedup and return the surviving keys — the parity proof that first-wins
+    dedup over an at-least-once stream reconstructs exactly the distinct
+    relation (oracle: ``SELECT event_id FROM events``).
+
+    The 45-day watermark spans the whole synthetic month, so no key's state
+    expires mid-replay and every second-copy row is suppressed.  That is the
+    semantic contract: duplicates arriving within ``watermark`` of first
+    sight collapse; beyond it they re-emit (bounded state is the price —
+    the batch ``dedup_exact`` path has no such bound).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="dedup_stream_")
+    src = os.path.join(base, "landing")
+    os.makedirs(src)
+    for i in range(2):  # two identical landings = at-least-once delivery
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(src, f"b{i}.parquet")
+        )
+        os.utime(
+            os.path.join(src, f"b{i}.parquet"),
+            (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i),
+        )
+
+    src_ts_type = pq.read_schema(os.path.join(src, "b0.parquet")).field("ts").type
+    ts_is_long = not pa.types.is_timestamp(src_ts_type)
+    ts_sql = "BIGINT" if ts_is_long else "TIMESTAMP"
+    stream = (
+        spark.readStream.schema(
+            f"event_id BIGINT, ts {ts_sql}, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out, ckpt = os.path.join(base, "dedup"), os.path.join(base, "ckpt")
+    streaming_dedup(stream, out, ckpt, watermark=watermark).awaitTermination()
+    return spark.read.parquet(out).select("event_id")
