@@ -924,6 +924,12 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
     )
 
+    # ---- int8 quantization report: the Arrow/mapInPandas path, value-gated --
+    q["embedding_quantize_report"] = _df_entry(
+        lambda spark, sf: S.quantize_embeddings_report(spark.table("embeddings")),
+        S.quantize_embeddings_oracle_sql(),
+    )
+
     # ---- text analysis -------------------------------------------------------
     q["text_langid_distribution"] = _df_entry(
         lambda spark, sf: spark.sql(

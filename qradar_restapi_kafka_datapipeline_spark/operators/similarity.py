@@ -245,3 +245,79 @@ def knn_lsh(
         .where(F.col("rk") <= k)
         .select("q_id", "n_id", "cos", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization report — the Arrow-batched Python path, proven
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings_report(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization stats: scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) (half-up — identical in every engine, unlike
+    banker's rounding), and the max dequantization error, which the contract
+    bounds by half a quantization step.
+
+    This op deliberately rides ``mapInPandas`` (Arrow-batched numpy, the
+    engine's sanctioned Python path — vectorized per PARTITION, never
+    per-row) because it is the template for embedding kernels SQL can't
+    express; the DuckDB oracle recomputes the identical formula with list
+    lambdas, so the value gate proves the Arrow path bit-agrees with pure
+    SQL.  All math in float64: float32 inputs widen exactly, and both engines
+    then run the same IEEE ops.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} LONG, scale DOUBLE, max_abs_err DOUBLE, "
+        "within_half_step BOOLEAN"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for vid, vec in zip(pdf[id_col], pdf[vec_col]):
+                v = np.asarray(vec, dtype=np.float64)
+                scale = np.abs(v).max() / 127.0
+                if scale == 0.0:
+                    out.append((vid, 0.0, 0.0, True))
+                    continue
+                q = np.floor(v / scale + 0.5)
+                err = np.abs(q * scale - v).max()
+                out.append((vid, scale, err, bool(err <= scale * 0.5 + 1e-12)))
+            yield pd.DataFrame(
+                out, columns=[id_col, "scale", "max_abs_err", "within_half_step"]
+            )
+
+    raw = emb.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return raw.select(
+        F.col(id_col),
+        F.round(F.col("scale") + F.lit(1e-12), 9).alias("scale"),
+        F.round(F.col("max_abs_err") + F.lit(1e-12), 9).alias("max_abs_err"),
+        "within_half_step",
+    )
+
+
+def quantize_embeddings_oracle_sql(source: str = "embeddings") -> str:
+    """DuckDB twin of :func:`quantize_embeddings_report` (list lambdas)."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    err AS (
+      SELECT vec_id, scale,
+             list_max(list_transform(
+               v, x -> abs(floor(x / scale + 0.5) * scale - x))) AS e
+      FROM s WHERE scale != 0
+    )
+    SELECT vec_id, ROUND(scale + 1e-12, 9) AS scale,
+           ROUND(e + 1e-12, 9) AS max_abs_err,
+           CAST(e <= scale * 0.5 + 1e-12 AS BOOLEAN) AS within_half_step
+    FROM err
+    """
