@@ -188,6 +188,16 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL LIKE/pattern predicates with decode functions ------------------
+    q["aql_like_filter"] = _aql_entry(
+        "SELECT userName AS user_name, QIDNAME(qid) AS event_name, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE userName LIKE 'user_1%' "
+        "AND LOGSOURCETYPENAME(devicetype) != 'Custom Rule Engine' "
+        "GROUP BY userName, QIDNAME(qid) "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- A8: INCIDR classification over the event stream -------------------
     q["incidr_classification"] = _shared_sql_entry(
         "SELECT CASE "
@@ -387,6 +397,43 @@ def _analytics_entries(q: dict[str, Q]) -> None:
             spark.table("events"), gap_minutes=30, agg_cols={"value": "total_value"}
         ),
         sessionize_sql("duckdb", gap_minutes=30),
+    )
+
+    # Catalyst's NATIVE session primitive against the same oracle: Spark's
+    # session_window merges on diff < gap (next event strictly inside the
+    # extended window) where the engine's two-window sessionizer and the
+    # oracle merge on diff <= gap — one extra millisecond of native gap makes
+    # the two boundary rules identical on ms-precision event time.
+    # session_window.end = last-event ts + gap, so subtracting the gap back
+    # recovers session_end = MAX(ts).
+    def _native_session_run(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        gap = "1800001 milliseconds"  # 30 min + 1 ms
+        return (
+            spark.table("events")
+            .groupBy(
+                F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                (F.col("sw.end") - F.expr("INTERVAL 1800001 MILLISECONDS")).alias(
+                    "session_end"
+                ),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    q["session_window_native"] = _df_entry(
+        _native_session_run,
+        "SELECT user_id, session_start, session_end, n_events, total_value "
+        f"FROM ({sessionize_sql('duckdb', gap_minutes=30)}) t",
     )
 
     # Streaming state machine vs batch plan: the applyInPandasWithState
