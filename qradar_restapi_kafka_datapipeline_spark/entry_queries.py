@@ -532,6 +532,20 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "TRUE AS within_bound FROM events GROUP BY event_type",
     )
 
+    # ---- heavy hitters: approx_top_k sketch vs the exact top-k oracle -------
+    # With |distinct| far under the sketch capacity the counts are EXACT and
+    # the data has no count ties, so the sketch's top-3 must equal the exact
+    # GROUP BY + ORDER BY + LIMIT — the same sketch-contract pattern as the
+    # HLL and approx-percentile bounds.
+    q["heavy_hitters_topk"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n "
+            "FROM (SELECT explode(approx_top_k(event_type, 3)) AS t FROM events)"
+        ),
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "GROUP BY 1 ORDER BY n DESC LIMIT 3",
+    )
+
     # ---- windowed time-series: 7-day rolling revenue over daily aggregates --
     # The global (un-partitioned) window runs AFTER the daily pre-aggregation,
     # so at 100 TB it orders ~#distinct-days rows (thousands), not raw orders.

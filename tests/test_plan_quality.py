@@ -152,3 +152,14 @@ def test_correlated_subquery_decorrelates(spark, reg, sf_dir):
     plan = _formatted_plan(reg["small_quantity_revenue"].run(spark, sf_dir))
     assert "Subquery" not in plan, "scalar subquery not decorrelated"
     assert "CartesianProduct" not in plan
+
+
+def test_headline_codegen_at_runtime(spark, reg, sf_dir):
+    # AQE pre-execution plans carry no codegen annotation; after execution the
+    # final plan must show WholeStageCodegen spans — the scan-to-aggregate
+    # pipeline runs as generated JVM code, not interpreted expressions
+    df = reg["pricing_summary"].run(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages print as "*(N) Operator" in the executed-plan string
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:600]
