@@ -699,6 +699,18 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "ON value >= lo AND value < hi GROUP BY band"
     )
 
+    # ---- fuzzy watchlist match: levenshtein join against a tiny dim ---------
+    # Typosquat/variant screening: usernames within edit distance 1 of a
+    # watchlist name. The watchlist is an inline VALUES relation ⇒ Spark
+    # broadcasts it and evaluates levenshtein in the join condition — a
+    # nested-loop over 3 broadcast rows per event, never a shuffle.
+    q["fuzzy_watchlist_match"] = _shared_sql_entry(
+        "SELECT w.watch_name, qevents.userName AS matched_name, COUNT(*) AS n_events "
+        "FROM qevents JOIN (VALUES ('user_3'), ('user_7'), ('admin')) "
+        "AS w(watch_name) ON levenshtein(qevents.userName, w.watch_name) <= 1 "
+        "GROUP BY w.watch_name, qevents.userName"
+    )
+
     # ---- conditional aggregation (pivot-style per-type measures) ------------
     q["conditional_agg_per_user"] = _table_sql_entry(
         "SELECT user_id, "
@@ -983,6 +995,44 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
         "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
+    )
+
+    # ---- cross-modal enrichment: documents ⋈ embeddings per-source report ---
+    # Text quality and vector norms in one relation — the join a multimodal
+    # curation pass runs (drop low-quality docs AND degenerate embeddings in
+    # one scan). Norms are ROUNDed per vector from a SEQUENTIAL fold (same
+    # order both engines → identical doubles) and only order-independent
+    # MIN/MAX aggregate the rounded values; quality SUM follows the exact-4dp
+    # discipline.
+    _sq_spark = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    _sq_duck = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), "
+        "(a, b) -> a + b)"
+    )
+
+    def _enrich_body(dialect: str, sq: str) -> str:
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            quality_score_sql,
+        )
+
+        return (
+            "SELECT d.source, COUNT(*) AS n_docs, "
+            f"ROUND(SUM({quality_score_sql('d.text', dialect)}) + 1e-9, 4) "
+            "AS total_quality, "
+            "MIN(e.norm) AS min_norm, MAX(e.norm) AS max_norm "
+            "FROM documents d JOIN ("
+            f"  SELECT vec_id, ROUND(sqrt({sq}) + 1e-12, 6) AS norm "
+            "  FROM embeddings) e ON d.doc_id = e.vec_id "
+            "GROUP BY d.source"
+        )
+
+    q["multimodal_enrichment_report"] = _df_entry(
+        lambda spark, sf: spark.sql(_enrich_body("spark", _sq_spark)),
+        _enrich_body("duckdb", _sq_duck),
     )
 
     # ---- int8 quantization report: the Arrow/mapInPandas path, value-gated --
