@@ -905,6 +905,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         D.dup_clusters_oracle_sql(pairs_sql_noround),
     )
+    # The funnel's terminal relation: corpus minus non-canonical cluster
+    # members. Oracle = anti-join against the recursive-closure drop list.
+    q["dedup_corpus_near"] = _df_entry(
+        lambda spark, sf: D.dedup_corpus_near(spark.table("documents")).select(
+            "doc_id", "source", "lang"
+        ),
+        "SELECT doc_id, source, lang FROM documents WHERE doc_id NOT IN ("
+        f"SELECT doc_id FROM ({D.dup_clusters_oracle_sql(pairs_sql_noround)}) c "
+        "WHERE doc_id != cluster_id)",
+    )
+
     q["dedup_simhash"] = _df_entry(
         lambda spark, sf: D.simhash_pairs(spark.table("documents"), max_hamming=8),
         None,

@@ -365,6 +365,28 @@ def dup_clusters_oracle_sql(pairs_sql: str) -> str:
     """
 
 
+def dedup_corpus_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.85,
+) -> DataFrame:
+    """The end of the dedup funnel: the corpus with every non-canonical
+    near-dup cluster member REMOVED (keep the min-id doc per component).
+
+    pairs → :func:`dup_clusters` → left-anti join of the non-canonical
+    members against the corpus.  The anti-join is keyed on ``id_col`` (the
+    drop list is small — near-dup members only — so Catalyst broadcasts it);
+    the full text column rides through untouched, never shuffled.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
+    clusters = dup_clusters(pairs, max_iter=20)
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, quadratic — for capped/candidate inputs)
 # ---------------------------------------------------------------------------
