@@ -450,6 +450,18 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         f"FROM ({sessionize_sql('duckdb', gap_minutes=30)}) t",
     )
 
+    # ... and Catalyst's NATIVE streaming session_window against the same
+    # oracle — the 5th streaming state machine pinned to batch truth.
+    from qradar_restapi_kafka_datapipeline_spark.streaming.stateful import (
+        sessionize_events_streaming_native,
+    )
+
+    q["streaming_session_window_native_parity"] = _df_entry(
+        lambda spark, sf: sessionize_events_streaming_native(spark, sf),
+        "SELECT user_id, session_start, session_end, n_events, total_value "
+        f"FROM ({sessionize_sql('duckdb', gap_minutes=30)}) t",
+    )
+
     # At-least-once replay through the watermark-bounded streaming dedup must
     # reconstruct exactly the distinct key relation.
     from qradar_restapi_kafka_datapipeline_spark.streaming.stateful import (

@@ -183,25 +183,16 @@ def streaming_sessionize(
     return writer.start()
 
 
-def sessionize_events_streaming(
-    spark,
-    sf_dir: str,
-    gap_minutes: int = 30,
-    watermark: str = "1 hour",
-) -> DataFrame:
-    """Run the STREAMING sessionizer over the static ``events`` table and
-    return a batch DataFrame equal to batch :func:`operators.sessionize.
-    sessionize` — the engine's proof that its streaming state machine computes
-    the same relation as its batch plan.
+def _events_replay_with_sentinels(spark, sf_dir: str):
+    """Land the events table as a 3-micro-batch file stream: the real data,
+    then two far-future sentinel batches for reserved user -1 (the first
+    advances the watermark past every real session's end + gap; the second
+    gives the engine a batch in which the resulting event-time
+    timeouts/emissions fire).  Returns ``(streaming DataFrame, base dir)``.
 
-    Mechanics: the events parquet is replayed as a 3-micro-batch file stream
-    (``maxFilesPerTrigger=1`` + ``availableNow``).  Batches 2 and 3 are
-    far-future sentinel events for a reserved user (-1): the first advances
-    the watermark past every real session's ``end + gap``, the second gives
-    the engine a batch in which those event-time timeouts fire — so every
-    real session is CLOSED and emitted.  Sentinels are filtered from the
-    result.  State is µs-precision, so session bounds match batch
-    ``MIN(ts)``/``MAX(ts)`` exactly.
+    Sentinel ts must carry the SAME parquet type as the driver's file so the
+    directory reads under one schema; both testdata generations are handled
+    (TIMESTAMP(NANOS) → int64 under nanosAsLong, tz-naive TIMESTAMP(MICROS)).
     """
     import os
     import shutil
@@ -210,17 +201,13 @@ def sessionize_events_streaming(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = tempfile.mkdtemp(prefix="sessionize_stream_")
+    base = tempfile.mkdtemp(prefix="events_replay_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
     shutil.copy(
         os.path.join(sf_dir, "events.parquet"), os.path.join(src, "b0.parquet")
     )
 
-    # Sentinel ts must carry the SAME parquet type as the driver's file so the
-    # directory reads under one schema. Two testdata generations exist:
-    # TIMESTAMP(NANOS) (read as int64 under nanosAsLong) and tz-naive
-    # TIMESTAMP(MICROS).
     src_ts_type = pq.read_schema(os.path.join(src, "b0.parquet")).field("ts").type
     ts_is_long = not pa.types.is_timestamp(src_ts_type)
 
@@ -243,9 +230,9 @@ def sessionize_events_streaming(
             path,
         )
 
-    Y2034_US = 2_019_686_400 * 1_000_000
-    sentinel(os.path.join(src, "z1.parquet"), Y2034_US)
-    sentinel(os.path.join(src, "z2.parquet"), Y2034_US + 86_400 * 1_000_000)
+    y2034_us = 2_019_686_400 * 1_000_000
+    sentinel(os.path.join(src, "z1.parquet"), y2034_us)
+    sentinel(os.path.join(src, "z2.parquet"), y2034_us + 86_400 * 1_000_000)
     # file source orders batches by mtime: force a deterministic sequence
     now = 1_700_000_000
     for i, f in enumerate(["b0.parquet", "z1.parquet", "z2.parquet"]):
@@ -262,6 +249,32 @@ def sessionize_events_streaming(
     )
     if ts_is_long:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream, base
+
+
+def sessionize_events_streaming(
+    spark,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Run the STREAMING sessionizer over the static ``events`` table and
+    return a batch DataFrame equal to batch :func:`operators.sessionize.
+    sessionize` — the engine's proof that its streaming state machine computes
+    the same relation as its batch plan.
+
+    Mechanics: the events parquet is replayed as a 3-micro-batch file stream
+    (``maxFilesPerTrigger=1`` + ``availableNow``).  Batches 2 and 3 are
+    far-future sentinel events for a reserved user (-1): the first advances
+    the watermark past every real session's ``end + gap``, the second gives
+    the engine a batch in which those event-time timeouts fire — so every
+    real session is CLOSED and emitted.  Sentinels are filtered from the
+    result.  State is µs-precision, so session bounds match batch
+    ``MIN(ts)``/``MAX(ts)`` exactly.
+    """
+    import os
+
+    stream, base = _events_replay_with_sentinels(spark, sf_dir)
     out, ckpt = os.path.join(base, "sessions"), os.path.join(base, "ckpt")
     streaming_sessionize(
         stream, out, ckpt, gap_minutes=gap_minutes, watermark=watermark
@@ -269,6 +282,61 @@ def sessionize_events_streaming(
     return (
         spark.read.schema(SESSION_OUT_SCHEMA)
         .parquet(out)
+        .where(F.col("user_id") >= 0)
+        .withColumn("total_value", F.round("total_value", 2))
+    )
+
+
+def sessionize_events_streaming_native(
+    spark,
+    sf_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-sessionize the replayed events stream with Catalyst's NATIVE
+    ``session_window`` aggregation (the built-in state machine, vs the
+    custom ``applyInPandasWithState`` one) and return the closed sessions —
+    must equal the same batch oracle as every other session implementation.
+
+    Gap is 30 min + 1 ms: session_window merges on strict ``diff < gap``
+    where the engine's convention (and the oracle) is ``diff <= gap`` on
+    ms-precision event time.  In append mode a session emits once the
+    watermark passes its window end; the far-future sentinel batches flush
+    every real session.  ``session_window.end`` is last-event ts + gap, so
+    subtracting the gap recovers ``session_end = MAX(ts)``.
+    """
+    import os
+
+    gap = "1800001 milliseconds"
+    stream, base = _events_replay_with_sentinels(spark, sf_dir)
+    sessions = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            (F.col("sw.end") - F.expr("INTERVAL 1800001 MILLISECONDS")).alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    out, ckpt = os.path.join(base, "sessions_native"), os.path.join(base, "ckpt_n")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
         .where(F.col("user_id") >= 0)
         .withColumn("total_value", F.round("total_value", 2))
     )
