@@ -38,6 +38,7 @@ from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
     stratified_sample,
 )
 from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+    dedup_corpus_near,
     minhash_lsh_pairs,
     prefix_dup_groups,
 )
@@ -69,9 +70,11 @@ def main() -> None:
     # 4. near-dup removal: cheap prefix screen, then MinHash LSH + verify
     prefix_groups = prefix_dup_groups(docs)
     near = minhash_lsh_pairs(docs, threshold=0.85)
+    deduped = dedup_corpus_near(docs)
     print(
         f"[4] near-dup screens: {prefix_groups.count()} prefix groups, "
-        f"{near.count()} LSH pairs at jaccard>=0.85"
+        f"{near.count()} LSH pairs at jaccard>=0.85; "
+        f"cluster-collapsed corpus: {deduped.count()} docs"
     )
 
     # 5. contamination screen on the held-out split (doc_id % 5 == 0)
