@@ -723,6 +723,25 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "GROUP BY w.watch_name, qevents.userName"
     )
 
+    # ---- native PIVOT: per-cohort event-type count matrix -------------------
+    # Spark's PIVOT clause (Catalyst rewrites it to one conditional aggregate
+    # pass); the oracle is that same conditional aggregate written out — the
+    # relation PIVOT must equal by construction.
+    q["pivot_cohort_event_matrix"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT * FROM (SELECT user_id % 10 AS cohort, event_type FROM events) "
+            "PIVOT (COUNT(*) FOR event_type IN "
+            "('click', 'view', 'purchase', 'signup', 'error'))"
+        ),
+        "SELECT user_id % 10 AS cohort, "
+        "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click, "
+        "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view, "
+        "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase, "
+        "COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup, "
+        "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error "
+        "FROM events GROUP BY 1",
+    )
+
     # ---- conditional aggregation (pivot-style per-type measures) ------------
     q["conditional_agg_per_user"] = _table_sql_entry(
         "SELECT user_id, "

@@ -299,3 +299,36 @@ def test_dup_clusters_chain_collapses(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_random_graph_vs_union_find(spark):
+    """Differential test: 200 random edges, label propagation must equal a
+    driver-side union-find (the textbook reference implementation)."""
+    import random
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import dup_clusters
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(80), rng.randrange(80)) for _ in range(200)})
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+
+    parent = list(range(80))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    # canonical = min node id per component (find() roots at the min because
+    # unions always attach the larger root under the smaller)
+    expected = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == expected
