@@ -123,6 +123,11 @@ def main() -> None:
                 "contamination_check": lambda: contamination_report(
                     spark.table("documents")
                 ),
+                # the one iterative operator: pair graph grows linearly in K
+                # (copies are distinct populations), rounds stay O(diameter)
+                "dedup_clusters": lambda: D.dup_clusters(
+                    D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85)
+                ),
                 "sessionize_events": lambda: sessionize(
                     spark.table("events"),
                     gap_minutes=30,
