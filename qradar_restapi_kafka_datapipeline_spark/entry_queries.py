@@ -246,6 +246,25 @@ def registry() -> dict[str, Q]:
         "FROM qevents GROUP BY 1, 2, 3"
     )
 
+    # ---- rollup cascade: day grain derived FROM the hourly roll-up ----------
+    # The re-aggregability proof behind materialized-view chaining: summing
+    # the hourly aggregate up to day grain must equal aggregating the raw
+    # events directly at day grain (SUM cascades; COUNT(*) cascades as SUM of
+    # hourly counts). At 100 TB the day rollup reads ≤ 8760 x |dims| hourly
+    # rows instead of the raw corpus.
+    q["summing_rollup_cascade_daily"] = _shared_sql_entry(
+        "SELECT date_trunc('day', Start_Time) AS day, domainId, "
+        "CAST(SUM(n_rows) AS BIGINT) AS n_rows, "
+        "CAST(SUM(Event_Count) AS BIGINT) AS Event_Count FROM ("
+        "  SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
+        "  COUNT(*) AS n_rows, SUM(eventCount) AS Event_Count "
+        "  FROM qevents GROUP BY 1, 2, 3"
+        ") h GROUP BY 1, 2",
+        "SELECT date_trunc('day', ts) AS day, domainId, "
+        "COUNT(*) AS n_rows, CAST(SUM(eventCount) AS BIGINT) AS Event_Count "
+        "FROM qevents GROUP BY 1, 2",
+    )
+
     # Streaming-vs-batch parity for the roll-up: the incremental foreachBatch
     # merge (SummingMergeTree-exact mode) replayed over a 3-micro-batch split
     # of qevents must equal the one-shot hourly aggregate (no n_rows — the
