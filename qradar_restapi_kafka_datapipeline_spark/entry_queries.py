@@ -742,6 +742,22 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "GROUP BY w.watch_name, qevents.userName"
     )
 
+    # ---- semi-structured: JSON property extraction from the props column ----
+    # The reference's entire ingest is JSON parsing (ijson over the Ariel
+    # result stream, etl.py:16-22); this is that surface in declarative form —
+    # get_json_object stays JVM-side and Catalyst prunes the scan to
+    # (props, value) only.
+    q["json_props_extract"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod, "
+            "COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value "
+            "FROM events GROUP BY 1"
+        ),
+        "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod, "
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value "
+        "FROM events GROUP BY 1",
+    )
+
     # ---- native PIVOT: per-cohort event-type count matrix -------------------
     # Spark's PIVOT clause (Catalyst rewrites it to one conditional aggregate
     # pass); the oracle is that same conditional aggregate written out — the
