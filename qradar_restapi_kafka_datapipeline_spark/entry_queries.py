@@ -188,6 +188,17 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL custom-property (double-quoted identifier) predicate -----------
+    # QRadar custom properties are double-quoted identifiers usable in WHERE
+    # (reference queries.json:2-3 uses them in SELECT; AQL allows both).
+    q["aql_custom_property_filter"] = _aql_entry(
+        'SELECT "Rule Name" AS rule_name, Action AS action_taken, '
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        'FROM events WHERE "Rule Name" = \'rule_1\' AND Action = \'Allow\' '
+        'GROUP BY "Rule Name", Action '
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- AQL LIKE/pattern predicates with decode functions ------------------
     q["aql_like_filter"] = _aql_entry(
         "SELECT userName AS user_name, QIDNAME(qid) AS event_name, "
@@ -740,6 +751,22 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "FROM qevents JOIN (VALUES ('user_3'), ('user_7'), ('admin')) "
         "AS w(watch_name) ON levenshtein(qevents.userName, w.watch_name) <= 1 "
         "GROUP BY w.watch_name, qevents.userName"
+    )
+
+    # ---- data-quality profile: one-pass column audit of the events table ----
+    # The pre-ingest audit a pipeline runs before trusting a new drop: null
+    # counts, ranges, and distinct cardinality, all in ONE aggregate pass
+    # over the scan (never one pass per column).
+    q["data_profile_events"] = _table_sql_entry(
+        "SELECT COUNT(*) AS n_rows, "
+        "COUNT(value) AS value_nonnull, "
+        "ROUND(MIN(value), 2) AS value_min, ROUND(MAX(value), 2) AS value_max, "
+        "COUNT(user_id) AS user_id_nonnull, "
+        "CAST(MIN(user_id) AS BIGINT) AS user_id_min, "
+        "CAST(MAX(user_id) AS BIGINT) AS user_id_max, "
+        "COUNT(DISTINCT event_type) AS event_type_distinct, "
+        "MIN(ts) AS ts_min, MAX(ts) AS ts_max "
+        "FROM events"
     )
 
     # ---- semi-structured: JSON property extraction from the props column ----
