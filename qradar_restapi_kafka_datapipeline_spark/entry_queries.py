@@ -753,6 +753,53 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "GROUP BY w.watch_name, qevents.userName"
     )
 
+    # ---- regex extraction: the custom-property parse surface ----------------
+    # QRadar custom properties are regex captures over raw log text; this is
+    # that operation declaratively (regexp_extract is JVM-side, identical
+    # semantics in DuckDB including '' on no-match).
+    q["regex_extract_uid"] = _shared_sql_entry(
+        "SELECT CAST(regexp_extract(userName, 'user_([0-9]+)', 1) AS BIGINT) % 7 "
+        "AS uid_mod, COUNT(*) AS n, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM qevents GROUP BY 1"
+    )
+
+    # ---- UNPIVOT: wide metrics back to long form ----------------------------
+    # Spark's native UNPIVOT clause; the oracle is the equivalent UNION ALL
+    # (DuckDB's UNPIVOT syntax differs, and the union form is the semantic
+    # definition anyway).
+    q["unpivot_user_metrics"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT user_id, metric, n FROM ("
+            "  SELECT user_id, "
+            "  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase, "
+            "  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error "
+            "  FROM events GROUP BY user_id"
+            ") UNPIVOT (n FOR metric IN (purchase, error))"
+        ),
+        "SELECT user_id, 'purchase' AS metric, "
+        "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n "
+        "FROM events GROUP BY user_id "
+        "UNION ALL "
+        "SELECT user_id, 'error' AS metric, "
+        "COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n "
+        "FROM events GROUP BY user_id",
+    )
+
+    # ---- array aggregation: per-cohort distinct-type roster -----------------
+    # collect_set → sorted → joined to ONE string so the cross-engine hash
+    # compares scalar text, not engine-specific array renderings.
+    q["array_agg_type_roster"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT user_id % 7 AS cohort, "
+            "array_join(sort_array(collect_set(event_type)), ',') AS types, "
+            "COUNT(*) AS n FROM events GROUP BY 1"
+        ),
+        "SELECT user_id % 7 AS cohort, "
+        "array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, "
+        "COUNT(*) AS n FROM events GROUP BY 1",
+    )
+
     # ---- data-quality profile: one-pass column audit of the events table ----
     # The pre-ingest audit a pipeline runs before trusting a new drop: null
     # counts, ranges, and distinct cardinality, all in ONE aggregate pass
