@@ -199,6 +199,16 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL HAVING through the frontend (post-aggregate filter + the
+    # START/STOP injection must land in WHERE, not HAVING) --------------------
+    q["aql_having_filter"] = _aql_entry(
+        "SELECT DOMAINNAME(domainId) AS customer, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events GROUP BY DOMAINNAME(domainId) "
+        "HAVING SUM(eventCount) > 400 "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- AQL LIKE/pattern predicates with decode functions ------------------
     q["aql_like_filter"] = _aql_entry(
         "SELECT userName AS user_name, QIDNAME(qid) AS event_name, "
@@ -586,6 +596,14 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         "SELECT event_type, COUNT(*) AS n FROM events "
         "GROUP BY 1 ORDER BY n DESC LIMIT 3",
+    )
+
+    # ---- calendar-grain rollup: year/quarter revenue ------------------------
+    q["calendar_revenue_rollup"] = _table_sql_entry(
+        "SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, "
+        "COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice) + 1e-9, 2) AS revenue "
+        "FROM orders GROUP BY 1, 2"
     )
 
     # ---- windowed time-series: 7-day rolling revenue over daily aggregates --
