@@ -879,6 +879,27 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "FROM events GROUP BY user_id"
     )
 
+    # ---- temporal follow-on: events within 1 minute after a purchase --------
+    # Interval self-join (behavioral correlation): equi-key on user_id so the
+    # shuffle is keyed, the time band bounds per-user pair work — the pattern
+    # behind "what does a user do right after X" at any scale.
+    q["followon_after_purchase"] = _table_sql_entry(
+        "SELECT a.event_type AS followed_by, COUNT(*) AS n "
+        "FROM events p JOIN events a ON a.user_id = p.user_id "
+        "AND a.ts > p.ts AND a.ts <= p.ts + INTERVAL 1 MINUTE "
+        "WHERE p.event_type = 'purchase' GROUP BY 1"
+    )
+
+    # ---- left-join null semantics: segment coverage of big spenders ---------
+    q["segment_big_order_coverage"] = _table_sql_entry(
+        "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+        "CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_without_big_order "
+        "FROM customer c LEFT JOIN ("
+        "  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000"
+        ") o ON c.c_custkey = o.o_custkey GROUP BY c_mktsegment"
+    )
+
     # ---- as-of join: each event picks the user's latest signup at-or-before -
     from qradar_restapi_kafka_datapipeline_spark.operators.asof import asof_join
 
