@@ -199,6 +199,17 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL arithmetic + CASE expressions through the frontend -------------
+    q["aql_weighted_severity"] = _aql_entry(
+        "SELECT CASE WHEN magnitude >= 7 THEN 'high' "
+        "WHEN magnitude >= 4 THEN 'medium' ELSE 'low' END AS severity, "
+        "CAST(SUM(eventCount * magnitude) AS BIGINT) AS weighted_events, "
+        "COUNT(*) AS n "
+        "FROM events GROUP BY CASE WHEN magnitude >= 7 THEN 'high' "
+        "WHEN magnitude >= 4 THEN 'medium' ELSE 'low' END "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- AQL HAVING through the frontend (post-aggregate filter + the
     # START/STOP injection must land in WHERE, not HAVING) --------------------
     q["aql_having_filter"] = _aql_entry(

@@ -1,0 +1,66 @@
+"""Driver-contract guards for __spark_entry__.
+
+The driver calls ``entry(spark)`` on a VANILLA SparkSession (none of
+get_spark()'s confs) and expects ``queries()`` / ``oracle_sql()`` to be
+mutually consistent.  These tests lock that interface so a registry refactor
+can't silently break the gate.
+"""
+
+import importlib.util
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _entry_module():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_registry_key_consistency():
+    mod = _entry_module()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 90
+    # every oracle key must name a real query; every oracle is non-empty SQL
+    assert set(oracles) <= set(qs)
+    assert all(isinstance(o, str) and o.strip() for o in oracles.values())
+    # the vast majority of entries are value-checked (rows-only is the
+    # documented exception for Spark-native-hash operators)
+    assert len(oracles) >= len(qs) - 8
+
+
+def test_entry_runs_on_vanilla_session():
+    # a FRESH builder with no engine confs — exactly how the driver calls it;
+    # setup() must apply the runtime-settable confs itself.  Run in a
+    # SUBPROCESS: getOrCreate inside this pytest process would return the
+    # session fixture's (non-vanilla) session, and stopping it would kill it
+    # for every later test.
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys, importlib.util; sys.path.insert(0, %r)\n"
+        "spec = importlib.util.spec_from_file_location('__spark_entry__', %r)\n"
+        "mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[2]').appName('vanilla').getOrCreate()\n"
+        "df = mod.entry(spark)\n"
+        "rows = df.collect()\n"
+        "assert len(df.schema.fields) > 5\n"
+        "print('ENTRY_OK', len(rows))\n"
+    ) % (repo, os.path.join(repo, "__spark_entry__.py"))
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert "ENTRY_OK" in out.stdout, out.stdout[-500:] + out.stderr[-1500:]
