@@ -271,6 +271,15 @@ def registry() -> dict[str, Q]:
         "AND ts < timestamp'2024-01-12 00:00:00'"
     )
 
+    # ---- diurnal profile: hour-of-day activity histogram --------------------
+    # The baseline a SIEM compares anomalies against (is 3 AM activity normal
+    # for this fleet?); folds the whole stream into 24 buckets in one pass.
+    q["diurnal_activity_profile"] = _shared_sql_entry(
+        "SELECT hour(ts) AS hour_of_day, COUNT(*) AS n, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM qevents GROUP BY 1"
+    )
+
     # ---- B11: the SummingMergeTree-equivalent hourly roll-up ----------------
     q["summing_rollup_hourly"] = _shared_sql_entry(
         "SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
