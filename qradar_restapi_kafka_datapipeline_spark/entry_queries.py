@@ -199,6 +199,16 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL string functions (UPPER/CONCAT) with a decode inside CONCAT ----
+    q["aql_string_functions"] = _aql_entry(
+        "SELECT UPPER(eventName) AS event_name_uc, "
+        "CONCAT(userName, '@', DOMAINNAME(domainId)) AS principal, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events "
+        "GROUP BY UPPER(eventName), CONCAT(userName, '@', DOMAINNAME(domainId)) "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- AQL arithmetic + CASE expressions through the frontend -------------
     q["aql_weighted_severity"] = _aql_entry(
         "SELECT CASE WHEN magnitude >= 7 THEN 'high' "
