@@ -473,28 +473,32 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     # session_window merges on diff < gap (next event strictly inside the
     # extended window) where the engine's two-window sessionizer and the
     # oracle merge on diff <= gap — one extra millisecond of native gap makes
-    # the two boundary rules identical on ms-precision event time.
-    # session_window.end = last-event ts + gap, so subtracting the gap back
-    # recovers session_end = MAX(ts).
+    # the two boundary rules identical on MS-PRECISION event time.  The
+    # testdata ts is µs-precision, so the window must run on ts floored to ms
+    # (`timestamp_millis(unix_millis(ts))`): on raw µs a pair with gap in
+    # (1800000ms, 1800001ms) would merge natively yet split in the oracle's
+    # ms-diff rule.  Session bounds come from MIN/MAX of the RAW ts inside the
+    # aggregate, so outputs keep full µs precision.
     def _native_session_run(spark: SparkSession, sf: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         gap = "1800001 milliseconds"  # 30 min + 1 ms
         return (
             spark.table("events")
+            .withColumn("ts_ms", F.timestamp_millis(F.unix_millis("ts")))
             .groupBy(
-                F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id")
+                F.session_window(F.col("ts_ms"), gap).alias("sw"), F.col("user_id")
             )
             .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
                 F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("total_value"),
             )
             .select(
                 "user_id",
-                F.col("sw.start").alias("session_start"),
-                (F.col("sw.end") - F.expr("INTERVAL 1800001 MILLISECONDS")).alias(
-                    "session_end"
-                ),
+                "session_start",
+                "session_end",
                 "n_events",
                 "total_value",
             )
@@ -679,6 +683,12 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     # rearranged to z = (n·k − s1)·√(k(k−1)) / (k·√(s2·k − s1²)) — every
     # intermediate an exact BIGINT, the only double ops two correctly-rounded
     # IEEE sqrts, one multiply and one divide: bit-identical in any engine.
+    # Exactness bound: s2·k = Σn²·k must fit int64, i.e. per-(hour,type)
+    # counts n < ~6e8 with the 25-row trailing window (6e8² × 25 ≈ 9e18 ≈
+    # int64 max).  Beyond that — hundreds of millions of one event type per
+    # hour — both engines raise on the overflow (DuckDB HUGEINT→BIGINT cast,
+    # Spark ANSI), a loud failure; the fallback is DOUBLE intermediates at
+    # the cost of per-engine ulp drift.
     _anomaly = (
         "SELECT h AS hour, eventName, CAST(n AS BIGINT) AS n_events, "
         "ROUND((n * k - s1) * sqrt(CAST(k * (k - 1) AS DOUBLE)) / "

@@ -37,7 +37,12 @@ def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
     shuffle for nothing.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Count input FILES, not df.rdd partitions: .rdd forces a plan→RDD
+    # conversion per call (wasted analysis work on the hot path).  inputFiles()
+    # reads the already-resolved scan relation; a non-file source (e.g. a view
+    # over a join) returns [] and we conservatively repartition.
+    n_files = len(df.inputFiles())
+    if n_files >= target:
         return df
     return df.repartition(target, F.col(by)) if by else df.repartition(target)
 
@@ -338,7 +343,19 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # Truncate the iteration lineage and release the loop's CacheManager entry:
+    # a plain `return labels.select(...)` would leave the final round persisted
+    # for the rest of the session (CacheManager holds it until an explicit
+    # unpersist).  localCheckpoint materializes the converged labels eagerly
+    # into executor-local blocks that the ContextCleaner reclaims once the
+    # result DataFrame is dropped — no session-lifetime storage leak.  (Not
+    # fault-tolerant to executor loss; the label relation is only the dup-doc
+    # subset, small relative to the corpus, so recompute-on-loss is acceptable.)
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def dup_clusters_oracle_sql(pairs_sql: str) -> str:

@@ -33,6 +33,9 @@ def compact_rollup(
     files per day. Returns partitions rewritten. Idempotent (same data,
     same collapse keys — only the file layout changes)."""
     df = spark.read.parquet(path)
+    # Driver-side collect is bounded by the DAY count of the roll-up (one
+    # value per partition directory — a few thousand rows after a decade),
+    # not by data volume; this is maintenance metadata, not a data path.
     parts = [r[0] for r in df.select(partition_col).distinct().collect()]
     (
         df.repartition(target_files_per_partition * max(len(parts), 1),

@@ -311,10 +311,15 @@ def quantize_embeddings_oracle_sql(source: str = "embeddings") -> str:
       FROM e
     ),
     err AS (
+      -- scale = 0 (all-zero vector) must still emit a row: the Spark kernel
+      -- yields (vid, 0, 0, TRUE) for it, so filtering here would break
+      -- row-count parity the moment a zero embedding appears.
       SELECT vec_id, scale,
-             list_max(list_transform(
-               v, x -> abs(floor(x / scale + 0.5) * scale - x))) AS e
-      FROM s WHERE scale != 0
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE list_max(list_transform(
+                    v, x -> abs(floor(x / scale + 0.5) * scale - x)))
+             END AS e
+      FROM s
     )
     SELECT vec_id, ROUND(scale + 1e-12, 9) AS scale,
            ROUND(e + 1e-12, 9) AS max_abs_err,

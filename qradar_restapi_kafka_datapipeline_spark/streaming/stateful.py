@@ -209,7 +209,13 @@ def _events_replay_with_sentinels(spark, sf_dir: str):
     )
 
     src_ts_type = pq.read_schema(os.path.join(src, "b0.parquet")).field("ts").type
-    ts_is_long = not pa.types.is_timestamp(src_ts_type)
+    # TIMESTAMP(NANOS) parquet reads as timestamp[ns] in pyarrow but as
+    # LongType (nanos) in Spark under nanosAsLong=true — it must take the
+    # long branch (sentinels written as int64 nanos) or the declared
+    # readStream schema would mismatch the scan.
+    ts_is_long = (not pa.types.is_timestamp(src_ts_type)) or (
+        src_ts_type.unit == "ns"
+    )
 
     def sentinel(path: str, ts_us: int) -> None:
         if ts_is_long:
@@ -299,28 +305,32 @@ def sessionize_events_streaming_native(
 
     Gap is 30 min + 1 ms: session_window merges on strict ``diff < gap``
     where the engine's convention (and the oracle) is ``diff <= gap`` on
-    ms-precision event time.  In append mode a session emits once the
-    watermark passes its window end; the far-future sentinel batches flush
-    every real session.  ``session_window.end`` is last-event ts + gap, so
-    subtracting the gap recovers ``session_end = MAX(ts)``.
+    MS-PRECISION event time — so the window runs on ts floored to ms
+    (``timestamp_millis(unix_millis(ts))``); on raw µs timestamps a pair
+    with gap inside (1800000ms, 1800001ms) would merge natively yet split
+    under the oracle's ms-diff rule.  Session bounds are MIN/MAX of the RAW
+    µs ts inside the aggregate, so outputs match batch exactly.  In append
+    mode a session emits once the watermark passes its window end; the
+    far-future sentinel batches flush every real session.
     """
     import os
 
     gap = "1800001 milliseconds"
     stream, base = _events_replay_with_sentinels(spark, sf_dir)
     sessions = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id"))
+        stream.withColumn("ts_ms", F.timestamp_millis(F.unix_millis("ts")))
+        .withWatermark("ts_ms", watermark)
+        .groupBy(F.session_window(F.col("ts_ms"), gap).alias("sw"), F.col("user_id"))
         .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
         )
         .select(
             "user_id",
-            F.col("sw.start").alias("session_start"),
-            (F.col("sw.end") - F.expr("INTERVAL 1800001 MILLISECONDS")).alias(
-                "session_end"
-            ),
+            "session_start",
+            "session_end",
             "n_events",
             "total_value",
         )
@@ -406,7 +416,11 @@ def dedup_events_streaming(spark, sf_dir: str, watermark: str = "45 days") -> Da
         )
 
     src_ts_type = pq.read_schema(os.path.join(src, "b0.parquet")).field("ts").type
-    ts_is_long = not pa.types.is_timestamp(src_ts_type)
+    # Same rule as _events_replay_with_sentinels: NANOS parquet → LongType
+    # under nanosAsLong, so declare BIGINT for ns-unit as well.
+    ts_is_long = (not pa.types.is_timestamp(src_ts_type)) or (
+        src_ts_type.unit == "ns"
+    )
     ts_sql = "BIGINT" if ts_is_long else "TIMESTAMP"
     stream = (
         spark.readStream.schema(
