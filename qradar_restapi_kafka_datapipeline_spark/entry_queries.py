@@ -240,6 +240,41 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL NESTED scalar calls (paren-balanced frontend) ------------------
+    # Arguments that are themselves calls/expressions with parens and commas —
+    # the shapes the old [^()]* argument regexes either skipped (Spark fell
+    # back to the runtime UDF; the DuckDB oracle had none and failed) or
+    # mistranslated silently.  Each entry must fold identically in BOTH
+    # dialects.
+    q["aql_nested_incidr_coalesce"] = _aql_entry(
+        "SELECT COUNT(*) AS n, CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events "
+        "WHERE NOT INCIDR('10.0.0.0/8', COALESCE(sourceip, '0.0.0.0')) "
+        "AND INCIDR('0.0.0.0/0', COALESCE(destinationip, '0.0.0.0')) "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+    q["aql_nested_fnn_domain"] = _aql_entry(
+        "SELECT FULLNETWORKNAME(COALESCE(sourceip, '0.0.0.0'), domainId) "
+        "AS src_net, DOMAINNAME(domainId) AS customer, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events GROUP BY "
+        "FULLNETWORKNAME(COALESCE(sourceip, '0.0.0.0'), domainId), "
+        "DOMAINNAME(domainId) "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+    q["aql_nested_dateformat_trunc"] = _aql_entry(
+        "SELECT DATEFORMAT(DATE_TRUNC('hour', ts), 'yyyy-MM-dd HH:mm') "
+        "AS hour_label, COUNT(*) AS n FROM events "
+        "GROUP BY DATEFORMAT(DATE_TRUNC('hour', ts), 'yyyy-MM-dd HH:mm') "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+    q["aql_nested_decode_expr"] = _aql_entry(
+        "SELECT CATEGORYNAME(highlevelcategory + (qid % 2)) AS cat, "
+        "COUNT(*) AS n FROM events "
+        "GROUP BY CATEGORYNAME(highlevelcategory + (qid % 2)) "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- A8: INCIDR classification over the event stream -------------------
     q["incidr_classification"] = _shared_sql_entry(
         "SELECT CASE "
@@ -261,9 +296,64 @@ def registry() -> dict[str, Q]:
     )
 
     # ---- A11: FULLNETWORKNAME longest-prefix decode, aggregated -------------
+    # One-arg form resolves in the default domain (plans.dialect.DEFAULT_DOMAIN).
     q["full_network_name"] = _shared_sql_entry(
         f"SELECT {fullnetworkname_expr('sourceip')} AS src_net, "
         "COUNT(*) AS n FROM qevents GROUP BY 1"
+    )
+
+    # Two-arg form: QRadar's network table is DOMAIN-scoped (the reference
+    # passes DomainID in every call, qradar/input/queries.json:2-3) — the
+    # decode must consult the caller's domain hierarchy, and the synthetic
+    # config makes domains disagree on the 10.64/10 overlay so this entry
+    # would catch a frontend that drops the second argument.
+    q["full_network_name_by_domain"] = _shared_sql_entry(
+        "SELECT domainId, "
+        f"{fullnetworkname_expr('sourceip', domain_col='domainId')} AS src_net, "
+        "COUNT(*) AS n FROM qevents GROUP BY 1, 2"
+    )
+
+    # Pinpoint proof of domain sensitivity: the SAME IP across all 5 domains.
+    # 10.70.1.1 ∈ 10.64/10 resolves net_10_64 (d0,3,4) / net_dmz_d1 (d1) /
+    # net_10 (d2 — no 10.64/10 overlay, falls through to the /8).
+    _FNN_IPS = ["10.70.1.1", "10.2.3.4", "172.20.5.5", "192.168.9.9", "8.8.8.8"]
+    _fnn_ips_rel = " UNION ALL ".join(
+        f"SELECT '{ip}' AS ip" for ip in _FNN_IPS
+    )
+    _fnn_dom_rel = " UNION ALL ".join(f"SELECT {d} AS d" for d in range(5))
+    q["full_network_name_domain_divergence"] = _table_sql_entry(
+        "SELECT ip, d AS domainId, "
+        f"{fullnetworkname_expr('ip', domain_col='d')} AS net "
+        f"FROM ({_fnn_ips_rel}) ips CROSS JOIN ({_fnn_dom_rel}) ds"
+    )
+
+    # The broadcast-join LPM path (functions.decode.full_network_name — the
+    # scale form for network tables too large to fold) must agree with the
+    # folded-CASE oracle on the same per-domain config.
+    def _fnn_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from qradar_restapi_kafka_datapipeline_spark.functions.decode import (
+            default_networks_df,
+            full_network_name,
+        )
+
+        out = full_network_name(
+            spark.table("qevents"),
+            default_networks_df(spark),
+            "sourceip",
+            "src_net",
+            domain_col="domainId",
+        )
+        return out.groupBy("domainId", "src_net").agg(F.count(F.lit(1)).alias("n"))
+
+    q["full_network_name_join_path"] = _df_entry(
+        _fnn_join_run,
+        _duck_cte(
+            "SELECT domainId, "
+            f"{fullnetworkname_expr('sourceip', domain_col='domainId')} AS src_net, "
+            "COUNT(*) AS n FROM qevents GROUP BY 1, 2"
+        ),
     )
 
     # ---- A9: reference-set membership (broadcast semi-join in Spark) --------

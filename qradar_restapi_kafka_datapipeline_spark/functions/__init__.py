@@ -10,6 +10,7 @@ from qradar_restapi_kafka_datapipeline_spark.functions.dates import (
 from qradar_restapi_kafka_datapipeline_spark.functions.decode import (
     build_dims,
     decode_join,
+    default_networks_df,
     full_network_name,
     network_name_expr,
     reference_set_contains,
@@ -26,6 +27,7 @@ __all__ = [
     "cidr_bounds",
     "date_format_fn",
     "decode_join",
+    "default_networks_df",
     "epoch_to_ts",
     "full_network_name",
     "incidr",

@@ -103,6 +103,23 @@ def full_network_name(
     )
 
 
+def default_networks_df(spark: SparkSession) -> DataFrame:
+    """The engine's default PER-DOMAIN network hierarchy (`plans.dialect.
+    DEFAULT_NETWORKS`) as the (domainId, cidr, prefix_len, network_name)
+    DataFrame that :func:`full_network_name` joins against — the scale path
+    when the network table is too large to fold into a CASE expression."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.dialect import DEFAULT_NETWORKS
+
+    # cidr column carries the BARE network address — cidr_bounds takes the
+    # prefix length as its own column.
+    rows = [
+        (d, c.split("/")[0], int(c.split("/")[1]), n) for d, c, n in DEFAULT_NETWORKS
+    ]
+    return spark.createDataFrame(
+        rows, "domainId BIGINT, cidr STRING, prefix_len INT, network_name STRING"
+    )
+
+
 def network_name_expr(
     ip_long: Column,
     networks: list[tuple[str, int, str]],

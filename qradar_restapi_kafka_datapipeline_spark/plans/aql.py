@@ -76,7 +76,7 @@ def register_aql_functions(spark: SparkSession) -> None:
         )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION fullnetworkname(ip STRING, domain BIGINT) "
-        f"RETURNS STRING RETURN {fullnetworkname_expr('ip')}"
+        f"RETURNS STRING RETURN {fullnetworkname_expr('ip', domain_col='domain')}"
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION dateformat(ts TIMESTAMP, fmt STRING) "
@@ -124,6 +124,90 @@ def _rewrite_refset(q: str, ref_sets_view: str) -> str:
     )
 
 
+def _last_call(q: str, fname: str) -> tuple[int, int, list[str]] | None:
+    """Locate the LAST ``fname( ... )`` call in ``q`` and split its arguments.
+
+    Paren-BALANCED and quote-AWARE: nested calls, parenthesized expressions,
+    and string literals containing ``,``/``(``/``)`` (with ``''`` escapes) all
+    parse correctly — the failure mode of the old ``[^()]*`` regexes was
+    silently mistranslating exactly those shapes.  Malformed text (unbalanced
+    parens, unterminated literal) raises instead of passing through.
+
+    Returns ``(start, end, args)`` over the original string, or None if no
+    call remains.  Processing the last call first keeps earlier offsets valid
+    and rewrites innermost-first under same-function nesting (callers loop to
+    fixpoint).
+    """
+    matches = list(re.finditer(rf"\b{fname}\s*\(", q, flags=re.I))
+    if not matches:
+        return None
+    m = matches[-1]
+    j, n, depth = m.end(), len(q), 1
+    args: list[str] = []
+    cur: list[str] = []
+    while j < n and depth > 0:
+        c = q[j]
+        if c == "'":
+            k = j + 1
+            while k < n:
+                if q[k] == "'":
+                    if k + 1 < n and q[k + 1] == "'":
+                        k += 2
+                        continue
+                    break
+                k += 1
+            if k >= n:
+                raise ValueError(f"unterminated string literal in {fname}(...)")
+            cur.append(q[j : k + 1])
+            j = k + 1
+            continue
+        if c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+            cur.append(c)
+        elif c == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        j += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced parentheses in {fname}(...) call")
+    args.append("".join(cur).strip())
+    return m.start(), j + 1, args
+
+
+def _rewrite_calls(q: str, fname: str, render) -> str:
+    """Replace every ``fname(...)`` call via ``render(args) -> str | None``
+    (None = leave this call for the runtime UDF), looping to fixpoint so
+    same-function nesting resolves innermost-first."""
+    guard = 0
+    skip_before = len(q) + 1
+    while True:
+        guard += 1
+        if guard > 500:  # no sane query has hundreds of nested calls
+            raise ValueError(f"runaway rewrite loop for {fname}")
+        found = _last_call(q[:skip_before], fname)
+        if found is None:
+            return q
+        start, end, args = found
+        repl = render(args)
+        if repl is None:
+            # leave untouched; continue scanning strictly before this call
+            skip_before = start
+            continue
+        q = q[:start] + repl + q[end:]
+        skip_before = len(q) + 1
+
+
+def _is_str_literal(s: str) -> bool:
+    return len(s) >= 2 and s.startswith("'") and s.endswith("'")
+
+
 def _inline_functions(q: str, dialect: str) -> str:
     """Replace AQL scalar calls with dialect-shared constant-folded expressions.
 
@@ -133,40 +217,60 @@ def _inline_functions(q: str, dialect: str) -> str:
     keep the WHERE clause inside whole-stage codegen. The same expression text
     runs on DuckDB, keeping the oracle bit-identical.
 
-    Corpus arguments are flat (identifiers / string literals, no nesting), so a
-    non-paren argument regex is sufficient and safe.
+    Argument extraction is paren-balanced and quote-aware (see
+    :func:`_last_call`), so nested calls — ``DATEFORMAT(DOMAINNAME(x), ...)``,
+    ``INCIDR`` under ``NOT`` with comma-bearing literals — translate correctly;
+    malformed calls raise.  A non-literal CIDR (dynamic first argument) is left
+    as a call for the runtime ``incidr`` UDF rather than mis-folded.
     """
-    def args_of(s: str) -> list[str]:
-        return [a.strip() for a in s.split(",")]
 
-    def sub_incidr(m: re.Match) -> str:
-        cidr, col = args_of(m.group(1))
-        return incidr_expr(cidr.strip("'"), col)
+    def sub_incidr(args: list[str]) -> str | None:
+        if len(args) != 2:
+            raise ValueError(f"INCIDR expects 2 arguments, got {len(args)}")
+        cidr, col = args
+        if not _is_str_literal(cidr):
+            return None  # dynamic CIDR → runtime UDF path
+        return incidr_expr(cidr[1:-1], col)
 
-    q = re.sub(r"INCIDR\s*\(([^()]*)\)", sub_incidr, q, flags=re.I)
+    q = _rewrite_calls(q, "INCIDR", sub_incidr)
 
-    def sub_fnn(m: re.Match) -> str:
-        parts = args_of(m.group(1))
-        return fullnetworkname_expr(parts[0])
+    def sub_fnn(args: list[str]) -> str:
+        if len(args) not in (1, 2):
+            raise ValueError(
+                f"FULLNETWORKNAME expects 1 or 2 arguments, got {len(args)}"
+            )
+        domain = args[1] if len(args) == 2 else None
+        return fullnetworkname_expr(args[0], domain_col=domain)
 
-    q = re.sub(r"FULLNETWORKNAME\s*\(([^()]*)\)", sub_fnn, q, flags=re.I)
+    q = _rewrite_calls(q, "FULLNETWORKNAME", sub_fnn)
+
+    # A bare (possibly qualified) identifier or integer literal embeds as-is;
+    # any other expression is parenthesized so it binds correctly inside the
+    # decode's CASE comparisons.
+    _atom = re.compile(r"[A-Za-z_][\w.]*|\d+")
 
     for fname, expr_fn in DECODE_EXPRS.items():
-        q = re.sub(
-            rf"{fname}\s*\(([^()]*)\)",
-            lambda m, f=expr_fn: f(m.group(1).strip()),
-            q,
-            flags=re.I,
-        )
 
-    def sub_datefmt(m: re.Match) -> str:
-        col, fmt = args_of(m.group(1))
-        fmt = fmt.strip(chr(39))
+        def sub_decode(args: list[str], f=expr_fn, fn=fname) -> str:
+            if len(args) != 1:
+                raise ValueError(f"{fn.upper()} expects 1 argument, got {len(args)}")
+            a = args[0]
+            return f(a if _atom.fullmatch(a) else f"({a})")
+
+        q = _rewrite_calls(q, fname, sub_decode)
+
+    def sub_datefmt(args: list[str]) -> str:
+        if len(args) != 2:
+            raise ValueError(f"DATEFORMAT expects 2 arguments, got {len(args)}")
+        col, fmt = args
+        if not _is_str_literal(fmt):
+            raise ValueError("DATEFORMAT format must be a string literal")
+        fmt = fmt[1:-1]
         if dialect == "duckdb":
             return f"strftime({col}, '{_java_fmt_to_strftime(fmt)}')"
         return f"date_format({col}, '{fmt}')"
 
-    q = re.sub(r"DATEFORMAT\s*\(([^()]*)\)", sub_datefmt, q, flags=re.I)
+    q = _rewrite_calls(q, "DATEFORMAT", sub_datefmt)
     return q
 
 

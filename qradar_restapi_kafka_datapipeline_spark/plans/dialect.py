@@ -13,10 +13,16 @@ from __future__ import annotations
 
 from qradar_restapi_kafka_datapipeline_spark.functions.ip import _parse_cidr
 
-# The engine's default network hierarchy backing FULLNETWORKNAME (the reference
-# reads QRadar's per-domain network table; the engine owns this as config).
-# Overlapping prefixes exercise longest-prefix-match: 10.64/10 wins over 10/8.
-DEFAULT_NETWORKS: list[tuple[str, str]] = [
+# The engine's default network hierarchy backing FULLNETWORKNAME, PER DOMAIN —
+# QRadar's network table is domain-scoped and the reference passes the domain
+# in every call (`FULLNETWORKNAME(SourceIP, DomainID)`,
+# qradar/input/queries.json:2-3); the engine owns the table as config.
+# Rows are (domainId, cidr, network_name).  Overlapping prefixes exercise
+# longest-prefix-match (10.64/10 wins over 10/8), and the domains deliberately
+# DISAGREE on the 10.64/10 overlay so the decode is observably
+# domain-sensitive: domain 1 names it differently and domain 2 lacks it
+# entirely (falls through to net_10).
+_BASE_NETWORKS: list[tuple[str, str]] = [
     ("10.0.0.0/8", "net_10"),
     ("10.64.0.0/10", "net_10_64"),
     ("172.16.0.0/12", "net_172"),
@@ -24,6 +30,18 @@ DEFAULT_NETWORKS: list[tuple[str, str]] = [
     ("169.254.0.0/16", "net_linklocal"),
     ("127.0.0.0/8", "net_loopback"),
 ]
+
+DEFAULT_DOMAIN = 0  # one-argument FULLNETWORKNAME(ip) resolves in this domain
+
+DEFAULT_NETWORKS: list[tuple[int, str, str]] = [
+    (dom, cidr, name)
+    for dom in range(5)
+    for cidr, name in _BASE_NETWORKS
+    if not (dom == 2 and cidr == "10.64.0.0/10")
+]
+for _i, (_d, _c, _n) in enumerate(DEFAULT_NETWORKS):
+    if _d == 1 and _c == "10.64.0.0/10":
+        DEFAULT_NETWORKS[_i] = (1, "10.64.0.0/10", "net_dmz_d1")
 
 
 def ip2long_expr(col: str) -> str:
@@ -39,28 +57,53 @@ def incidr_expr(cidr: str, col: str) -> str:
     return f"(({ip2long_expr(col)} & {mask}) = {net})"
 
 
-def fullnetworkname_expr(
-    col: str, networks: list[tuple[str, str]] | None = None, default: str = "other"
-) -> str:
-    """AQL FULLNETWORKNAME as a longest-prefix-first CASE chain (SURVEY §2 A11).
-
-    For a plan-time-known network table a folded CASE beats a join: zero shuffle,
-    pure codegen. Branch order = prefix length descending, so the first hit IS
-    the longest prefix.
-    """
-    networks = DEFAULT_NETWORKS if networks is None else networks
+def _lpm_chain(ip: str, networks: list[tuple[str, str]], default: str) -> str:
+    """One domain's longest-prefix-first CASE chain over a precomputed ip expr."""
     parsed = []
     for cidr, name in networks:
         net, mask = _parse_cidr(cidr)
         plen = bin(mask).count("1")
         parsed.append((plen, cidr, name, net, mask))
     parsed.sort(key=lambda t: (-t[0], t[2]))
-    ip = ip2long_expr(col)
     branches = " ".join(
         f"WHEN (({ip} & {mask}) = {net}) THEN '{name}'"
         for _plen, _cidr, name, net, mask in parsed
     )
     return f"(CASE {branches} ELSE '{default}' END)"
+
+
+def fullnetworkname_expr(
+    col: str,
+    domain_col: str | None = None,
+    networks: list[tuple[int, str, str]] | None = None,
+    default: str = "other",
+) -> str:
+    """AQL ``FULLNETWORKNAME(ip[, domainId])`` as a folded CASE (SURVEY §2 A11).
+
+    For a plan-time-known network table a folded CASE beats a join: zero
+    shuffle, pure codegen.  Within a domain, branch order = prefix length
+    descending, so the first hit IS the longest prefix.  With ``domain_col``
+    the outer simple CASE selects that domain's chain — QRadar's LPM is
+    domain-scoped (reference qradar/input/queries.json:2-3 passes DomainID in
+    every call).  Without it, the chain of ``DEFAULT_DOMAIN`` applies (the
+    one-arg AQL form resolves in the default domain).  ``networks`` rows are
+    (domainId, cidr, name).  For network tables too large to fold (thousands
+    of rows), use the broadcast-join path
+    :func:`~qradar_restapi_kafka_datapipeline_spark.functions.decode.full_network_name`
+    instead — same semantics, join instead of codegen.
+    """
+    networks = DEFAULT_NETWORKS if networks is None else networks
+    by_domain: dict[int, list[tuple[str, str]]] = {}
+    for dom, cidr, name in networks:
+        by_domain.setdefault(dom, []).append((cidr, name))
+    ip = ip2long_expr(col)
+    if domain_col is None:
+        return _lpm_chain(ip, by_domain.get(DEFAULT_DOMAIN, []), default)
+    whens = " ".join(
+        f"WHEN {dom} THEN {_lpm_chain(ip, doms, default)}"
+        for dom, doms in sorted(by_domain.items())
+    )
+    return f"(CASE CAST({domain_col} AS BIGINT) {whens} ELSE '{default}' END)"
 
 
 # --- dimension decodes -------------------------------------------------------

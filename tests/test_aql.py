@@ -132,3 +132,63 @@ def test_last_clause_executes(frontend):
     n = df.first()["n"]
     full = frontend.spark.table("qevents").count()
     assert 0 < n < full  # a strict, non-empty subset of the month
+
+
+# ---------------------------------------------------------------------------
+# paren-balanced argument parsing (nested calls, comma/paren-bearing literals)
+# ---------------------------------------------------------------------------
+
+def test_nested_call_arguments_translate():
+    out = translate(
+        "SELECT DATEFORMAT(DATE_TRUNC('hour', ts), 'yyyy-MM-dd HH:mm') AS h "
+        "FROM events WHERE INCIDR('10.0.0.0/8', COALESCE(sourceip, '0.0.0.0'))",
+        dialect="spark",
+    )
+    # DATEFORMAT folded around the intact nested call
+    assert "date_format(DATE_TRUNC('hour', ts), 'yyyy-MM-dd HH:mm')" in out
+    # INCIDR folded with the nested COALESCE kept whole
+    assert "COALESCE(sourceip, '0.0.0.0')" in out and "& 4278190080" in out
+    duck = translate(
+        "SELECT DATEFORMAT(DATE_TRUNC('hour', ts), 'yyyy-MM-dd HH:mm') AS h FROM events",
+        dialect="duckdb",
+    )
+    assert "strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M')" in duck
+
+
+def test_decode_expression_argument_is_parenthesized():
+    out = translate("SELECT CATEGORYNAME(category + 1) AS c FROM events", dialect="spark")
+    assert "(category + 1) >= 4000" in out
+
+
+def test_fullnetworkname_threads_domain_argument():
+    one = translate("SELECT FULLNETWORKNAME(sourceip) AS n FROM events", dialect="spark")
+    two = translate(
+        "SELECT FULLNETWORKNAME(sourceip, domainId) AS n FROM events", dialect="spark"
+    )
+    # two-arg form emits the per-domain outer CASE; one-arg form does not
+    assert "CAST(domainId AS BIGINT)" in two
+    assert "CAST(" not in one.split("FROM")[0] or "domainId" not in one
+    # the domains genuinely disagree on the 10.64/10 overlay
+    assert "net_dmz_d1" in two and "net_dmz_d1" not in one
+
+
+def test_dynamic_cidr_left_for_runtime_udf():
+    out = translate(
+        "SELECT COUNT(*) AS n FROM events WHERE INCIDR(cidr_col, sourceip)",
+        dialect="spark",
+    )
+    assert "INCIDR(cidr_col, sourceip)" in out  # untouched → runtime UDF
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT * FROM events WHERE INCIDR('10.0.0.0/8')",          # arity
+        "SELECT DATEFORMAT(ts, fmt_col) FROM events",               # non-literal fmt
+        "SELECT * FROM events WHERE INCIDR('10.0.0.0/8', sourceip", # unbalanced
+        "SELECT DOMAINNAME(a, b) FROM events",                      # decode arity
+    ],
+)
+def test_malformed_calls_raise_instead_of_mistranslating(bad):
+    with pytest.raises(ValueError):
+        translate(bad, dialect="spark")
