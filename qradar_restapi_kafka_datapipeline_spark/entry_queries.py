@@ -1163,6 +1163,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         None,
     )
+    # Portable-hash mode: the SAME pipeline (shingle → per-seed minhash →
+    # banded bucket join → exact-Jaccard verify) with md5-derived hashes and
+    # tuple band keys, recomputed end-to-end by the DuckDB oracle — so the
+    # production algorithm's banding (not only its verify stage, as in the
+    # highsim twin) is value-checked.  xxhash64 stays the fast path above.
+    q["dedup_minhash_lsh_portable"] = _df_entry(
+        lambda spark, sf: D.minhash_lsh_pairs(
+            spark.table("documents"), threshold=0.3, portable_hash=True
+        ),
+        D.minhash_lsh_duckdb_sql(threshold=0.3),
+    )
     # High-similarity LSH CAN be value-checked against the exact-Jaccard
     # oracle: the verify step makes precision exact, and at threshold 0.85
     # the 16-band/4-row s-curve miss probability for the data's true pairs
@@ -1245,15 +1256,15 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # production-style 0.9 threshold would select nothing; 0.42 exercises the
     # operator on the distribution's tail.
     # Scale path for embedding near-dup: sign-LSH bucket join + exact verify.
-    # Rows-only: on this corpus of uniformly random vectors the 0.42
-    # threshold sits at the similarity floor where bucket-collision recall is
-    # intentionally low (the s-curve rejects non-dups); the clustered-data
-    # test proves LSH == brute force where real near-dups exist.
+    # FULLY value-checked: the sketch is deterministic integer-mixed
+    # projections whose dot products are exact in double (small-int weights ×
+    # float32 entries never exceed 53 significand bits), so the DuckDB mirror
+    # rebuilds bit-identical buckets and the whole pipeline hash-matches.
     q["dedup_embedding_lsh"] = _df_entry(
         lambda spark, sf: D.embedding_near_dup_lsh(
             spark.table("embeddings"), threshold=0.42
         ),
-        None,
+        S.embedding_lsh_oracle_sql(threshold=0.42),
     )
     q["dedup_embedding_cosine"] = _df_entry(
         lambda spark, sf: D.embedding_cosine_pairs(
@@ -1279,20 +1290,33 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
         "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
     )
+    # FULLY value-checked (was rows-only): the deterministic sign sketch is
+    # mirrored in DuckDB — see similarity.knn_lsh_oracle_sql.
     q["knn_lsh_cosine"] = _df_entry(
         lambda spark, sf: S.knn_lsh(
             spark.table("embeddings"), query_ids=list(range(10)), k=3
         ),
-        None,
+        S.knn_lsh_oracle_sql(query_max=10, k=3),
     )
     # IVF: data-adaptive coarse quantizer (driver-trained on a bounded sample)
     # — measured recall@3 ≈ 0.9 on the random corpus vs ≈ 0.3 for sign-LSH at
-    # the same candidate budget. Spark-native centroid literals ⇒ rows-only.
+    # the same candidate budget. Spark-native centroid literals ⇒ rows-only;
+    # the recall-contract entry below pins its quality to checked values.
     q["knn_ivf_cosine"] = _df_entry(
         lambda spark, sf: S.knn_ivf(
             spark.table("embeddings"), query_ids=list(range(10)), k=3
         ),
         None,
+    )
+    # Quality contract for the approximate path: exact counts + a recall
+    # floor vs the value-checked brute-force truth (see
+    # similarity.knn_ivf_recall_report for why the floor is 0.5).
+    q["knn_ivf_recall_contract"] = _df_entry(
+        lambda spark, sf: S.knn_ivf_recall_report(
+            spark.table("embeddings"), query_ids=list(range(10)), k=3
+        ),
+        "SELECT CAST(10 AS BIGINT) AS n_queries, "
+        "CAST(30 AS BIGINT) AS n_result_rows, TRUE AS avg_recall_ge_floor",
     )
     # nprobe = n_centroids ⇒ every list probed ⇒ the candidate set is the full
     # corpus and IVF degenerates to exact search: the centroid training,

@@ -177,25 +177,41 @@ def minhash_signatures(
     return base.groupBy(id_col).agg(*mins)
 
 
+#: Per-seed portable shingle hash: md5 of the shingle with a seed suffix,
+#: first 15 hex digits → 60-bit BIGINT.  Reproducible in DuckDB as
+#: ('0x'||substr(md5(shingle||'#'||seed),1,15))::BIGINT — the oracle-mode
+#: hash family for MinHash (xxhash64 stays the production fast path:
+#: 64 md5 digests per shingle vs 64 long-mixes).
+PORTABLE_SEED_HASH = (
+    "CAST(CONV(SUBSTR(MD5(CONCAT({c}, '#{seed}')), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, band-hash) bucket.
 
     rows_per_band = num_hashes // bands; the bucket join is an equi-join on
     (band_id, band_hash) — shuffle-partitioned by bucket, no cross product.
+    ``portable_hash`` keys bands by the colon-joined minhash tuple instead of
+    xxhash64 of it, so the band key is engine-neutral (the minhash values are
+    non-negative 60-bit ints — identical decimal text in any engine).
     """
     rows_per_band = num_hashes // bands
+
+    def band_key(b: int):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable_hash:
+            return F.concat_ws(":", *cols)
+        return F.xxhash64(*cols)
+
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_hash"),
-        )
+        F.struct(F.lit(b).alias("band_id"), band_key(b).alias("band_hash"))
         for b in range(bands)
     ]
     banded = signatures.select(
@@ -225,6 +241,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified by exact Jaccard.
 
@@ -237,20 +254,95 @@ def minhash_lsh_pairs(
     16×4 default is ≈(1/b)^(1/r)≈0.5. A ``threshold`` far below that midpoint
     will verify every candidate it sees but can MISS low-similarity pairs;
     raise ``bands`` (lower r) to shift the curve left when hunting faint dups.
+
+    ``portable_hash`` swaps the xxhash64 family for md5-derived per-seed
+    hashes (:data:`PORTABLE_SEED_HASH`) and tuple band keys, making the WHOLE
+    pipeline — banding included — recomputable in DuckDB
+    (:func:`minhash_lsh_duckdb_sql`); xxhash64 is the production mode.
     """
     sh = _word_shingles(df, id_col, text_col, shingle_k).persist()
-    base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
-    mins = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
+    if portable_hash:
+        mins = [
+            F.min(
+                F.expr(PORTABLE_SEED_HASH.format(c="shingle", seed=seed))
+            ).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ]
+        base = sh
+    else:
+        # the shingle STRING is hashed once; the per-seed family re-hashes the
+        # int64 — 64 long-mixes per shingle instead of 64 string digests
+        base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
+        mins = [
+            F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ]
     # |shingles(doc)| rides along in the SAME aggregate as the minhashes —
     # the verify step needs it, and folding it here saves two whole extra
     # aggregation passes (shuffle each) over the shingle relation.
     sigs = base.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("__n"))
-    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, num_hashes, bands, portable_hash=portable_hash
+    )
     counts = sigs.select(F.col(id_col), F.col("__n").alias("n"))
     return _verify_jaccard(cands, sh, id_col, threshold, counts=counts)
+
+
+def minhash_lsh_duckdb_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    source: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`minhash_lsh_pairs` with ``portable_hash=True``
+    — the SAME pipeline (shingles → per-seed md5 minhash → tuple band keys →
+    bucket join → exact-Jaccard verify) recomputed from first principles, so
+    the production algorithm SHAPE (banding and all) is value-checked, not
+    just its verify stage."""
+    rows_per_band = num_hashes // bands
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM {source}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(shingle_k))}) AS shingle
+      FROM docs, UNNEST(generate_series(1, greatest(len(w) - {shingle_k - 1}, 1))) AS t(i)
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    mh AS (
+      SELECT doc_id, seed,
+             MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS mh
+      FROM sh CROSS JOIN range({num_hashes}) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band_id,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, seed // {rows_per_band}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE ROUND(common * 1.0 / (ca.n + cb.n - common), 6) >= {threshold}
+    """
 
 
 def _verify_jaccard(

