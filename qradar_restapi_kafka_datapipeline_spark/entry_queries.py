@@ -426,6 +426,25 @@ def registry() -> dict[str, Q]:
         ),
     )
 
+    # Transactional-sink parity: the same replay through the manifest-commit
+    # table (operators/txn_rollup.py — atomic epoch+data publication, closes
+    # the marker-write crash window) must produce the identical relation.
+    def _rollup_txn_run(spark: SparkSession, sf: str) -> DataFrame:
+        from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+            rollup_events_streaming_txn,
+        )
+
+        return rollup_events_streaming_txn(spark, sf)
+
+    q["streaming_rollup_txn_parity"] = _df_entry(
+        _rollup_txn_run,
+        _duck_cte(
+            "SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
+            "CAST(SUM(eventCount) AS BIGINT) AS Event_Count "
+            "FROM qevents GROUP BY 1, 2, 3"
+        ),
+    )
+
     # Watermarked (low-latency) mode parity: replayed CONTIGUOUS IN EVENT TIME
     # so the 2 h watermark drops nothing and the append-mode windowed aggregate
     # must equal the same batch hourly oracle. Together with the exact-mode

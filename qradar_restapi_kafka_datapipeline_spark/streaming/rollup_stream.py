@@ -83,44 +83,47 @@ def streaming_rollup_exact(
     return writer.start()
 
 
-def rollup_events_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFrame:
-    """Replay the qevents relation through the EXACT streaming roll-up and
-    return the final table — the proof that the incremental foreachBatch
-    merge computes the same relation as the one-shot batch aggregate
-    (reference SummingMergeTree merge-on-read ≡ merge-on-write here).
+def _write_split(df: DataFrame, path: str) -> None:
+    """Land one replay batch as a single parquet FILE at ``path``, written by
+    SPARK (executors write, the driver only renames the part file) — the
+    replay harness never materializes the corpus driver-side, so its shape
+    stays honest at any scale."""
+    import glob
+    import os
+    import shutil
 
-    The roll-up inputs are split across ``n_batches`` parquet files replayed
-    as micro-batches (``maxFilesPerTrigger=1``); rows of the same hour land
-    in different batches, so the aggregate-add path (not just first-insert)
-    is exercised.  No watermark/sentinel machinery is needed: exact mode
-    accepts unbounded lateness by construction.
-    """
+    tmp = path + "_tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(tmp)
+
+
+def _qevents_replay_stream(spark, n_batches: int):
+    """The qevents roll-up columns as an ``n_batches``-file stream, split by a
+    deterministic row hash so rows of the same hour land in different batches
+    and the aggregate-add path (not just first-insert) is exercised.  Splits
+    are written BY SPARK (:func:`_write_split`) — no driver materialization.
+    Returns ``(streaming DataFrame, base dir)``."""
     import os
     import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     cols = spark.table("qevents").select("ts", "domainId", "eventName", "eventCount")
     base = tempfile.mkdtemp(prefix="rollup_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
 
-    tbl = pa.Table.from_pandas(cols.toPandas(), preserve_index=False)
-    tbl = tbl.set_column(
-        tbl.schema.get_field_index("ts"),
-        "ts",
-        tbl["ts"].cast(pa.timestamp("us", tz="UTC")),
+    # deterministic hash split: any split yields the same merged result —
+    # that invariance is exactly what the parity entries assert
+    split = F.pmod(
+        F.xxhash64(F.unix_micros("ts"), "domainId", "eventName", "eventCount"),
+        F.lit(n_batches),
     )
+    keyed = cols.withColumn("__b", split)
     now = 1_700_000_000
     for i in range(n_batches):
-        # positional round-robin: any split yields the same merged result —
-        # that invariance is exactly what the entry asserts
-        part = tbl.filter(
-            pa.array([j % n_batches == i for j in range(tbl.num_rows)], pa.bool_())
-        )
         path = os.path.join(src, f"b{i}.parquet")
-        pq.write_table(part, path)
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
         os.utime(path, (now + 10 * i, now + 10 * i))
 
     stream = (
@@ -128,11 +131,51 @@ def rollup_events_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFrame
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    return stream, base
+
+
+def rollup_events_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFrame:
+    """Replay the qevents relation through the EXACT streaming roll-up and
+    return the final table — the proof that the incremental foreachBatch
+    merge computes the same relation as the one-shot batch aggregate
+    (reference SummingMergeTree merge-on-read ≡ merge-on-write here).
+    No watermark/sentinel machinery is needed: exact mode accepts unbounded
+    lateness by construction.
+    """
+    import os
+
+    stream, base = _qevents_replay_stream(spark, n_batches)
     out, ckpt = os.path.join(base, "rollup"), os.path.join(base, "ckpt")
     streaming_rollup_exact(
         stream, out, ckpt, measure="eventCount", time_col="ts"
     ).awaitTermination()
     return spark.read.parquet(out).select(
+        F.col("ts").alias("Start_Time"),
+        "domainId",
+        "eventName",
+        F.col("eventCount").cast("bigint").alias("Event_Count"),
+    )
+
+
+def rollup_events_streaming_txn(spark, sf_dir: str, n_batches: int = 3) -> DataFrame:
+    """The same exact-mode replay through the TRANSACTIONAL sink
+    (operators/txn_rollup.py): every micro-batch merge publishes an atomic
+    manifest commit carrying its epoch id, so torn merges and replayed-epoch
+    double-counts are impossible by construction — and the final table must
+    still equal the one-shot batch aggregate."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.txn_rollup import (
+        TxnRollupTable,
+        streaming_rollup_txn,
+    )
+
+    stream, base = _qevents_replay_stream(spark, n_batches)
+    table, ckpt = os.path.join(base, "txn_table"), os.path.join(base, "ckpt")
+    streaming_rollup_txn(
+        stream, table, ckpt, measure="eventCount", time_col="ts"
+    ).awaitTermination()
+    return TxnRollupTable(spark, table).read().select(
         F.col("ts").alias("Start_Time"),
         "domainId",
         "eventName",
@@ -150,14 +193,17 @@ def rollup_events_streaming_watermarked(
     table — the parity proof for the low-latency mode.
 
     The exact-mode replay (:func:`rollup_events_streaming`) can split rows
-    round-robin because aggregate-add accepts unbounded lateness; here the
+    by hash because aggregate-add accepts unbounded lateness; here the
     split is CONTIGUOUS IN EVENT TIME (how a real stream arrives), so every
     row lands within ``watermark`` of the running max event time and nothing
     is dropped — making the append-mode windowed aggregate equal the batch
-    ``GROUP BY hour`` exactly.  Two far-future sentinel batches push the final
-    watermark past every real window's end so the last windows flush (append
-    mode only emits a window once the watermark passes it); sentinels carry a
-    reserved ``domainId`` and are filtered from the result.
+    ``GROUP BY hour`` exactly.  Batches are the ``n_batches`` NTILE ranges of
+    the time order, written BY SPARK (:func:`_write_split`) — the harness
+    never materializes the corpus to the driver.  Two far-future sentinel
+    batches push the final watermark past every real window's end so the last
+    windows flush (append mode only emits a window once the watermark passes
+    it); sentinels carry a reserved ``domainId`` and are filtered from the
+    result.
     """
     import os
     import tempfile
@@ -165,27 +211,23 @@ def rollup_events_streaming_watermarked(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    cols = (
-        spark.table("qevents")
-        .select("ts", "domainId", "eventName", "eventCount")
-        .orderBy("ts")
-    )
+    from pyspark.sql.window import Window
+
+    cols = spark.table("qevents").select("ts", "domainId", "eventName", "eventCount")
     base = tempfile.mkdtemp(prefix="rollup_wm_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
 
-    tbl = pa.Table.from_pandas(cols.toPandas(), preserve_index=False)
-    tbl = tbl.set_column(
-        tbl.schema.get_field_index("ts"),
-        "ts",
-        tbl["ts"].cast(pa.timestamp("us", tz="UTC")),
+    # ntile over the global time order = contiguous event-time ranges (the
+    # one-partition sort is the harness's price for a totally-ordered replay;
+    # the data never leaves the executors)
+    keyed = cols.withColumn(
+        "__b", F.ntile(n_batches).over(Window.orderBy("ts")) - 1
     )
     now = 1_700_000_000
-    chunk = (tbl.num_rows + n_batches - 1) // n_batches
     for i in range(n_batches):
-        part = tbl.slice(i * chunk, chunk)  # time-ordered contiguous ranges
         path = os.path.join(src, f"b{i}.parquet")
-        pq.write_table(part, path)
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
         os.utime(path, (now + 10 * i, now + 10 * i))
 
     y2034_us = 2_019_686_400 * 1_000_000
