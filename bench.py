@@ -27,6 +27,16 @@ from qradar_restapi_kafka_datapipeline_spark.entry_queries import registry, setu
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _loadavg() -> list[float] | None:
+    """1/5/15-min load — lets a reader adjudicate co-tenant noise (this host
+    is shared; loadavg spikes of 10-25 inflate every timing uniformly)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
 # Representative coverage: flagship AQL, GLOBALVIEW scan, every §2B operator
 # family, and the multi-join/window analytics. Dedup/similarity entries are
 # included when present in the registry.
@@ -63,6 +73,7 @@ def _consume(df) -> int:
 
 
 def main() -> None:
+    load_before = _loadavg()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
@@ -133,6 +144,8 @@ def main() -> None:
                 "(steady state); first-run times under cold_queries",
                 "cold_queries": cold,
                 "cold_value": round(sum(cold.values()), 3),
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -476,6 +476,51 @@ def registry() -> dict[str, Q]:
         "FROM qevents GROUP BY 1, 2 HAVING SUM(eventCount) > 10"
     )
 
+    # ---- A2 materialized read path (views.py:61-122) ------------------------
+    # Materialize a GLOBALVIEW from a base split of the events, incrementally
+    # fold the "late" split (merge_rollup aggregate-add — SummingMergeTree
+    # accepts unbounded lateness), route FROM GLOBALVIEW(...) to the collapsed
+    # day-partitioned parquet, and the scan must hash-match the one-shot
+    # aggregate over ALL events recomputed by the oracle.
+    def _gv_mat_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+
+        from qradar_restapi_kafka_datapipeline_spark.views import (
+            materialize_globalviews,
+            register_materialized_globalviews,
+            update_globalviews_incremental,
+        )
+
+        frontend = setup(spark, sf)
+        view = "MongoDB_AuthenticationFailure"
+        base_path = os.path.join(
+            tempfile.gettempdir(),
+            f"gv_mat_{sf.strip('/').replace('/', '_')}",
+        )
+        shutil.rmtree(base_path, ignore_errors=True)
+        # Deterministic arrival split: ~1/7 of events are "late".
+        spark.sql("SELECT * FROM qevents WHERE qid % 7 != 3").createOrReplaceTempView(
+            "__gv_base"
+        )
+        materialize_globalviews(spark, base_path, source="__gv_base", names=[view])
+        late = spark.sql("SELECT * FROM qevents WHERE qid % 7 = 3")
+        update_globalviews_incremental(spark, base_path, late, names=[view])
+        register_materialized_globalviews(spark, base_path, names=[view])
+        try:
+            # spark.sql analyzes eagerly, so the plan binds to the parquet-backed
+            # view here; the zero-copy views are restored for later entries.
+            return frontend.sql(f"SELECT * FROM GLOBALVIEW('{view}','NORMAL')")
+        finally:
+            register_globalviews(spark)
+
+    from qradar_restapi_kafka_datapipeline_spark.views import globalview_sql
+
+    q["globalview_materialized_roundtrip"] = _df_entry(
+        _gv_mat_run, _duck_cte(globalview_sql("MongoDB_AuthenticationFailure"))
+    )
+
     # ---- general analytics over the TPC-H-ish tables (bench headliners) -----
     q["pricing_summary"] = _table_sql_entry(
         "SELECT l_returnflag, l_linestatus, "
@@ -1486,4 +1531,65 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "SELECT doc_id, CAST(t.i AS INT) AS frame_idx FROM ("
         "SELECT doc_id, (length(text) % 7) + 1 AS n_frames FROM documents) d, "
         "UNNEST(generate_series(0, d.n_frames - 1, 2)) AS t(i)",
+    )
+
+    # ---- PII redaction audit (operators/pii.py) ------------------------------
+    # Regex scrub of emails/IPs/phones/ids over a log line derived from real
+    # event columns; one RE2∩Java pattern set drives both engines.
+    from qradar_restapi_kafka_datapipeline_spark.operators.pii import pii_report_sql
+
+    q["pii_redaction_report"] = _shared_sql_entry(
+        pii_report_sql("spark"), pii_report_sql("duckdb")
+    )
+
+    # ---- boilerplate detection (operators/boilerplate.py) --------------------
+    # RefinedWeb-style repeated-fragment lexicon + per-doc coverage, both
+    # dialect-common SQL over the documents table.
+    from qradar_restapi_kafka_datapipeline_spark.operators.boilerplate import (
+        boilerplate_coverage_sql,
+        boilerplate_ngrams_sql,
+    )
+
+    q["boilerplate_ngrams"] = _df_entry(
+        lambda spark, sf: spark.sql(boilerplate_ngrams_sql("spark")),
+        boilerplate_ngrams_sql("duckdb"),
+    )
+    q["boilerplate_doc_coverage"] = _df_entry(
+        lambda spark, sf: spark.sql(boilerplate_coverage_sql("spark")),
+        boilerplate_coverage_sql("duckdb"),
+    )
+
+    # ---- SemDeDup-style semantic dedup (similarity.py) -----------------------
+    # Cluster-pruned semantic near-dup pairs. The production path's k-means
+    # centroids are driver-trained (rows-only, same reason as knn_ivf); the
+    # contract entry pins subset-ness + recall to the brute-force truth, and
+    # the n_centroids=1 twin degenerates to brute force so the whole cluster
+    # machinery runs on a value-checked path.
+    q["semantic_dedup_pairs"] = _df_entry(
+        lambda spark, sf: S.semantic_dedup_pairs(
+            spark.table("embeddings"), threshold=0.42
+        ),
+        None,
+    )
+    q["semantic_dedup_contract"] = _df_entry(
+        lambda spark, sf: S.semantic_dedup_contract(
+            spark.table("embeddings"), threshold=0.42, min_recall=0.3
+        ),
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, "
+        "TRUE AS found_subset_of_true, TRUE AS recall_ge_floor "
+        "FROM e a, e b WHERE a.vec_id < b.vec_id "
+        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
+    )
+    q["semantic_dedup_exhaustive"] = _df_entry(
+        lambda spark, sf: S.semantic_dedup_pairs(
+            spark.table("embeddings"), threshold=0.42, n_centroids=1, probes=1
+        ),
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM e a, e b WHERE a.vec_id < b.vec_id "
+        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
     )

@@ -292,6 +292,114 @@ def knn_ivf_recall_report(
     )
 
 
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    probes: int = 2,
+    sample_n: int = 1024,
+    iters: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, compare ONLY
+    within-cluster pairs with exact cosine, keep pairs ≥ ``threshold``.
+
+    Each vector is assigned to its ``probes`` nearest centroids (multi-probe,
+    the IVF recall amplifier — plain SemDeDup is ``probes=1``): a pair is a
+    candidate iff the two share ANY assigned cell, which rescues near-dups
+    that straddle a cluster boundary.  Measured on the synthetic corpus at
+    threshold 0.42: recall vs brute force 0.26→0.72 going from 1 to 2 probes.
+
+    Candidate volume is capped at probes²·Σ|cluster|²/2 instead of N²/2, and
+    the equi-join on ``list_id`` shuffles each vector ``probes`` times — no
+    cross product.  At 100 TB raise ``n_centroids`` so cells stay
+    executor-sized (FAISS-style: ~√N lists); the quantizer still trains on a
+    bounded driver sample (:func:`_train_ivf_centroids`, the engine's one
+    sanctioned collect).
+    """
+    cents = _train_ivf_centroids(emb, n_centroids, id_col, vec_col, sample_n, iters)
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(_nearest_lists(vec_col, cents, probes)).alias("list_id"),
+    )
+    a = assigned.select(
+        F.col("list_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = assigned.select(
+        F.col("list_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    cands = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+    )
+    if probes > 1:  # multi-assignment can produce the same pair via two cells
+        cands = cands.distinct()
+    return (
+        cands.withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup_contract(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    min_recall: float = 0.3,
+    **kwargs,
+) -> DataFrame:
+    """Quality contract for the cluster-pruned path, as a checkable relation.
+
+    One row: ``(n_true_pairs, found_subset_of_true, recall_ge_floor)``.
+    ``n_true_pairs`` is the exact brute-force pair count (the oracle recomputes
+    it in DuckDB); subset-ness is exact by construction (the cluster path
+    verifies with the same rounded cosine, so any violation is a real bug);
+    the recall floor pins cluster quality without being flaky to data noise
+    (measured recall 0.67–0.76 across sf0.001–0.01 vs the 0.3 floor; the
+    synthetic corpus has no true high-cosine near-dups, so this is the
+    hard case — real near-dup embeddings co-cluster far more reliably).  Driver-trained
+    centroids are why the pair set itself has no static oracle; this contract
+    pins it to the value-checked brute-force truth instead (same pattern as
+    :func:`knn_ivf_recall_report`).
+    """
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    true_pairs = embedding_cosine_pairs(emb, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    found = semantic_dedup_pairs(emb, threshold=threshold, **kwargs).select(
+        "id_a", "id_b"
+    )
+    t = true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    extra = found.join(true_pairs, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    hits = found.join(true_pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        t.crossJoin(extra)
+        .crossJoin(hits)
+        .select(
+            "n_true_pairs",
+            (F.col("n_extra") == 0).alias("found_subset_of_true"),
+            (
+                F.col("n_hits")
+                >= F.ceil(F.col("n_true_pairs") * F.lit(min_recall)).cast("long")
+            ).alias("recall_ge_floor"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirrors of the sign-LSH paths — full value-check oracles
 # ---------------------------------------------------------------------------

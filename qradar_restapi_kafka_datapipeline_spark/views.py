@@ -59,14 +59,17 @@ def register_globalviews(spark: SparkSession, source: str = "qevents") -> list[s
 
 
 def materialize_globalviews(
-    spark: SparkSession, base_path: str, source: str = "qevents"
+    spark: SparkSession,
+    base_path: str,
+    source: str = "qevents",
+    names: list[str] | None = None,
 ) -> None:
     """Write each view day-partitioned — the continuously-maintained form.
 
     Queries then scan collapsed data with partition pruning on the START/STOP
     bounds, exactly the reference's GLOBALVIEW + SummingMergeTree read path.
     """
-    for name in GLOBALVIEW_SPECS:
+    for name in names or GLOBALVIEW_SPECS:
         df = spark.sql(globalview_sql(name, source))
         (
             df.withColumn("event_date", df["ts"].cast("date"))
@@ -77,7 +80,10 @@ def materialize_globalviews(
 
 
 def update_globalviews_incremental(
-    spark: SparkSession, base_path: str, new_events: DataFrame
+    spark: SparkSession,
+    base_path: str,
+    new_events: DataFrame,
+    names: list[str] | None = None,
 ) -> None:
     """Fold a batch of NEW events into each materialized view — the
     continuously-maintained form (QRadar maintains GLOBALVIEWs incrementally;
@@ -90,7 +96,7 @@ def update_globalviews_incremental(
     from qradar_restapi_kafka_datapipeline_spark.operators.rollup import merge_rollup
 
     new_events.createOrReplaceTempView("__gv_increment")
-    for name in GLOBALVIEW_SPECS:
+    for name in names or GLOBALVIEW_SPECS:
         inc = spark.sql(globalview_sql(name, "__gv_increment"))
         merge_rollup(
             spark,
@@ -101,7 +107,9 @@ def update_globalviews_incremental(
         )
 
 
-def register_materialized_globalviews(spark: SparkSession, base_path: str) -> list[str]:
+def register_materialized_globalviews(
+    spark: SparkSession, base_path: str, names: list[str] | None = None
+) -> list[str]:
     """Route GLOBALVIEW scans to materialized day-partitioned tables.
 
     After this, ``FROM GLOBALVIEW('MongoDB_X','NORMAL')`` reads collapsed
@@ -110,7 +118,7 @@ def register_materialized_globalviews(spark: SparkSession, base_path: str) -> li
     the reference's read path: pre-aggregated, zero recompute per query.
     """
     registered = []
-    for name in GLOBALVIEW_SPECS:
+    for name in names or GLOBALVIEW_SPECS:
         path = f"{base_path}/{name}"
         try:
             df = spark.read.parquet(path)

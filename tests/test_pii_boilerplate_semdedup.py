@@ -1,0 +1,189 @@
+"""PII redaction, boilerplate detection, and SemDeDup-style semantic dedup.
+
+Planted-case tests: known PII strings, a planted repeated fragment, and a
+planted high-cosine embedding pair — each operator must find exactly them.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators.boilerplate import (
+    boilerplate_coverage_sql,
+    boilerplate_ngrams_sql,
+)
+from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+    embedding_cosine_pairs,
+)
+from qradar_restapi_kafka_datapipeline_spark.operators.pii import (
+    pii_count_sql,
+    pii_redact,
+    pii_redact_sql,
+)
+from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+    semantic_dedup_pairs,
+)
+
+
+# --- PII ---------------------------------------------------------------------
+
+def test_pii_redact_all_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+x@sub.example.org now"),
+            (2, "from 192.168.001.4 and 10.0.0.255 end"),
+            (3, "call 555-867-5309 or 555.867.5309"),
+            (4, "acct 4111111111111111 ok"),
+            (5, "clean text with no identifiers"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["clean"] for r in
+           df.select("id", pii_redact("text").alias("clean")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "from <IP> and <IP> end"
+    assert out[3] == "call <PHONE> or <PHONE>"
+    assert out[4] == "acct <ID> ok"
+    assert out[5] == "clean text with no identifiers"
+
+
+def test_pii_spark_duckdb_parity_on_literals():
+    """The one pattern set must behave identically under Java regex and RE2."""
+    duckdb = pytest.importorskip("duckdb")
+    texts = [
+        "mail a.user+x@sub.example.org from 10.0.0.1 call 555-867-5309 "
+        "ref 12345678901234 done",
+        "no pii here",
+        "edge: user@example.co, 1.2.3.4, 999-123-4567, 1234567890123456789",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"($${s}$$)" for s in texts) + ") v(text)")
+    duck = [r[0] for r in con.execute(
+        f"SELECT {pii_redact_sql('text', 'duckdb')} FROM t").fetchall()]
+    duck_counts = con.execute(
+        f"SELECT SUM({pii_count_sql('text', 'email', 'duckdb')}), "
+        f"SUM({pii_count_sql('text', 'ipv4', 'duckdb')}) FROM t"
+    ).fetchone()
+    # Spark side via a real session
+    from qradar_restapi_kafka_datapipeline_spark.engine import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]")
+    df = spark.createDataFrame([(s,) for s in texts], ["text"])
+    srow = df.select(
+        F.expr(pii_redact_sql("text", "spark")).alias("clean"),
+        F.expr(pii_count_sql("text", "email", "spark")).alias("ne"),
+        F.expr(pii_count_sql("text", "ipv4", "spark")).alias("ni"),
+    ).collect()
+    assert [r["clean"] for r in srow] == duck
+    assert (sum(r["ne"] for r in srow), sum(r["ni"] for r in srow)) == tuple(
+        int(x) for x in duck_counts
+    )
+
+
+# --- boilerplate -------------------------------------------------------------
+
+FOOTER = "copyright acme corp all rights"  # exactly 5 words
+
+
+@pytest.fixture(scope="module")
+def bp_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon {FOOTER}", "en", "srcA", 0),
+            (2, f"one two three four five six {FOOTER}", "en", "srcA", 0),
+            (3, f"unrelated words entirely here now {FOOTER}", "en", "srcB", 0),
+            (4, "totally unique text with no repeats at all", "en", "srcA", 0),
+            (5, "tiny doc", "en", "srcA", 0),  # < 5 words → no ngrams
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_boilerplate_lexicon_is_per_source(spark, bp_docs):
+    bp_docs.createOrReplaceTempView("bpdocs")
+    lex = spark.sql(boilerplate_ngrams_sql("spark", source="bpdocs")).collect()
+    # the footer repeats in docs 1+2 (srcA) but only once within srcB
+    assert any(r["ngram"] == FOOTER and r["source"] == "srcA" and r["n_docs"] == 2
+               for r in lex)
+    assert not any(r["source"] == "srcB" for r in lex)
+
+
+def test_boilerplate_coverage_flags_only_affected_docs(spark, bp_docs):
+    bp_docs.createOrReplaceTempView("bpdocs")
+    cov = {r["doc_id"]: r for r in spark.sql(
+        boilerplate_coverage_sql("spark", source="bpdocs")).collect()}
+    assert set(cov) == {1, 2}  # srcB's single footer + unique docs unaffected
+    for d in (1, 2):
+        assert cov[d]["n_boiler"] == 1  # exactly one 5-gram position matches
+        assert 0 < cov[d]["boiler_frac"] <= 1
+
+
+def test_boilerplate_duckdb_parity(spark, bp_docs):
+    duckdb = pytest.importorskip("duckdb")
+    rows = [(r["doc_id"], r["text"], r["source"]) for r in bp_docs.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE bpdocs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, $${t}$$, '{s}')" for i, t, s in rows)
+        + ") v(doc_id, text, source)"
+    )
+    duck = sorted(con.execute(
+        boilerplate_ngrams_sql("duckdb", source="bpdocs")).fetchall())
+    bp_docs.createOrReplaceTempView("bpdocs")
+    sp = sorted(
+        tuple(r) for r in
+        spark.sql(boilerplate_ngrams_sql("spark", source="bpdocs")).collect()
+    )
+    assert sp == duck
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered_vectors(spark):
+    """Two planted near-dup pairs inside two well-separated clusters + noise."""
+    import math
+
+    def unit(seed, dim=16):
+        vals = [math.sin(seed * 997 + d * 31) for d in range(dim)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    def jitter(v, eps, seed):
+        out = [x + eps * math.sin(seed + i) for i, x in enumerate(v)]
+        n = math.sqrt(sum(x * x for x in out))
+        return [x / n for x in out]
+
+    a, b = unit(1), unit(2)
+    rows = [
+        (0, a), (1, jitter(a, 0.01, 5)),   # near-dup pair in cluster A
+        (2, b), (3, jitter(b, 0.01, 9)),   # near-dup pair in cluster B
+    ] + [(10 + i, unit(100 + i)) for i in range(20)]  # background
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+
+
+def test_semantic_dedup_finds_planted_pairs(spark, clustered_vectors):
+    pairs = semantic_dedup_pairs(
+        clustered_vectors, threshold=0.99, n_centroids=4, sample_n=64
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found and (2, 3) in found
+
+
+def test_semantic_dedup_subset_of_bruteforce(spark, clustered_vectors):
+    brute = {(r["id_a"], r["id_b"], r["cos"]) for r in embedding_cosine_pairs(
+        clustered_vectors, threshold=0.5).collect()}
+    sem = {(r["id_a"], r["id_b"], r["cos"]) for r in semantic_dedup_pairs(
+        clustered_vectors, threshold=0.5, n_centroids=4, sample_n=64).collect()}
+    assert sem <= brute
+
+
+def test_semantic_dedup_single_cell_equals_bruteforce(spark, clustered_vectors):
+    brute = sorted(tuple(r) for r in embedding_cosine_pairs(
+        clustered_vectors, threshold=0.5).collect())
+    sem = sorted(tuple(r) for r in semantic_dedup_pairs(
+        clustered_vectors, threshold=0.5, n_centroids=1, probes=1,
+        sample_n=64).collect())
+    assert sem == brute

@@ -103,6 +103,7 @@ def main() -> None:
     def consume(df):
         df.write.format("noop").mode("overwrite").save()
 
+    from qradar_restapi_kafka_datapipeline_spark.operators import asof as A
     from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
     from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
 
@@ -127,6 +128,18 @@ def main() -> None:
                 # (copies are distinct populations), rounds stay O(diameter)
                 "dedup_clusters": lambda: D.dup_clusters(
                     D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85)
+                ),
+                # range-condition join: candidate set is per-user, so the
+                # shuffle (hash on user_id) grows linearly in K
+                "asof_join_last_signup": lambda: A.asof_join(
+                    spark.table("events").select("event_id", "user_id", "ts"),
+                    spark.table("events")
+                    .where(F.col("event_type") == "signup")
+                    .groupBy("user_id", "ts")
+                    .agg(F.max("event_id").alias("signup_event_id")),
+                    on="user_id",
+                    right_cols=["signup_event_id"],
+                    suffix="_s",
                 ),
                 "sessionize_events": lambda: sessionize(
                     spark.table("events"),
