@@ -64,6 +64,9 @@ HEADLINE = [
     "text_quality_scores",
     "text_repetition_stats",
     "knn_bruteforce_cosine",
+    "pii_redaction_report",
+    "boilerplate_ngrams",
+    "boilerplate_doc_coverage",
 ]
 
 
