@@ -1559,6 +1559,20 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         boilerplate_coverage_sql("duckdb"),
     )
 
+    # ---- streaming text curation (streaming/curation_stream.py) --------------
+    # The stateless scoring pass (lang-ID + quality + tokens + PII scrub) as a
+    # Structured Streaming projection over Spark-written document splits; the
+    # streamed union must equal the batch relation the oracle recomputes.
+    from qradar_restapi_kafka_datapipeline_spark.streaming.curation_stream import (
+        curate_documents_streaming,
+        curation_projection_sql,
+    )
+
+    q["streaming_curation_parity"] = _df_entry(
+        lambda spark, sf: curate_documents_streaming(spark, sf),
+        curation_projection_sql("duckdb"),
+    )
+
     # ---- SemDeDup-style semantic dedup (similarity.py) -----------------------
     # Cluster-pruned semantic near-dup pairs. The production path's k-means
     # centroids are driver-trained (rows-only, same reason as knn_ivf); the

@@ -292,6 +292,45 @@ def knn_ivf_recall_report(
     )
 
 
+def _assign_cells_join(
+    emb: DataFrame,
+    cents: list[list[float]],
+    probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id, vec, list_id)`` rows (``probes`` per vector) via a BROADCAST
+    centroid-table join instead of literal-folded expressions.
+
+    Literal folding (:func:`_nearest_lists`) is the fast path up to ~64
+    centroids; past that the expression tree falls out of whole-stage codegen
+    (janino's 64 KB method limit), so the scale path ships the ``C×dim``
+    centroid floats as a broadcast relation: corpus ⨯ centroids is a
+    broadcast nested-loop with C rows per vector, ranked per vector with the
+    same (−dot, cid) order the folded path uses — identical assignment,
+    plan that survives thousands of cells.
+    """
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in enumerate(cents)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("cv"), lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dot").desc(), F.col("cid").asc())
+    return (
+        emb.select(id_col, vec_col)
+        .join(F.broadcast(cent_df))
+        .withColumn("dot", dot)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= probes)
+        .select(id_col, vec_col, F.col("cid").alias("list_id"))
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.2,
@@ -320,11 +359,14 @@ def semantic_dedup_pairs(
     sanctioned collect).
     """
     cents = _train_ivf_centroids(emb, n_centroids, id_col, vec_col, sample_n, iters)
-    assigned = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(_nearest_lists(vec_col, cents, probes)).alias("list_id"),
-    )
+    if n_centroids <= 64:  # literal-folded assignment stays inside codegen
+        assigned = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(_nearest_lists(vec_col, cents, probes)).alias("list_id"),
+        )
+    else:  # broadcast centroid-table join — the many-cell scale path
+        assigned = _assign_cells_join(emb, cents, probes, id_col, vec_col)
     a = assigned.select(
         F.col("list_id"),
         F.col(id_col).alias("id_a"),

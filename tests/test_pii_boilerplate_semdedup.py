@@ -180,6 +180,32 @@ def test_semantic_dedup_subset_of_bruteforce(spark, clustered_vectors):
     assert sem <= brute
 
 
+def test_assignment_join_path_matches_folded_path(spark, clustered_vectors):
+    """The broadcast centroid-table assignment (the many-cell scale path)
+    must produce the identical cell assignment as the literal-folded one."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        _assign_cells_join,
+        _nearest_lists,
+        _train_ivf_centroids,
+    )
+
+    cents = _train_ivf_centroids(
+        clustered_vectors, 4, "vec_id", "embedding", 64, 4
+    )
+    folded = sorted(
+        (r["vec_id"], r["list_id"]) for r in clustered_vectors.select(
+            "vec_id",
+            F.explode(_nearest_lists("embedding", cents, 2)).alias("list_id"),
+        ).collect()
+    )
+    joined = sorted(
+        (r["vec_id"], r["list_id"]) for r in _assign_cells_join(
+            clustered_vectors, cents, 2, "vec_id", "embedding"
+        ).collect()
+    )
+    assert folded == joined
+
+
 def test_semantic_dedup_single_cell_equals_bruteforce(spark, clustered_vectors):
     brute = sorted(tuple(r) for r in embedding_cosine_pairs(
         clustered_vectors, threshold=0.5).collect())

@@ -86,10 +86,40 @@ def amplify(spark, out_dir: str, k: int) -> None:
     dunion.repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
     )
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+
+    def _flip(i: int, d: int) -> float:
+        """Deterministic ±1 — a per-copy diagonal orthogonal transform: within-
+        copy pairwise cosines are EXACTLY preserved, cross-copy cosines land in
+        the random-pair noise floor, so the true near-dup structure of each
+        copy is intact and the populations are distinct."""
+        return 1.0 - 2.0 * float((i * 2654435761 + d * 40503) >> 3 & 1)
+
+    ecopies = []
+    for i in range(k):
+        e = emb
+        if i > 0:
+            pat = F.array(*[F.lit(_flip(i, d)) for d in range(dim)])
+            e = e.withColumn(
+                "embedding",
+                F.zip_with(
+                    F.col("embedding"), pat, lambda x, s: (x * s).cast("float")
+                ),
+            )
+        ecopies.append(
+            e.select((F.col("vec_id") + i * max_vid).alias("vec_id"), "embedding")
+        )
+    eunion = ecopies[0]
+    for c in ecopies[1:]:
+        eunion = eunion.unionByName(c)
+    eunion.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
     # the other tables pass through (operators under test don't scale them)
-    for t in (
-        "region nation customer supplier part orders lineitem embeddings".split()
-    ):
+    for t in "region nation customer supplier part orders lineitem".split():
         src = f"{BASE_SF}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{out_dir}/{t}.parquet")
@@ -105,6 +135,7 @@ def main() -> None:
 
     from qradar_restapi_kafka_datapipeline_spark.operators import asof as A
     from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
+    from qradar_restapi_kafka_datapipeline_spark.operators import similarity as Sim
     from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
 
     for k in ks:
@@ -145,6 +176,17 @@ def main() -> None:
                     spark.table("events"),
                     gap_minutes=30,
                     agg_cols={"value": "total_value"},
+                ),
+                # the documented scale practice for the cluster path: cells
+                # stay constant-SIZE (n_centroids ∝ N), so candidate pairs —
+                # and wall time — grow linearly in K; threshold 0.7 is in the
+                # linear-output regime (5.6σ above the random-cosine floor)
+                "semantic_dedup_pairs": lambda: Sim.semantic_dedup_pairs(
+                    spark.table("embeddings"),
+                    threshold=0.7,
+                    n_centroids=16 * k,
+                    probes=2,
+                    sample_n=max(1024, 8 * 16 * k),
                 ),
                 "summing_rollup_hourly": lambda: spark.sql(
                     "SELECT date_trunc('hour', ts) AS h, domainId, eventName, "
