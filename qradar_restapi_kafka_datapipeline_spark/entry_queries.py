@@ -275,6 +275,21 @@ def registry() -> dict[str, Q]:
         "START '{start_time}' STOP '{stop_time}'"
     )
 
+    # ---- AQL aggregate-function family (AVG/MIN/MAX/COUNT DISTINCT/BETWEEN) -
+    # Exact-int inputs ⇒ MIN/MAX/COUNT are engine-identical; AVG is one IEEE
+    # division of exact ints (identical operands both engines), ROUND+1e-9
+    # guards the reachable half-way values at 6 dp.
+    q["aql_agg_functions"] = _aql_entry(
+        "SELECT LOGSOURCETYPENAME(devicetype) AS source_type, "
+        "COUNT(DISTINCT userName) AS n_users, "
+        "MIN(magnitude) AS min_mag, MAX(magnitude) AS max_mag, "
+        "ROUND(AVG(magnitude) + 1e-9, 6) AS avg_mag, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE magnitude BETWEEN 2 AND 9 "
+        "GROUP BY LOGSOURCETYPENAME(devicetype) "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+
     # ---- A8: INCIDR classification over the event stream -------------------
     q["incidr_classification"] = _shared_sql_entry(
         "SELECT CASE "
@@ -1470,10 +1485,12 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(
             f"SELECT doc_id, {T.word_count_sql('text', 'spark')} AS n_words, "
             f"{T.bpe_token_estimate_sql('text')} AS n_tokens_est, "
+            f"{T.regex_token_count_sql('text', 'spark')} AS n_tokens_regex, "
             "length(text) AS n_chars_measured FROM documents"
         ),
         f"SELECT doc_id, {T.word_count_sql('text', 'duckdb')} AS n_words, "
         f"{T.bpe_token_estimate_sql('text')} AS n_tokens_est, "
+        f"{T.regex_token_count_sql('text', 'duckdb')} AS n_tokens_regex, "
         "length(text) AS n_chars_measured FROM documents",
     )
     q["text_fingerprint"] = _df_entry(

@@ -72,6 +72,22 @@ def bpe_token_estimate_sql(col: str) -> str:
     return f"CAST(ceil(length({col}) / 4.0) AS BIGINT)"
 
 
+# BPE pre-tokenizer-shaped split (GPT-2-style coarse classes: letter runs,
+# digit runs, single non-space symbols).  RE2 ∩ java.util.regex, so the ONE
+# pattern drives Spark and the DuckDB oracle identically.
+_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def regex_token_count_sql(col: str, dialect: str) -> str:
+    """Count of BPE-pre-tokenizer-style tokens — a sharper proxy than chars/4
+    (letter runs later split into subwords; digits and punctuation are mostly
+    one token each)."""
+    if dialect == "spark":
+        pat = _TOKEN_PATTERN.replace("\\", "\\\\")
+        return f"CAST(size(regexp_extract_all({col}, '{pat}', 0)) AS BIGINT)"
+    return f"CAST(len(regexp_extract_all({col}, '{_TOKEN_PATTERN}')) AS BIGINT)"
+
+
 def word_count(col: str = "text") -> Column:
     return F.expr(word_count_sql(col, "spark"))
 
