@@ -1550,6 +1550,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "UNNEST(generate_series(0, d.n_frames - 1, 2)) AS t(i)",
     )
 
+    # ---- real binary decode: BMP encode → decode roundtrip -------------------
+    # Two Arrow stages (encode kernel, decode kernel); every output value is
+    # parsed from bytes — header offsets AND the stride-aware pixel checksum —
+    # and must match the oracle's recomputation of the encoder spec.
+    q["multimodal_bmp_decode"] = _df_entry(
+        lambda spark, sf: M.extract_bmp_features(
+            M.attach_bmp_payload(spark.table("documents"))
+        ),
+        M.bmp_decode_oracle_sql(),
+    )
+
     # ---- PII redaction audit (operators/pii.py) ------------------------------
     # Regex scrub of emails/IPs/phones/ids over a log line derived from real
     # event columns; one RE2∩Java pattern set drives both engines.

@@ -6,11 +6,13 @@ Arrow-batched ``mapInPandas`` — vectorized Python at partition granularity, th
 only sane shape for media work at 100 TB (the bytes never leave the executor,
 batches amortize Python overhead).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the decode
-kernels are stubbed: ``decode_image``/``decode_audio`` raise
+The heavy codecs (PIL/ffmpeg/librosa) are NOT in this container, so those
+decode kernels are stubbed: ``decode_image``/``decode_audio`` raise
 ``NotImplementedError`` with the dependency named, and the deterministic fake
 extractor exercises the real plumbing (schema, batching, partitioning) so the
-pipeline around the stub is fully tested.
+pipeline around the stub is fully tested.  BMP needs no codec — its decode
+(:func:`decode_bmp`) is REAL byte parsing (magic, header offsets, stride-aware
+pixel walk), value-gated against an SQL oracle recomputing the encoder's spec.
 """
 
 from __future__ import annotations
@@ -81,6 +83,127 @@ def extract_features(
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real binary decode: BMP (no external codec needed — pure struct parsing).
+# PIL/ffmpeg formats stay behind the stubs above; BMP's fixed little-endian
+# header makes it the honest, fully-testable member of the decode family.
+# ---------------------------------------------------------------------------
+
+BMP_CHECKSUM_MOD = 1_000_000_007
+
+
+def encode_bmp(doc_id: int, text: str) -> bytes:
+    """A VALID minimal 24-bit BMP whose dimensions derive deterministically
+    from the document (width 4–11 from text length, height 2–6 from id) and
+    whose pixels are a constant fill — so an SQL oracle can recompute every
+    decoded property without touching bytes."""
+    import struct
+
+    w = 4 + len(text) % 8
+    h = 2 + doc_id % 5
+    row = 3 * w
+    pad = (4 - row % 4) % 4
+    fill = doc_id % 256
+    data = (bytes([fill]) * row + b"\x00" * pad) * h
+    size = 54 + len(data)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a BMP from raw bytes: magic check, header-offset reads, and a
+    stride-aware pixel walk (rows are padded to 4-byte boundaries — the
+    checksum sums ONLY pixel bytes, proving the stride logic is real).
+    Returns ``(width, height, bpp, n_bytes, pixel_checksum)``."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    size = struct.unpack_from("<I", payload, 2)[0]
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    row = w * bpp // 8
+    stride = (row + 3) // 4 * 4
+    psum = 0
+    for r in range(h):
+        start = offset + r * stride
+        psum += sum(payload[start : start + row])
+    return w, h, bpp, size, psum % BMP_CHECKSUM_MOD
+
+
+def attach_bmp_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, payload)`` with a real BMP per document — Arrow-batched encode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_bmp(int(i), t)
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id LONG, payload BINARY"
+    )
+
+
+def extract_bmp_features(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """The real-decode twin of :func:`extract_features`: every output value
+    comes out of :func:`decode_bmp`'s byte parsing, not a formula — the gate
+    oracle recomputes the expected values from the encoder's spec, so an
+    off-by-one in either the header layout or the stride walk hash-fails."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *decode_bmp(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bpp", "n_bytes",
+                    "pixel_checksum",
+                ],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id LONG, width INT, height INT, bpp INT, "
+        "n_bytes LONG, pixel_checksum LONG",
+    )
+
+
+def bmp_decode_oracle_sql(source: str = "documents") -> str:
+    """DuckDB recomputation of every decoded property from the encoder spec."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + length(text) % 8 AS INT) AS width,
+             CAST(2 + doc_id % 5 AS INT) AS height
+      FROM {source}
+    )
+    SELECT doc_id, width, height, CAST(24 AS INT) AS bpp,
+           CAST(54 + (3 * width + (4 - (3 * width) % 4) % 4) * height
+                AS BIGINT) AS n_bytes,
+           CAST(((doc_id % 256) * 3 * width * height) % {BMP_CHECKSUM_MOD}
+                AS BIGINT) AS pixel_checksum
+    FROM dims
+    """
 
 
 def frame_sample(

@@ -80,6 +80,64 @@ def test_pii_spark_duckdb_parity_on_literals():
     )
 
 
+def test_pii_property_planted_entities_counted_and_scrubbed():
+    """Property: N planted entities in benign filler → exactly N counted by
+    the Python-side reference (re module ≙ Java regex for these patterns) and
+    zero survive redaction.  Runs engine-free (regex semantics are the unit
+    under test; engine parity is pinned by the test above and the gate)."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.pii import PII_PATTERNS
+
+    pats = {t: re.compile(p) for t, p, _ in PII_PATTERNS}
+    filler = st.text(
+        alphabet="abcxyz QRZ", min_size=1, max_size=12
+    ).filter(lambda s: s.strip())
+    email = st.from_regex(
+        r"[a-z]{1,8}@[a-z]{1,8}\.(com|org|io)", fullmatch=True
+    )
+    ip = st.tuples(*[st.integers(0, 255)] * 4).map(
+        lambda t: ".".join(map(str, t))
+    )
+    phone = st.tuples(
+        st.integers(100, 999), st.integers(100, 999), st.integers(1000, 9999)
+    ).map(lambda t: f"{t[0]}-{t[1]}-{t[2]}")
+
+    @settings(max_examples=150, deadline=None, database=None)
+    @given(
+        st.lists(st.one_of(
+            email.map(lambda v: ("email", v)),
+            ip.map(lambda v: ("ipv4", v)),
+            phone.map(lambda v: ("phone", v)),
+        ), min_size=0, max_size=6),
+        st.lists(filler, min_size=1, max_size=7),
+    )
+    def check(entities, words):
+        # interleave: filler word, entity, filler word, ... (space-separated,
+        # so every entity sits at word boundaries like real prose)
+        parts = []
+        for i, (_t, v) in enumerate(entities):
+            parts.append(words[i % len(words)])
+            parts.append(v)
+        parts.append(words[-1])
+        text = " ".join(parts)
+        expected = {"email": 0, "ipv4": 0, "phone": 0}
+        for t, _v in entities:
+            expected[t] += 1
+        for t in expected:
+            assert len(pats[t].findall(text)) == expected[t], (t, text)
+        # redaction chain leaves no pattern alive
+        red = text
+        for _t, p, repl in PII_PATTERNS:
+            red = re.sub(p, repl, red)
+        for t in ("email", "ipv4", "phone"):
+            assert not pats[t].search(red), (t, red)
+
+    check()
+
+
 # --- boilerplate -------------------------------------------------------------
 
 FOOTER = "copyright acme corp all rights"  # exactly 5 words
@@ -135,6 +193,40 @@ def test_boilerplate_duckdb_parity(spark, bp_docs):
         spark.sql(boilerplate_ngrams_sql("spark", source="bpdocs")).collect()
     )
     assert sp == duck
+
+
+# --- BMP codec ---------------------------------------------------------------
+
+def test_bmp_roundtrip_and_stride():
+    from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # width 5 → row 15 bytes → stride 16 (1 pad byte/row): the checksum must
+    # exclude padding, so it equals fill * 3 * w * h exactly
+    doc_id, text = 7, "x" * 9  # w = 4 + 9 % 8 = 5, h = 2 + 7 % 5 = 4
+    w, h, bpp, size, psum = decode_bmp(encode_bmp(doc_id, text))
+    assert (w, h, bpp) == (5, 4, 24)
+    assert size == 54 + 16 * 4
+    assert psum == (doc_id % 256) * 3 * w * h
+
+    # width 4 → row 12, stride 12 (no padding) — both stride branches covered
+    w2, h2, _, size2, psum2 = decode_bmp(encode_bmp(3, "x" * 8))
+    assert (w2, h2) == (4, 5)
+    assert size2 == 54 + 12 * 5
+    assert psum2 == 3 * 3 * w2 * h2
+
+
+def test_bmp_decode_rejects_non_bmp():
+    import pytest as _pytest
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00")
 
 
 # --- SemDeDup ----------------------------------------------------------------
