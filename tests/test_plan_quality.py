@@ -163,3 +163,38 @@ def test_headline_codegen_at_runtime(spark, reg, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen stages print as "*(N) Operator" in the executed-plan string
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:600]
+
+
+def test_pii_redaction_stays_jvm_side(spark, reg, sf_dir):
+    # the redaction chain is nested regexp_replace — codegen'd expressions,
+    # no Python evaluation nodes, and only the aggregate's exchange
+    plan = _formatted_plan(reg["pii_redaction_report"].run(spark, sf_dir))
+    assert "EvalPython" not in plan, "PII redaction fell into a Python UDF"
+    assert plan.count("Exchange") <= 2, plan[:800]
+
+
+def test_boilerplate_coverage_broadcasts_lexicon(spark, reg, sf_dir):
+    # the repeated-fragment lexicon is tiny — it must broadcast into the
+    # per-position coverage join, never sort-merge or cross-join
+    plan = _formatted_plan(reg["boilerplate_doc_coverage"].run(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_join_path_shape(spark, reg, sf_dir):
+    # many-cell mode: centroid assignment is a deliberate broadcast
+    # nested-loop (tiny centroid table); the candidate pair join must be an
+    # equi-join on list_id — no cross product anywhere
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    df = semantic_dedup_pairs(
+        spark.table("embeddings"), threshold=0.42, n_centroids=128,
+        sample_n=256,
+    )
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # formatted plans list join keys in the detail section ("Left keys: ...")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert re.search(r"keys(?: \[\d+\])?: \[list_id", plan), plan[:1200]
