@@ -70,6 +70,22 @@ HEADLINE = [
 ]
 
 
+def _extra_paths():
+    """Bench-only callables for names whose PRODUCTION mode differs from the
+    registry's oracle mode.  ``dedup_minhash_lsh`` times the xxhash64 fast
+    path a cluster would run (64 long-mixes per shingle); the registry entry
+    of the same name runs the md5-portable mode so DuckDB can recompute the
+    whole pipeline.  Same plan shape, different hash family — the number here
+    is the production one, continuous with BENCH_r01."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
+
+    return {
+        "dedup_minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(
+            spark.table("documents"), threshold=0.3
+        ),
+    }
+
+
 def _consume(df) -> int:
     """Execute the full plan without driver-side materialization."""
     return df.write.format("noop").mode("overwrite").save() or 0
@@ -116,12 +132,16 @@ def main() -> None:
         # query); pass 2 measures the plan itself — the number that scales
         # to a long-running cluster job. Both passes are recorded.
         cold: dict[str, float] = {}
+        extra = _extra_paths()
         for passno in range(2):
             for name in HEADLINE:
-                if name not in reg:
+                runner = extra.get(name) or (
+                    reg[name].run if name in reg else None
+                )
+                if runner is None:
                     continue
                 t0 = time.time()
-                _consume(reg[name].run(spark, SF_DIR))
+                _consume(runner(spark, SF_DIR))
                 dt = round(time.time() - t0, 3)
                 if passno == 0:
                     cold[name] = dt

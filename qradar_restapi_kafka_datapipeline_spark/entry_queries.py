@@ -745,13 +745,11 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type"
     )
-    q["approx_distinct_users"] = _df_entry(
-        lambda spark, sf: spark.sql(
-            "SELECT event_type, approx_count_distinct(user_id) AS n_users_approx "
-            "FROM events GROUP BY event_type"
-        ),
-        None,  # HLL sketch is Spark-specific — rows-only check
-    )
+    # (The raw ``approx_count_distinct`` sketch output is Spark-specific and
+    # would only support a rows-only check; the HLL operator is instead gated
+    # through the value-checked error-bound contract below, which computes the
+    # sketch AND proves it lands within 3x the declared rsd of the exact
+    # count — a strictly stronger check than emitting the raw estimate.)
     # Rank-bound contract for approx_percentile (same pattern as the HLL
     # bound below): the sketch's median must land between the exact p45 and
     # p55 — with the default accuracy (1e4) the rank error is ~1e-4, so 5%
@@ -1235,19 +1233,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         """,
     )
 
-    # ---- MinHash LSH + SimHash: Spark-native hashes ⇒ rows-only checks ------
+    # ---- MinHash LSH: gate entry runs the portable-hash mode ---------------
+    # The SAME pipeline (shingle → per-seed minhash → banded bucket join →
+    # exact-Jaccard verify) with md5-derived hashes and tuple band keys,
+    # recomputed end-to-end by the DuckDB oracle — so the production
+    # algorithm's banding (not only its verify stage, as in the highsim twin)
+    # is value-checked.  The xxhash64 fast path is not a separate rows-only
+    # registry row: it is value-checked at threshold 0.85 by the highsim
+    # entry below, equality-tested against this mode in
+    # tests/test_northstar.py, and timed by bench.py as the production mode.
     q["dedup_minhash_lsh"] = _df_entry(
-        lambda spark, sf: D.minhash_lsh_pairs(
-            spark.table("documents"), threshold=0.3
-        ),
-        None,
-    )
-    # Portable-hash mode: the SAME pipeline (shingle → per-seed minhash →
-    # banded bucket join → exact-Jaccard verify) with md5-derived hashes and
-    # tuple band keys, recomputed end-to-end by the DuckDB oracle — so the
-    # production algorithm's banding (not only its verify stage, as in the
-    # highsim twin) is value-checked.  xxhash64 stays the fast path above.
-    q["dedup_minhash_lsh_portable"] = _df_entry(
         lambda spark, sf: D.minhash_lsh_pairs(
             spark.table("documents"), threshold=0.3, portable_hash=True
         ),
@@ -1315,15 +1310,14 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "WHERE doc_id != cluster_id)",
     )
 
+    # SimHash gate entry runs the portable-hash mode, which IS value-
+    # checkable: the md5-derived token hash is reproducible in DuckDB, and
+    # chunk-bucketing recall is exact (pigeonhole) so the output spec is ALL
+    # pairs at Hamming <= h, brute-forced by the oracle.  The xxhash64 token
+    # family is the production fast path (same sketch/bucket/verify plan,
+    # different token hash — covered by the bucketed≡all-pairs property test
+    # in tests/test_northstar.py rather than a rows-only registry row).
     q["dedup_simhash"] = _df_entry(
-        lambda spark, sf: D.simhash_pairs(spark.table("documents"), max_hamming=8),
-        None,
-    )
-    # Portable-hash mode IS value-checkable: the md5-derived token hash is
-    # reproducible in DuckDB, and chunk-bucketing recall is exact (pigeonhole)
-    # so the output spec is ALL pairs at Hamming <= h, brute-forced by the
-    # oracle. The entry above keeps xxhash64 (production fast path).
-    q["dedup_simhash_portable"] = _df_entry(
         lambda spark, sf: D.simhash_pairs(
             spark.table("documents"), max_hamming=8, portable_hash=True
         ),

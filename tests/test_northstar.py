@@ -140,6 +140,26 @@ class TestLshInternalOracles:
         assert all(abs(lsh[k] - exact[k]) < 1e-9 for k in lsh)
         assert len(lsh) >= 0.9 * len(exact)  # near-total recall at this threshold
 
+    def test_minhash_xxhash_equals_portable_at_high_threshold(self, spark, sf_dir):
+        """The xxhash64 production mode and the md5-portable oracle mode are
+        the same algorithm under different hash families.  At threshold 0.85
+        the 16x4 banding's miss probability for true pairs is < 1e-6 for
+        EITHER family and the verify stage makes precision exact, so both
+        modes must emit the identical verified pair relation — the test that
+        keeps the fast path honest without a rows-only registry row."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in minhash_lsh_pairs(docs, threshold=0.85).collect()}
+        portable = {(r["id_a"], r["id_b"]): r["jaccard"]
+                    for r in minhash_lsh_pairs(
+                        docs, threshold=0.85, portable_hash=True
+                    ).collect()}
+        assert fast == portable and fast
+
     def test_knn_lsh_scores_match_bruteforce(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qids = list(range(10))
