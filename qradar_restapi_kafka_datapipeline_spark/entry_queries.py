@@ -1513,10 +1513,47 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         D.prefix_dup_oracle_sql(),
     )
 
+    # ---- incremental (cross-snapshot) dedup ---------------------------------
+    # New snapshot (doc_id % 7 = 0) deduped against the already-held corpus
+    # by prefix-20 fingerprint anti-join (the corpus has no byte-identical
+    # dups, so the prefix fingerprint is the mode that exercises real drops
+    # — 7 cross-snapshot + in-batch collapses at sf0.01).
+    q["dedup_incremental"] = _df_entry(
+        lambda spark, sf: D.incremental_dedup(
+            spark.table("documents").where("doc_id % 7 = 0"),
+            spark.table("documents").where("doc_id % 7 != 0"),
+            prefix_words=20,
+        ),
+        D.incremental_dedup_oracle_sql("doc_id % 7 = 0", prefix_words=20),
+    )
+
+    # ---- passage-level dedup (RefinedWeb line-dedup, k-word passages) --------
+    # Cross-document repeated passages removed, docs reassembled in order;
+    # one shared SQL body drives both engines (operators/dedup.py).
+    q["dedup_passages"] = _df_entry(
+        lambda spark, sf: D.passage_dedup(spark, k=10, min_dup_docs=2),
+        D.passage_dedup_sql("duckdb", k=10, min_dup_docs=2),
+    )
+
     # ---- Gopher-style repetition signals -------------------------------------
     q["text_repetition_stats"] = _df_entry(
         lambda spark, sf: spark.sql(T.repetition_stats_sql("spark")),
         T.repetition_stats_sql("duckdb"),
+    )
+
+    # ---- corpus-trained unigram LM score (CCNet/KenLM-style filter) ---------
+    q["text_unigram_loglik"] = _df_entry(
+        lambda spark, sf: spark.sql(T.unigram_loglik_sql("spark")),
+        T.unigram_loglik_sql("duckdb"),
+    )
+
+    # ---- source/term blocklist screen (C4 badwords + URL-blocklist shape) ---
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        blocklist_verdict_sql,
+    )
+
+    q["curate_blocklist"] = _shared_sql_entry(
+        blocklist_verdict_sql("spark"), blocklist_verdict_sql("duckdb")
     )
 
     # ---- domain mixing weights ----------------------------------------------

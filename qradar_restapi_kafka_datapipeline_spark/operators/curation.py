@@ -175,6 +175,76 @@ def quality_quantile_sql(dialect: str, p: float = 0.25, table: str = "documents"
     )
 
 
+def blocklist_verdict_sql(
+    dialect: str,
+    blocked_sources: tuple[str, ...] = ("src4", "src13"),
+    blocked_terms: tuple[str, ...] = ("dup",),
+    table: str = "documents",
+) -> str:
+    """Per-doc blocklist verdict — the URL/domain + bad-word screen every
+    web-corpus pipeline runs first (C4 §2.2 badwords filter, RefinedWeb URL
+    blocklist), adapted to this schema: ``source`` plays the domain, terms
+    match on \\b word boundaries (RE2 ∩ java.util.regex, one pattern drives
+    both engines).
+
+    Emits EVERY doc with verdict ∈ {kept, blocked_source, blocked_term} —
+    the audit relation; filtering is ``WHERE verdict = 'kept'``.  Pure
+    projection: no shuffle, no join, pushdown-eligible.  This inline CASE
+    form is for human-sized lists; 10k+ term lists should use
+    :func:`blocklist_semijoin`, whose broadcast-join cost is O(tokens) not
+    O(terms × docs).
+    """
+    if blocked_sources:
+        srcs = ", ".join(f"'{s}'" for s in blocked_sources)
+        src_hit = f"source IN ({srcs})"
+    else:
+        src_hit = "FALSE"
+    if blocked_terms:
+        alts = "|".join(blocked_terms)
+        if dialect == "spark":
+            # Spark SQL string literals process backslash escapes: '\\b' → \b
+            term_hit = f"text RLIKE '\\\\b({alts})\\\\b'"
+        else:
+            term_hit = f"regexp_matches(text, '\\b({alts})\\b')"
+    else:
+        term_hit = "FALSE"
+    return (
+        f"SELECT doc_id, source, "
+        f"CASE WHEN {src_hit} THEN 'blocked_source' "
+        f"WHEN {term_hit} THEN 'blocked_term' "
+        f"ELSE 'kept' END AS verdict "
+        f"FROM {table}"
+    )
+
+
+def blocklist_semijoin(
+    df: DataFrame,
+    terms_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """Scale path for LARGE term blocklists: explode doc tokens once and
+    broadcast-semi-join the term table — flags each doc containing any term.
+
+    An inline ``RLIKE (t1|t2|…)`` compiles the whole list into every task and
+    scans each text once per alternation state; this form is one explode
+    (n_tokens rows, narrow) + one broadcast hash probe per token, so cost is
+    O(corpus tokens), independent of list size.  Returns the flagged doc ids
+    (DISTINCT) — anti-join it back to filter.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
+    )
+    hits = toks.join(
+        F.broadcast(terms_df.select(F.lower(F.col(term_col)).alias("__t"))),
+        "__t",
+        "left_semi",
+    )
+    return hits.select(id_col).distinct()
+
+
 def length_histogram_sql(bucket_chars: int = 50, table: str = "documents") -> str:
     """Corpus length histogram (dialect-common; the standard curation
     diagnostic before choosing length cutoffs)."""

@@ -770,3 +770,191 @@ def embedding_cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+def _snapshot_fingerprint(text_col: str, prefix_words: int | None):
+    """Fingerprint column for cross-snapshot dedup: full normalized md5
+    (byte-identical dups) or the first-``prefix_words`` prefix fingerprint
+    (mirrored/boilerplate heads — same key as :func:`prefix_dup_groups`)."""
+    if prefix_words is None:
+        return normalized_md5(text_col)
+    words = F.slice(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), 1, prefix_words
+    )
+    return F.md5(F.concat_ws(" ", words))
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source", "lang"),
+    prefix_words: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW snapshot against an already-ingested corpus: drop new docs
+    whose normalized fingerprint exists in the corpus, then collapse in-batch
+    duplicates to the min-id canonical — the operation a recurring-crawl
+    pipeline runs on every delivery (each month's crawl is mostly re-crawls
+    of pages already held).
+
+    Scale contract: both sides project to (id, 16-byte fingerprint [+ narrow
+    keep_cols]) before any join, so the anti-join and the in-batch groupBy
+    shuffle fingerprints — never text.  The corpus side is a DISTINCT of one
+    md5 column: at 100 TB it is the unique-document count × 16 bytes, usually
+    orders of magnitude under the text volume, and AQE broadcasts it when it
+    fits.  No reference counterpart (the reference re-ingests blindly,
+    `etl.py:16-49`, relying on ClickHouse merge); this is a north-star op.
+    """
+    fp = _snapshot_fingerprint(text_col, prefix_words)
+    new_fp = _spread(new_df).select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        fp.alias("fingerprint"),
+    )
+    corpus_fp = (
+        _spread(corpus_df).select(fp.alias("fingerprint")).distinct()
+    )
+    fresh = new_fp.join(corpus_fp, "fingerprint", "left_anti")
+    canon = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fresh.join(canon, [id_col, "fingerprint"], "left_semi")
+
+
+def incremental_dedup_oracle_sql(
+    new_pred: str, table: str = "documents", prefix_words: int | None = None
+) -> str:
+    """DuckDB twin of :func:`incremental_dedup` where the new/corpus split is
+    ``new_pred`` over one table (the gate's synthetic two-snapshot setup)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        normalized_md5_sql,
+    )
+
+    if prefix_words is None:
+        fp = normalized_md5_sql("text", "duckdb")
+    else:
+        fp = (
+            "md5(array_to_string(regexp_split_to_array(trim(lower(text)), "
+            f"'\\s+')[1:{prefix_words}], ' '))"
+        )
+    return f"""
+    WITH new_docs AS (
+      SELECT doc_id, source, lang, {fp} AS fingerprint
+      FROM {table} WHERE {new_pred}
+    ),
+    corpus AS (
+      SELECT DISTINCT {fp} AS fingerprint FROM {table} WHERE NOT ({new_pred})
+    ),
+    fresh AS (
+      SELECT * FROM new_docs WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+    )
+    SELECT doc_id, source, lang, fingerprint FROM fresh f
+    WHERE doc_id = (SELECT MIN(doc_id) FROM fresh g
+                    WHERE g.fingerprint = f.fingerprint)
+    """
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup (RefinedWeb/CCNet line-dedup, adapted to k-word passages)
+# ---------------------------------------------------------------------------
+
+#: 60-bit md5-derived passage key — grouping/joining on a fixed 8-byte int
+#: instead of the passage string keeps the global-count shuffle narrow at
+#: 100 TB, and is bit-identical in Spark and DuckDB (same family as
+#: :data:`PORTABLE_SEED_HASH`).
+def _passage_hash(dialect: str, col: str = "passage") -> str:
+    if dialect == "spark":
+        return f"CAST(CONV(SUBSTR(MD5({col}), 1, 15), 16, 10) AS BIGINT)"
+    return f"('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+def passage_dedup_sql(
+    dialect: str,
+    k: int = 10,
+    min_dup_docs: int = 2,
+    table: str = "documents",
+) -> str:
+    """Remove passages (consecutive ``k``-word windows) that appear in
+    ``min_dup_docs``+ DISTINCT documents, and reassemble each document from
+    its surviving passages in order — the cross-document boilerplate/quote
+    scrubber LLM pipelines run between exact and fuzzy dedup (RefinedWeb
+    §"line-wise corrections", CCNet paragraph dedup; texts here have no
+    newlines, so the unit is a fixed word window).
+
+    One shared SQL drives both engines.  Plan shape (see DataFrame wrapper
+    :func:`passage_dedup`): explode to n/k passage rows → global count keyed
+    on the 60-bit passage hash (narrow shuffle) → anti-join → per-doc ordered
+    reassembly.  Output is one row per INPUT doc (docs whose every passage is
+    boilerplate survive with empty clean text): doc_id, passage counts, and
+    the md5 + length of the reassembled text (full text stays available in
+    :func:`passage_dedup`; the fingerprint keeps the gate row narrow).
+    """
+    h = _passage_hash(dialect)
+    if dialect == "spark":
+        split_w = "split(trim(text), '\\\\s+')"
+        chunks = (
+            f"SELECT doc_id, i AS chunk_idx, "
+            f"array_join(slice(w, i * {k} + 1, {k}), ' ') AS passage "
+            f"FROM docs LATERAL VIEW explode(sequence(0, "
+            f"CAST(ceil(size(w) / {k}.0) AS INT) - 1)) t AS i"
+        )
+        reasm = (
+            "SELECT doc_id, COUNT(*) AS n_kept, "
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(chunk_idx, passage))), s -> s.passage)) AS clean_text "
+            "FROM kept GROUP BY doc_id"
+        )
+    else:
+        split_w = "regexp_split_to_array(trim(text), '\\s+')"
+        chunks = (
+            f"SELECT doc_id, i AS chunk_idx, "
+            f"array_to_string(list_slice(w, i * {k} + 1, i * {k} + {k}), ' ') "
+            f"AS passage "
+            f"FROM docs, UNNEST(generate_series(0, "
+            f"CAST(ceil(len(w) / {k}.0) AS INT) - 1)) AS t(i)"
+        )
+        reasm = (
+            "SELECT doc_id, COUNT(*) AS n_kept, "
+            "string_agg(passage, ' ' ORDER BY chunk_idx) AS clean_text "
+            "FROM kept GROUP BY doc_id"
+        )
+    return f"""
+    WITH docs AS (SELECT doc_id, {split_w} AS w FROM {table}),
+    chunks AS ({chunks}),
+    hashed AS (SELECT doc_id, chunk_idx, passage, {h} AS ph FROM chunks),
+    dup_keys AS (
+      SELECT ph FROM hashed GROUP BY ph
+      HAVING COUNT(DISTINCT doc_id) >= {min_dup_docs}
+    ),
+    kept AS (
+      SELECT doc_id, chunk_idx, passage FROM hashed
+      WHERE ph NOT IN (SELECT ph FROM dup_keys)
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_passages FROM hashed GROUP BY doc_id),
+    reassembled AS ({reasm})
+    SELECT t.doc_id,
+           t.n_passages,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           t.n_passages - COALESCE(r.n_kept, 0) AS n_dropped,
+           md5(COALESCE(r.clean_text, '')) AS clean_fp,
+           CAST(length(COALESCE(r.clean_text, '')) AS BIGINT) AS clean_chars
+    FROM totals t LEFT JOIN reassembled r ON t.doc_id = r.doc_id
+    """
+
+
+def passage_dedup(
+    spark,
+    k: int = 10,
+    min_dup_docs: int = 2,
+    table: str = "documents",
+) -> DataFrame:
+    """Spark side of :func:`passage_dedup_sql` (same builder, spark dialect).
+
+    The per-doc reassembly (collect_list → array_sort → concat) is bounded by
+    a DOCUMENT's passage count — thousands at most — never by corpus size, so
+    executor memory is safe at any scale; the only corpus-wide shuffles are
+    the passage-hash count and the per-doc aggregates, all on narrow rows.
+    """
+    return spark.sql(passage_dedup_sql("spark", k, min_dup_docs, table))

@@ -237,3 +237,49 @@ def domain_mix_sql(source: str = "documents") -> str:
         f"ROUND(SUM({bpe}) * 1.0 / SUM(SUM({bpe})) OVER () + 1e-9, 6) AS mix_weight "
         f"FROM {source} GROUP BY source, lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained unigram LM score — the KenLM-style perplexity proxy
+# ---------------------------------------------------------------------------
+
+def unigram_loglik_sql(dialect: str, source: str = "documents") -> str:
+    """Per-doc mean unigram log-likelihood under the CORPUS's own unigram
+    model — the in-engine stand-in for CCNet's KenLM perplexity filter
+    (Wenzek et al. 2020): documents whose tokens are globally rare score low
+    (spam/garble), formulaic ones score high.  No external model: the
+    "training" is one token-frequency aggregate over the same corpus.
+
+    Plan shape at 100 TB: explode tokens (narrow (doc_id, token) rows) →
+    frequency aggregate keyed by token (vocab-sized output, map-side partial
+    combine does the heavy lifting) → token→freq equi-join (AQE broadcasts a
+    real-world ≤ tens-of-MB vocab) → per-doc aggregate.  No Python, no
+    window, no driver materialization.
+
+    Float discipline (CLAUDE.md): ``mean_tok_freq`` is exact-integer until
+    one final divide (bit-identical across engines); ``mean_loglik`` sums
+    libm logs whose last-ulp may differ per engine, so it rounds at 4 dp —
+    wide enough to rank documents, coarse enough that a 1e-13 accumulation
+    divergence cannot flip the rounded value off a half-way boundary.
+    """
+    if dialect == "spark":
+        tok_src = (
+            "SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS tok "
+            f"FROM {source}"
+        )
+    else:
+        tok_src = (
+            "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            f"AS tok FROM {source}"
+        )
+    return f"""
+    WITH tok AS ({tok_src}),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(f.c) * 1.0 / COUNT(*) + 1e-9, 6) AS mean_tok_freq,
+           ROUND(SUM(LN(f.c * 1.0 / tot.n)) / COUNT(*) + 1e-9, 4) AS mean_loglik
+    FROM tok t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """

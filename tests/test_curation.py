@@ -118,3 +118,54 @@ def test_curate_filters_short_and_nonenglish(spark):
     ids = {r.doc_id for r in out}
     assert 1 not in ids  # lang_pred = es
     assert 3 not in ids  # below min_words
+
+
+# ---------------------------------------------------------------------------
+# blocklist screen
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_verdict_precedence_and_word_boundary(spark):
+    rows = [
+        (0, "clean text here", "bad_src"),       # source block wins over term
+        (1, "contains dup word", "ok"),          # term hit
+        (2, "duplicate is not dup-free", "ok"),  # 'duplicate' must NOT match \bdup\b... but 'dup-free' does ('-' is a boundary)
+        (3, "totally fine", "ok"),
+    ]
+    _docs(spark, rows).createOrReplaceTempView("bl_in")
+    out = spark.sql(
+        C.blocklist_verdict_sql(
+            "spark", blocked_sources=("bad_src",), blocked_terms=("dup",),
+            table="bl_in",
+        )
+    ).collect()
+    v = {r.doc_id: r.verdict for r in out}
+    assert v == {0: "blocked_source", 1: "blocked_term",
+                 2: "blocked_term", 3: "kept"}
+
+
+def test_blocklist_word_boundary_rejects_substrings(spark):
+    rows = [(0, "deduplication discussed", "ok"), (1, "a dup here", "ok")]
+    _docs(spark, rows).createOrReplaceTempView("bl_in2")
+    out = spark.sql(
+        C.blocklist_verdict_sql(
+            "spark", blocked_sources=(), blocked_terms=("dup",), table="bl_in2"
+        )
+    ).collect()
+    v = {r.doc_id: r.verdict for r in out}
+    assert v == {0: "kept", 1: "blocked_term"}
+
+
+def test_blocklist_semijoin_matches_inline_form(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        (0, "alpha beta gamma", "s"),
+        (1, "delta dup epsilon", "s"),
+        (2, "zeta DUP eta", "s"),      # case-insensitive via lower()
+        (3, "theta iota", "s"),
+    ]
+    docs = _docs(spark, rows)
+    terms = spark.createDataFrame([Row(term="dup"), Row(term="missingterm")])
+    flagged = {r.doc_id for r in C.blocklist_semijoin(docs, terms).collect()}
+    assert flagged == {1, 2}

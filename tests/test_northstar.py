@@ -352,3 +352,106 @@ def test_dup_clusters_random_graph_vs_union_find(spark):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_planted(spark):
+    from pyspark.sql import Row
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t, source="s", lang="en") for i, t in rows]
+        )
+
+    corpus = docs([(1, "held page one"), (2, "held page two")])
+    new = docs([
+        (10, "held  PAGE one"),   # normalized dup of corpus doc 1 -> dropped
+        (11, "fresh doc alpha"),  # genuinely new -> kept
+        (12, "fresh doc beta"),   # in-batch dup pair -> min id kept
+        (13, "fresh  doc BETA"),
+    ])
+    out = {r.doc_id for r in incremental_dedup(new, corpus).collect()}
+    assert out == {11, 12}
+
+
+def test_incremental_dedup_prefix_mode(spark):
+    from pyspark.sql import Row
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t, source="s", lang="en") for i, t in rows]
+        )
+
+    # same 3-word head, divergent tails: exact mode keeps, prefix mode drops
+    corpus = docs([(1, "common head words tail original")])
+    new = docs([(10, "common head words completely different ending")])
+    assert {r.doc_id for r in incremental_dedup(new, corpus).collect()} == {10}
+    assert incremental_dedup(new, corpus, prefix_words=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_planted_removal_and_order(spark):
+    from pyspark.sql import Row
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    # k=2 passages; "same boiler" appears in docs 0 and 1 -> removed from
+    # both; doc 2 untouched; doc 3 is ENTIRELY the shared passage -> empty.
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="aa bb same boiler cc dd"),
+            Row(doc_id=1, text="same boiler xx yy"),
+            Row(doc_id=2, text="pp qq rr ss"),
+            Row(doc_id=3, text="same boiler"),
+        ]
+    ).createOrReplaceTempView("pd_docs")
+    out = {
+        r.doc_id: r
+        for r in passage_dedup(spark, k=2, min_dup_docs=2, table="pd_docs").collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[0].n_passages, out[0].n_kept, out[0].n_dropped) == (3, 2, 1)
+    assert out[0].clean_chars == len("aa bb cc dd")
+    assert (out[1].n_kept, out[3].n_kept) == (1, 0)
+    assert out[3].clean_chars == 0
+    assert out[2].n_dropped == 0
+    # order preserved: doc 0 reassembles to "aa bb cc dd", not "cc dd aa bb"
+    import hashlib
+
+    assert out[0].clean_fp == hashlib.md5(b"aa bb cc dd").hexdigest()
+
+
+def test_passage_dedup_within_doc_repeat_survives(spark):
+    from pyspark.sql import Row
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        passage_dedup,
+    )
+
+    # passage repeated only WITHIN one doc stays (cross-document rule)
+    spark.createDataFrame(
+        [Row(doc_id=0, text="xx yy xx yy"), Row(doc_id=1, text="aa bb cc dd")]
+    ).createOrReplaceTempView("pd_docs2")
+    out = {
+        r.doc_id: r
+        for r in passage_dedup(spark, k=2, min_dup_docs=2, table="pd_docs2").collect()
+    }
+    assert out[0].n_dropped == 0 and out[0].n_kept == 2
