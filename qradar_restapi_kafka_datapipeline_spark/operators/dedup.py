@@ -944,17 +944,80 @@ def passage_dedup_sql(
     """
 
 
+def passage_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """(id, chunk_idx, passage): consecutive ``k``-word windows per doc."""
+    df = _spread(df, by=id_col)
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+    return df.select(
+        F.col(id_col),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("__w"), F.col("chunk_idx") * k + 1, F.lit(k)), " "
+        ).alias("passage"),
+    )
+
+
 def passage_dedup(
     spark,
     k: int = 10,
     min_dup_docs: int = 2,
     table: str = "documents",
 ) -> DataFrame:
-    """Spark side of :func:`passage_dedup_sql` (same builder, spark dialect).
+    """Spark production form of :func:`passage_dedup_sql` — same relation
+    (parity-tested against the spark-dialect SQL in tests/test_northstar.py),
+    but composed so the chunk relation is built and PERSISTED once: the
+    one-SQL CTE form scans and re-explodes the corpus three times (totals,
+    dup-count, kept), which triples the dominant cost at 100 TB.
 
     The per-doc reassembly (collect_list → array_sort → concat) is bounded by
     a DOCUMENT's passage count — thousands at most — never by corpus size, so
-    executor memory is safe at any scale; the only corpus-wide shuffles are
-    the passage-hash count and the per-doc aggregates, all on narrow rows.
+    executor memory is safe at any scale; the corpus-wide shuffles are the
+    passage-hash count and the per-doc aggregates, all on narrow rows.
     """
-    return spark.sql(passage_dedup_sql("spark", k, min_dup_docs, table))
+    chunks = (
+        passage_chunks(spark.table(table), k=k)
+        .withColumn("ph", F.expr(_passage_hash("spark")))
+        .persist()
+    )
+    dup_keys = (
+        chunks.groupBy("ph")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= min_dup_docs)
+        .select("ph")
+    )
+    kept = chunks.join(dup_keys, "ph", "left_anti")
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_passages"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "passage"))),
+                lambda s: s.passage,
+            ),
+        ).alias("clean_text"),
+    )
+    clean = F.coalesce(F.col("clean_text"), F.lit(""))
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("n_passages") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.md5(clean).alias("clean_fp"),
+            F.length(clean).cast("long").alias("clean_chars"),
+        )
+    )

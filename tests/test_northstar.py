@@ -455,3 +455,28 @@ def test_passage_dedup_within_doc_repeat_survives(spark):
         for r in passage_dedup(spark, k=2, min_dup_docs=2, table="pd_docs2").collect()
     }
     assert out[0].n_dropped == 0 and out[0].n_kept == 2
+
+
+def test_passage_dedup_dataframe_matches_sql_form(spark, sf_dir):
+    """The persisted-chunks DataFrame composition must emit exactly the
+    relation of the one-SQL spark-dialect builder (which is also the oracle's
+    shape) — the cross-impl parity check that lets the production form
+    optimize freely."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        passage_dedup,
+        passage_dedup_sql,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "pd_parity_docs"
+    )
+    df_form = {
+        tuple(r) for r in passage_dedup(spark, table="pd_parity_docs").collect()
+    }
+    sql_form = {
+        tuple(r)
+        for r in spark.sql(
+            passage_dedup_sql("spark", table="pd_parity_docs")
+        ).collect()
+    }
+    assert df_form == sql_form and df_form

@@ -192,6 +192,17 @@ def main() -> None:
                     "SELECT date_trunc('hour', ts) AS h, domainId, eventName, "
                     "SUM(eventCount) AS ec FROM qevents GROUP BY 1, 2, 3"
                 ),
+                # explode → hash-count → anti-join → per-doc reassembly; every
+                # shuffle keyed on the 60-bit passage hash or doc_id, so wall
+                # time tracks corpus tokens linearly
+                "dedup_passages": lambda: D.passage_dedup(spark, k=10),
+                # fingerprint anti-join: both sides project to 16-byte keys
+                # before the join — linear in rows, text never shuffles
+                "dedup_incremental": lambda: D.incremental_dedup(
+                    spark.table("documents").where("doc_id % 7 = 0"),
+                    spark.table("documents").where("doc_id % 7 != 0"),
+                    prefix_words=20,
+                ),
             }
             n_events = spark.table("events").count()
             n_docs = spark.table("documents").count()
