@@ -716,6 +716,26 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "SELECT event_id FROM events",
     )
 
+    # Streaming twin of incremental_dedup: new docs stream through a
+    # stream-static anti join against the corpus fingerprint table plus
+    # in-stream first-wins dedup; the surviving fingerprint set must equal
+    # the batch relation.
+    from qradar_restapi_kafka_datapipeline_spark.streaming.stateful import (
+        incremental_dedup_streaming,
+    )
+
+    _incr_fp = (
+        "md5(array_to_string(regexp_split_to_array(trim(lower(text)), "
+        "'\\s+')[1:20], ' '))"
+    )
+    q["streaming_incremental_dedup_parity"] = _df_entry(
+        lambda spark, sf: incremental_dedup_streaming(spark, sf, prefix_words=20),
+        f"WITH fp AS (SELECT doc_id, {_incr_fp} AS fingerprint FROM documents) "
+        "SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 7 = 0 "
+        "AND fingerprint NOT IN "
+        "(SELECT fingerprint FROM fp WHERE doc_id % 7 != 0)",
+    )
+
     _gs = (
         "SELECT event_type, cohort, COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
         "FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) t "
@@ -1525,6 +1545,20 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             prefix_words=20,
         ),
         D.incremental_dedup_oracle_sql("doc_id % 7 = 0", prefix_words=20),
+    )
+
+    # ---- incremental NEAR-dup: new snapshot vs corpus, MinHash-banded -------
+    # Candidates only form across snapshots (delivery-sized, not corpus-
+    # squared); portable-hash mode so the oracle recomputes the whole
+    # pipeline including the cross-side banding.
+    q["dedup_minhash_incremental"] = _df_entry(
+        lambda spark, sf: D.incremental_minhash_pairs(
+            spark.table("documents").where("doc_id % 7 = 0"),
+            spark.table("documents").where("doc_id % 7 != 0"),
+            threshold=0.3,
+            portable_hash=True,
+        ),
+        D.incremental_minhash_duckdb_sql("doc_id % 7 = 0", threshold=0.3),
     )
 
     # ---- passage-level dedup (RefinedWeb line-dedup, k-word passages) --------

@@ -187,6 +187,61 @@ PORTABLE_SEED_HASH = (
 )
 
 
+def _minhash_sigs_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, portable_hash: bool
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}, __n) from a DISTINCT shingle relation.
+
+    |shingles(doc)| rides along in the SAME aggregate as the minhashes —
+    the verify step needs it, and folding it here saves two whole extra
+    aggregation passes (shuffle each) over the shingle relation.
+    """
+    if portable_hash:
+        mins = [
+            F.min(
+                F.expr(PORTABLE_SEED_HASH.format(c="shingle", seed=seed))
+            ).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ]
+        base = sh
+    else:
+        # the shingle STRING is hashed once; the per-seed family re-hashes the
+        # int64 — 64 long-mixes per shingle instead of 64 string digests
+        base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
+        mins = [
+            F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ]
+    return base.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("__n"))
+
+
+def _banded_signatures(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    portable_hash: bool,
+) -> DataFrame:
+    """(id, band_id, band_hash): one row per band per doc — the LSH bucket
+    keys.  ``portable_hash`` keys bands by the colon-joined minhash tuple
+    instead of xxhash64 of it (engine-neutral decimal text)."""
+    rows_per_band = num_hashes // bands
+
+    def band_key(b: int):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if portable_hash:
+            return F.concat_ws(":", *cols)
+        return F.xxhash64(*cols)
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band_id"), band_key(b).alias("band_hash"))
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -202,21 +257,9 @@ def minhash_lsh_candidates(
     xxhash64 of it, so the band key is engine-neutral (the minhash values are
     non-negative 60-bit ints — identical decimal text in any engine).
     """
-    rows_per_band = num_hashes // bands
-
-    def band_key(b: int):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if portable_hash:
-            return F.concat_ws(":", *cols)
-        return F.xxhash64(*cols)
-
-    band_structs = [
-        F.struct(F.lit(b).alias("band_id"), band_key(b).alias("band_hash"))
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = _banded_signatures(
+        signatures, id_col, num_hashes, bands, portable_hash
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -261,26 +304,7 @@ def minhash_lsh_pairs(
     (:func:`minhash_lsh_duckdb_sql`); xxhash64 is the production mode.
     """
     sh = _word_shingles(df, id_col, text_col, shingle_k).persist()
-    if portable_hash:
-        mins = [
-            F.min(
-                F.expr(PORTABLE_SEED_HASH.format(c="shingle", seed=seed))
-            ).alias(f"mh_{seed}")
-            for seed in range(num_hashes)
-        ]
-        base = sh
-    else:
-        # the shingle STRING is hashed once; the per-seed family re-hashes the
-        # int64 — 64 long-mixes per shingle instead of 64 string digests
-        base = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
-        mins = [
-            F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh_{seed}")
-            for seed in range(num_hashes)
-        ]
-    # |shingles(doc)| rides along in the SAME aggregate as the minhashes —
-    # the verify step needs it, and folding it here saves two whole extra
-    # aggregation passes (shuffle each) over the shingle relation.
-    sigs = base.groupBy(id_col).agg(*mins, F.count(F.lit(1)).alias("__n"))
+    sigs = _minhash_sigs_from_shingles(sh, id_col, num_hashes, portable_hash)
     cands = minhash_lsh_candidates(
         sigs, id_col, num_hashes, bands, portable_hash=portable_hash
     )
@@ -853,6 +877,113 @@ def incremental_dedup_oracle_sql(
     SELECT doc_id, source, lang, fingerprint FROM fresh f
     WHERE doc_id = (SELECT MIN(doc_id) FROM fresh g
                     WHERE g.fingerprint = f.fingerprint)
+    """
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Cross-snapshot NEAR-dup: (id_a=new, id_b=corpus) verified pairs only —
+    the recurring-crawl variant of :func:`minhash_lsh_pairs`.
+
+    Why a separate operator: deduping each delivery against an N-document
+    corpus with the full pipeline recomputes corpus shingles/signatures every
+    time AND pays the corpus×corpus candidate quadrant, which is already
+    known.  Here each side is signed independently (in production the corpus
+    signatures are a persisted table, computed once per corpus life) and the
+    band join is new×corpus only — candidate volume scales with the DELIVERY
+    size, not the corpus.  Caller contract: id spaces are disjoint.
+
+    Same banding family as the full pipeline, so recall for a true pair is
+    identical (1-(1-s^r)^b); verify makes precision exact.  Equality with the
+    cross-restricted full pipeline is unit-tested (tests/test_northstar.py).
+    """
+    sh_new = _word_shingles(new_df, id_col, text_col, shingle_k).persist()
+    sh_old = _word_shingles(corpus_df, id_col, text_col, shingle_k).persist()
+    sigs_new = _minhash_sigs_from_shingles(sh_new, id_col, num_hashes, portable_hash)
+    sigs_old = _minhash_sigs_from_shingles(sh_old, id_col, num_hashes, portable_hash)
+    ba = _banded_signatures(sigs_new, id_col, num_hashes, bands, portable_hash)
+    bb = _banded_signatures(sigs_old, id_col, num_hashes, bands, portable_hash)
+    cands = (
+        ba.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+        .join(
+            bb.select(F.col(id_col).alias("id_b"), "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_all = sh_new.unionByName(sh_old)
+    counts = sigs_new.select(F.col(id_col), F.col("__n").alias("n")).unionByName(
+        sigs_old.select(F.col(id_col), F.col("__n").alias("n"))
+    )
+    return _verify_jaccard(cands, sh_all, id_col, threshold, counts=counts)
+
+
+def incremental_minhash_duckdb_sql(
+    new_pred: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`incremental_minhash_pairs` (portable mode) over a
+    one-table snapshot split: identical CTEs to :func:`minhash_lsh_duckdb_sql`
+    plus a side flag; candidates pair a NEW band row with a CORPUS band row
+    instead of enforcing ``id_a < id_b``."""
+    rows_per_band = num_hashes // bands
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, CASE WHEN {new_pred} THEN 1 ELSE 0 END AS is_new,
+             regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM {table}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, is_new,
+             concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(shingle_k))}) AS shingle
+      FROM docs, UNNEST(generate_series(1, greatest(len(w) - {shingle_k - 1}, 1))) AS t(i)
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    mh AS (
+      SELECT doc_id, MAX(is_new) AS is_new, seed,
+             MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS mh
+      FROM sh CROSS JOIN range({num_hashes}) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, MAX(is_new) AS is_new,
+             CAST(seed // {rows_per_band} AS INT) AS band_id,
+             string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, seed // {rows_per_band}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.is_new = 1 AND b.is_new = 0
+    ),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = id_a
+    JOIN counts cb ON cb.doc_id = id_b
+    WHERE ROUND(common * 1.0 / (ca.n + cb.n - common), 6) >= {threshold}
     """
 
 

@@ -384,6 +384,89 @@ def streaming_dedup(
     return writer.start()
 
 
+def incremental_dedup_streaming(
+    spark,
+    sf_dir: str,
+    prefix_words: int = 20,
+    n_batches: int = 3,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.dedup.incremental_dedup`: NEW
+    documents arrive as a stream and are deduped per micro-batch against the
+    STATIC corpus fingerprint table (stream-static join — the corpus side is
+    read once per batch from its snapshot, no state) plus in-stream
+    first-wins dedup (``dropDuplicates`` on the fingerprint; production uses
+    the watermark-bounded variant, this replay is finite).
+
+    Returns the surviving FINGERPRINT set: which member of an in-batch dup
+    group survives depends on arrival order, but the surviving fingerprint
+    relation is deterministic — that is the contract the oracle checks
+    (``SELECT DISTINCT fp FROM new WHERE fp NOT IN corpus``).
+
+    The anti join is expressed as stream-static LEFT OUTER + IS NULL filter —
+    the shape the Structured Streaming guide supports for stream-static
+    joins; each micro-batch plan broadcasts the corpus fingerprint relation
+    exactly like the batch operator's anti join.
+    """
+    import os
+    import tempfile
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        _snapshot_fingerprint,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    fp = _snapshot_fingerprint("text", prefix_words)
+    corpus_fp = (
+        docs.where("doc_id % 7 != 0")
+        .select(fp.alias("corpus_fp"))
+        .distinct()
+    )
+
+    base = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+    src = os.path.join(base, "landing")
+    os.makedirs(src)
+    now = 1_700_000_000
+    new_docs = docs.where("doc_id % 7 = 0")
+    for i in range(n_batches):
+        path = os.path.join(src, f"b{i}.parquet")
+        _write_split(
+            new_docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)) == i),
+            path,
+        )
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(fp.alias("fingerprint"))
+        .dropDuplicates(["fingerprint"])
+    )
+    fresh = (
+        stream.join(
+            corpus_fp,
+            stream["fingerprint"] == corpus_fp["corpus_fp"],
+            "left_outer",
+        )
+        .where(F.col("corpus_fp").isNull())
+        .select("fingerprint")
+    )
+    out, ckpt = os.path.join(base, "fresh"), os.path.join(base, "ckpt")
+    (
+        fresh.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(out).select("fingerprint").distinct()
+
+
 def dedup_events_streaming(spark, sf_dir: str, watermark: str = "45 days") -> DataFrame:
     """Replay the events table TWICE through the watermark-bounded streaming
     dedup and return the surviving keys — the parity proof that first-wins

@@ -480,3 +480,31 @@ def test_passage_dedup_dataframe_matches_sql_form(spark, sf_dir):
         ).collect()
     }
     assert df_form == sql_form and df_form
+
+
+def test_incremental_minhash_equals_cross_restricted_full(spark, sf_dir):
+    """The cross-snapshot pipeline must emit exactly the full pipeline's
+    pairs that straddle the split (same hash family → identical banding →
+    identical recall; verify makes precision exact on both)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    cross_full = {
+        k: v for k, v in full.items() if (k[0] % 7 == 0) != (k[1] % 7 == 0)
+    }
+    inc = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r["jaccard"]
+        for r in incremental_minhash_pairs(
+            docs.where("doc_id % 7 = 0"),
+            docs.where("doc_id % 7 != 0"),
+            threshold=0.3,
+        ).collect()
+    }
+    assert inc == cross_full
