@@ -67,6 +67,11 @@ HEADLINE = [
     "pii_redaction_report",
     "boilerplate_ngrams",
     "boilerplate_doc_coverage",
+    "dedup_incremental",
+    "dedup_minhash_incremental",
+    "dedup_passages",
+    "text_unigram_loglik",
+    "curate_blocklist",
 ]
 
 
@@ -82,6 +87,11 @@ def _extra_paths():
     return {
         "dedup_minhash_lsh": lambda spark, sf: D.minhash_lsh_pairs(
             spark.table("documents"), threshold=0.3
+        ),
+        "dedup_minhash_incremental": lambda spark, sf: D.incremental_minhash_pairs(
+            spark.table("documents").where("doc_id % 7 = 0"),
+            spark.table("documents").where("doc_id % 7 != 0"),
+            threshold=0.3,
         ),
     }
 

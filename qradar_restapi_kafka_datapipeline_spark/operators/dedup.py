@@ -834,6 +834,8 @@ def incremental_dedup(
     fits.  No reference counterpart (the reference re-ingests blindly,
     `etl.py:16-49`, relying on ClickHouse merge); this is a north-star op.
     """
+    from pyspark.sql import Window
+
     fp = _snapshot_fingerprint(text_col, prefix_words)
     new_fp = _spread(new_df).select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
@@ -843,8 +845,16 @@ def incremental_dedup(
         _spread(corpus_df).select(fp.alias("fingerprint")).distinct()
     )
     fresh = new_fp.join(corpus_fp, "fingerprint", "left_anti")
-    canon = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    return fresh.join(canon, [id_col, "fingerprint"], "left_semi")
+    # min-id per in-batch fingerprint group via ROW_NUMBER, not groupBy +
+    # semi-join: the window consumes `fresh` ONCE (the join form recomputes
+    # the anti-join for both the aggregate and the probe side) and its sort
+    # runs inside fingerprint partitions whose groups are dup-group-sized.
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def incremental_dedup_oracle_sql(
