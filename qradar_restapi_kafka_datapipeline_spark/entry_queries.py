@@ -1584,10 +1584,21 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # ---- source/term blocklist screen (C4 badwords + URL-blocklist shape) ---
     from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
         blocklist_verdict_sql,
+        mix_to_target_sql,
     )
 
     q["curate_blocklist"] = _shared_sql_entry(
         blocklist_verdict_sql("spark"), blocklist_verdict_sql("duckdb")
+    )
+
+    # ---- data mixing: balance languages to a uniform target mix -------------
+    # Stratify on lang (218 en vs 64 fr at the gate SFs), so high-resource
+    # languages are genuinely downsampled toward the smallest stratum — the
+    # multilingual-balancing move; sources are exactly uniform in this data
+    # and would make the filter a no-op.
+    q["mix_to_target_weights"] = _df_entry(
+        lambda spark, sf: spark.sql(mix_to_target_sql("spark", strat_col="lang")),
+        mix_to_target_sql("duckdb", strat_col="lang"),
     )
 
     # ---- domain mixing weights ----------------------------------------------

@@ -245,6 +245,44 @@ def blocklist_semijoin(
     return hits.select(id_col).distinct()
 
 
+def mix_to_target_sql(
+    dialect: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> str:
+    """Downsample strata to a TARGET mix (uniform here: every source equally
+    weighted) — the data-mixing step a training pipeline runs after
+    :func:`text.domain_mix_sql` reports the natural mix (Gopher §A2 / Llama
+    mixture reweighting, downsample-only flavor).
+
+    With uniform targets the feasible budget is set by the SMALLEST stratum:
+    rate_s = min_count / n_s, materialized as integer basis points (FLOOR +
+    1e-9 guard) so the keep decision — portable-hash slot < rate_bp — is
+    bit-identical in any engine and auditable/resumable like
+    :func:`stratified_sample_sql`.
+
+    Plan shape: one stratum-count aggregate (|sources| rows), a scalar min
+    folded over it, broadcast back onto the scan as a pure filter — the
+    corpus is read once, no corpus-wide shuffle.
+    """
+    h = portable_id_hash_sql(f"d.{id_col}", dialect)
+    return f"""
+    WITH counts AS (
+      SELECT {strat_col}, COUNT(*) AS n FROM {table} GROUP BY {strat_col}
+    ),
+    budget AS (SELECT MIN(n) AS min_n FROM counts),
+    rates AS (
+      SELECT {strat_col},
+             CAST(FLOOR(min_n * 10000.0 / n + 1e-9) AS INT) AS rate_bp
+      FROM counts CROSS JOIN budget
+    )
+    SELECT d.{id_col}, d.{strat_col}, r.rate_bp
+    FROM {table} d JOIN rates r ON d.{strat_col} = r.{strat_col}
+    WHERE ({h} % 10000) < r.rate_bp
+    """
+
+
 def length_histogram_sql(bucket_chars: int = 50, table: str = "documents") -> str:
     """Corpus length histogram (dialect-common; the standard curation
     diagnostic before choosing length cutoffs)."""

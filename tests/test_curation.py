@@ -169,3 +169,43 @@ def test_blocklist_semijoin_matches_inline_form(spark):
     terms = spark.createDataFrame([Row(term="dup"), Row(term="missingterm")])
     flagged = {r.doc_id for r in C.blocklist_semijoin(docs, terms).collect()}
     assert flagged == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# data mixing to target weights
+# ---------------------------------------------------------------------------
+
+
+def test_mix_to_target_balances_strata(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "mix_docs"
+    )
+    out = spark.sql(
+        C.mix_to_target_sql("spark", table="mix_docs", strat_col="lang")
+    )
+    kept = out.groupBy("lang").count().collect()
+    orig = {
+        r["lang"]: r["count"]
+        for r in spark.table("mix_docs").groupBy("lang").count().collect()
+    }
+    min_n = min(orig.values())
+    for r in kept:
+        # hash-gated binomial: realized counts track min_n within sampling
+        # noise; the smallest stratum is kept whole (rate_bp = 10000)
+        assert r["count"] <= orig[r["lang"]]
+        assert abs(r["count"] - min_n) <= 0.5 * min_n
+    full = {r["lang"] for r in kept if orig[r["lang"]] == min_n}
+    smallest = {k for k, v in orig.items() if v == min_n}
+    kept_counts = {r["lang"]: r["count"] for r in kept}
+    for lang in smallest:
+        assert kept_counts[lang] == orig[lang]
+
+
+def test_mix_to_target_deterministic(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "mix_docs2"
+    )
+    q = C.mix_to_target_sql("spark", table="mix_docs2", strat_col="lang")
+    a = {r["doc_id"] for r in spark.sql(q).collect()}
+    b = {r["doc_id"] for r in spark.sql(q).collect()}
+    assert a == b and a
