@@ -137,3 +137,106 @@ def test_sessionize_differential_vs_reference_impl(spark):
             for r in sessionize(df, agg_cols={"value": "total_value"}).collect()
         )
         assert got == ref_sessions(rows), f"seed {seed} diverged"
+
+
+# ---------------------------------------------------------------------------
+# passage dedup / unigram LM vs pure-Python reference implementations
+# ---------------------------------------------------------------------------
+
+_vocab = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc_texts = st.lists(
+    st.lists(_vocab, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=25,
+)
+
+
+def _ref_passage_dedup(texts, k, min_dup_docs):
+    import hashlib
+    import math
+
+    chunks = {}
+    for d, text in enumerate(texts):
+        w = text.strip().split()
+        n = max(math.ceil(len(w) / k), 1)
+        chunks[d] = [" ".join(w[i * k : (i + 1) * k]) for i in range(n)]
+    seen = {}
+    for d, ps in chunks.items():
+        for p in ps:
+            seen.setdefault(p, set()).add(d)
+    dup = {p for p, ds in seen.items() if len(ds) >= min_dup_docs}
+    out = {}
+    for d, ps in chunks.items():
+        kept = [p for p in ps if p not in dup]
+        clean = " ".join(kept)
+        out[d] = (
+            len(ps),
+            len(kept),
+            len(ps) - len(kept),
+            hashlib.md5(clean.encode()).hexdigest(),
+            len(clean),
+        )
+    return out
+
+
+class TestPassageDedupDifferential:
+    """Random small-vocab corpora (repeats guaranteed) vs a from-scratch
+    Python implementation of the same spec — catches chunking/reassembly
+    edge cases (partial tail chunks, all-dropped docs, within-doc repeats)
+    the planted tests don't enumerate."""
+
+    @settings(max_examples=4, deadline=None)
+    @given(_doc_texts)
+    def test_matches_reference(self, spark, texts):
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            passage_dedup,
+        )
+
+        k = 2
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).createOrReplaceTempView("prop_pd_docs")
+        got = {
+            r["doc_id"]: (
+                r["n_passages"],
+                r["n_kept"],
+                r["n_dropped"],
+                r["clean_fp"],
+                r["clean_chars"],
+            )
+            for r in passage_dedup(
+                spark, k=k, min_dup_docs=2, table="prop_pd_docs"
+            ).collect()
+        }
+        assert got == _ref_passage_dedup(texts, k, 2)
+
+
+class TestUnigramLoglikDifferential:
+    @settings(max_examples=4, deadline=None)
+    @given(_doc_texts)
+    def test_matches_reference(self, spark, texts):
+        import math
+        from collections import Counter
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            unigram_loglik_sql,
+        )
+
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).createOrReplaceTempView("prop_ug_docs")
+        toks = {i: t.strip().split() for i, t in enumerate(texts)}
+        freq = Counter(w for ws in toks.values() for w in ws)
+        total = sum(freq.values())
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["mean_tok_freq"], r["mean_loglik"])
+            for r in spark.sql(
+                unigram_loglik_sql("spark", "prop_ug_docs")
+            ).collect()
+        }
+        for d, ws in toks.items():
+            n, mtf, mll = got[d]
+            assert n == len(ws)
+            assert abs(mtf - round(sum(freq[w] for w in ws) / n + 1e-9, 6)) < 1e-9
+            ref_ll = sum(math.log(freq[w] / total) for w in ws) / n
+            assert abs(mll - ref_ll) < 1e-3  # 4dp rounding + libm ulp
