@@ -6,12 +6,16 @@
 Stage order mirrors a production pretraining-data pipeline:
 
     raw corpus
+      → blocklist screen (source/term verdicts)
       → length histogram (choose cutoffs)
       → lang/quality/length filter + exact-dedup canonicalization
       → per-language quality-quantile pruning (relative floor)
+      → passage-level dedup (cross-document boilerplate scrub)
       → near-dup removal (prefix fingerprint, then MinHash LSH)
+      → incremental dedup of a NEW delivery against the held corpus
       → cross-split contamination screen (protect the eval split)
-      → domain mixing weights + stratified sample
+      → unigram LM quality score (corpus-trained perplexity proxy)
+      → domain mixing weights + stratified sample + lang rebalance
       → token-budget sequence packing
 
 Every stage is a DataFrame transformation (no driver-side loops); the same
@@ -31,18 +35,25 @@ from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
     contamination_report,
 )
 from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+    blocklist_verdict_sql,
     curate_corpus_sql,
     length_histogram_sql,
+    mix_to_target_sql,
     pack_sequences,
     quality_quantile_sql,
     stratified_sample,
 )
 from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
     dedup_corpus_near,
+    incremental_dedup,
     minhash_lsh_pairs,
+    passage_dedup,
     prefix_dup_groups,
 )
-from qradar_restapi_kafka_datapipeline_spark.operators.text import domain_mix_sql
+from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+    domain_mix_sql,
+    unigram_loglik_sql,
+)
 
 
 def main() -> None:
@@ -53,6 +64,11 @@ def main() -> None:
     docs = spark.table("documents")
     n_raw = docs.count()
     print(f"[0] raw corpus: {n_raw} docs")
+
+    # 0b. blocklist screen — the first gate a web corpus passes
+    verdicts = spark.sql(blocklist_verdict_sql("spark"))
+    vc = {r["verdict"]: r["count"] for r in verdicts.groupBy("verdict").count().collect()}
+    print(f"[0b] blocklist verdicts: {vc}")
 
     # 1. length histogram — the diagnostic you pick cutoffs from
     hist = spark.sql(length_histogram_sql()).orderBy("len_bucket")
@@ -67,6 +83,11 @@ def main() -> None:
     quant = spark.sql(quality_quantile_sql("spark"))
     print(f"[3] above per-lang p25 quality: {quant.count()} of {n_raw}")
 
+    # 3b. passage-level dedup: scrub passages repeated across documents
+    scrubbed = passage_dedup(spark, k=10, min_dup_docs=2)
+    touched = scrubbed.where(F.col("n_dropped") > 0).count()
+    print(f"[3b] passage dedup: {touched} of {n_raw} docs had passages scrubbed")
+
     # 4. near-dup removal: cheap prefix screen, then MinHash LSH + verify
     prefix_groups = prefix_dup_groups(docs)
     near = minhash_lsh_pairs(docs, threshold=0.85)
@@ -77,6 +98,16 @@ def main() -> None:
         f"cluster-collapsed corpus: {deduped.count()} docs"
     )
 
+    # 4b. incremental dedup: a NEW delivery (doc_id % 7 == 0 stands in)
+    # against the held corpus — the recurring-crawl step
+    survivors = incremental_dedup(
+        docs.where("doc_id % 7 = 0"),
+        docs.where("doc_id % 7 != 0"),
+        prefix_words=20,
+    )
+    n_new = docs.where("doc_id % 7 = 0").count()
+    print(f"[4b] incremental dedup: {survivors.count()} of {n_new} new docs survive")
+
     # 5. contamination screen on the held-out split (doc_id % 5 == 0)
     cont = contamination_report(docs)
     flagged = cont.where(F.col("contamination_rate") > 0.5)
@@ -85,11 +116,18 @@ def main() -> None:
         f"{flagged.count()} flagged at rate>0.5"
     )
 
-    # 6. mixing weights + deterministic stratified sample
+    # 5b. corpus-trained unigram LM score (CCNet/KenLM-style quality proxy)
+    lm = spark.sql(unigram_loglik_sql("spark"))
+    print("[5b] unigram LM score (lowest-likelihood docs):")
+    lm.orderBy("mean_loglik").select("doc_id", "n_tokens", "mean_loglik").show(3)
+
+    # 6. mixing weights + deterministic stratified sample + lang rebalance
     print("[6] domain mix weights:")
     spark.sql(domain_mix_sql()).orderBy(F.desc("mix_weight")).show(5)
     sample = stratified_sample(docs, {"src0": 5000, "src1": 2500}, default_bp=1000)
     print(f"    stratified sample: {sample.count()} docs")
+    balanced = spark.sql(mix_to_target_sql("spark", strat_col="lang"))
+    print(f"    lang-balanced (uniform target): {balanced.count()} docs")
 
     # 7. pack into token-budget training sequences
     packed = pack_sequences(docs, budget=512, shard_size=100)
