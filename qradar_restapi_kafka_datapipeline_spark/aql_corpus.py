@@ -97,3 +97,49 @@ DEFAULT_PARAMS: dict[str, str] = {
     "stop_time": "2024-01-21 00:00:00",
     "event_processor": "ep1",
 }
+
+
+class QueryFileError(RuntimeError):
+    """A query registry file is missing, malformed, or the wrong shape."""
+
+
+def load_query_file(path) -> dict[str, str]:
+    """Load a ``{name: aql_string}`` JSON query registry from disk — the
+    reference's external query-input channel (``qradar/input/queries.json``,
+    loaded by ``attributes.py:13-33``) with its error-context contract:
+    a malformed file raises with the filename AND the first lines of the
+    offending content quoted, so the operator can see the typo without
+    opening the file.  Deliberate deviation: a typed :class:`QueryFileError`
+    instead of the reference's ``SystemExit`` — a library must not kill the
+    caller's driver process.
+
+    The loaded queries run through the same frontend as the built-in corpus:
+    ``setup(spark, sf_dir).sql(load_query_file(p)["MyQuery"], params)``.
+    """
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    try:
+        with p.open("r") as f:
+            data = json.load(f)
+    except FileNotFoundError as e:
+        raise QueryFileError(f"Error loading {p.name}: {e}") from e
+    except json.JSONDecodeError as e:
+        try:
+            with p.open("r") as f:
+                context = "".join(f.readlines()[:3])
+        except OSError:
+            context = "<unreadable>"
+        raise QueryFileError(
+            f"Error loading {p.name}: invalid JSON at line {e.lineno} "
+            f"column {e.colno} ({e.msg}). Error near:\n{context}"
+        ) from e
+    if not isinstance(data, dict) or not all(
+        isinstance(k, str) and isinstance(v, str) for k, v in data.items()
+    ):
+        raise QueryFileError(
+            f"Error loading {p.name}: expected a flat "
+            '{"query_name": "AQL string"} object'
+        )
+    return data

@@ -192,3 +192,56 @@ def test_dynamic_cidr_left_for_runtime_udf():
 def test_malformed_calls_raise_instead_of_mistranslating(bad):
     with pytest.raises(ValueError):
         translate(bad, dialect="spark")
+
+
+class TestQueryFileLoading:
+    """Reference parity for the JSON query-input channel (attributes.py:13-33):
+    valid files load and run through the frontend; malformed files fail with
+    the filename + offending content quoted."""
+
+    def test_loads_reference_shaped_file(self, tmp_path, spark, sf_dir):
+        import json
+
+        from qradar_restapi_kafka_datapipeline_spark.aql_corpus import (
+            AQL_CORPUS,
+            DEFAULT_PARAMS,
+            load_query_file,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+
+        p = tmp_path / "queries.json"
+        p.write_text(json.dumps({"MyQuery": AQL_CORPUS["TopSecurityEvents"]}))
+        loaded = load_query_file(p)
+        assert list(loaded) == ["MyQuery"]
+        df = setup(spark, sf_dir).sql(loaded["MyQuery"], DEFAULT_PARAMS)
+        assert df.count() > 0
+
+    def test_invalid_json_quotes_context(self, tmp_path):
+        import pytest
+
+        from qradar_restapi_kafka_datapipeline_spark.aql_corpus import (
+            QueryFileError,
+            load_query_file,
+        )
+
+        p = tmp_path / "bad.json"
+        p.write_text('{"q": SELECT *}')
+        with pytest.raises(QueryFileError) as ei:
+            load_query_file(p)
+        msg = str(ei.value)
+        assert "bad.json" in msg and "SELECT *" in msg and "line 1" in msg
+
+    def test_missing_file_and_wrong_shape(self, tmp_path):
+        import pytest
+
+        from qradar_restapi_kafka_datapipeline_spark.aql_corpus import (
+            QueryFileError,
+            load_query_file,
+        )
+
+        with pytest.raises(QueryFileError, match="nope.json"):
+            load_query_file(tmp_path / "nope.json")
+        p = tmp_path / "list.json"
+        p.write_text('[{"a": 1}]')
+        with pytest.raises(QueryFileError, match="flat"):
+            load_query_file(p)
