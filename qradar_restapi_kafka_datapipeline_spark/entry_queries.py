@@ -1568,6 +1568,13 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: D.passage_dedup(spark, k=10, min_dup_docs=2),
         D.passage_dedup_sql("duckdb", k=10, min_dup_docs=2),
     )
+    # Span analytics over the same chunk relation: consecutive duplicated
+    # passages merged into islands — long max spans flag mirrors, scattered
+    # singletons flag quoted boilerplate.
+    q["dedup_passage_spans"] = _df_entry(
+        lambda spark, sf: spark.sql(D.passage_dup_spans_sql("spark")),
+        D.passage_dup_spans_sql("duckdb"),
+    )
 
     # ---- Gopher-style repetition signals -------------------------------------
     q["text_repetition_stats"] = _df_entry(
@@ -1579,6 +1586,12 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["text_unigram_loglik"] = _df_entry(
         lambda spark, sf: spark.sql(T.unigram_loglik_sql("spark")),
         T.unigram_loglik_sql("duckdb"),
+    )
+
+    # ---- TF-IDF top-k keywords per doc (deterministic rounded-score rank) ---
+    q["text_tfidf_topk"] = _df_entry(
+        lambda spark, sf: spark.sql(T.tfidf_topk_sql("spark")),
+        T.tfidf_topk_sql("duckdb"),
     )
 
     # ---- source/term blocklist screen (C4 badwords + URL-blocklist shape) ---

@@ -1011,6 +1011,75 @@ def _passage_hash(dialect: str, col: str = "passage") -> str:
     return f"('0x' || substr(md5({col}), 1, 15))::BIGINT"
 
 
+def _chunk_ctes(dialect: str, k: int, table: str) -> str:
+    """The shared ``docs``/``chunks``/``hashed`` CTE prefix: split to words,
+    window into k-word passages with their index, key by the 60-bit portable
+    passage hash.  Used by passage dedup AND the span analytics."""
+    h = _passage_hash(dialect)
+    if dialect == "spark":
+        split_w = "split(trim(text), '\\\\s+')"
+        chunks = (
+            f"SELECT doc_id, i AS chunk_idx, "
+            f"array_join(slice(w, i * {k} + 1, {k}), ' ') AS passage "
+            f"FROM docs LATERAL VIEW explode(sequence(0, "
+            f"CAST(ceil(size(w) / {k}.0) AS INT) - 1)) t AS i"
+        )
+    else:
+        split_w = "regexp_split_to_array(trim(text), '\\s+')"
+        chunks = (
+            f"SELECT doc_id, i AS chunk_idx, "
+            f"array_to_string(list_slice(w, i * {k} + 1, i * {k} + {k}), ' ') "
+            f"AS passage "
+            f"FROM docs, UNNEST(generate_series(0, "
+            f"CAST(ceil(len(w) / {k}.0) AS INT) - 1)) AS t(i)"
+        )
+    return f"""
+    WITH docs AS (SELECT doc_id, {split_w} AS w FROM {table}),
+    chunks AS ({chunks}),
+    hashed AS (SELECT doc_id, chunk_idx, passage, {h} AS ph FROM chunks)"""
+
+
+def passage_dup_spans_sql(
+    dialect: str,
+    k: int = 10,
+    min_dup_docs: int = 2,
+    table: str = "documents",
+) -> str:
+    """Per-document DUPLICATED-SPAN analytics: merge runs of consecutive
+    duplicated passages into spans (gaps-and-islands on chunk_idx) and report
+    span count, longest span, and total duplicated chunks — the diagnostic
+    behind substring-level dedup decisions (Lee et al. 2022 report most
+    removable text sits in LONG runs; a doc whose dups are one long span is a
+    mirror, scattered single-chunk dups are quotes/boilerplate).
+
+    Same chunk/hash CTEs as :func:`passage_dedup_sql`; the islands trick
+    (chunk_idx - ROW_NUMBER partitioned by doc) is a per-doc window over the
+    doc's own dup chunks — group sizes bounded by a document's length, never
+    the corpus.  Only docs with at least one duplicated passage appear.
+    """
+    return f"""{_chunk_ctes(dialect, k, table)},
+    dup_keys AS (
+      SELECT ph FROM hashed GROUP BY ph
+      HAVING COUNT(DISTINCT doc_id) >= {min_dup_docs}
+    ),
+    dup_chunks AS (
+      SELECT doc_id, chunk_idx,
+             chunk_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY chunk_idx) AS island
+      FROM hashed WHERE ph IN (SELECT ph FROM dup_keys)
+    ),
+    spans AS (
+      SELECT doc_id, island, COUNT(*) AS span_len
+      FROM dup_chunks GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_len) AS BIGINT) AS max_span_chunks,
+           CAST(SUM(span_len) AS BIGINT) AS n_dup_chunks
+    FROM spans GROUP BY doc_id
+    """
+
+
 def passage_dedup_sql(
     dialect: str,
     k: int = 10,
@@ -1032,15 +1101,7 @@ def passage_dedup_sql(
     the md5 + length of the reassembled text (full text stays available in
     :func:`passage_dedup`; the fingerprint keeps the gate row narrow).
     """
-    h = _passage_hash(dialect)
     if dialect == "spark":
-        split_w = "split(trim(text), '\\\\s+')"
-        chunks = (
-            f"SELECT doc_id, i AS chunk_idx, "
-            f"array_join(slice(w, i * {k} + 1, {k}), ' ') AS passage "
-            f"FROM docs LATERAL VIEW explode(sequence(0, "
-            f"CAST(ceil(size(w) / {k}.0) AS INT) - 1)) t AS i"
-        )
         reasm = (
             "SELECT doc_id, COUNT(*) AS n_kept, "
             "concat_ws(' ', transform(array_sort(collect_list("
@@ -1048,23 +1109,12 @@ def passage_dedup_sql(
             "FROM kept GROUP BY doc_id"
         )
     else:
-        split_w = "regexp_split_to_array(trim(text), '\\s+')"
-        chunks = (
-            f"SELECT doc_id, i AS chunk_idx, "
-            f"array_to_string(list_slice(w, i * {k} + 1, i * {k} + {k}), ' ') "
-            f"AS passage "
-            f"FROM docs, UNNEST(generate_series(0, "
-            f"CAST(ceil(len(w) / {k}.0) AS INT) - 1)) AS t(i)"
-        )
         reasm = (
             "SELECT doc_id, COUNT(*) AS n_kept, "
             "string_agg(passage, ' ' ORDER BY chunk_idx) AS clean_text "
             "FROM kept GROUP BY doc_id"
         )
-    return f"""
-    WITH docs AS (SELECT doc_id, {split_w} AS w FROM {table}),
-    chunks AS ({chunks}),
-    hashed AS (SELECT doc_id, chunk_idx, passage, {h} AS ph FROM chunks),
+    return f"""{_chunk_ctes(dialect, k, table)},
     dup_keys AS (
       SELECT ph FROM hashed GROUP BY ph
       HAVING COUNT(DISTINCT doc_id) >= {min_dup_docs}

@@ -239,6 +239,53 @@ def domain_mix_sql(source: str = "documents") -> str:
     )
 
 
+def tfidf_topk_sql(dialect: str, k: int = 3, source: str = "documents") -> str:
+    """Top-``k`` TF-IDF keywords per document — the classic salience signal
+    (keyword indexing, topic labeling, quality heuristics).
+
+    tf = in-doc term count; idf = LN((N+1)/(df+1)) with add-one smoothing so
+    a corpus-universal term scores ~0 instead of exploding on df=N.  Ranking
+    uses the ROUNDED score with the term itself as the tiebreaker, so the
+    top-k set is deterministic and engine-portable (raw float ordering would
+    let a 1-ulp libm difference flip ties).
+
+    Plan shape: one (doc, term) aggregate, one vocab-sized df aggregate
+    joined back (AQE broadcasts real vocabularies), one per-doc window over
+    the doc's OWN terms — group sizes bounded by per-doc vocabulary, never
+    corpus size.
+    """
+    if dialect == "spark":
+        tok_src = (
+            "SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS term "
+            f"FROM {source}"
+        )
+    else:
+        tok_src = (
+            "SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            f"AS term FROM {source}"
+        )
+    return f"""
+    WITH tok AS ({tok_src}),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             ROUND(t.tf * LN((n.n_docs + 1.0) / (d.df + 1.0)) + 1e-9, 4)
+               AS tfidf
+      FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # corpus-trained unigram LM score — the KenLM-style perplexity proxy
 # ---------------------------------------------------------------------------

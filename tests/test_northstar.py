@@ -508,3 +508,32 @@ def test_incremental_minhash_equals_cross_restricted_full(spark, sf_dir):
         ).collect()
     }
     assert inc == cross_full
+
+
+def test_passage_dup_spans_islands(spark):
+    from pyspark.sql import Row
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        passage_dup_spans_sql,
+    )
+
+    # k=2: doc 0 = [AA][BB][zz qq][AA][CC]; docs 1-3 donate AA/BB/CC dups.
+    # Chunks 0,1 are a consecutive dup run (one span of 2); chunk 3(AA),4(CC)
+    # are consecutive again (span of 2)?? chunk 3 = 'a1 a2', chunk 4 = 'c1 c2'
+    # -> islands: {0,1} and {3,4} -> 2 spans, max 2, total 4.
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a1 a2 b1 b2 zz qq a1 a2 c1 c2"),
+            Row(doc_id=1, text="a1 a2 x1 x2"),
+            Row(doc_id=2, text="b1 b2 y1 y2"),
+            Row(doc_id=3, text="c1 c2 w1 w2"),
+        ]
+    ).createOrReplaceTempView("span_docs")
+    out = {
+        r.doc_id: (r.n_spans, r.max_span_chunks, r.n_dup_chunks)
+        for r in spark.sql(
+            passage_dup_spans_sql("spark", k=2, min_dup_docs=2, table="span_docs")
+        ).collect()
+    }
+    assert out[0] == (2, 2, 4)
+    assert out[1] == (1, 1, 1) and out[2] == (1, 1, 1) and out[3] == (1, 1, 1)

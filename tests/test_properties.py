@@ -240,3 +240,44 @@ class TestUnigramLoglikDifferential:
             assert abs(mtf - round(sum(freq[w] for w in ws) / n + 1e-9, 6)) < 1e-9
             ref_ll = sum(math.log(freq[w] / total) for w in ws) / n
             assert abs(mll - ref_ll) < 1e-3  # 4dp rounding + libm ulp
+
+
+class TestTfidfDifferential:
+    @settings(max_examples=3, deadline=None)
+    @given(_doc_texts)
+    def test_matches_reference(self, spark, texts):
+        import math
+        from collections import Counter
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            tfidf_topk_sql,
+        )
+
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).createOrReplaceTempView("prop_tfidf_docs")
+        k = 2
+        got = {}
+        for r in spark.sql(
+            tfidf_topk_sql("spark", k=k, source="prop_tfidf_docs")
+        ).collect():
+            got.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["tfidf"]))
+        toks = {i: t.strip().split() for i, t in enumerate(texts)}
+        df = Counter()
+        for ws in toks.values():
+            df.update(set(ws))
+        n_docs = len(texts)
+        for d, ws in toks.items():
+            tf = Counter(ws)
+            scored = sorted(
+                (
+                    (
+                        round(c * math.log((n_docs + 1.0) / (df[w] + 1.0)) + 1e-9, 4),
+                        w,
+                    )
+                    for w, c in tf.items()
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            ref = [(i + 1, w, s) for i, (s, w) in enumerate(scored)]
+            assert sorted(got[d]) == ref, f"doc {d}"
