@@ -43,7 +43,8 @@ def main() -> None:
         setup(spark, base)
         n = spark.table("events").count()
 
-        def report(name: str, times: list[float]) -> None:
+        def report(name: str, times: list[float], rows: int | None = None) -> None:
+            rows = n if rows is None else rows
             with open("/proc/loadavg") as f:
                 load1 = float(f.read().split()[0])
             sec = min(times)
@@ -51,9 +52,9 @@ def main() -> None:
                 json.dumps(
                     {
                         "metric": name,
-                        "rows": n,
+                        "rows": rows,
                         "sec": round(sec, 2),
-                        "rows_per_sec": int(n / sec),
+                        "rows_per_sec": int(rows / sec),
                         "runs": [round(t, 2) for t in times],
                         "loadavg1": load1,
                     }
@@ -113,6 +114,24 @@ def main() -> None:
             ).awaitTermination()
             times.append(time.time() - t0)
         report("streaming_rollup_drain_rows_per_sec", times)
+
+        # Text-curation scoring throughput (docs/s): the batch/stream-shared
+        # projection (lang-ID + quality + token counts + PII redact) over the
+        # amplified documents table — all codegen expressions, zero shuffle,
+        # so this is the pure per-doc scoring cost a 100 TB sweep pays.
+        from qradar_restapi_kafka_datapipeline_spark.streaming.curation_stream import (
+            curation_projection_sql,
+        )
+
+        nd = spark.table("documents").count()
+        times = []
+        for i in range(2):
+            t0 = time.time()
+            spark.sql(curation_projection_sql("spark")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times.append(time.time() - t0)
+        report("curation_scoring_docs_per_sec", times, rows=nd)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
