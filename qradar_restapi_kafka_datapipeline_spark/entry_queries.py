@@ -1594,6 +1594,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         T.tfidf_topk_sql("duckdb"),
     )
 
+    # ---- winnowing fingerprints (MOSS) + copy-detection overlap join --------
+    q["text_winnow_fingerprints"] = _df_entry(
+        lambda spark, sf: spark.sql(T.winnow_fingerprints_sql("spark")),
+        T.winnow_fingerprints_sql("duckdb"),
+    )
+    q["text_winnow_overlap"] = _df_entry(
+        lambda spark, sf: spark.sql(T.winnow_overlap_sql("spark")),
+        T.winnow_overlap_sql("duckdb"),
+    )
+
     # ---- source/term blocklist screen (C4 badwords + URL-blocklist shape) ---
     from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
         blocklist_verdict_sql,

@@ -239,6 +239,89 @@ def domain_mix_sql(source: str = "documents") -> str:
     )
 
 
+def winnow_fingerprints_sql(
+    dialect: str,
+    k: int = 3,
+    window: int = 4,
+    source: str = "documents",
+) -> str:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    algorithm): hash every word ``k``-gram, slide a ``window`` over the hash
+    sequence, keep each window's minimum — the guarantee is any shared run of
+    ``window + k - 1`` words between two documents shares at least one
+    selected fingerprint, at ~2/(window+1) the storage of full shingling.
+
+    Emits the DISTINCT selected hash values per doc (value set, not
+    positions — ties then need no right-most rule and the set is order-free).
+    All per-doc array work (hash sequence, window minima) runs inside one
+    projection on 60-bit portable hashes, identical in both engines; the
+    only shuffle is the final DISTINCT keyed by (doc, fp).
+    """
+    if dialect == "spark":
+        gram = (
+            "concat_ws(' ', "
+            + ", ".join(
+                f"try_element_at(w, CAST(i + {j} AS INT))" for j in range(k)
+            )
+            + ")"
+        )
+        h = f"CAST(CONV(SUBSTR(MD5({gram}), 1, 15), 16, 10) AS BIGINT)"
+        split_w = "split(trim(text), '\\\\s+')"
+        grams = (
+            f"SELECT doc_id, i, {h} AS h "
+            "FROM docs LATERAL VIEW explode(sequence(1, "
+            f"greatest(size(w) - {k - 1}, 1))) t AS i"
+        )
+    else:
+        gram = "concat_ws(' ', " + ", ".join(f"w[i+{j}]" for j in range(k)) + ")"
+        h = f"('0x' || substr(md5({gram}), 1, 15))::BIGINT"
+        split_w = "regexp_split_to_array(trim(text), '\\s+')"
+        grams = (
+            f"SELECT doc_id, i, {h} AS h "
+            "FROM docs, UNNEST(generate_series(1, "
+            f"greatest(len(w) - {k - 1}, 1))) AS t(i)"
+        )
+    # Relational, not array-lambda: Spark higher-order functions evaluate
+    # interpreted AND CollapseProject re-inlines the split/hash arrays into
+    # every lambda element (O(n²) md5 calls per doc — measured 85 s vs 2 s on
+    # the 500-doc gate).  The explode + frame-window form is linear, stays in
+    # codegen, and is the SAME SQL shape in both engines.
+    return f"""
+    WITH docs AS (SELECT doc_id, {split_w} AS w FROM {source}),
+    grams AS ({grams}),
+    wins AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_h
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM wins
+    WHERE i <= GREATEST(n_h - {window - 1}, 1)
+    """
+
+
+def winnow_overlap_sql(
+    dialect: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 3,
+    source: str = "documents",
+) -> str:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints — the
+    MOSS copy-detection join.  Sub-quadratic the same way LSH is: pairs only
+    form on equal fingerprints (equi-join keyed on the 60-bit value), and the
+    winnowing density bound keeps each doc's fingerprint set ~2/(window+1)
+    of its shingle count."""
+    fps = winnow_fingerprints_sql(dialect, k, window, source)
+    return f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM ({fps}) a JOIN ({fps}) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+    """
+
+
 def tfidf_topk_sql(dialect: str, k: int = 3, source: str = "documents") -> str:
     """Top-``k`` TF-IDF keywords per document — the classic salience signal
     (keyword indexing, topic labeling, quality heuristics).

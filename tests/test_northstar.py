@@ -537,3 +537,32 @@ def test_passage_dup_spans_islands(spark):
     }
     assert out[0] == (2, 2, 4)
     assert out[1] == (1, 1, 1) and out[2] == (1, 1, 1) and out[3] == (1, 1, 1)
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's coverage guarantee: documents sharing a run of at least
+    window + k - 1 words share at least one selected fingerprint."""
+    from pyspark.sql import Row
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        winnow_overlap_sql,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6"  # window=4, k=3 -> guarantee at 6 words
+    spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"p1 p2 {shared} p3 p4"),
+            Row(doc_id=1, text=f"q1 {shared} q2 q3 q4"),
+            Row(doc_id=2, text="r1 r2 r3 r4 r5 r6 r7 r8"),
+        ]
+    ).createOrReplaceTempView("winnow_docs")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.sql(
+            winnow_overlap_sql(
+                "spark", k=3, window=4, min_shared=1, source="winnow_docs"
+            )
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
