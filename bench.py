@@ -70,8 +70,12 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_minhash_incremental",
     "dedup_passages",
+    "dedup_passage_spans",
     "text_unigram_loglik",
+    "text_tfidf_topk",
+    "text_winnow_overlap",
     "curate_blocklist",
+    "mix_to_target_weights",
 ]
 
 
