@@ -1594,6 +1594,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         T.tfidf_topk_sql("duckdb"),
     )
 
+    # ---- corpus Zipf/vocab profile + second-order LM score ------------------
+    q["corpus_vocab_stats"] = _df_entry(
+        lambda spark, sf: spark.sql(T.corpus_vocab_stats_sql("spark")),
+        T.corpus_vocab_stats_sql("duckdb"),
+    )
+    q["text_bigram_loglik"] = _df_entry(
+        lambda spark, sf: spark.sql(T.bigram_loglik_sql("spark")),
+        T.bigram_loglik_sql("duckdb"),
+    )
+
     # ---- winnowing fingerprints (MOSS) + copy-detection overlap join --------
     q["text_winnow_fingerprints"] = _df_entry(
         lambda spark, sf: spark.sql(T.winnow_fingerprints_sql("spark")),

@@ -239,6 +239,99 @@ def domain_mix_sql(source: str = "documents") -> str:
     )
 
 
+def corpus_vocab_stats_sql(dialect: str, source: str = "documents") -> str:
+    """One-row corpus vocabulary profile: vocab size, hapax count, total
+    tokens, top-1 and top-10 frequency coverage — the Zipf diagnostics read
+    before choosing tokenizer vocab sizes and frequency cutoffs.
+
+    All counts are exact integers off one token-frequency aggregate; the
+    top-10 sum is deterministic under count ties because only the COUNTS are
+    summed (any tie-equivalent token choice yields the same total).
+    """
+    if dialect == "spark":
+        tok_src = (
+            "SELECT explode(split(trim(text), '\\\\s+')) AS tok "
+            f"FROM {source}"
+        )
+    else:
+        tok_src = (
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+            f"FROM {source}"
+        )
+    return f"""
+    WITH tok AS ({tok_src}),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    top10 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS s
+      FROM (SELECT c FROM freq ORDER BY c DESC, tok LIMIT 10) t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           ROUND(MAX(c) * 1.0 / SUM(c) + 1e-9, 6) AS top1_share,
+           ROUND(MAX(top10.s) * 1.0 / SUM(c) + 1e-9, 6) AS top10_share
+    FROM freq CROSS JOIN top10
+    """
+
+
+def bigram_loglik_sql(dialect: str, source: str = "documents") -> str:
+    """Per-doc mean bigram log-likelihood with add-one smoothing —
+    ln((c(prev,cur)+1)/(c(prev)+V)) averaged over a doc's transitions: the
+    second-order CCNet/KenLM proxy (unigram_loglik_sql is the first-order
+    one).  Formulaic repeated text scores high, token-salad low, even when
+    both have common unigrams.
+
+    Plan: one bigram explode (positions 1..n-1), a bigram-count aggregate, a
+    left-word count aggregate, both joined back (vocab-sized, AQE
+    broadcastable), one per-doc mean.  Docs with a single word have no
+    transition and are absent, by construction.
+    """
+    if dialect == "spark":
+        w = "split(trim(text), '\\\\s+')"
+        # WHERE size >= 2, not greatest(n-1, 0): Spark sequence(1, 0) yields
+        # the DECREASING [1, 0], not an empty array like DuckDB's
+        # generate_series — a 1-word doc would emit junk transitions.
+        bg_src = (
+            f"SELECT doc_id, concat_ws(' ', try_element_at(w, CAST(i AS INT)), "
+            f"try_element_at(w, CAST(i + 1 AS INT))) AS bg, "
+            f"try_element_at(w, CAST(i AS INT)) AS prev "
+            f"FROM (SELECT doc_id, {w} AS w FROM {source}) d "
+            "LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i "
+            "WHERE size(w) >= 2"
+        )
+        tok_src = (
+            "SELECT explode(split(trim(text), '\\\\s+')) AS tok "
+            f"FROM {source}"
+        )
+    else:
+        w = "regexp_split_to_array(trim(text), '\\s+')"
+        bg_src = (
+            "SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS bg, w[i] AS prev "
+            f"FROM (SELECT doc_id, {w} AS w FROM {source}) d, "
+            "UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)"
+        )
+        tok_src = (
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+            f"FROM {source}"
+        )
+    return f"""
+    WITH bg AS ({bg_src}),
+    bgc AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+    tok AS ({tok_src}),
+    uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY tok),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(SUM(LN((c.cb + 1.0) / (u.cu + v.vocab))) / COUNT(*) + 1e-9, 4)
+             AS mean_bigram_loglik
+    FROM bg b
+    JOIN bgc c ON b.bg = c.bg
+    JOIN uni u ON b.prev = u.tok
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """
+
+
 def winnow_fingerprints_sql(
     dialect: str,
     k: int = 3,

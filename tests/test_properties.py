@@ -281,3 +281,42 @@ class TestTfidfDifferential:
             )[:k]
             ref = [(i + 1, w, s) for i, (s, w) in enumerate(scored)]
             assert sorted(got[d]) == ref, f"doc {d}"
+
+
+class TestBigramLoglikDifferential:
+    @settings(max_examples=3, deadline=None)
+    @given(_doc_texts)
+    def test_matches_reference(self, spark, texts):
+        import math
+        from collections import Counter
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            bigram_loglik_sql,
+        )
+
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).createOrReplaceTempView("prop_bg_docs")
+        got = {
+            r["doc_id"]: (r["n_transitions"], r["mean_bigram_loglik"])
+            for r in spark.sql(
+                bigram_loglik_sql("spark", "prop_bg_docs")
+            ).collect()
+        }
+        toks = {i: t.strip().split() for i, t in enumerate(texts)}
+        uni = Counter(w for ws in toks.values() for w in ws)
+        bg = Counter(
+            f"{ws[i]} {ws[i+1]}" for ws in toks.values() for i in range(len(ws) - 1)
+        )
+        v = len(uni)
+        for d, ws in toks.items():
+            if len(ws) < 2:
+                assert d not in got  # no transitions -> absent by construction
+                continue
+            trans = [(ws[i], f"{ws[i]} {ws[i+1]}") for i in range(len(ws) - 1)]
+            ref = sum(
+                math.log((bg[b] + 1.0) / (uni[p] + v)) for p, b in trans
+            ) / len(trans)
+            n, mll = got[d]
+            assert n == len(trans)
+            assert abs(mll - ref) < 1e-3
