@@ -1526,6 +1526,19 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: contamination_report(spark.table("documents")),
         contamination_oracle_sql(),
     )
+    # The removal action (GPT-3/PaLM direction): scrub TRAIN docs leaking
+    # eval shingles above the rate threshold; eval stays fixed.
+    from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+        decontaminate_oracle_sql,
+        decontaminate_train,
+    )
+
+    q["decontaminate_train"] = _df_entry(
+        lambda spark, sf: decontaminate_train(spark.table("documents")).select(
+            "doc_id", "source", "lang"
+        ),
+        decontaminate_oracle_sql(),
+    )
 
     # ---- prefix dedup (first-N-words fingerprint) ----------------------------
     q["dedup_prefix"] = _df_entry(

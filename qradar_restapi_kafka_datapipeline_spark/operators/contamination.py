@@ -74,6 +74,82 @@ def contamination_report(
     )
 
 
+def decontaminate_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    test_mod: int = 5,
+    max_rate: float = 0.5,
+) -> DataFrame:
+    """The REMOVAL action behind :func:`contamination_report`, in the
+    GPT-3/PaLM direction: drop TRAIN documents whose shingle overlap with
+    the eval split exceeds ``max_rate`` (training on eval content inflates
+    benchmarks; the eval set itself is fixed, so the train side is what gets
+    scrubbed).  Returns the surviving train docs.
+
+    Same join discipline as the report with the sides swapped: the TEST
+    shingle set is the DISTINCT small side (eval sets are tiny), so AQE
+    broadcasts it into the semi-join against train shingles — one pass over
+    the train corpus at any scale.
+    """
+    train = df.where(F.col(id_col) % test_mod != 0)
+    test_sh = (
+        _word_shingles(
+            df.where(F.col(id_col) % test_mod == 0), id_col, text_col, shingle_k
+        )
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = _word_shingles(train, id_col, text_col, shingle_k)
+    counts = train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    hits = (
+        train_sh.join(test_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    flagged = (
+        counts.join(hits, id_col)
+        .where(F.col("__h") / F.col("__n") > max_rate)
+        .select(id_col)
+    )
+    return train.join(flagged, id_col, "left_anti")
+
+
+def decontaminate_oracle_sql(
+    source: str = "documents",
+    shingle_k: int = 3,
+    test_mod: int = 5,
+    max_rate: float = 0.5,
+    out_cols: str = "doc_id, source, lang",
+) -> str:
+    """DuckDB twin of :func:`decontaminate_train` (shared shingle CTE shape
+    with :func:`contamination_oracle_sql`, roles swapped)."""
+    cols = ", ".join(f"w[i+{j}]" for j in range(shingle_k))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM {source}
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', {cols}) AS shingle
+      FROM docs,
+        UNNEST(generate_series(1, greatest(len(w) - {shingle_k - 1}, 1))) AS t(i)
+    ),
+    test_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {test_mod} = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % {test_mod} != 0),
+    rates AS (
+      SELECT doc_id,
+             SUM(CASE WHEN shingle IN (SELECT shingle FROM test_sh)
+                 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS r
+      FROM train GROUP BY doc_id
+    )
+    SELECT {out_cols} FROM {source}
+    WHERE doc_id % {test_mod} != 0
+      AND doc_id NOT IN (SELECT doc_id FROM rates WHERE r > {max_rate})
+    """
+
+
 def contamination_oracle_sql(
     source: str = "documents", shingle_k: int = 3, test_mod: int = 5
 ) -> str:

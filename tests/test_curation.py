@@ -209,3 +209,68 @@ def test_mix_to_target_deterministic(spark, sf_dir):
     a = {r["doc_id"] for r in spark.sql(q).collect()}
     b = {r["doc_id"] for r in spark.sql(q).collect()}
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# cross-engine parity on hostile text (unicode, emoji, whitespace, case)
+# ---------------------------------------------------------------------------
+
+
+def test_shared_sql_builders_agree_on_hostile_text(spark, tmp_path):
+    """The dialect-shared SQL builders must produce bit-identical relations
+    in Spark and DuckDB on inputs the clean synthetic corpus never shows:
+    accents, CJK, surrogate-pair emoji, tabs/newlines, multi-space runs,
+    leading/trailing whitespace, mixed case, and byte-identical duplicates."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        passage_dedup_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        bigram_loglik_sql,
+        normalized_md5_sql,
+        tfidf_topk_sql,
+        unigram_loglik_sql,
+        winnow_fingerprints_sql,
+    )
+
+    docs = [
+        (0, "héllo wörld ünïcode tëxt here okay"),
+        (1, "héllo wörld ünïcode tëxt here okay"),  # byte-identical dup
+        (2, "多 语 言 文 本 测 试"),
+        (3, "tab\tseparated and\nnewline   multi  space ok"),
+        (4, "single"),
+        (5, "  leading and trailing   "),
+        (6, "emoji 😀 text ok fine yes"),
+        (7, "MIXED Case WORDS mixed case words"),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        path,
+    )
+    spark.read.parquet(path).createOrReplaceTempView("edge_docs")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW edge_docs AS SELECT * FROM '{path}'")
+
+    builders = [
+        lambda d: passage_dedup_sql(d, k=3, min_dup_docs=2, table="edge_docs"),
+        lambda d: unigram_loglik_sql(d, "edge_docs"),
+        lambda d: tfidf_topk_sql(d, k=2, source="edge_docs"),
+        lambda d: winnow_fingerprints_sql(d, k=2, window=3, source="edge_docs"),
+        lambda d: bigram_loglik_sql(d, "edge_docs"),
+        lambda d: (
+            f"SELECT doc_id, {normalized_md5_sql('text', d)} AS fp FROM edge_docs"
+        ),
+    ]
+    for b in builders:
+        got = sorted(tuple(r) for r in spark.sql(b("spark")).collect())
+        want = sorted(tuple(r) for r in con.execute(b("duckdb")).fetchall())
+        assert got == want and got
