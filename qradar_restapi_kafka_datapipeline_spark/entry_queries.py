@@ -976,6 +976,77 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         _gap.format(ms="epoch_ms"),
     )
 
+    # ---- first-seen (new-entity) detection ----------------------------------
+    # "How many users / (user, event_type) pairs appeared for the FIRST time
+    # each day" — the new-entity feed SIEM rules alert on.  One MIN-aggregate
+    # per grain (map-side partial), day bucketing over the small first-seen
+    # relation; both grains in one relation via UNION ALL.
+    # (day as STRING: Spark's toPandas yields datetime.date for DATE columns
+    # while DuckDB's .df() yields datetime64 — same value, different repr in
+    # the gate hash; the ISO string is identical in both.)
+    q["first_seen_entities"] = _table_sql_entry(
+        "SELECT 'user' AS grain, CAST(CAST(first_ts AS DATE) AS STRING) AS day, "
+        "COUNT(*) AS n_new FROM ("
+        "  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id"
+        ") u GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'user_type' AS grain, CAST(CAST(first_ts AS DATE) AS STRING) AS day, "
+        "COUNT(*) AS n_new FROM ("
+        "  SELECT user_id, event_type, MIN(ts) AS first_ts FROM events "
+        "  GROUP BY user_id, event_type"
+        ") p GROUP BY 2"
+    )
+
+    # ---- beaconing detection: inter-arrival regularity per (user, type) -----
+    # The C2-beacon heuristic: a machine process emits events at near-constant
+    # intervals, so the coefficient of variation of its gaps is ~0 while
+    # human activity is bursty (cv ~1).  Float discipline (CLAUDE.md): gaps
+    # are exact BIGINT seconds; cv = sqrt(n*s2 - s1²)/s1 keeps every
+    # intermediate integer until the terminal sqrt/divide.  Σg ≤ time-span T
+    # ⇒ s2 ≤ T² (~7e12 s² for a month), so n·s2 stays in int64 up to ~1e6
+    # gaps per (user, type); past that both engines raise loudly (DuckDB
+    # HUGEINT cast, Spark ANSI) rather than silently drift.
+    _beacon = (
+        "WITH seq AS ("
+        "  SELECT user_id, event_type, ts, event_id, "
+        "  LAG(ts) OVER (PARTITION BY user_id, event_type "
+        "    ORDER BY ts, event_id) AS prev FROM events"
+        "), gaps AS ("
+        "  SELECT user_id, event_type, "
+        "  CAST({ms}(ts) AS BIGINT) {div} 1000 - "
+        "  CAST({ms}(prev) AS BIGINT) {div} 1000 AS g "
+        "  FROM seq WHERE prev IS NOT NULL"
+        "), stats AS ("
+        "  SELECT user_id, event_type, COUNT(*) AS n, "
+        "  CAST(SUM(g) AS BIGINT) AS s1, CAST(SUM(g * g) AS BIGINT) AS s2 "
+        "  FROM gaps GROUP BY 1, 2 HAVING COUNT(*) >= 5 AND SUM(g) > 0"
+        ") "
+        "SELECT user_id, event_type, CAST(n AS BIGINT) AS n_gaps, "
+        "ROUND(SQRT(GREATEST(n * s2 - s1 * s1, 0)) / s1 + 1e-9, 4) AS beacon_cv "
+        "FROM stats"
+    )
+    q["beaconing_score"] = _df_entry(
+        lambda spark, sf: spark.sql(_beacon.format(ms="unix_millis", div="DIV")),
+        _beacon.format(ms="epoch_ms", div="//"),
+    )
+
+    # ---- Markov transition matrix over per-user event sequences -------------
+    # LAG partitions by user (same shuffle contract as sessionize); the
+    # transition aggregate is |event_types|² rows, and the per-prev
+    # probability window runs over THAT tiny relation, not the events.
+    # (event_id tiebreak: sub-ms duplicate timestamps exist in the data.)
+    q["event_transition_matrix"] = _table_sql_entry(
+        "WITH seq AS ("
+        "  SELECT user_id, event_type, "
+        "  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "  AS prev FROM events"
+        ") "
+        "SELECT prev, event_type AS next, COUNT(*) AS n, "
+        "ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev) "
+        "  + 1e-9, 6) AS p "
+        "FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type"
+    )
+
     # ---- range join: value-band bucketing via inline table ------------------
     # Small band table ⇒ Spark broadcasts it (BroadcastNestedLoopJoin on the
     # range predicate) — each event row tests ≤3 bands, no shuffle.
