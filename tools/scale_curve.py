@@ -136,6 +136,7 @@ def main() -> None:
     from qradar_restapi_kafka_datapipeline_spark.operators import asof as A
     from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
     from qradar_restapi_kafka_datapipeline_spark.operators import similarity as Sim
+    from qradar_restapi_kafka_datapipeline_spark.operators import text as T
     from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
 
     for k in ks:
@@ -202,6 +203,16 @@ def main() -> None:
                     spark.table("documents").where("doc_id % 7 = 0"),
                     spark.table("documents").where("doc_id % 7 != 0"),
                     prefix_words=20,
+                ),
+                # token explode + vocab-sized joins: linear in corpus tokens
+                "text_unigram_loglik": lambda: spark.sql(
+                    T.unigram_loglik_sql("spark")
+                ),
+                # gram explode + frame-window minima + fingerprint equi-join:
+                # candidate pairs only on equal fingerprints (K copies are
+                # distinct populations, so pair volume stays linear in K)
+                "text_winnow_overlap": lambda: spark.sql(
+                    T.winnow_overlap_sql("spark")
                 ),
             }
             n_events = spark.table("events").count()
