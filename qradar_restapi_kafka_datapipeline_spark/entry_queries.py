@@ -724,6 +724,22 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         incremental_dedup_streaming,
     )
 
+    # Streaming twin of the first-seen feed: day-split replay through
+    # dropDuplicates state; surviving rows' day-counts must equal the batch
+    # MIN(ts)-per-user relation.
+    from qradar_restapi_kafka_datapipeline_spark.streaming.stateful import (
+        first_seen_streaming,
+    )
+
+    q["streaming_first_seen_parity"] = _df_entry(
+        lambda spark, sf: first_seen_streaming(spark, sf),
+        "SELECT CAST(CAST(first_ts AS DATE) AS STRING) AS day, "
+        "COUNT(*) AS n_new FROM ("
+        "  SELECT user_id, event_type, MIN(ts) AS first_ts FROM events "
+        "  GROUP BY user_id, event_type"
+        ") p GROUP BY 1",
+    )
+
     _incr_fp = (
         "md5(array_to_string(regexp_split_to_array(trim(lower(text)), "
         "'\\s+')[1:20], ' '))"

@@ -467,6 +467,70 @@ def incremental_dedup_streaming(
     return spark.read.parquet(out).select("fingerprint").distinct()
 
 
+def first_seen_streaming(spark, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ``first_seen_entities`` (user, event_type)
+    grain: the new-entity-per-day feed computed continuously with
+    ``dropDuplicates`` state keyed on the pair (the user grain is degenerate
+    on this data — every user is active on day 1; pairs spread over the
+    first week, so the parity relation has real shape).
+
+    Replay discipline makes first-wins DAY-exact: the events table is
+    written as one micro-batch PER DAY (mtime-ordered), so the first batch
+    containing a pair is the pair's first DAY — whichever of that day's rows
+    wins the in-batch race, its day is the same.  State is one key per pair,
+    unbounded by design (first-seen-EVER is inherently retention-scoped;
+    a production deployment bounds it with the retention horizon).
+    Oracle: ``MIN(ts)`` per pair bucketed by day.
+    """
+    import os
+    import tempfile
+
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
+        load_tables,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    load_tables(spark, sf_dir)
+    events = spark.table("events").select("event_id", "ts", "user_id", "event_type")
+    days = [r["d"] for r in events.select(
+        F.to_date("ts").alias("d")).distinct().orderBy("d").collect()]
+
+    base = tempfile.mkdtemp(prefix="first_seen_stream_")
+    src = os.path.join(base, "landing")
+    os.makedirs(src)
+    now = 1_700_000_000
+    for i, d in enumerate(days):
+        path = os.path.join(src, f"b{i:03d}.parquet")
+        _write_split(events.where(F.to_date("ts") == F.lit(d)), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    out, ckpt = os.path.join(base, "first"), os.path.join(base, "ckpt")
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+
+
 def dedup_events_streaming(spark, sf_dir: str, watermark: str = "45 days") -> DataFrame:
     """Replay the events table TWICE through the watermark-bounded streaming
     dedup and return the surviving keys — the parity proof that first-wins
