@@ -915,6 +915,11 @@ def incremental_minhash_pairs(
     Same banding family as the full pipeline, so recall for a true pair is
     identical (1-(1-s^r)^b); verify makes precision exact.  Equality with the
     cross-restricted full pipeline is unit-tested (tests/test_northstar.py).
+
+    Cache contract (same as :func:`minhash_lsh_pairs`): the shingle
+    relations stay persisted because the RETURNED plan reads them lazily —
+    callers that materialize the result and move on should release them
+    (``spark.catalog.clearCache()`` between unrelated jobs).
     """
     sh_new = _word_shingles(new_df, id_col, text_col, shingle_k).persist()
     sh_old = _word_shingles(corpus_df, id_col, text_col, shingle_k).persist()
