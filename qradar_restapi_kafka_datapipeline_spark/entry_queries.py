@@ -920,8 +920,11 @@ def _analytics_entries(q: dict[str, Q]) -> None:
 
     # ---- ranking-window family: ntile / percent_rank / cume_dist / first ----
     # Total order (value, event_id) inside each partition makes every rank
-    # function deterministic cross-engine.
-    q["window_rank_family"] = _table_sql_entry(
+    # function deterministic cross-engine; the FIRST_VALUE time order is
+    # ms-truncated + event_id for the same cross-generation reason as the
+    # LAG entries (raw ts carries different sub-µs precision per engine on a
+    # NANOS testdata generation).
+    _rankfam = (
         "SELECT event_id, user_id, event_type, "
         "CAST(NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) "
         "AS INT) AS value_quartile, "
@@ -930,8 +933,12 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "ROUND(CUME_DIST() OVER (PARTITION BY event_type "
         "ORDER BY value, event_id) + 1e-9, 6) AS cume, "
         "FIRST_VALUE(event_id) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS first_event_id "
+        "ORDER BY {ms}(ts), event_id) AS first_event_id "
         "FROM events"
+    )
+    q["window_rank_family"] = _df_entry(
+        lambda spark, sf: spark.sql(_rankfam.format(ms="unix_millis")),
+        _rankfam.format(ms="epoch_ms"),
     )
 
     # ---- correlated scalar subquery (TPC-H Q17 shape) -----------------------
@@ -981,11 +988,15 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     )
 
     # ---- LAG: per-user inter-event gaps (dialect split on epoch-ms fn) ------
+    # ORDER BY the ms-truncated time, not raw ts: under a TIMESTAMP(NANOS)
+    # testdata generation the engines see different sub-µs precision, so a
+    # raw-ts sort could resolve near-ties differently; both truncate to the
+    # same ms and event_id settles the rest.
     _gap = (
         "SELECT event_id, user_id, "
         "CAST({ms}(ts) - {ms}(LAG(ts) OVER ("
-        "PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS ms_since_prev "
-        "FROM events"
+        "PARTITION BY user_id ORDER BY {ms}(ts), event_id)) AS BIGINT) "
+        "AS ms_since_prev FROM events"
     )
     q["event_gaps_lag"] = _df_entry(
         lambda spark, sf: spark.sql(_gap.format(ms="unix_millis")),
@@ -1026,7 +1037,7 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "WITH seq AS ("
         "  SELECT user_id, event_type, ts, event_id, "
         "  LAG(ts) OVER (PARTITION BY user_id, event_type "
-        "    ORDER BY ts, event_id) AS prev FROM events"
+        "    ORDER BY {ms}(ts), event_id) AS prev FROM events"
         "), gaps AS ("
         "  SELECT user_id, event_type, "
         "  CAST({ms}(ts) AS BIGINT) {div} 1000 - "
@@ -1050,17 +1061,24 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     # LAG partitions by user (same shuffle contract as sessionize); the
     # transition aggregate is |event_types|² rows, and the per-prev
     # probability window runs over THAT tiny relation, not the events.
-    # (event_id tiebreak: sub-ms duplicate timestamps exist in the data.)
-    q["event_transition_matrix"] = _table_sql_entry(
+    # Ordering is (epoch-ms, event_id), NOT raw ts: on a TIMESTAMP(NANOS)
+    # testdata generation Spark sees µs-truncated time while DuckDB keeps
+    # ns, so raw-ts order could tiebreak differently per engine; both
+    # truncate to the same ms, and event_id settles sub-ms ties.
+    _trans = (
         "WITH seq AS ("
         "  SELECT user_id, event_type, "
-        "  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-        "  AS prev FROM events"
+        "  LAG(event_type) OVER (PARTITION BY user_id "
+        "    ORDER BY {ms}(ts), event_id) AS prev FROM events"
         ") "
         "SELECT prev, event_type AS next, COUNT(*) AS n, "
         "ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev) "
         "  + 1e-9, 6) AS p "
         "FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type"
+    )
+    q["event_transition_matrix"] = _df_entry(
+        lambda spark, sf: spark.sql(_trans.format(ms="unix_millis")),
+        _trans.format(ms="epoch_ms"),
     )
 
     # ---- range join: value-band bucketing via inline table ------------------
