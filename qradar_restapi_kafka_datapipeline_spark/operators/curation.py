@@ -193,6 +193,11 @@ def blocklist_verdict_sql(
     form is for human-sized lists; 10k+ term lists should use
     :func:`blocklist_semijoin`, whose broadcast-join cost is O(tokens) not
     O(terms × docs).
+
+    Terms are regex-escaped (literal match, '.'-bearing domains included)
+    but the \\b anchors require each term to START and END with a word
+    character — ``\\b`` never matches beside punctuation, so a term like
+    ``"$5"`` cannot hit; route such terms through the semi-join variant.
     """
     if blocked_sources:
         srcs = ", ".join(f"'{s}'" for s in blocked_sources)
@@ -200,10 +205,17 @@ def blocklist_verdict_sql(
     else:
         src_hit = "FALSE"
     if blocked_terms:
-        alts = "|".join(blocked_terms)
+        import re
+
+        # re.escape (3.7+) backslash-escapes only regex specials — the safe
+        # subset for BOTH RE2 and java.util.regex (escaping ordinary letters
+        # would be a java.util.regex error); terms are config, not user SQL,
+        # but a '.'-bearing domain must match literally.
+        alts = "|".join(re.escape(t) for t in blocked_terms)
         if dialect == "spark":
             # Spark SQL string literals process backslash escapes: '\\b' → \b
-            term_hit = f"text RLIKE '\\\\b({alts})\\\\b'"
+            spark_alts = alts.replace("\\", "\\\\")
+            term_hit = f"text RLIKE '\\\\b({spark_alts})\\\\b'"
         else:
             term_hit = f"regexp_matches(text, '\\b({alts})\\b')"
     else:

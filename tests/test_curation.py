@@ -274,3 +274,24 @@ def test_shared_sql_builders_agree_on_hostile_text(spark, tmp_path):
         got = sorted(tuple(r) for r in spark.sql(b("spark")).collect())
         want = sorted(tuple(r) for r in con.execute(b("duckdb")).fetchall())
         assert got == want and got
+
+
+def test_blocklist_terms_with_regex_metachars_match_literally(spark):
+    rows = [
+        (0, "visit bad.example.com today", "ok"),
+        (1, "visit badXexample.com today", "ok"),  # '.' must NOT match X
+        (2, "crypto c-a-s-h offer", "ok"),
+    ]
+    _docs(spark, rows).createOrReplaceTempView("bl_meta")
+    out = spark.sql(
+        C.blocklist_verdict_sql(
+            "spark",
+            blocked_sources=(),
+            blocked_terms=("bad.example.com", "c-a-s-h"),
+            table="bl_meta",
+        )
+    ).collect()
+    v = {r.doc_id: r.verdict for r in out}
+    assert v[0] == "blocked_term"
+    assert v[1] == "kept"
+    assert v[2] == "blocked_term"
