@@ -1788,6 +1788,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         M.bmp_decode_oracle_sql(),
     )
 
+    # ---- real binary decode #2: WAV encode → RIFF chunk-walk decode ---------
+    # The audio twin of the BMP entry: rate/length/PCM checksum parsed from
+    # bytes; a third of the payloads carry a junk LIST chunk before fmt, so
+    # a fixed-offset (non-walking) decoder hash-fails.
+    q["multimodal_wav_decode"] = _df_entry(
+        lambda spark, sf: M.extract_wav_features(
+            M.attach_wav_payload(spark.table("documents"))
+        ),
+        M.wav_decode_oracle_sql(),
+    )
+
     # ---- PII redaction audit (operators/pii.py) ------------------------------
     # Regex scrub of emails/IPs/phones/ids over a log line derived from real
     # event columns; one RE2∩Java pattern set drives both engines.

@@ -206,6 +206,135 @@ def bmp_decode_oracle_sql(source: str = "documents") -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# WAV: the audio member of the real-decode family (RIFF chunk walking + PCM
+# sample checksum — pure stdlib byte parsing, same honesty contract as BMP;
+# compressed codecs stay behind the decode_audio stub).
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(doc_id: int, text: str) -> bytes:
+    """A VALID 16-bit mono PCM WAV with deterministic rate/length/samples —
+    every decoded property is recomputable by an SQL oracle.  Every third
+    document carries a junk LIST chunk BEFORE fmt, so a decoder that assumes
+    fixed offsets (instead of walking RIFF chunks) fails the gate."""
+    import struct
+
+    rate = 8000 + (doc_id % 4) * 4000
+    n = 50 + len(text) % 100
+    samples = [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b""
+    if doc_id % 3 == 0:
+        junk = b"notacodecpayload"
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a WAV from raw bytes by WALKING the RIFF chunk list (fmt may
+    not be first — word-aligned skips over unknown chunks), returning
+    ``(sample_rate, channels, bits, n_samples, duration_ms, checksum)``
+    where the checksum sums the unsigned-offset PCM samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _, channels, rate, _, _, bits = fmt
+    n = len(data) // (bits // 8) // channels
+    samples = struct.unpack(f"<{n * channels}h", data[: n * channels * 2])
+    checksum = sum(s + 32768 for s in samples) % BMP_CHECKSUM_MOD
+    duration_ms = n * 1000 // rate
+    return rate, channels, bits, n, duration_ms, checksum
+
+
+def attach_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, payload)`` with a real WAV per document — Arrow-batched encode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_wav(int(i), t)
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id LONG, payload BINARY"
+    )
+
+
+def extract_wav_features(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real-decode audio features: every value parsed out of the RIFF bytes
+    by :func:`decode_wav` — the oracle recomputes them from the encoder
+    spec, so a broken chunk walk or sample unpack hash-fails."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *decode_wav(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_ms", "sample_checksum",
+                ],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id LONG, sample_rate INT, channels INT, bits INT, "
+        "n_samples LONG, duration_ms LONG, sample_checksum LONG",
+    )
+
+
+def wav_decode_oracle_sql(source: str = "documents") -> str:
+    """DuckDB recomputation of every decoded WAV property from the encoder
+    spec, including the PCM sample checksum (correlated sum over the sample
+    index — exact integer math in both engines)."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             CAST(50 + length(text) % 100 AS BIGINT) AS n_samples
+      FROM {source}
+    )
+    SELECT doc_id, sample_rate, CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS bits, n_samples,
+           CAST(n_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(
+                  generate_series(0, CAST(n_samples AS INT) - 1),
+                  i -> (doc_id * 31 + i * 17) % 65536))
+                % {BMP_CHECKSUM_MOD} AS BIGINT) AS sample_checksum
+    FROM dims
+    """
+
+
 def frame_sample(
     features: DataFrame, every_nth: int = 2
 ) -> DataFrame:

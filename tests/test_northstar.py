@@ -566,3 +566,30 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_wav_roundtrip_and_chunk_walking(spark):
+    import pytest
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    # doc_id 3: no junk chunk; doc_id 6: LIST chunk precedes fmt — the
+    # decoder must walk chunks, not assume fmt at offset 12
+    for doc_id, text in ((3, "short text"), (6, "x" * 37)):
+        payload = encode_wav(doc_id, text)
+        rate, ch, bits, n, dur, ck = decode_wav(payload)
+        assert rate == 8000 + (doc_id % 4) * 4000
+        assert (ch, bits) == (1, 16)
+        assert n == 50 + len(text) % 100
+        assert dur == n * 1000 // rate
+        assert ck == sum(
+            (doc_id * 31 + i * 17) % 65536 for i in range(n)
+        ) % 1_000_000_007
+    assert encode_wav(6, "x")[12:16] == b"LIST"  # junk chunk really present
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
