@@ -76,6 +76,9 @@ HEADLINE = [
     "text_winnow_overlap",
     "curate_blocklist",
     "mix_to_target_weights",
+    "event_transition_matrix",
+    "beaconing_score",
+    "multimodal_wav_decode",
 ]
 
 
