@@ -252,6 +252,9 @@ def test_shared_sql_builders_agree_on_hostile_text(spark, tmp_path):
             {
                 "doc_id": pa.array([d for d, _ in docs], pa.int64()),
                 "text": pa.array([t for _, t in docs], pa.string()),
+                "source": pa.array(
+                    ["s" + str(d // 4) for d, _ in docs], pa.string()
+                ),
             }
         ),
         path,
@@ -260,12 +263,28 @@ def test_shared_sql_builders_agree_on_hostile_text(spark, tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW edge_docs AS SELECT * FROM '{path}'")
 
+    from qradar_restapi_kafka_datapipeline_spark.operators.boilerplate import (
+        boilerplate_coverage_sql,
+        boilerplate_ngrams_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        corpus_vocab_stats_sql,
+        repetition_stats_sql,
+        winnow_overlap_sql,
+    )
+
     builders = [
         lambda d: passage_dedup_sql(d, k=3, min_dup_docs=2, table="edge_docs"),
         lambda d: unigram_loglik_sql(d, "edge_docs"),
         lambda d: tfidf_topk_sql(d, k=2, source="edge_docs"),
         lambda d: winnow_fingerprints_sql(d, k=2, window=3, source="edge_docs"),
+        lambda d: winnow_overlap_sql(d, k=2, window=3, min_shared=1,
+                                     source="edge_docs"),
         lambda d: bigram_loglik_sql(d, "edge_docs"),
+        lambda d: corpus_vocab_stats_sql(d, "edge_docs"),
+        lambda d: repetition_stats_sql(d, "edge_docs"),
+        lambda d: boilerplate_ngrams_sql(d, min_docs=2, source="edge_docs"),
+        lambda d: boilerplate_coverage_sql(d, min_docs=2, source="edge_docs"),
         lambda d: (
             f"SELECT doc_id, {normalized_md5_sql('text', d)} AS fp FROM edge_docs"
         ),
