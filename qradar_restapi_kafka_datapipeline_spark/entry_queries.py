@@ -1003,6 +1003,24 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         _gap.format(ms="epoch_ms"),
     )
 
+    # ---- rolling distinct users (DAU over trailing 7-day windows) -----------
+    # COUNT(DISTINCT) is not a window function in Spark (or standard SQL), so
+    # the rolling-unique metric is a (day, user) distinct projection joined to
+    # a day spine over the trailing range, then a plain distinct count — the
+    # standard rewrite.  Scale: the distinct pair relation is |days × active
+    # users| (tiny vs events); the range join multiplies it by window length
+    # only.  ISO-string days (DATE dtype diverges in the gate hash).
+    q["rolling_distinct_users"] = _table_sql_entry(
+        "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id "
+        "FROM events), "
+        "spine AS (SELECT DISTINCT day FROM du) "
+        "SELECT CAST(s.day AS STRING) AS day, "
+        "COUNT(DISTINCT d.user_id) AS users_7d "
+        "FROM spine s JOIN du d "
+        "ON d.day BETWEEN s.day - INTERVAL 6 DAY AND s.day "
+        "GROUP BY s.day"
+    )
+
     # ---- first-seen (new-entity) detection ----------------------------------
     # "How many users / (user, event_type) pairs appeared for the FIRST time
     # each day" — the new-entity feed SIEM rules alert on.  One MIN-aggregate
