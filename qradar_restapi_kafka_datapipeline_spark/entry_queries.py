@@ -510,10 +510,10 @@ def registry() -> dict[str, Q]:
 
         frontend = setup(spark, sf)
         view = "MongoDB_AuthenticationFailure"
-        base_path = os.path.join(
-            tempfile.gettempdir(),
-            f"gv_mat_{sf.strip('/').replace('/', '_')}",
-        )
+        # per-run private dir: a fixed path keyed only by sf would let a
+        # concurrent gate/pytest run rmtree this run's materialization
+        # between its write and the (lazy) read of the returned DataFrame
+        base_path = tempfile.mkdtemp(prefix="gv_mat_")
         shutil.rmtree(base_path, ignore_errors=True)
         # Deterministic arrival split: ~1/7 of events are "late".
         spark.sql("SELECT * FROM qevents WHERE qid % 7 != 3").createOrReplaceTempView(
@@ -747,9 +747,9 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     q["streaming_incremental_dedup_parity"] = _df_entry(
         lambda spark, sf: incremental_dedup_streaming(spark, sf, prefix_words=20),
         f"WITH fp AS (SELECT doc_id, {_incr_fp} AS fingerprint FROM documents) "
-        "SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 7 = 0 "
-        "AND fingerprint NOT IN "
-        "(SELECT fingerprint FROM fp WHERE doc_id % 7 != 0)",
+        "SELECT DISTINCT fingerprint FROM fp f WHERE doc_id % 7 = 0 "
+        "AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id % 7 != 0 "
+        "AND c.fingerprint = f.fingerprint)",
     )
 
     _gs = (
@@ -1746,7 +1746,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         T.winnow_fingerprints_sql("duckdb"),
     )
     q["text_winnow_overlap"] = _df_entry(
-        lambda spark, sf: spark.sql(T.winnow_overlap_sql("spark")),
+        lambda spark, sf: T.winnow_overlap(spark),
         T.winnow_overlap_sql("duckdb"),
     )
 

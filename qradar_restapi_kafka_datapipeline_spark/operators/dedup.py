@@ -30,20 +30,53 @@ from qradar_restapi_kafka_datapipeline_spark.operators.text import normalized_md
 def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-heavy per-row work.
 
-    A single-file parquet table scans as ONE partition, so hash/explode work
-    runs on one core.  Repartition up to the cluster's parallelism — but only
-    when the scan is actually narrow: at 100 TB the input is thousands of
-    splits already, and an unconditional repartition would add a full-text
+    A SMALL single-file parquet table scans as ONE partition, so hash/explode
+    work runs on one core.  Repartition up to the cluster's parallelism — but
+    only when the scan is actually narrow: at 100 TB the input is thousands
+    of splits already, and an unconditional repartition would add a full-text
     shuffle for nothing.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     # Count input FILES, not df.rdd partitions: .rdd forces a plan→RDD
     # conversion per call (wasted analysis work on the hot path).  inputFiles()
     # reads the already-resolved scan relation; a non-file source (e.g. a view
     # over a join) returns [] and we conservatively repartition.
-    n_files = len(df.inputFiles())
-    if n_files >= target:
+    files = df.inputFiles()
+    if len(files) >= target:
         return df
+    # Few files ≠ few partitions: parquet is SPLITTABLE, so one 10 GB file
+    # already scans as size/maxPartitionBytes tasks and a repartition would
+    # shuffle the full text for nothing.  Estimate splits from local file
+    # sizes when the paths are inspectable; non-local/opaque paths fall back
+    # to the conservative repartition.
+    if files:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        try:
+            total = 0
+            for f in files:
+                u = urlparse(f)
+                if u.scheme not in ("file", ""):
+                    raise OSError("non-local path")
+                total += os.path.getsize(unquote(u.path))
+            import re as _re
+
+            raw = spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+            m = _re.match(r"(\d+)\s*([kmgt]?)b?$", raw.strip().lower())
+            if not m:
+                raise ValueError(raw)
+            max_split = int(m.group(1)) * {
+                "": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4,
+            }[m.group(2)]
+            est_splits = max(len(files), total // max_split)
+            if est_splits >= target:
+                return df
+        except (OSError, ValueError):
+            pass
     return df.repartition(target, F.col(by)) if by else df.repartition(target)
 
 
@@ -882,7 +915,11 @@ def incremental_dedup_oracle_sql(
       SELECT DISTINCT {fp} AS fingerprint FROM {table} WHERE NOT ({new_pred})
     ),
     fresh AS (
-      SELECT * FROM new_docs WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+      -- NOT EXISTS, not NOT IN: a NULL fingerprint in the corpus would make
+      -- NOT IN never-true (three-valued logic), diverging from the Spark
+      -- operator's NULL-safe left_anti join
+      SELECT * FROM new_docs n WHERE NOT EXISTS (
+        SELECT 1 FROM corpus c WHERE c.fingerprint = n.fingerprint)
     )
     SELECT doc_id, source, lang, fingerprint FROM fresh f
     WHERE doc_id = (SELECT MIN(doc_id) FROM fresh g
@@ -1125,8 +1162,8 @@ def passage_dedup_sql(
       HAVING COUNT(DISTINCT doc_id) >= {min_dup_docs}
     ),
     kept AS (
-      SELECT doc_id, chunk_idx, passage FROM hashed
-      WHERE ph NOT IN (SELECT ph FROM dup_keys)
+      SELECT doc_id, chunk_idx, passage FROM hashed h
+      WHERE NOT EXISTS (SELECT 1 FROM dup_keys d WHERE d.ph = h.ph)
     ),
     totals AS (SELECT doc_id, COUNT(*) AS n_passages FROM hashed GROUP BY doc_id),
     reassembled AS ({reasm})

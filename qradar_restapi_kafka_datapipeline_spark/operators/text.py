@@ -13,7 +13,7 @@ to a 100 TB corpus exactly like any other projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -405,7 +405,12 @@ def winnow_overlap_sql(
     MOSS copy-detection join.  Sub-quadratic the same way LSH is: pairs only
     form on equal fingerprints (equi-join keyed on the 60-bit value), and the
     winnowing density bound keeps each doc's fingerprint set ~2/(window+1)
-    of its shingle count."""
+    of its shingle count.
+
+    This one-SQL form inlines the fingerprint pipeline twice (Spark has no
+    common-subplan reuse for inlined subqueries) — it is the ORACLE/parity
+    shape; the production Spark path is :func:`winnow_overlap`, which builds
+    the fingerprint relation once."""
     fps = winnow_fingerprints_sql(dialect, k, window, source)
     return f"""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -413,6 +418,29 @@ def winnow_overlap_sql(
       ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
     """
+
+
+def winnow_overlap(
+    spark,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 3,
+    source: str = "documents",
+) -> DataFrame:
+    """Spark production form of :func:`winnow_overlap_sql`: the fingerprint
+    relation is computed ONCE and persisted, then self-joined — the inlined
+    SQL form pays the gram-explode + per-gram md5 + window-minima stage (the
+    dominant cost) twice.  Same relation, parity-tested."""
+    fps = spark.sql(winnow_fingerprints_sql("spark", k, window, source)).persist()
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
 
 
 def tfidf_topk_sql(dialect: str, k: int = 3, source: str = "documents") -> str:

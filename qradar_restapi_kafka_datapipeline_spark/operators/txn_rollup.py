@@ -66,6 +66,14 @@ class TxnRollupTable:
         self._fs = self._Path(self.path).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+        # Single-writer contract ⇒ this instance's view of the log only
+        # changes through its own _write_commit, so the epoch set and the
+        # latest commit are cached after ONE full scan.  Without the cache a
+        # long-running stream pays O(commits) JVM file opens per merge —
+        # O(N²) cumulative at streaming trigger rates.
+        self._epoch_cache: set[int] | None = None
+        self._latest_cache: dict | None = None
+        self._last_cid = 0
 
     # -- commit log ---------------------------------------------------------
 
@@ -115,18 +123,40 @@ class TxnRollupTable:
                 f"commit {cid} lost a race: {final} already exists "
                 "(TxnRollupTable is single-writer)"
             )
+        # keep the caches coherent with the log this writer just extended
+        if self._epoch_cache is None:
+            self._warm_caches()
+        else:
+            if payload.get("epoch") is not None:
+                self._epoch_cache.add(payload["epoch"])
+            self._latest_cache = payload
+            self._last_cid = cid
+
+    def _warm_caches(self) -> None:
+        """One full log scan fills both caches (writer-lifetime amortized)."""
+        epochs: set[int] = set()
+        latest: dict | None = None
+        last_cid = 0
+        for cid in self._list_commit_ids():
+            c = self._read_commit(cid)
+            if c.get("epoch") is not None:
+                epochs.add(c["epoch"])
+            latest = c
+            last_cid = cid
+        self._epoch_cache = epochs
+        self._latest_cache = latest
+        self._last_cid = last_cid
 
     def latest_mapping(self) -> dict[str, str]:
         """day (ISO date string) → version-relative data directory."""
-        ids = self._list_commit_ids()
-        return self._read_commit(ids[-1])["days"] if ids else {}
+        if self._epoch_cache is None:
+            self._warm_caches()
+        return dict(self._latest_cache["days"]) if self._latest_cache else {}
 
     def committed_epochs(self) -> set[int]:
-        return {
-            e
-            for cid in self._list_commit_ids()
-            if (e := self._read_commit(cid).get("epoch")) is not None
-        }
+        if self._epoch_cache is None:
+            self._warm_caches()
+        return set(self._epoch_cache)
 
     # -- read ---------------------------------------------------------------
 
@@ -192,7 +222,9 @@ class TxnRollupTable:
                 .groupBy(*[F.col(f"`{d}`") for d in dims])
                 .agg(F.sum(F.col(f"`{measure}`")).alias(measure))
             )
-        cid = (self._list_commit_ids() or [0])[-1] + 1
+        # caches are warm here (committed_epochs/latest_mapping above), so
+        # the next commit id comes from the tracked tail, not a re-list
+        cid = self._last_cid + 1
         version = f"data/{cid:020d}"
         merged.write.mode("overwrite").partitionBy("event_date").parquet(
             f"{self.path}/{version}"

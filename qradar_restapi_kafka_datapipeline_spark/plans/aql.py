@@ -124,21 +124,63 @@ def _rewrite_refset(q: str, ref_sets_view: str) -> str:
     )
 
 
-def _last_call(q: str, fname: str) -> tuple[int, int, list[str]] | None:
-    """Locate the LAST ``fname( ... )`` call in ``q`` and split its arguments.
+def _literal_spans(q: str) -> list[tuple[int, int]]:
+    """[start, end) spans of quoted regions: single-quoted string literals
+    (with ``''`` escapes) and double-quoted identifiers (with ``""``) — a
+    function NAME inside either must never be treated as a call site."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if q[j] == c:
+                    if j + 1 < n and q[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _last_call(
+    q: str, fname: str, end_before: int | None = None
+) -> tuple[int, int, list[str]] | None:
+    """Locate the LAST ``fname( ... )`` call in ``q`` (optionally starting
+    strictly before ``end_before``) and split its arguments.
 
     Paren-BALANCED and quote-AWARE: nested calls, parenthesized expressions,
     and string literals containing ``,``/``(``/``)`` (with ``''`` escapes) all
     parse correctly — the failure mode of the old ``[^()]*`` regexes was
-    silently mistranslating exactly those shapes.  Malformed text (unbalanced
-    parens, unterminated literal) raises instead of passing through.
+    silently mistranslating exactly those shapes.  Match sites inside quoted
+    literals/identifiers are skipped (a query comparing a column to the TEXT
+    'see CATEGORYNAME(4001)' must not rewrite inside the string), and the
+    ``end_before`` bound replaces prefix slicing so the argument scan always
+    runs on the FULL balanced string (truncating mid-expression used to
+    raise on well-formed queries).  Malformed text (unbalanced parens,
+    unterminated literal) raises instead of passing through.
 
     Returns ``(start, end, args)`` over the original string, or None if no
     call remains.  Processing the last call first keeps earlier offsets valid
     and rewrites innermost-first under same-function nesting (callers loop to
     fixpoint).
     """
-    matches = list(re.finditer(rf"\b{fname}\s*\(", q, flags=re.I))
+    spans = _literal_spans(q)
+
+    def in_literal(pos: int) -> bool:
+        return any(s <= pos < e for s, e in spans)
+
+    matches = [
+        m
+        for m in re.finditer(rf"\b{fname}\s*\(", q, flags=re.I)
+        if not in_literal(m.start())
+        and (end_before is None or m.start() < end_before)
+    ]
     if not matches:
         return None
     m = matches[-1]
@@ -186,12 +228,14 @@ def _rewrite_calls(q: str, fname: str, render) -> str:
     (None = leave this call for the runtime UDF), looping to fixpoint so
     same-function nesting resolves innermost-first."""
     guard = 0
-    skip_before = len(q) + 1
+    skip_before: int | None = None
     while True:
         guard += 1
         if guard > 500:  # no sane query has hundreds of nested calls
             raise ValueError(f"runaway rewrite loop for {fname}")
-        found = _last_call(q[:skip_before], fname)
+        # bound the SEARCH, never slice the string: truncating q mid-argument
+        # would cut an enclosing call's parens and raise on valid queries
+        found = _last_call(q, fname, end_before=skip_before)
         if found is None:
             return q
         start, end, args = found
@@ -201,7 +245,7 @@ def _rewrite_calls(q: str, fname: str, render) -> str:
             skip_before = start
             continue
         q = q[:start] + repl + q[end:]
-        skip_before = len(q) + 1
+        skip_before = None
 
 
 def _is_str_literal(s: str) -> bool:

@@ -69,7 +69,7 @@ def materialize_globalviews(
     Queries then scan collapsed data with partition pruning on the START/STOP
     bounds, exactly the reference's GLOBALVIEW + SummingMergeTree read path.
     """
-    for name in names or GLOBALVIEW_SPECS:
+    for name in GLOBALVIEW_SPECS if names is None else names:
         df = spark.sql(globalview_sql(name, source))
         (
             df.withColumn("event_date", df["ts"].cast("date"))
@@ -96,7 +96,7 @@ def update_globalviews_incremental(
     from qradar_restapi_kafka_datapipeline_spark.operators.rollup import merge_rollup
 
     new_events.createOrReplaceTempView("__gv_increment")
-    for name in names or GLOBALVIEW_SPECS:
+    for name in GLOBALVIEW_SPECS if names is None else names:
         inc = spark.sql(globalview_sql(name, "__gv_increment"))
         merge_rollup(
             spark,
@@ -118,7 +118,7 @@ def register_materialized_globalviews(
     the reference's read path: pre-aggregated, zero recompute per query.
     """
     registered = []
-    for name in names or GLOBALVIEW_SPECS:
+    for name in GLOBALVIEW_SPECS if names is None else names:
         path = f"{base_path}/{name}"
         try:
             df = spark.read.parquet(path)

@@ -245,3 +245,37 @@ class TestQueryFileLoading:
         p.write_text('[{"a": 1}]')
         with pytest.raises(QueryFileError, match="flat"):
             load_query_file(p)
+
+
+class TestRewriterRobustness:
+    """The two frontend traps a user-typed query can spring: function names
+    inside string literals, and a skipped (UDF-path) call nested inside
+    another rewritable call."""
+
+    def test_function_name_inside_literal_untouched(self):
+        aql = (
+            "SELECT eventName FROM events "
+            "WHERE userName = 'see CATEGORYNAME(4001) for details'"
+        )
+        out = translate(aql, dialect="spark")
+        assert "'see CATEGORYNAME(4001) for details'" in out
+        assert "CASE" not in out  # no decode fold leaked into the literal
+
+    def test_function_name_inside_quoted_identifier_untouched(self):
+        aql = 'SELECT "QIDNAME(x)" FROM events'
+        out = translate(aql, dialect="spark")
+        assert '"QIDNAME(x)"' in out or "`QIDNAME(x)`" in out
+
+    def test_skipped_dynamic_call_inside_enclosing_call(self):
+        # dynamic-CIDR INCIDR (left for the runtime UDF) nested inside
+        # DATEFORMAT: the rewriter must not truncate the enclosing call's
+        # argument list while rescanning (used to raise 'unbalanced
+        # parentheses' on this well-formed query)
+        aql = (
+            "SELECT DATEFORMAT(CASE WHEN INCIDR(cidr_col, sourceip) "
+            "THEN startTime ELSE startTime END, 'yyyy-MM-dd') AS d "
+            "FROM events"
+        )
+        out = translate(aql, dialect="spark")
+        assert "INCIDR(cidr_col, sourceip)" in out  # UDF path preserved
+        assert "date_format" in out.lower() or "DATEFORMAT" not in out

@@ -593,3 +593,22 @@ def test_wav_roundtrip_and_chunk_walking(spark):
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_winnow_overlap_dataframe_matches_sql_form(spark, sf_dir):
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        winnow_overlap,
+        winnow_overlap_sql,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "wo_docs"
+    )
+    df_form = {
+        tuple(r) for r in winnow_overlap(spark, source="wo_docs").collect()
+    }
+    sql_form = {
+        tuple(r)
+        for r in spark.sql(winnow_overlap_sql("spark", source="wo_docs")).collect()
+    }
+    assert df_form == sql_form and df_form

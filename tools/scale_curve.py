@@ -211,9 +211,7 @@ def main() -> None:
                 # gram explode + frame-window minima + fingerprint equi-join:
                 # candidate pairs only on equal fingerprints (K copies are
                 # distinct populations, so pair volume stays linear in K)
-                "text_winnow_overlap": lambda: spark.sql(
-                    T.winnow_overlap_sql("spark")
-                ),
+                "text_winnow_overlap": lambda: T.winnow_overlap(spark),
             }
             n_events = spark.table("events").count()
             n_docs = spark.table("documents").count()
