@@ -1830,6 +1830,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # RefinedWeb-style repeated-fragment lexicon + per-doc coverage, both
     # dialect-common SQL over the documents table.
     from qradar_restapi_kafka_datapipeline_spark.operators.boilerplate import (
+        boilerplate_coverage,
         boilerplate_coverage_sql,
         boilerplate_ngrams_sql,
     )
@@ -1838,8 +1839,10 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(boilerplate_ngrams_sql("spark")),
         boilerplate_ngrams_sql("duckdb"),
     )
+    # production DataFrame form (n-gram relation persisted once); the
+    # one-SQL spark-dialect builder stays as the parity twin
     q["boilerplate_doc_coverage"] = _df_entry(
-        lambda spark, sf: spark.sql(boilerplate_coverage_sql("spark")),
+        lambda spark, sf: boilerplate_coverage(spark),
         boilerplate_coverage_sql("duckdb"),
     )
 

@@ -15,6 +15,9 @@ repo's shared-SQL convention.  No Python in the row path.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 NGRAM = 5
 
 
@@ -89,3 +92,49 @@ def boilerplate_coverage_sql(
            ROUND(n_boiler * 1.0 / n_ngrams + 1e-9, 6) AS boiler_frac
     FROM pos WHERE n_boiler > 0
     """
+
+
+def boilerplate_coverage(
+    spark, min_docs: int = 2, source: str = "documents"
+) -> DataFrame:
+    """Spark production form of :func:`boilerplate_coverage_sql`: the n-gram
+    relation ``g`` is built ONCE and persisted, then feeds both the lexicon
+    aggregate and the per-position join — the one-SQL CTE form re-inlines
+    ``g`` into each consumer, paying the explode twice.  Same relation,
+    parity-tested (tests/test_pii_boilerplate_semdedup.py)."""
+    g = spark.sql(
+        f"WITH {_ngram_cte('spark', source)} SELECT doc_id, source, ngram FROM g"
+    ).persist()
+    lex = (
+        g.groupBy("source", "ngram")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select(
+            F.col("source").alias("lsource"), F.col("ngram").alias("lngram")
+        )
+    )
+    pos = (
+        g.join(
+            lex,
+            (g["source"] == lex["lsource"]) & (g["ngram"] == lex["lngram"]),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("lngram").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+        )
+    )
+    return (
+        pos.where(F.col("n_boiler") > 0)
+        .select(
+            "doc_id",
+            F.col("n_ngrams").cast("long").alias("n_ngrams"),
+            "n_boiler",
+            F.round(
+                F.col("n_boiler") / F.col("n_ngrams") + F.lit(1e-9), 6
+            ).alias("boiler_frac"),
+        )
+    )

@@ -305,3 +305,17 @@ def test_semantic_dedup_single_cell_equals_bruteforce(spark, clustered_vectors):
         clustered_vectors, threshold=0.5, n_centroids=1, probes=1,
         sample_n=64).collect())
     assert sem == brute
+
+
+def test_boilerplate_coverage_dataframe_matches_sql_form(spark, tables):
+    from qradar_restapi_kafka_datapipeline_spark.operators.boilerplate import (
+        boilerplate_coverage,
+        boilerplate_coverage_sql,
+    )
+
+    df_form = {tuple(r) for r in boilerplate_coverage(spark).collect()}
+    sql_form = {
+        tuple(r)
+        for r in spark.sql(boilerplate_coverage_sql("spark")).collect()
+    }
+    assert df_form == sql_form and df_form
