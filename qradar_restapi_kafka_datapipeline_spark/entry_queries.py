@@ -276,6 +276,16 @@ def registry() -> dict[str, Q]:
     )
 
     # ---- AQL aggregate-function family (AVG/MIN/MAX/COUNT DISTINCT/BETWEEN) -
+    # GLOBALVIEW scan with NON-hour-aligned START/STOP: the time filter must
+    # select the view's hourly buckets (outer WHERE on the truncated ts) in
+    # BOTH dialects — injecting it inside the duckdb view expansion filtered
+    # raw pre-aggregation time instead, indistinguishable only while bounds
+    # were hour-aligned.  This entry pins the fixed semantics.
+    q["aql_globalview_misaligned_window"] = _aql_entry(
+        "SELECT * FROM GLOBALVIEW('MongoDB_UBA','NORMAL') "
+        "START '2024-01-03 00:30:00' STOP '2024-01-18 12:30:00'"
+    )
+
     # Exact-int inputs ⇒ MIN/MAX/COUNT are engine-identical; AVG is one IEEE
     # division of exact ints (identical operands both engines), ROUND+1e-9
     # guards the reachable half-way values at 6 dp.

@@ -101,9 +101,20 @@ def boilerplate_coverage(
     relation ``g`` is built ONCE and persisted, then feeds both the lexicon
     aggregate and the per-position join — the one-SQL CTE form re-inlines
     ``g`` into each consumer, paying the explode twice.  Same relation,
-    parity-tested (tests/test_pii_boilerplate_semdedup.py)."""
+    parity-tested (tests/test_pii_boilerplate_semdedup.py).
+
+    The source is spread first (CLAUDE.md explode rule: single-file inputs
+    scan as one partition).  Cache contract as in ``dedup.minhash_lsh_pairs``:
+    the returned plan reads ``g`` lazily — callers that materialize and move
+    on release it via ``spark.catalog.clearCache()``.
+    """
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
+
+    spread_view = "__boilerplate_spread_src"
+    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
     g = spark.sql(
-        f"WITH {_ngram_cte('spark', source)} SELECT doc_id, source, ngram FROM g"
+        f"WITH {_ngram_cte('spark', spread_view)} "
+        "SELECT doc_id, source, ngram FROM g"
     ).persist()
     lex = (
         g.groupBy("source", "ngram")

@@ -430,8 +430,21 @@ def winnow_overlap(
     """Spark production form of :func:`winnow_overlap_sql`: the fingerprint
     relation is computed ONCE and persisted, then self-joined — the inlined
     SQL form pays the gram-explode + per-gram md5 + window-minima stage (the
-    dominant cost) twice.  Same relation, parity-tested."""
-    fps = spark.sql(winnow_fingerprints_sql("spark", k, window, source)).persist()
+    dominant cost) twice.  Same relation, parity-tested.
+
+    The source is spread first (single-file tables scan as one partition —
+    the md5-heavy explode must run wave-parallel; no-op on already-split
+    inputs).  Cache contract as in :func:`dedup.minhash_lsh_pairs`: the
+    returned plan reads the persisted relation lazily — callers that
+    materialize and move on release it via ``spark.catalog.clearCache()``.
+    """
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
+
+    spread_view = "__winnow_spread_src"
+    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
+    fps = spark.sql(
+        winnow_fingerprints_sql("spark", k, window, spread_view)
+    ).persist()
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (

@@ -129,6 +129,7 @@ class TxnRollupTable:
         else:
             if payload.get("epoch") is not None:
                 self._epoch_cache.add(payload["epoch"])
+            self._epoch_cache.update(payload.get("epochs", []))
             self._latest_cache = payload
             self._last_cid = cid
 
@@ -141,6 +142,10 @@ class TxnRollupTable:
             c = self._read_commit(cid)
             if c.get("epoch") is not None:
                 epochs.add(c["epoch"])
+            # cumulative ledger carried by each commit — what makes vacuum()
+            # safe: pruning old commit FILES must not forget their epochs, or
+            # a checkpoint replay of an old batch would double-count
+            epochs.update(c.get("epochs", []))
             latest = c
             last_cid = cid
         self._epoch_cache = epochs
@@ -234,7 +239,17 @@ class TxnRollupTable:
             new_mapping[str(d)] = f"{version}/event_date={d}"
         if _crash_before_commit:  # fault-injection point for the torn-merge test
             raise RuntimeError("injected crash before commit rename")
-        self._write_commit(cid, {"epoch": epoch, "days": new_mapping})
+        all_epochs = self.committed_epochs()
+        if epoch is not None:
+            all_epochs.add(epoch)
+        self._write_commit(
+            cid,
+            {
+                "epoch": epoch,
+                "epochs": sorted(all_epochs),
+                "days": new_mapping,
+            },
+        )
 
     # -- maintenance --------------------------------------------------------
 
@@ -279,10 +294,19 @@ def streaming_rollup_txn(
     the atomic commit — merged-but-unrecorded is impossible, so replay after
     any crash converges to the same table.
     """
+    # ONE table handle for the stream's lifetime: a per-batch instance would
+    # re-scan the whole commit log every trigger (cold caches — the O(N²)
+    # the writer-side cache exists to avoid).  foreachBatch runs on the
+    # driver, and the sink is single-writer, so the closure-held handle is
+    # the correct owner.
+    table_holder: dict = {}
+
     def fold(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
-        TxnRollupTable(batch.sparkSession, table_path).merge(
+        if "t" not in table_holder:
+            table_holder["t"] = TxnRollupTable(batch.sparkSession, table_path)
+        table_holder["t"].merge(
             batch, epoch=epoch, measure=measure, time_col=time_col
         )
 

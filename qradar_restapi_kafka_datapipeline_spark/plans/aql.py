@@ -126,17 +126,18 @@ def _rewrite_refset(q: str, ref_sets_view: str) -> str:
 
 def _literal_spans(q: str) -> list[tuple[int, int]]:
     """[start, end) spans of quoted regions: single-quoted string literals
-    (with ``''`` escapes) and double-quoted identifiers (with ``""``) — a
-    function NAME inside either must never be treated as a call site."""
+    (with ``''`` escapes), double-quoted identifiers (with ``""``), and
+    backtick-quoted identifiers — a function NAME or column word inside any
+    of them must never be rewritten."""
     spans: list[tuple[int, int]] = []
     i, n = 0, len(q)
     while i < n:
         c = q[i]
-        if c in ("'", '"'):
+        if c in ("'", '"', "`"):
             j = i + 1
             while j < n:
                 if q[j] == c:
-                    if j + 1 < n and q[j + 1] == c:
+                    if c != "`" and j + 1 < n and q[j + 1] == c:
                         j += 2
                         continue
                     break
@@ -146,6 +147,46 @@ def _literal_spans(q: str) -> list[tuple[int, int]]:
         else:
             i += 1
     return spans
+
+
+def _sub_outside_literals(q: str, pattern: str, repl, flags: int = 0) -> str:
+    """re.sub applied ONLY to the text between quoted spans — the rewrite
+    passes (identifier case, decode folds) must never alter bytes inside a
+    string literal or quoted identifier."""
+    spans = _literal_spans(q)
+    out: list[str] = []
+    last = 0
+    for s, e in spans:
+        out.append(re.sub(pattern, repl, q[last:s], flags=flags))
+        out.append(q[s:e])
+        last = e
+    out.append(re.sub(pattern, repl, q[last:], flags=flags))
+    return "".join(out)
+
+
+def _top_level_search(
+    q: str, pattern: str, flags: int = 0
+) -> re.Match | None:
+    """First match of ``pattern`` at paren depth 0 and outside quoted spans —
+    a WHERE/GROUP BY inside an inlined subquery (GLOBALVIEW expansion,
+    reference-set IN-subquery) must not anchor outer-clause injection."""
+    spans = _literal_spans(q)
+
+    def in_literal(pos: int) -> bool:
+        return any(s <= pos < e for s, e in spans)
+
+    depth = 0
+    for m in re.finditer(rf"[()]|{pattern}", q, flags=flags):
+        tok = m.group(0)
+        if in_literal(m.start()):
+            continue
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return m
+    return None
 
 
 def _last_call(
@@ -189,11 +230,14 @@ def _last_call(
     cur: list[str] = []
     while j < n and depth > 0:
         c = q[j]
-        if c == "'":
+        if c in ("'", '"', "`"):
+            # quoted regions are opaque to the argument split: a double-
+            # quoted custom-property name like "Magnitude (most recent)"
+            # must not bump paren depth or split on its comma
             k = j + 1
             while k < n:
-                if q[k] == "'":
-                    if k + 1 < n and q[k + 1] == "'":
+                if q[k] == c:
+                    if c != "`" and k + 1 < n and q[k + 1] == c:
                         k += 2
                         continue
                     break
@@ -319,29 +363,54 @@ def _inline_functions(q: str, dialect: str) -> str:
 
 
 def _rewrite_quotes(q: str, dialect: str) -> str:
-    if dialect == "spark":
-        q = re.sub(r'"([^"]+)"', r"`\1`", q)
-        q = re.sub(r"(\bAS\s+)'([^']+)'", r"\1`\2`", q, flags=re.I)
-    else:
-        q = re.sub(r"(\bAS\s+)'([^']+)'", r'\1"\2"', q, flags=re.I)
-    return q
+    """AQL quote conventions → dialect identifiers, SPAN-WISE: walk the
+    quoted regions so a double-quote inside a string literal (``'say "hi"'``)
+    or an apostrophe inside an identifier is never treated as the other
+    kind of quote — a flat regex corrupted exactly those literals."""
+    spans = _literal_spans(q)
+    out: list[str] = []
+    last = 0
+    for s, e in spans:
+        between = q[last:s]
+        span = q[s:e]
+        if span.startswith('"') and dialect == "spark":
+            # double-quoted identifier → backticks
+            span = "`" + span[1:-1].replace('""', '"') + "`"
+        elif span.startswith("'") and re.search(r"\bAS\s*$", between, flags=re.I):
+            # quoted alias after AS → dialect identifier quoting
+            body = span[1:-1].replace("''", "'")
+            span = f"`{body}`" if dialect == "spark" else f'"{body}"'
+        out.append(between)
+        out.append(span)
+        last = e
+    out.append(q[last:])
+    return "".join(out)
 
 
 def _inject_where_pred(q: str, pred: str) -> str:
-    """Fold ``pred`` into the query's WHERE clause (creating one if absent),
-    always ahead of GROUP BY/ORDER BY/HAVING/LIMIT — AQL's time clauses sit
-    AFTER those, where plain in-place insertion would be invalid SQL."""
+    """Fold ``pred`` into the OUTER query's WHERE clause (creating one if
+    absent), always ahead of GROUP BY/ORDER BY/HAVING/LIMIT — AQL's time
+    clauses sit AFTER those, where plain in-place insertion would be invalid
+    SQL.
+
+    All clause anchoring is TOP-LEVEL (paren-depth 0, outside literals): the
+    duckdb GLOBALVIEW expansion and the reference-set rewrite inline
+    subqueries that carry their OWN WHERE/GROUP BY, and injecting the time
+    predicate into a subquery filters pre-aggregation raw time instead of
+    the view's hour-truncated buckets — correct-looking only while the
+    bounds happen to be hour-aligned.
+    """
     clause = r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT)\b"
-    mw = re.search(r"\bWHERE\b", q, flags=re.I)
+    mw = _top_level_search(q, r"\bWHERE\b", flags=re.I)
     if mw:
         # wrap the existing WHERE body so `pred AND (body)` binds correctly
-        tail = re.search(clause, q[mw.end():], flags=re.I)
+        tail = _top_level_search(q[mw.end():], clause, flags=re.I)
         end = mw.end() + (tail.start() if tail else len(q) - mw.end())
         return (
             q[: mw.end()] + f" {pred} AND (" + q[mw.end():end].strip() + ") "
             + q[end:]
         )
-    tail = re.search(clause, q, flags=re.I)
+    tail = _top_level_search(q, clause, flags=re.I)
     at = tail.start() if tail else len(q)
     return q[:at] + f" WHERE {pred} " + q[at:]
 
@@ -371,10 +440,15 @@ def _rewrite_start_stop(q: str, time_col: str) -> str:
 
 
 def _normalize_identifier_case(q: str, columns: list[str]) -> str:
+    # _sub_outside_literals: a column word occurring INSIDE a string literal
+    # ('High Magnitude Alert') or quoted identifier must keep its bytes —
+    # the session is case-sensitive, so a case rewrite there changes results
     for col in columns:
         if not re.fullmatch(_IDENT, col):
             continue  # space-bearing names arrive backtick-quoted already
-        q = re.sub(rf"(?<![`'\w\.]){re.escape(col)}(?![`'\w])", col, q, flags=re.I)
+        q = _sub_outside_literals(
+            q, rf"(?<![\w\.]){re.escape(col)}(?![\w])", col, flags=re.I
+        )
     return q
 
 

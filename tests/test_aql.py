@@ -279,3 +279,37 @@ class TestRewriterRobustness:
         out = translate(aql, dialect="spark")
         assert "INCIDR(cidr_col, sourceip)" in out  # UDF path preserved
         assert "date_format" in out.lower() or "DATEFORMAT" not in out
+
+
+class TestLiteralPreservation:
+    """Rewrite passes must never alter bytes inside quoted regions."""
+
+    def test_column_word_inside_literal_keeps_case(self):
+        aql = "SELECT eventName FROM events WHERE userName = 'High Magnitude Alert'"
+        out = translate(aql, dialect="spark", columns=["magnitude", "userName"])
+        assert "'High Magnitude Alert'" in out
+
+    def test_double_quotes_inside_string_literal_survive(self):
+        aql = "SELECT eventName FROM events WHERE userName = 'say \"hi\" now'"
+        out = translate(aql, dialect="spark")
+        assert "'say \"hi\" now'" in out
+        assert "`hi`" not in out
+
+    def test_quoted_identifier_with_parens_and_comma_in_call(self):
+        aql = (
+            "SELECT DATEFORMAT(\"Magnitude (a, b)\", 'yyyy-MM-dd') AS d "
+            "FROM events"
+        )
+        out = translate(aql, dialect="spark")
+        assert "`Magnitude (a, b)`" in out  # identifier intact, 2-arg split
+
+    def test_globalview_time_filter_lands_outside_subquery(self):
+        aql = (
+            "SELECT * FROM GLOBALVIEW('MongoDB_UBA','NORMAL') "
+            "START '2024-01-01 00:30:00' STOP '2024-01-02 00:30:00'"
+        )
+        out = translate(aql, dialect="duckdb")
+        # the injected predicate must follow the closing paren of the inlined
+        # view subquery (outer WHERE), not sit inside the view's own WHERE
+        subq_end = out.rindex(") AS MongoDB_UBA")
+        assert "ts >= timestamp'2024-01-01 00:30:00'" in out[subq_end:]

@@ -116,3 +116,29 @@ def test_empty_increment_is_noop(spark, tmp_path, batches):
     h = _table_hash(t.read())
     t.merge(b0.limit(0), epoch=5)
     assert _table_hash(t.read()) == h
+
+
+def test_vacuum_keeps_epoch_ledger(spark, tmp_path, batches):
+    """Pruning commit FILES must not forget committed epochs: a checkpoint
+    replay of an old epoch after vacuum() would otherwise double-count."""
+    b0, b1 = batches
+    t = TxnRollupTable(spark, str(tmp_path / "t_vac"))
+    t.merge(b0, epoch=5)
+    t.merge(b1, epoch=None)  # maintenance merge, no epoch
+    t.vacuum(keep_commits=1)
+    # fresh handle = fresh cache warm from the surviving log only
+    t2 = TxnRollupTable(spark, str(tmp_path / "t_vac"))
+    assert 5 in t2.committed_epochs()
+    before = _table_hash(t2.read())
+    t2.merge(b0, epoch=5)  # replayed old epoch must be a no-op
+    assert _table_hash(t2.read()) == before
+
+
+def test_writer_cache_tracks_own_commits(spark, tmp_path, batches):
+    b0, b1 = batches
+    t = TxnRollupTable(spark, str(tmp_path / "t_cache"))
+    t.merge(b0, epoch=1)
+    t.merge(b1, epoch=2)
+    assert t.committed_epochs() == {1, 2}
+    # a second handle sees the same ledger from disk
+    assert TxnRollupTable(spark, str(tmp_path / "t_cache")).committed_epochs() == {1, 2}
