@@ -1031,6 +1031,35 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "GROUP BY s.day"
     )
 
+    # ---- cohort retention matrix (signup-week x weeks-since) ----------------
+    # The canonical product/retention analytic: fraction of each first-week
+    # cohort still active N weeks later.  Week indices are exact-BIGINT
+    # epoch-week numbers ({ms}(ts) DIV 604800000 — identical truncation both
+    # engines), so the only double is the final retention divide.  The
+    # distinct (user, week) relation is |users x weeks| — tiny next to
+    # events — and every join is keyed on user_id or the week pair.
+    _ret = (
+        "WITH act AS ("
+        "  SELECT DISTINCT user_id, "
+        "  CAST({ms}(ts) AS BIGINT) {div} 604800000 AS wk FROM events"
+        "), firstwk AS ("
+        "  SELECT user_id, MIN(wk) AS wk0 FROM act GROUP BY user_id"
+        "), cohort AS ("
+        "  SELECT wk0, COUNT(*) AS cohort_n FROM firstwk GROUP BY wk0"
+        ") "
+        "SELECT f.wk0, a.wk - f.wk0 AS weeks_since, "
+        "COUNT(*) AS n_active, CAST(MAX(c.cohort_n) AS BIGINT) AS cohort_n, "
+        "ROUND(COUNT(*) * 1.0 / MAX(c.cohort_n) + 1e-9, 6) AS retention "
+        "FROM act a "
+        "JOIN firstwk f ON a.user_id = f.user_id "
+        "JOIN cohort c ON c.wk0 = f.wk0 "
+        "GROUP BY f.wk0, a.wk - f.wk0"
+    )
+    q["cohort_retention_matrix"] = _df_entry(
+        lambda spark, sf: spark.sql(_ret.format(ms="unix_millis", div="DIV")),
+        _ret.format(ms="epoch_ms", div="//"),
+    )
+
     # ---- first-seen (new-entity) detection ----------------------------------
     # "How many users / (user, event_type) pairs appeared for the FIRST time
     # each day" — the new-entity feed SIEM rules alert on.  One MIN-aggregate
