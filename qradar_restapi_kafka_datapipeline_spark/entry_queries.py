@@ -1031,6 +1031,37 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         "GROUP BY s.day"
     )
 
+    # ---- strict-order funnel conversion (view -> click -> purchase) ---------
+    # First-touch funnel: a user advances a step only if the step's FIRST
+    # occurrence follows the previous step's first occurrence.  One aggregate
+    # pass builds per-user first-touch epoch-ms (exact BIGINT; NULL if the
+    # step never happened — NULL comparisons fall out of the CASE identically
+    # in both engines), then one corpus-wide rollup.
+    _funnel = (
+        "WITH f AS ("
+        "  SELECT user_id, "
+        "  MIN(CASE WHEN event_type = 'view' THEN CAST({ms}(ts) AS BIGINT) END) "
+        "    AS t_view, "
+        "  MIN(CASE WHEN event_type = 'click' THEN CAST({ms}(ts) AS BIGINT) END) "
+        "    AS t_click, "
+        "  MIN(CASE WHEN event_type = 'purchase' THEN CAST({ms}(ts) AS BIGINT) END) "
+        "    AS t_purchase "
+        "  FROM events GROUP BY user_id"
+        ") "
+        "SELECT COUNT(*) AS n_users, "
+        "CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS step1_view, "
+        "CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) "
+        "  AS step2_click_after_view, "
+        "CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click "
+        "  THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase_after_click "
+        "FROM f"
+    )
+    q["funnel_conversion"] = _df_entry(
+        lambda spark, sf: spark.sql(_funnel.format(ms="unix_millis")),
+        _funnel.format(ms="epoch_ms"),
+    )
+
     # ---- cohort retention matrix (signup-week x weeks-since) ----------------
     # The canonical product/retention analytic: fraction of each first-week
     # cohort still active N weeks later.  Week indices are exact-BIGINT
