@@ -9,9 +9,31 @@ pandas-UDF edges (vectorized python, never row-at-a-time).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Per-process scratch directory, removed at interpreter exit.
+
+    Replaces bare ``tempfile.mkdtemp`` in query/streaming paths: those dirs
+    were never cleaned, so repeated gate runs accumulated /tmp disk (ADVICE
+    r2).  Every caller gets a unique subdir (concurrent gate/pytest runs
+    cannot collide), and ONE atexit hook reclaims the whole per-process tree
+    after the gate has consumed the results — lazy DataFrames returned to the
+    driver are always materialized within the owning process's lifetime.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 # Defaults chosen for the local[32] test harness; on a real cluster these are
 # overridden by spark-submit conf.  AQE handles skew + post-shuffle coalescing so a

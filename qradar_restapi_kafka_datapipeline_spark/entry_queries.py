@@ -509,9 +509,8 @@ def registry() -> dict[str, Q]:
     # aggregate over ALL events recomputed by the oracle.
     def _gv_mat_run(spark: SparkSession, sf: str) -> DataFrame:
         import os
-        import shutil
-        import tempfile
 
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
         from qradar_restapi_kafka_datapipeline_spark.views import (
             materialize_globalviews,
             register_materialized_globalviews,
@@ -520,11 +519,12 @@ def registry() -> dict[str, Q]:
 
         frontend = setup(spark, sf)
         view = "MongoDB_AuthenticationFailure"
-        # per-run private dir: a fixed path keyed only by sf would let a
-        # concurrent gate/pytest run rmtree this run's materialization
-        # between its write and the (lazy) read of the returned DataFrame
-        base_path = tempfile.mkdtemp(prefix="gv_mat_")
-        shutil.rmtree(base_path, ignore_errors=True)
+        # per-run private dir (a fixed path keyed only by sf would let a
+        # concurrent gate/pytest run clobber this run's materialization
+        # between its write and the lazy read of the returned DataFrame);
+        # the not-yet-existing "table" subpath is what the writer wants,
+        # and the scratch root is reclaimed at process exit.
+        base_path = os.path.join(scratch_dir("gv_mat_"), "table")
         # Deterministic arrival split: ~1/7 of events are "late".
         spark.sql("SELECT * FROM qevents WHERE qid % 7 != 3").createOrReplaceTempView(
             "__gv_base"
@@ -1383,6 +1383,54 @@ def _df_entry(run: Callable[[SparkSession, str], DataFrame], oracle: str | None)
     return Q(run=wrapped, oracle=oracle)
 
 
+_EMIT_BASE: str | None = None
+
+
+def _emit_dir(name: str) -> str:
+    """Per-process artifact dir for emitted-result property oracles (unique
+    across concurrent gate/pytest runs, reclaimed at process exit)."""
+    global _EMIT_BASE
+    if _EMIT_BASE is None:
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        _EMIT_BASE = scratch_dir("emitted_")
+    return f"{_EMIT_BASE}/{name}"
+
+
+def _emitting_entry(
+    name: str,
+    run: Callable[[SparkSession, str], DataFrame],
+    oracle_template: str,
+) -> Q:
+    """Property-oracle entry for ENGINE-CHOSEN result sets (VERDICT r2 #1).
+
+    Some operators' row sets are legitimately engine-specific — IVF/SemDeDup
+    results depend on driver-trained k-means centroids, so no static SQL can
+    re-derive WHICH pairs appear.  What a static oracle CAN do is re-derive
+    every VALUE and invariant of the rows actually produced: the Spark runner
+    materializes its result to a per-process parquet artifact (the gate runs
+    Spark strictly before the oracle, for the mirror and the driver alike),
+    and the DuckDB oracle reads back only the emitted KEYS, recomputing every
+    other column — exact cosines from the raw embeddings, ranking, threshold
+    and id-domain predicates — so a wrong cosine, sub-threshold pair,
+    duplicate emission, rank inconsistency, or out-of-domain id all break the
+    hash/row-count match.  ``{emitted}`` in the template expands to the
+    artifact relation.
+    """
+    path = _emit_dir(name)
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        setup(spark, sf_dir)
+        # coalesce(1): these result sets are tiny, and a single partition
+        # guarantees at least one part file so the oracle's read never sees
+        # an empty glob on a 0-row result
+        run(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    oracle = oracle_template.format(emitted=f"read_parquet('{path}/*.parquet')")
+    return Q(run=wrapped, oracle=oracle)
+
+
 def _md5_norm(dialect: str) -> str:
     from qradar_restapi_kafka_datapipeline_spark.operators.text import normalized_md5_sql
 
@@ -1586,13 +1634,27 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     )
     # IVF: data-adaptive coarse quantizer (driver-trained on a bounded sample)
     # — measured recall@3 ≈ 0.9 on the random corpus vs ≈ 0.3 for sign-LSH at
-    # the same candidate budget. Spark-native centroid literals ⇒ rows-only;
-    # the recall-contract entry below pins its quality to checked values.
-    q["knn_ivf_cosine"] = _df_entry(
+    # the same candidate budget.  The driver-trained centroids make the PAIR
+    # SET engine-chosen, but every emitted ROW is value-checked: the oracle
+    # reads back only (q_id, n_id) and recomputes cosine, rank, the k cutoff
+    # and the id-domain predicates from the raw embeddings (VERDICT r2 #1 —
+    # rows-only upgraded to property-checked; the recall-contract entry below
+    # still pins approximation quality to the brute-force truth).
+    q["knn_ivf_cosine"] = _emitting_entry(
+        "knn_ivf_cosine",
         lambda spark, sf: S.knn_ivf(
             spark.table("embeddings"), query_ids=list(range(10)), k=3
         ),
-        None,
+        "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "s AS (SELECT em.q_id, em.n_id, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM emitted em JOIN e a ON a.vec_id = em.q_id "
+        "JOIN e b ON b.vec_id = em.n_id "
+        "WHERE em.q_id < 10 AND em.q_id != em.n_id), "
+        "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
+        "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
     )
     # Quality contract for the approximate path: exact counts + a recall
     # floor vs the value-checked brute-force truth (see
@@ -1932,15 +1994,26 @@ def _north_star_entries(q: dict[str, Q]) -> None:
 
     # ---- SemDeDup-style semantic dedup (similarity.py) -----------------------
     # Cluster-pruned semantic near-dup pairs. The production path's k-means
-    # centroids are driver-trained (rows-only, same reason as knn_ivf); the
+    # centroids are driver-trained, so the PAIR SET is engine-chosen — but
+    # every emitted row is value-checked via the emitted-keys property oracle
+    # (cosine recomputed from raw embeddings, threshold + id-order predicates
+    # re-applied, DISTINCT guarding duplicate emission; VERDICT r2 #1).  The
     # contract entry pins subset-ness + recall to the brute-force truth, and
     # the n_centroids=1 twin degenerates to brute force so the whole cluster
-    # machinery runs on a value-checked path.
-    q["semantic_dedup_pairs"] = _df_entry(
+    # machinery also runs on a statically-checked path.
+    q["semantic_dedup_pairs"] = _emitting_entry(
+        "semantic_dedup_pairs",
         lambda spark, sf: S.semantic_dedup_pairs(
             spark.table("embeddings"), threshold=0.42
         ),
-        None,
+        "WITH emitted AS (SELECT DISTINCT id_a, id_b FROM {emitted}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+        "SELECT em.id_a, em.id_b, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM emitted em JOIN e a ON a.vec_id = em.id_a "
+        "JOIN e b ON b.vec_id = em.id_b "
+        "WHERE em.id_a < em.id_b "
+        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
     )
     q["semantic_dedup_contract"] = _df_entry(
         lambda spark, sf: S.semantic_dedup_contract(

@@ -200,7 +200,10 @@ def blocklist_verdict_sql(
     ``"$5"`` cannot hit; route such terms through the semi-join variant.
     """
     if blocked_sources:
-        srcs = ", ".join(f"'{s}'" for s in blocked_sources)
+        # doubled '' is the SQL-standard quote escape in BOTH dialects —
+        # re.escape does NOT cover apostrophes, so a source like "don't"
+        # would otherwise end the literal early and break the statement
+        srcs = ", ".join("'" + s.replace("'", "''") + "'" for s in blocked_sources)
         src_hit = f"source IN ({srcs})"
     else:
         src_hit = "FALSE"
@@ -210,8 +213,10 @@ def blocklist_verdict_sql(
         # re.escape (3.7+) backslash-escapes only regex specials — the safe
         # subset for BOTH RE2 and java.util.regex (escaping ordinary letters
         # would be a java.util.regex error); terms are config, not user SQL,
-        # but a '.'-bearing domain must match literally.
-        alts = "|".join(re.escape(t) for t in blocked_terms)
+        # but a '.'-bearing domain must match literally.  Apostrophes are not
+        # regex specials, so escape them for the SQL literal layer ('' —
+        # both dialects) AFTER regex escaping.
+        alts = "|".join(re.escape(t).replace("'", "''") for t in blocked_terms)
         if dialect == "spark":
             # Spark SQL string literals process backslash escapes: '\\b' → \b
             spark_alts = alts.replace("\\", "\\\\")

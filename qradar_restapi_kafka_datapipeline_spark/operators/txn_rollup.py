@@ -256,12 +256,41 @@ class TxnRollupTable:
     def vacuum(self, keep_commits: int = 1) -> int:
         """Delete version dirs unreachable from the ``keep_commits`` newest
         snapshots (orphans from crashed merges included) and prune old commit
-        files.  Returns the number of directories removed."""
+        files.  Returns the number of directories removed.
+
+        Migration guard: commits written by pre-ledger code carry only their
+        own ``epoch``, not the cumulative ``epochs`` set — pruning such a log
+        naively would forget old epochs and let a checkpoint replay
+        double-count.  If the surviving commits would not carry every epoch
+        ever committed, the newest snapshot is first re-published as a fresh
+        commit with the full cumulative ledger, so the pruned log keeps exact
+        replay semantics.
+        """
         ids = self._list_commit_ids()
+        commits = {cid: self._read_commit(cid) for cid in ids}
+
+        def epochs_of(cids) -> set[int]:
+            out: set[int] = set()
+            for cid in cids:
+                c = commits[cid]
+                if c.get("epoch") is not None:
+                    out.add(c["epoch"])
+                out.update(c.get("epochs", []))
+            return out
+
+        if ids and keep_commits >= 1:
+            all_epochs = epochs_of(ids)
+            if epochs_of(ids[-keep_commits:]) != all_epochs:
+                newest = dict(commits[ids[-1]])
+                newest["epochs"] = sorted(all_epochs)
+                new_cid = ids[-1] + 1
+                self._write_commit(new_cid, newest)
+                ids.append(new_cid)
+                commits[new_cid] = newest
         keep_ids = set(ids[-keep_commits:]) if ids else set()
         live: set[str] = set()
         for cid in keep_ids:
-            for rel in self._read_commit(cid)["days"].values():
+            for rel in commits[cid]["days"].values():
                 live.add(rel.split("/event_date=")[0])
         removed = 0
         data_dir = self._Path(f"{self.path}/data")

@@ -127,22 +127,35 @@ def _rewrite_refset(q: str, ref_sets_view: str) -> str:
 def _literal_spans(q: str) -> list[tuple[int, int]]:
     """[start, end) spans of quoted regions: single-quoted string literals
     (with ``''`` escapes), double-quoted identifiers (with ``""``), and
-    backtick-quoted identifiers — a function NAME or column word inside any
-    of them must never be rewritten."""
+    backtick-quoted identifiers (with `````` escapes — Spark doubles a
+    literal backtick inside a backtick identifier) — a function NAME or
+    column word inside any of them must never be rewritten.
+
+    Malformed text raises: an unterminated quote used to be treated as
+    spanning to end-of-string, which let a top-level typo flow silently
+    through every rewrite pass and fail much later (or worse, succeed with
+    mangled semantics) — frontend hygiene demands the diagnosis here."""
     spans: list[tuple[int, int]] = []
     i, n = 0, len(q)
     while i < n:
         c = q[i]
         if c in ("'", '"', "`"):
             j = i + 1
+            closed = False
             while j < n:
                 if q[j] == c:
-                    if c != "`" and j + 1 < n and q[j + 1] == c:
+                    if j + 1 < n and q[j + 1] == c:
                         j += 2
                         continue
+                    closed = True
                     break
                 j += 1
-            spans.append((i, min(j + 1, n)))
+            if not closed:
+                raise ValueError(
+                    f"unterminated {c}-quoted literal starting at offset {i}: "
+                    f"{q[i:i + 40]!r}"
+                )
+            spans.append((i, j + 1))
             i = j + 1
         else:
             i += 1
@@ -237,7 +250,11 @@ def _last_call(
             k = j + 1
             while k < n:
                 if q[k] == c:
-                    if c != "`" and k + 1 < n and q[k + 1] == c:
+                    # doubled closer is an escaped quote for ALL three quote
+                    # kinds — '' "" and `` (Spark doubles a literal backtick
+                    # inside a backtick identifier), same rule as
+                    # _literal_spans so the two scanners never disagree
+                    if k + 1 < n and q[k + 1] == c:
                         k += 2
                         continue
                     break

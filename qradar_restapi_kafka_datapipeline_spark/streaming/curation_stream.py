@@ -50,7 +50,7 @@ def curate_documents_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFr
     DuckDB over the full table).
     """
     import os
-    import tempfile
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
 
     from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
         _write_split,
@@ -59,7 +59,7 @@ def curate_documents_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFr
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    base = tempfile.mkdtemp(prefix="curation_stream_")
+    base = scratch_dir("curation_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
     now = 1_700_000_000

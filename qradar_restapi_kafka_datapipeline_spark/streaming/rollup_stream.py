@@ -106,10 +106,10 @@ def _qevents_replay_stream(spark, n_batches: int):
     are written BY SPARK (:func:`_write_split`) — no driver materialization.
     Returns ``(streaming DataFrame, base dir)``."""
     import os
-    import tempfile
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
 
     cols = spark.table("qevents").select("ts", "domainId", "eventName", "eventCount")
-    base = tempfile.mkdtemp(prefix="rollup_stream_")
+    base = scratch_dir("rollup_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
 
@@ -206,7 +206,7 @@ def rollup_events_streaming_watermarked(
     result.
     """
     import os
-    import tempfile
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -214,7 +214,7 @@ def rollup_events_streaming_watermarked(
     from pyspark.sql.window import Window
 
     cols = spark.table("qevents").select("ts", "domainId", "eventName", "eventCount")
-    base = tempfile.mkdtemp(prefix="rollup_wm_stream_")
+    base = scratch_dir("rollup_wm_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
 

@@ -196,12 +196,12 @@ def _events_replay_with_sentinels(spark, sf_dir: str):
     """
     import os
     import shutil
-    import tempfile
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = tempfile.mkdtemp(prefix="events_replay_")
+    base = scratch_dir("events_replay_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
     shutil.copy(
@@ -408,7 +408,7 @@ def incremental_dedup_streaming(
     exactly like the batch operator's anti join.
     """
     import os
-    import tempfile
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
 
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
         _snapshot_fingerprint,
@@ -425,7 +425,7 @@ def incremental_dedup_streaming(
         .distinct()
     )
 
-    base = tempfile.mkdtemp(prefix="incr_dedup_stream_")
+    base = scratch_dir("incr_dedup_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
     now = 1_700_000_000
@@ -483,7 +483,7 @@ def first_seen_streaming(spark, sf_dir: str) -> DataFrame:
     Oracle: ``MIN(ts)`` per pair bucketed by day.
     """
     import os
-    import tempfile
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
 
     from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
         load_tables,
@@ -499,7 +499,7 @@ def first_seen_streaming(spark, sf_dir: str) -> DataFrame:
     days = [r["d"] for r in events.select(
         F.to_date("ts").alias("d")).distinct().orderBy("d").collect()]
 
-    base = tempfile.mkdtemp(prefix="first_seen_stream_")
+    base = scratch_dir("first_seen_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
     now = 1_700_000_000
@@ -547,12 +547,12 @@ def dedup_events_streaming(spark, sf_dir: str, watermark: str = "45 days") -> Da
     """
     import os
     import shutil
-    import tempfile
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = tempfile.mkdtemp(prefix="dedup_stream_")
+    base = scratch_dir("dedup_stream_")
     src = os.path.join(base, "landing")
     os.makedirs(src)
     for i in range(2):  # two identical landings = at-least-once delivery

@@ -313,3 +313,38 @@ class TestLiteralPreservation:
         # view subquery (outer WHERE), not sit inside the view's own WHERE
         subq_end = out.rindex(") AS MongoDB_UBA")
         assert "ts >= timestamp'2024-01-01 00:30:00'" in out[subq_end:]
+
+
+def test_unterminated_literal_raises_in_literal_spans():
+    """Frontend hygiene (VERDICT r2 #5): a top-level unterminated quote must
+    be diagnosed at span-scan time, not flow silently through rewrites as a
+    to-end-of-string span."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.aql import _literal_spans
+
+    for bad in (
+        "SELECT 'abc FROM events",
+        'SELECT "Custom Prop FROM events',
+        "SELECT `col FROM events",
+        "SELECT eventName FROM events WHERE userName = 'don''t",  # '' then EOF
+    ):
+        with pytest.raises(ValueError, match="unterminated"):
+            _literal_spans(bad)
+    # and the full translate path surfaces the same diagnosis
+    with pytest.raises(ValueError, match="unterminated"):
+        translate("SELECT * FROM events WHERE eventName = 'oops")
+
+
+def test_doubled_backtick_identifier_is_one_span():
+    """Spark escapes a literal backtick inside a backtick identifier by
+    doubling it — the span scanner must not end the identifier early
+    (ADVICE r2)."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.aql import _literal_spans
+
+    q = "SELECT `a``b` FROM t WHERE x = 'y'"
+    spans = _literal_spans(q)
+    assert spans[0] == (7, 13)
+    assert q[spans[0][0]:spans[0][1]] == "`a``b`"
+    # a later rewrite-sensitive word inside the identifier stays untouched
+    q2 = "SELECT `SUM``(eventCount)` AS s FROM events"
+    s0 = _literal_spans(q2)[0]
+    assert q2[s0[0]:s0[1]] == "`SUM``(eventCount)`"

@@ -314,3 +314,46 @@ def test_blocklist_terms_with_regex_metachars_match_literally(spark):
     assert v[0] == "blocked_term"
     assert v[1] == "kept"
     assert v[2] == "blocked_term"
+
+
+def test_blocklist_quote_bearing_config_is_sql_safe(spark, tmp_path):
+    """Apostrophe-bearing config values must not break the generated SQL in
+    either dialect (ADVICE r2: re.escape leaves ' alone, so it previously
+    terminated the string literal early)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (0, "well don't do that again", "src1"),
+        (1, "clean text here", "o'reilly"),
+        (2, "clean text here", "src1"),
+    ]
+    path = str(tmp_path / "bl_quote.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t, _ in docs], pa.string()),
+                "source": pa.array([s for _, _, s in docs], pa.string()),
+            }
+        ),
+        path,
+    )
+    spark.read.parquet(path).createOrReplaceTempView("bl_quote")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW bl_quote AS SELECT * FROM '{path}'")
+
+    def build(d):
+        return C.blocklist_verdict_sql(
+            d,
+            blocked_sources=("o'reilly",),
+            blocked_terms=("don't",),
+            table="bl_quote",
+        )
+
+    got = sorted(tuple(r) for r in spark.sql(build("spark")).collect())
+    want = sorted(tuple(r) for r in con.execute(build("duckdb")).fetchall())
+    assert got == want
+    v = {r[0]: r[2] for r in got}
+    assert v == {0: "blocked_term", 1: "blocked_source", 2: "kept"}

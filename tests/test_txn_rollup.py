@@ -142,3 +142,39 @@ def test_writer_cache_tracks_own_commits(spark, tmp_path, batches):
     assert t.committed_epochs() == {1, 2}
     # a second handle sees the same ledger from disk
     assert TxnRollupTable(spark, str(tmp_path / "t_cache")).committed_epochs() == {1, 2}
+
+
+def test_vacuum_migrates_pre_ledger_commits(spark, tmp_path, batches):
+    """Vacuum on a log written by pre-ledger code (commits carry only their
+    own 'epoch', no cumulative 'epochs') must not forget pruned epochs — it
+    re-publishes the newest snapshot with the full ledger first (ADVICE r2)."""
+    import glob
+    import json as _json
+    import os as _os
+
+    b0, b1 = batches
+    path = str(tmp_path / "t_mig")
+    t = TxnRollupTable(spark, path)
+    t.merge(b0, epoch=5)
+    t.merge(b1, epoch=7)
+    # simulate the old wire format: strip the cumulative ledger field
+    # (and drop the Hadoop LocalFileSystem .crc sidecars the out-of-band
+    # rewrite invalidates)
+    for f in glob.glob(_os.path.join(path, "_commits", "*.json")):
+        with open(f) as fh:
+            c = _json.load(fh)
+        c.pop("epochs", None)
+        with open(f, "w") as fh:
+            _json.dump(c, fh)
+    for crc in glob.glob(_os.path.join(path, "_commits", ".*.crc")):
+        _os.remove(crc)
+    t2 = TxnRollupTable(spark, path)
+    t2.vacuum(keep_commits=1)
+    # a cold handle over the pruned log still knows both epochs …
+    t3 = TxnRollupTable(spark, path)
+    assert {5, 7} <= t3.committed_epochs()
+    # … so a checkpoint replay of the pruned epoch is a no-op, not a
+    # double-count
+    before = _table_hash(t3.read())
+    t3.merge(b0, epoch=5)
+    assert _table_hash(t3.read()) == before
