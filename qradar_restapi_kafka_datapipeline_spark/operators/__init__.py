@@ -35,8 +35,8 @@ from qradar_restapi_kafka_datapipeline_spark.operators.text import (
     bpe_token_estimate,
     lang_id,
     normalized_md5,
+    positional_fingerprint_sql,
     quality_score,
-    rolling_hash,
     word_count,
 )
 
@@ -58,9 +58,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "normalize",
     "normalized_md5",
+    "positional_fingerprint_sql",
     "quality_score",
     "rename_events",
-    "rolling_hash",
     "salted_sum",
     "sanitize_columns",
     "sessionize",

@@ -1254,3 +1254,129 @@ def passage_dedup(
             F.length(clean).cast("long").alias("clean_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better", arXiv:2107.06499 §4.1 ExactSubstr) — the last
+# LLM-dedup family member (VERDICT r2 #3): maximal shared runs of >= min_run
+# whitespace tokens between document pairs.
+# ---------------------------------------------------------------------------
+
+def _gram_positions_sql(dialect: str, n: int, source: str) -> str:
+    """``(doc_id, i, h)`` — the portable 60-bit hash of the ``n``-token gram
+    starting at 1-based token position ``i``, COMPLETE windows only (docs
+    shorter than ``n`` tokens emit nothing; the explicit ``>= n`` predicate
+    guards the explode, per the Spark-decreasing/DuckDB-empty
+    ``sequence(1, 0)`` divergence)."""
+    if dialect == "spark":
+        gram = "concat_ws(' ', " + ", ".join(
+            f"try_element_at(w, CAST(i + {j} AS INT))" for j in range(n)
+        ) + ")"
+        h = f"CAST(CONV(SUBSTR(MD5({gram}), 1, 15), 16, 10) AS BIGINT)"
+        return (
+            f"SELECT doc_id, i, {h} AS h FROM "
+            f"(SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM {source}) d "
+            f"LATERAL VIEW explode(sequence(1, size(w) - {n - 1})) t AS i "
+            f"WHERE size(w) >= {n}"
+        )
+    gram = "concat_ws(' ', " + ", ".join(f"w[i+{j}]" for j in range(n)) + ")"
+    h = f"('0x' || substr(md5({gram}), 1, 15))::BIGINT"
+    return (
+        f"SELECT doc_id, i, {h} AS h FROM "
+        f"(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+        f"FROM {source}) d, "
+        f"UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i) "
+        f"WHERE len(w) >= {n}"
+    )
+
+
+def _substring_runs_sql(grams_a: str, grams_b: str, n: int, min_run: int) -> str:
+    """Maximal-run extension over two gram relations — dialect-common SQL.
+
+    A shared run of L >= ``n`` tokens is exactly n-gram hash matches at
+    L−n+1 CONSECUTIVE positions on one alignment diagonal (pa − pb), so the
+    classic gaps-and-islands pass (pa − ROW_NUMBER() per diagonal) groups
+    each maximal run and ``MAX(pa) − MIN(pa) + n`` recovers L.  Candidates
+    come only from the hash equi-join — never an all-pairs product — and the
+    window partitions by (pair, diagonal), whose size is bounded by the
+    shorter document, not the corpus.
+    """
+    return f"""
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, b.i AS pb
+      FROM ({grams_a}) a JOIN ({grams_b}) b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+      FROM m
+    )
+    SELECT id_a, id_b,
+           CAST(MIN(pa) - 1 AS BIGINT) AS start_a,
+           CAST(MIN(pb) - 1 AS BIGINT) AS start_b,
+           CAST(MAX(pa) - MIN(pa) + {n} AS BIGINT) AS run_tokens
+    FROM runs GROUP BY id_a, id_b, diag, grp
+    HAVING MAX(pa) - MIN(pa) + {n} >= {min_run}
+    """
+
+
+def exact_substring_sql(
+    dialect: str,
+    n: int = 8,
+    min_run: int = 12,
+    source: str = "documents",
+) -> str:
+    """One-SQL oracle/parity form of :func:`exact_substring_pairs` (inlines
+    the gram relation twice — fine for DuckDB, whose optimizer shares it;
+    the production Spark path builds it once).
+
+    Output: ``(id_a, id_b, start_a, start_b, run_tokens)`` — one row per
+    MAXIMAL shared token run of >= ``min_run`` tokens, 0-based token offsets.
+
+    Suffix arrays are the reference algorithm's single-machine tool; this is
+    the distributed re-expression: hash every ``n``-token gram (portable
+    md5-60bit, exact on the join since both sides hash the same normalized
+    token text), equi-join as the candidate generator, then one window pass
+    chains consecutive-diagonal matches into maximal islands.  At 100 TB the
+    gram relation is ~tokens rows of (id, pos, 8 bytes) — the text itself
+    never shuffles — and degenerate grams (boilerplate repeated across
+    millions of docs) should be pre-filtered with a df cap before the join
+    (same regime split as :func:`blocklist_semijoin`); the testdata corpus
+    needs no cap, so the gate runs the pure form.
+    """
+    g = _gram_positions_sql(dialect, n, source)
+    return f"WITH {_substring_runs_sql(g, g, n, min_run)}"
+
+
+def exact_substring_pairs(
+    spark,
+    n: int = 8,
+    min_run: int = 12,
+    source: str = "documents",
+    max_gram_doc_freq: int | None = None,
+) -> DataFrame:
+    """Production Spark form: the gram relation is computed ONCE (spread,
+    persisted) and self-joined — the inlined SQL form pays the explode +
+    per-gram md5 twice.  ``max_gram_doc_freq`` drops grams seen in more than
+    that many docs before the join (the boilerplate-explosion guard for web
+    corpora; None = off).  Cache contract as in :func:`minhash_lsh_pairs`:
+    the returned plan reads the persisted relation lazily."""
+    spread_view = "__ess_spread_src"
+    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
+    grams = spark.sql(_gram_positions_sql("spark", n, spread_view))
+    if max_gram_doc_freq is not None:
+        df_counts = grams.groupBy("h").agg(
+            F.countDistinct("doc_id").alias("__df")
+        )
+        grams = grams.join(
+            df_counts.where(F.col("__df") <= max_gram_doc_freq).select("h"),
+            "h",
+            "left_semi",
+        )
+    grams = grams.persist()
+    grams.createOrReplaceTempView("__ess_grams")
+    gsel = "SELECT doc_id, i, h FROM __ess_grams"
+    return spark.sql(f"WITH {_substring_runs_sql(gsel, gsel, n, min_run)}")

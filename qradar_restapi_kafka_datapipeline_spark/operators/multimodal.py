@@ -349,3 +349,198 @@ def frame_sample(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG: the third real-decode family member (VERDICT r2 #8) — stdlib zlib is
+# the whole codec, so unlike BMP/WAV's fixed headers this one exercises a real
+# compressed bitstream: chunk walking with CRC verification, multi-IDAT
+# concatenation, inflate, and per-scanline filter REVERSAL (None/Sub/Up).
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def encode_png(doc_id: int, text: str) -> bytes:
+    """A VALID 8-bit grayscale PNG with deterministic dimensions and pixels
+    (``raw[y][x] = (doc_id*7 + y*13 + x*3) % 256``) so an SQL oracle can
+    recompute the decoded checksum without touching bytes.  Deliberate
+    decoder hazards: scanline filters CYCLE through None/Sub/Up (a decoder
+    skipping filter reversal fails), every third doc carries a tEXt chunk
+    before IDAT (fixed-offset readers fail), and every fourth doc splits the
+    deflate stream across TWO IDAT chunks (per-chunk inflaters fail)."""
+    import struct
+    import zlib
+
+    w = 4 + len(text) % 8
+    h = 2 + doc_id % 5
+    raw = [
+        bytes((doc_id * 7 + y * 13 + x * 3) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    stream = bytearray()
+    for y in range(h):
+        f = y % 3
+        stream.append(f)
+        if f == 0:  # None
+            stream += raw[y]
+        elif f == 1:  # Sub: delta vs left neighbor
+            stream += bytes(
+                (raw[y][x] - (raw[y][x - 1] if x else 0)) % 256 for x in range(w)
+            )
+        else:  # Up: delta vs same column, prior row
+            prior = raw[y - 1] if y else bytes(w)
+            stream += bytes((raw[y][x] - prior[x]) % 256 for x in range(w))
+    comp = zlib.compress(bytes(stream))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if doc_id % 3 == 0:
+        out += _png_chunk(b"tEXt", b"Comment\x00synthetic")
+    if doc_id % 4 == 0 and len(comp) >= 2:
+        mid = len(comp) // 2
+        out += _png_chunk(b"IDAT", comp[:mid]) + _png_chunk(b"IDAT", comp[mid:])
+    else:
+        out += _png_chunk(b"IDAT", comp)
+    return out + _png_chunk(b"IEND", b"")
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a PNG from raw bytes: signature + chunk walk (verifying every
+    CRC), IDAT concatenation, zlib inflate, and per-scanline filter reversal
+    for filter types 0/1/2.  Returns ``(width, height, bit_depth,
+    color_type, n_chunks, pixel_checksum)`` where the checksum positionally
+    weights every RECONSTRUCTED pixel — a decode that skips filter reversal,
+    transposes, or drops a scanline hash-fails."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, n_chunks, idat, ihdr = 8, 0, b"", None
+    while pos + 12 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        crc = struct.unpack_from(">I", payload, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        n_chunks += 1
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + clen
+        if ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_id, _, _, interlace = ihdr
+    if depth != 8 or ctype_id != 0 or interlace != 0:
+        raise ValueError("decoder supports 8-bit non-interlaced grayscale")
+    stream = zlib.decompress(idat)
+    if len(stream) != h * (w + 1):
+        raise ValueError("inflated stream length mismatch")
+    checksum, prior = 0, bytes(w)
+    for y in range(h):
+        f = stream[y * (w + 1)]
+        filt = stream[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        if f == 0:
+            recon = bytearray(filt)
+        elif f == 1:
+            recon = bytearray(w)
+            for x in range(w):
+                recon[x] = (filt[x] + (recon[x - 1] if x else 0)) % 256
+        elif f == 2:
+            recon = bytearray((filt[x] + prior[x]) % 256 for x in range(w))
+        else:
+            raise ValueError(f"unsupported scanline filter {f}")
+        for x in range(w):
+            checksum += recon[x] * (1 + (y * w + x) % 97)
+        prior = bytes(recon)
+    return w, h, depth, ctype_id, n_chunks, checksum % BMP_CHECKSUM_MOD
+
+
+def attach_png_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, payload)`` with a real PNG per document — Arrow-batched encode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_png(int(i), t)
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id LONG, payload BINARY"
+    )
+
+
+def extract_png_features(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real-decode PNG features: every value comes out of
+    :func:`decode_png`'s chunk walk + inflate + filter reversal — the oracle
+    recomputes them from the encoder spec, so a wrong filter pass, skipped
+    IDAT, or CRC shortcut hash-fails."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *decode_png(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bit_depth", "color_type",
+                    "n_chunks", "pixel_checksum",
+                ],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id LONG, width INT, height INT, bit_depth INT, "
+        "color_type INT, n_chunks INT, pixel_checksum LONG",
+    )
+
+
+def png_decode_oracle_sql(source: str = "documents") -> str:
+    """DuckDB recomputation of every decoded PNG property from the encoder
+    spec — the pixel checksum re-derives each RECONSTRUCTED pixel from the
+    deterministic fill formula with the same positional weights, so it
+    value-checks the whole inflate + filter-reversal path."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + length(text) % 8 AS INT) AS w,
+             CAST(2 + doc_id % 5 AS INT) AS h
+      FROM {source}
+    )
+    SELECT doc_id, w AS width, h AS height, CAST(8 AS INT) AS bit_depth,
+           CAST(0 AS INT) AS color_type,
+           CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_chunks,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                i -> ((doc_id * 7 + (i // w) * 13 + (i % w) * 3) % 256)
+                     * (1 + i % 97)))
+                % {BMP_CHECKSUM_MOD} AS BIGINT) AS pixel_checksum
+    FROM dims
+    """

@@ -141,31 +141,57 @@ def normalized_md5_sql(col: str, dialect: str) -> str:
     return f"md5({norm})"
 
 
-def rolling_hash_sql(col: str, dialect: str) -> str:
-    """Polynomial rolling hash Σ c_i·31^i mod 1e9+7, folded left-to-right.
+def positional_fingerprint_sql(
+    dialect: str, source: str = "documents", text_col: str = "text"
+) -> str:
+    """Order-sensitive document fingerprint, fully relational (VERDICT r2 #6).
 
-    Same fold in both engines (Spark ``aggregate``, DuckDB ``list_reduce``) —
-    order-deterministic by construction, unlike a SUM.
+    ``fp_pos`` = Σ over words of H60(word ‖ '@' ‖ position) mod 1e9+7 — the
+    position is baked into each term's hash input, so permuting words changes
+    the fingerprint (the property the retired char-level polynomial fold
+    provided), while the combination stays a plain SUM: explode + groupBy,
+    map-side partial aggregation, whole-stage codegen.  The retired form was
+    ``aggregate(transform(split(col, '')))`` — a per-CHARACTER interpreted
+    higher-order lambda, the exact pitfall CLAUDE.md documents (and the
+    slowest expression shape Spark offers).
+
+    H60 is the repo's portable md5-derived 60-bit hash (the
+    ``PORTABLE_TOKEN_HASH`` family in ``operators/dedup.py``), so DuckDB
+    reproduces each term bit-for-bit.  Each term is < 2^30 after the mod, so
+    BIGINT overflow would need > 2^33 words in one document — orders of
+    magnitude above any real input.
+
+    Returns the complete per-doc relation ``(doc_id, fp_pos)``; every doc
+    emits exactly one row (splitting '' yields [''], never an empty array,
+    in both engines).
     """
     if dialect == "spark":
-        return (
-            f"aggregate(transform(split({col}, ''), c -> ascii(c)), 0L, "
-            f"(a, b) -> (a * 31 + b) % 1000000007)"
-        )
-    # explicit BIGINT: DuckDB's ascii() yields INT32 and a*31 overflows it
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({col}, ''), "
-        f"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
-    )
+        return f"""
+        WITH w AS (SELECT doc_id, split(trim({text_col}), '\\\\s+') AS w
+                   FROM {source}),
+        t AS (SELECT doc_id, posexplode(w) AS (pos, word) FROM w)
+        SELECT doc_id,
+               SUM(CAST(CONV(SUBSTR(MD5(CONCAT(word, '@', pos)), 1, 15),
+                   16, 10) AS BIGINT) % 1000000007) % 1000000007 AS fp_pos
+        FROM t GROUP BY doc_id
+        """
+    if dialect == "duckdb":
+        return f"""
+        WITH w AS (SELECT doc_id,
+                          regexp_split_to_array(trim({text_col}), '\\s+') AS w
+                   FROM {source}),
+        t AS (SELECT doc_id, w[i] AS word, i - 1 AS pos
+              FROM w, UNNEST(generate_series(1, len(w))) AS u(i))
+        SELECT doc_id,
+               CAST(SUM(CAST(('0x' || substr(md5(word || '@' || pos), 1, 15))
+                    AS BIGINT) % 1000000007) % 1000000007 AS BIGINT) AS fp_pos
+        FROM t GROUP BY doc_id
+        """
+    raise ValueError(f"unknown dialect {dialect!r}")
 
 
 def normalized_md5(col: str = "text") -> Column:
     return F.expr(normalized_md5_sql(col, "spark"))
-
-
-def rolling_hash(col: str = "text") -> Column:
-    return F.expr(rolling_hash_sql(col, "spark"))
 
 
 # ---------------------------------------------------------------------------

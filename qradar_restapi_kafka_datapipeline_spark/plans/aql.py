@@ -447,12 +447,37 @@ def _rewrite_last(q: str, time_col: str, now_expr: str | None) -> str:
     return _inject_where_pred(q[: m.start()] + q[m.end():], pred)
 
 
-def _rewrite_start_stop(q: str, time_col: str) -> str:
+def _rewrite_start_stop(
+    q: str, time_col: str, partition_col: str | None = None
+) -> str:
+    """AQL ``START '{t0}' STOP '{t1}'`` → half-open time-range predicate.
+
+    With ``partition_col`` set (an ``event_date``-style DAY partition column
+    on the events relation), the rewrite ALSO derives the implied partition
+    predicate — constant DATE bounds Catalyst turns into file-level partition
+    pruning.  This is the 100 TB scan-economics path: the ``ts`` bound alone
+    filters rows AFTER the scan (Spark does not infer ``date(ts)`` bounds
+    from ``ts`` bounds), so without the derived predicate a 2-day query
+    still reads every day's files.  STOP is exclusive, so a stop at exactly
+    midnight does not touch that day's partition.
+    """
     m = re.search(r"\bSTART\s+'([^']+)'\s+STOP\s+'([^']+)'", q, flags=re.I)
     if not m:
         return q
     t0, t1 = m.group(1), m.group(2)
     pred = f"({time_col} >= timestamp'{t0}' AND {time_col} < timestamp'{t1}')"
+    if partition_col:
+        import datetime as _dt
+
+        start = _dt.datetime.fromisoformat(t0)
+        stop = _dt.datetime.fromisoformat(t1)
+        d1 = stop.date()
+        if stop.time() == _dt.time(0):
+            d1 = d1 - _dt.timedelta(days=1)
+        pred = (
+            f"({partition_col} >= DATE'{start.date()}' "
+            f"AND {partition_col} <= DATE'{d1}' AND {pred[1:]}"
+        )
     return _inject_where_pred(q[: m.start()] + q[m.end():], pred)
 
 
@@ -478,12 +503,15 @@ def translate(
     ref_sets_view: str = "ref_sets",
     columns: list[str] | None = None,
     now_expr: str | None = None,
+    partition_col: str | None = None,
 ) -> str:
     """AQL text → executable SQL text in the target dialect.
 
     GROUP BY / ORDER BY / LIMIT / HAVING pass through untouched (valid in both
     dialects); the AQL-specific clauses (START/STOP, LAST, PARAMETERS,
     GLOBALVIEW, quoted aliases, scalar functions) are rewritten.
+    ``partition_col`` names the events view's day-partition column, if any —
+    START/STOP then also emits the derived partition-pruning predicate.
     """
     q = aql.format(**params) if params else aql
     q = _strip_parameters(q)
@@ -492,7 +520,7 @@ def translate(
     q = _rewrite_refset(q, ref_sets_view)
     q = _inline_functions(q, dialect)
     q = _rewrite_quotes(q, dialect)
-    q = _rewrite_start_stop(q, time_col)
+    q = _rewrite_start_stop(q, time_col, partition_col)
     q = _rewrite_last(q, time_col, now_expr)
     if dialect == "spark" and columns:
         q = _normalize_identifier_case(q, columns)
@@ -521,11 +549,13 @@ class AQLFrontend:
         events_view: str = "qevents",
         time_col: str = "ts",
         ref_sets_view: str = "ref_sets",
+        partition_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.events_view = events_view
         self.time_col = time_col
         self.ref_sets_view = ref_sets_view
+        self.partition_col = partition_col
         register_aql_functions(spark)
 
     def translate(self, aql: str, params: dict[str, str] | None = None) -> str:
@@ -547,6 +577,7 @@ class AQLFrontend:
             time_col=self.time_col,
             ref_sets_view=self.ref_sets_view,
             columns=cols,
+            partition_col=self.partition_col,
         )
 
     def sql(self, aql: str, params: dict[str, str] | None = None) -> DataFrame:

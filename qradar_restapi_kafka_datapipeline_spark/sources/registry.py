@@ -88,3 +88,27 @@ def register_qevents(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataF
     df = spark.sql(qevents_sql("spark"))
     df.createOrReplaceTempView("qevents")
     return df
+
+def materialize_events_day_partitioned(
+    spark: SparkSession, path: str, source: str = "qevents"
+) -> DataFrame:
+    """Write the events relation DAY-PARTITIONED (``event_date=YYYY-MM-DD/``
+    directories) and return the partition-aware reader.
+
+    This is the storage layout a 100 TB deployment lands events in (the
+    reference's ClickHouse tables use the same daily PARTITION BY, SURVEY
+    §2 B11): a time-bounded scan then prunes at the FILE level before any
+    row is read.  Pair with ``AQLFrontend(partition_col="event_date")`` so
+    START/STOP clauses derive the constant DATE bounds Catalyst needs —
+    a ``ts`` predicate alone cannot prune partitions.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        spark.table(source)
+        .withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return spark.read.option("basePath", path).parquet(path)

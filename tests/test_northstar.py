@@ -612,3 +612,185 @@ def test_winnow_overlap_dataframe_matches_sql_form(spark, sf_dir):
         for r in spark.sql(winnow_overlap_sql("spark", source="wo_docs")).collect()
     }
     assert df_form == sql_form and df_form
+
+
+class TestExactSubstring:
+    """Exact-substring dedup (Lee et al. ExactSubstr, relational form):
+    planted duplicate runs must come back with exact offsets and MAXIMAL
+    lengths, and sub-threshold runs must not appear."""
+
+    def _mk(self, spark, docs):
+        from pyspark.sql import Row
+
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t, source="s") for i, t in docs]
+        ).createOrReplaceTempView("ess_docs")
+
+    def test_planted_run_offsets_and_maximality(self, spark):
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            exact_substring_pairs,
+        )
+
+        run = " ".join(f"dup{i}" for i in range(15))  # 15-token shared run
+        a = "a0 a1 a2 " + run + " a3 a4"              # run at tokens 3..17
+        b = "b0 " + run + " b1 b2 b3 b4 b5"           # run at tokens 1..15
+        self._mk(spark, [(0, a), (1, b), (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9")])
+        out = exact_substring_pairs(
+            spark, n=8, min_run=12, source="ess_docs"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.id_a, r.id_b) == (0, 1)
+        assert (r.start_a, r.start_b, r.run_tokens) == (3, 1, 15)
+
+    def test_two_separate_islands_and_min_run_filter(self, spark):
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            exact_substring_pairs,
+        )
+
+        r1 = " ".join(f"x{i}" for i in range(12))  # meets min_run=12
+        r2 = " ".join(f"y{i}" for i in range(13))  # meets min_run=12
+        short = " ".join(f"z{i}" for i in range(9))  # 9 < 12 → dropped
+        a = r1 + " gapA1 gapA2 " + r2 + " tailA " + short
+        b = r2 + " gapB1 " + r1 + " tailB1 tailB2 " + short
+        self._mk(spark, [(0, a), (1, b)])
+        out = sorted(
+            (r.start_a, r.start_b, r.run_tokens)
+            for r in exact_substring_pairs(
+                spark, n=8, min_run=12, source="ess_docs"
+            ).collect()
+        )
+        # r1: a tokens 0..11, b tokens 14..25; r2: a tokens 14..26, b 0..12
+        assert out == [(0, 14, 12), (14, 0, 13)]
+
+    def test_oracle_parity_on_planted_corpus(self, spark, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            exact_substring_pairs,
+            exact_substring_sql,
+        )
+
+        run = " ".join(f"w{i}" for i in range(20))
+        docs = [
+            (0, "p0 p1 " + run + " p2"),
+            (1, run + " q0 q1 q2 q3"),
+            (2, "r0 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11"),
+            (3, "p0 p1 " + run + " p2"),  # full-doc duplicate of 0
+        ]
+        path = str(tmp_path / "ess.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            ),
+            path,
+        )
+        spark.read.parquet(path).createOrReplaceTempView("ess_par")
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW ess_par AS SELECT * FROM '{path}'")
+        got = sorted(
+            tuple(r)
+            for r in exact_substring_pairs(
+                spark, n=8, min_run=10, source="ess_par"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                exact_substring_sql("duckdb", n=8, min_run=10, source="ess_par")
+            ).fetchall()
+        )
+        assert got == want and got
+        # the full-doc duplicate must surface as one maximal 23-token run
+        assert (0, 3, 0, 0, 23) in got
+
+
+class TestPngDecode:
+    """PNG real-decode hazards: filter reversal, multi-IDAT, CRC, chunk walk
+    (pure-Python — no Spark session needed)."""
+
+    def test_roundtrip_matches_spec(self):
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            BMP_CHECKSUM_MOD,
+            decode_png,
+            encode_png,
+        )
+
+        for doc_id, text in [(0, "eleven chars"), (1, "y"), (7, "abcdef")]:
+            w, h, depth, ctype, n_chunks, cs = decode_png(encode_png(doc_id, text))
+            ew, eh = 4 + len(text) % 8, 2 + doc_id % 5
+            assert (w, h, depth, ctype) == (ew, eh, 8, 0)
+            assert n_chunks == 3 + (doc_id % 3 == 0) + (doc_id % 4 == 0)
+            want = sum(
+                ((doc_id * 7 + (i // ew) * 13 + (i % ew) * 3) % 256)
+                * (1 + i % 97)
+                for i in range(ew * eh)
+            ) % BMP_CHECKSUM_MOD
+            assert cs == want
+
+    def test_multi_idat_concatenation(self):
+        """doc_id % 4 == 0 splits the deflate stream across two IDAT chunks —
+        a per-chunk inflater would raise; concatenation must decode clean."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        payload = encode_png(8, "split stream doc")
+        assert payload.count(b"IDAT") == 2
+        w, h, *_ = decode_png(payload)
+        assert (w, h) == (4 + len("split stream doc") % 8, 2 + 8 % 5)
+
+    def test_filter_reversal_is_exercised(self):
+        """Heights >= 3 cycle through all three filters (None/Sub/Up); a
+        decoder treating every scanline as filter-0 must produce a different
+        checksum than the spec."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            BMP_CHECKSUM_MOD,
+            encode_png,
+        )
+        import struct
+        import zlib
+
+        doc_id, text = 2, "tall image doc"  # h = 4 → filters 0,1,2,0
+        payload = encode_png(doc_id, text)
+        w, h = 4 + len(text) % 8, 2 + doc_id % 5
+        # inflate and deliberately skip reversal: raw bytes after the filter
+        # byte, summed with the same weights
+        pos, idat = 8, b""
+        while pos + 12 <= len(payload):
+            clen = struct.unpack_from(">I", payload, pos)[0]
+            if payload[pos + 4 : pos + 8] == b"IDAT":
+                idat += payload[pos + 8 : pos + 8 + clen]
+            pos += 12 + clen
+        stream = zlib.decompress(idat)
+        naive = sum(
+            stream[y * (w + 1) + 1 + x] * (1 + (y * w + x) % 97)
+            for y in range(h)
+            for x in range(w)
+        ) % BMP_CHECKSUM_MOD
+        want = sum(
+            ((doc_id * 7 + (i // w) * 13 + (i % w) * 3) % 256) * (1 + i % 97)
+            for i in range(w * h)
+        ) % BMP_CHECKSUM_MOD
+        assert naive != want  # filters really change the byte stream
+
+    def test_crc_and_signature_rejected(self):
+        import pytest as _pytest
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        with _pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"GIF89a not a png")
+        bad = bytearray(encode_png(5, "corrupt"))
+        bad[20] ^= 0xFF
+        with _pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(bad))

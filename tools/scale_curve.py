@@ -32,8 +32,13 @@ from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
 BASE_SF = "/root/testdata/sf0.1"
 
 
-def amplify(spark, out_dir: str, k: int) -> None:
-    """K shifted copies of events + documents (distinct populations per copy)."""
+def amplify(spark, out_dir: str, k: int, skew_pct: int | None = None) -> None:
+    """K shifted copies of events + documents (distinct populations per copy).
+
+    ``skew_pct`` reassigns a deterministic ``skew_pct``% of ALL events (by
+    event_id residue — uniform across time and copies) to ONE hot user —
+    the bot-account population the uniform testdata can't show, for the
+    window-family straggler measurements (VERDICT r2 #2)."""
     ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
     max_eid = ev.agg(F.max("event_id")).first()[0] + 1
     max_uid = ev.agg(F.max("user_id")).first()[0] + 1
@@ -51,6 +56,13 @@ def amplify(spark, out_dir: str, k: int) -> None:
     union = copies[0]
     for c in copies[1:]:
         union = union.unionByName(c)
+    if skew_pct:
+        union = union.withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(100)) < skew_pct, F.lit(-1)
+            ).otherwise(F.col("user_id")),
+        )
     union.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
@@ -125,30 +137,138 @@ def amplify(spark, out_dir: str, k: int) -> None:
             os.symlink(src, f"{out_dir}/{t}.parquet")
 
 
+def _skew_ops(spark):
+    """The per-user window family, plain LAG vs bucketed_lag, for the
+    hot-user straggler measurement (run with ``--skew P``).  Plain forms
+    mirror the registry entries; bucketed forms are the mitigations whose
+    exact equivalence the gate proves (entries ``*_bucketed``)."""
+    from pyspark.sql.window import Window
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import skew as SK
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
+
+    def _ms(df):
+        return df.withColumn("__ms", F.expr("unix_millis(ts)"))
+
+    def gaps_plain():
+        w = Window.partitionBy("user_id").orderBy("__ms", "event_id")
+        return _ms(spark.table("events")).select(
+            "event_id", "user_id",
+            (F.col("__ms") - F.lag("__ms").over(w)).cast("long").alias("g"),
+        )
+
+    def trans_plain():
+        w = Window.partitionBy("user_id").orderBy("__ms", "event_id")
+        seq = _ms(spark.table("events")).withColumn(
+            "prev", F.lag("event_type").over(w)
+        )
+        return (
+            seq.where(F.col("prev").isNotNull())
+            .groupBy("prev", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def beacon_plain():
+        w = Window.partitionBy("user_id", "event_type").orderBy("__ms", "event_id")
+        seq = _ms(spark.table("events")).withColumn("prev", F.lag("__ms").over(w))
+        g = seq.where(F.col("prev").isNotNull()).selectExpr(
+            "user_id", "event_type",
+            "CAST(__ms AS BIGINT) DIV 1000 - CAST(prev AS BIGINT) DIV 1000 AS g",
+        )
+        return (
+            g.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("g").alias("s1"),
+                 F.sum(F.col("g") * F.col("g")).alias("s2"))
+            .where((F.col("n") >= 5) & (F.col("s1") > 0))
+        )
+
+    return {
+        "event_gaps_plain": gaps_plain,
+        "event_gaps_bucketed": lambda: SK.event_gaps_bucketed(
+            spark.table("events")
+        ),
+        "event_transition_plain": trans_plain,
+        "event_transition_bucketed": lambda: SK.event_transitions_bucketed(
+            spark.table("events")
+        ),
+        "beaconing_plain": beacon_plain,
+        "beaconing_bucketed": lambda: SK.beaconing_score_bucketed(
+            spark.table("events")
+        ),
+        # inherent per-key ordering bound — measured, documented, no twin
+        "sessionize_events": lambda: sessionize(
+            spark.table("events"), gap_minutes=30, agg_cols={"value": "total_value"}
+        ),
+    }
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = list(sys.argv[1:])
+    skew_pct = None
+    if "--skew" in args:
+        i = args.index("--skew")
+        skew_pct = int(args[i + 1])
+        del args[i : i + 2]
+    ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
 
     def consume(df):
         df.write.format("noop").mode("overwrite").save()
 
+    for k in ks:
+        base = tempfile.mkdtemp(prefix=f"scale_{k}x_")
+        try:
+            amplify(spark, base, k, skew_pct)
+            setup(spark, base)
+            if skew_pct:
+                ops = _skew_ops(spark)
+            else:
+                ops = _uniform_ops(spark, k)
+            n_events = spark.table("events").count()
+            n_docs = spark.table("documents").count()
+            for name, build in ops.items():
+                # steady state: min of 3 (co-tenant noise, codegen warm-up);
+                # loadavg recorded so polluted lines are identifiable — a
+                # reading > ~2 means another tenant was burning the cores
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    consume(build())
+                    times.append(time.time() - t0)
+                with open("/proc/loadavg") as f:
+                    load1 = float(f.read().split()[0])
+                print(
+                    json.dumps(
+                        {
+                            "k": k,
+                            "skew_pct": skew_pct,
+                            "op": name,
+                            "sec": round(min(times), 2),
+                            "runs": [round(t, 2) for t in times],
+                            "loadavg1": load1,
+                            "events": n_events,
+                            "docs": n_docs,
+                        }
+                    ),
+                    flush=True,
+                )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+def _uniform_ops(spark, k: int):
     from qradar_restapi_kafka_datapipeline_spark.operators import asof as A
     from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
     from qradar_restapi_kafka_datapipeline_spark.operators import similarity as Sim
     from qradar_restapi_kafka_datapipeline_spark.operators import text as T
+    from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+        contamination_report,
+    )
     from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
 
-    for k in ks:
-        base = tempfile.mkdtemp(prefix=f"scale_{k}x_")
-        try:
-            amplify(spark, base, k)
-            setup(spark, base)
-            from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
-                contamination_report,
-            )
-
-            ops = {
+    return {
                 "dedup_exact": lambda: D.exact_dup_groups(spark.table("documents")),
                 "dedup_minhash_lsh_highsim": lambda: D.minhash_lsh_pairs(
                     spark.table("documents"), threshold=0.85
@@ -213,35 +333,6 @@ def main() -> None:
                 # distinct populations, so pair volume stays linear in K)
                 "text_winnow_overlap": lambda: T.winnow_overlap(spark),
             }
-            n_events = spark.table("events").count()
-            n_docs = spark.table("documents").count()
-            for name, build in ops.items():
-                # steady state: min of 3 (co-tenant noise, codegen warm-up);
-                # loadavg recorded so polluted lines are identifiable — a
-                # reading > ~2 means another tenant was burning the cores
-                times = []
-                for _ in range(3):
-                    t0 = time.time()
-                    consume(build())
-                    times.append(time.time() - t0)
-                with open("/proc/loadavg") as f:
-                    load1 = float(f.read().split()[0])
-                print(
-                    json.dumps(
-                        {
-                            "k": k,
-                            "op": name,
-                            "sec": round(min(times), 2),
-                            "runs": [round(t, 2) for t in times],
-                            "loadavg1": load1,
-                            "events": n_events,
-                            "docs": n_docs,
-                        }
-                    ),
-                    flush=True,
-                )
-        finally:
-            shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
