@@ -143,3 +143,48 @@ def load_query_file(path) -> dict[str, str]:
             '{"query_name": "AQL string"} object'
         )
     return data
+
+
+def load_ep_clients(path) -> dict[str, list[str]]:
+    """Load the event-processor → customer mapping from ``ep_clients.json`` —
+    the reference's second external input channel (``attributes.py:38-39``,
+    consumed by ``run.py:44-51``, which zips EP ids with their customer
+    lists into per-(EP, customer) work).  Shape: ``{"149": ["Customer A",
+    ...], ...}`` — EP ids as string keys, customer-name lists as values.
+
+    Same error-context contract as :func:`load_query_file` (filename + first
+    lines of the offending content on malformed JSON; typed
+    :class:`QueryFileError` instead of the reference's ``SystemExit`` — a
+    library must not kill the caller's driver).
+    """
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    try:
+        with p.open("r") as f:
+            data = json.load(f)
+    except FileNotFoundError as e:
+        raise QueryFileError(f"Error loading {p.name}: {e}") from e
+    except json.JSONDecodeError as e:
+        try:
+            with p.open("r") as f:
+                context = "".join(f.readlines()[:3])
+        except OSError:
+            context = "<unreadable>"
+        raise QueryFileError(
+            f"Error loading {p.name}: invalid JSON at line {e.lineno} "
+            f"column {e.colno} ({e.msg}). Error near:\n{context}"
+        ) from e
+    if not isinstance(data, dict) or not all(
+        isinstance(k, str)
+        and isinstance(v, list)
+        and all(isinstance(c, str) for c in v)
+        for k, v in data.items()
+    ):
+        raise QueryFileError(
+            f"Error loading {p.name}: expected "
+            '{"ep_id": ["customer name", ...]} with string keys and '
+            "string-list values"
+        )
+    return data

@@ -87,3 +87,51 @@ class Pipeline:
                 rows = self.spark.read.parquet(path).count()
                 out.append(QueryRun(customer, qname, table, rows))
         return out
+
+    def run_from_ep_clients(
+        self,
+        ep_clients,
+        start_time: str,
+        stop_time: str,
+        query_names: list[str] | None = None,
+        **run_all_kwargs,
+    ) -> list[QueryRun]:
+        """The reference's top-level entry (``run.py:44-51``): zip the
+        ``ep_clients.json`` mapping into per-(event processor, customer)
+        work.  ``ep_clients`` is a path (loaded with the reference's
+        error-context contract, :func:`aql_corpus.load_ep_clients`) or an
+        already-loaded ``{ep_id: [customer, ...]}`` dict.  Each customer's
+        queries run with ITS event processor bound into the search params —
+        the reference spawns a process per EP; here every (EP, customer,
+        query) plan is just a Spark job.
+        """
+        from qradar_restapi_kafka_datapipeline_spark.aql_corpus import load_ep_clients
+        from qradar_restapi_kafka_datapipeline_spark.operators.normalize import normalize
+
+        mapping = (
+            ep_clients
+            if isinstance(ep_clients, dict)
+            else load_ep_clients(ep_clients)
+        )
+        measure = run_all_kwargs.get("measure", "Event_Count")
+        time_col = run_all_kwargs.get("time_col", "Start_Time")
+        out: list[QueryRun] = []
+        names = list(self.queries) if query_names is None else query_names
+        for ep_id, customers in mapping.items():
+            for customer in customers:
+                for qname in names:
+                    df = self.run_query(
+                        qname, customer, start_time, stop_time,
+                        event_processor=ep_id,
+                    )
+                    norm = normalize(df)
+                    if measure not in norm.columns or time_col not in norm.columns:
+                        continue
+                    table = table_name(customer, qname)
+                    path = f"{self.sink_base}/{table}"
+                    merge_rollup(
+                        self.spark, norm, path, measure=measure, time_col=time_col
+                    )
+                    rows = self.spark.read.parquet(path).count()
+                    out.append(QueryRun(customer, qname, table, rows))
+        return out

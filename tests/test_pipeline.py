@@ -101,3 +101,45 @@ def test_pipeline_run_all(spark, sf_dir, tmp_path):
     assert run.rows > 0
     rolled = spark.read.parquet(f"{tmp_path}/sinks/{run.table}")
     assert "Event_Count" in rolled.columns and "event_date" in rolled.columns
+
+
+def test_pipeline_run_from_ep_clients(spark, sf_dir, tmp_path):
+    """ep_clients.json channel parity (reference attributes.py:38-39 +
+    run.py:44-51): EP→customer mapping loaded from disk with the error-context
+    contract, each customer's queries bound to ITS event processor."""
+    import json
+
+    from qradar_restapi_kafka_datapipeline_spark.aql_corpus import (
+        QueryFileError,
+        load_ep_clients,
+    )
+
+    register_qevents(spark, sf_dir)
+    register_globalviews(spark)
+    register_ref_sets(spark)
+
+    epf = tmp_path / "ep_clients.json"
+    epf.write_text(json.dumps({"ep1": ["customer_1"], "ep2": ["customer_2"]}))
+    p = Pipeline(spark, sink_base=str(tmp_path / "sinks_ep"))
+    runs = p.run_from_ep_clients(
+        str(epf),
+        "2024-01-01 00:00:00",
+        "2024-01-21 00:00:00",
+        query_names=["AllowedOutboundTraffic"],
+    )
+    assert {r.customer_name for r in runs} == {"customer_1", "customer_2"}
+    assert all(r.rows > 0 for r in runs)
+
+    # malformed JSON: filename + offending content quoted, typed error
+    bad = tmp_path / "bad_ep.json"
+    bad.write_text('{"ep1": [customer_1]}')
+    with pytest.raises(QueryFileError, match="bad_ep.json"):
+        load_ep_clients(str(bad))
+    # wrong shape: values must be string lists
+    flat = tmp_path / "flat_ep.json"
+    flat.write_text('{"ep1": "customer_1"}')
+    with pytest.raises(QueryFileError, match="string-list"):
+        load_ep_clients(str(flat))
+    # missing file
+    with pytest.raises(QueryFileError, match="nope_ep.json"):
+        load_ep_clients(str(tmp_path / "nope_ep.json"))
