@@ -1540,6 +1540,13 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: D.exact_substring_pairs(spark, n=8, min_run=12),
         D.exact_substring_sql("duckdb", n=8, min_run=12),
     )
+    # APPLY stage: cut every >= 12-token duplicate run from the later doc and
+    # reassemble — the oracle recomputes the WHOLE pipeline (runs, victim
+    # ranges, ordered reassembly, md5 of the cleaned text).
+    q["dedup_exact_substring_apply"] = _df_entry(
+        lambda spark, sf: D.exact_substring_remove(spark, n=8, min_run=12),
+        D.exact_substring_remove_sql("duckdb", n=8, min_run=12),
+    )
 
     # ---- n-gram Jaccard (exact verify; capped input — LSH is the scale path) -
     _JK, _JTHRESH, _JCAP = 3, 0.12, 300

@@ -1291,7 +1291,13 @@ def _gram_positions_sql(dialect: str, n: int, source: str) -> str:
     )
 
 
-def _substring_runs_sql(grams_a: str, grams_b: str, n: int, min_run: int) -> str:
+def _substring_runs_sql(
+    grams_a: str,
+    grams_b: str,
+    n: int,
+    min_run: int,
+    final_cte: str | None = None,
+) -> str:
     """Maximal-run extension over two gram relations — dialect-common SQL.
 
     A shared run of L >= ``n`` tokens is exactly n-gram hash matches at
@@ -1301,8 +1307,12 @@ def _substring_runs_sql(grams_a: str, grams_b: str, n: int, min_run: int) -> str
     come only from the hash equi-join — never an all-pairs product — and the
     window partitions by (pair, diagonal), whose size is bounded by the
     shorter document, not the corpus.
+
+    With ``final_cte`` set, the maximal-run SELECT is wrapped as one more
+    named CTE of that name (for composition by the removal stage) instead of
+    being the statement's final SELECT.
     """
-    return f"""
+    body = f"""
     m AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS pa, b.i AS pb
       FROM ({grams_a}) a JOIN ({grams_b}) b
@@ -1313,14 +1323,16 @@ def _substring_runs_sql(grams_a: str, grams_b: str, n: int, min_run: int) -> str
              pa - ROW_NUMBER() OVER (
                PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
       FROM m
-    )
-    SELECT id_a, id_b,
+    )"""
+    final = f"""SELECT id_a, id_b,
            CAST(MIN(pa) - 1 AS BIGINT) AS start_a,
            CAST(MIN(pb) - 1 AS BIGINT) AS start_b,
            CAST(MAX(pa) - MIN(pa) + {n} AS BIGINT) AS run_tokens
     FROM runs GROUP BY id_a, id_b, diag, grp
-    HAVING MAX(pa) - MIN(pa) + {n} >= {min_run}
-    """
+    HAVING MAX(pa) - MIN(pa) + {n} >= {min_run}"""
+    if final_cte:
+        return f"{body}, {final_cte} AS ({final})"
+    return f"{body} {final}"
 
 
 def exact_substring_sql(
@@ -1380,3 +1392,102 @@ def exact_substring_pairs(
     grams.createOrReplaceTempView("__ess_grams")
     gsel = "SELECT doc_id, i, h FROM __ess_grams"
     return spark.sql(f"WITH {_substring_runs_sql(gsel, gsel, n, min_run)}")
+
+
+def _token_positions_sql(dialect: str, source: str) -> str:
+    """``(doc_id, pos, word)`` — 0-based token positions, EVERY doc (splitting
+    '' yields [''], so even empty docs keep one row and row-count parity)."""
+    if dialect == "spark":
+        return (
+            f"SELECT doc_id, posexplode(w) AS (pos, word) FROM "
+            f"(SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM {source}) d"
+        )
+    return (
+        f"SELECT doc_id, i - 1 AS pos, w[i] AS word FROM "
+        f"(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+        f"FROM {source}) d, UNNEST(generate_series(1, len(w))) AS u(i)"
+    )
+
+
+def exact_substring_remove_sql(
+    dialect: str,
+    n: int = 8,
+    min_run: int = 12,
+    source: str = "documents",
+    grams_rel: str | None = None,
+) -> str:
+    """APPLY stage of exact-substring dedup (Lee et al. 2022 §4.1 remove one
+    copy of every duplicate run): cut each >= ``min_run``-token shared run
+    from the HIGHER doc_id of its pair (the earliest occurrence survives) and
+    reassemble the survivors in order.
+
+    Fully relational: the victim token set comes from a range join of token
+    positions against the run intervals (runs are few and narrow — the join
+    is equi on doc_id with a range residual), overlap between runs handled
+    by NOT EXISTS semantics, ordered reassembly via the engine's sorted
+    aggregate (same idiom as :func:`passage_dedup_sql`).  Output one row per
+    INPUT doc: ``(doc_id, n_tokens, n_removed, clean_fp, clean_chars)`` —
+    the md5 fingerprint keeps the gate row narrow while pinning the exact
+    reassembled text.
+
+    ``grams_rel`` names a precomputed ``(doc_id, i, h)`` relation (the
+    production path builds it once); None inlines it from ``source``.
+    """
+    g = grams_rel and f"SELECT doc_id, i, h FROM {grams_rel}"
+    g = g or _gram_positions_sql(dialect, n, source)
+    if dialect == "spark":
+        reasm = (
+            "SELECT doc_id, COUNT(*) AS n_kept, "
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, word))), s -> s.word)) AS clean_text "
+            "FROM kept GROUP BY doc_id"
+        )
+    else:
+        reasm = (
+            "SELECT doc_id, COUNT(*) AS n_kept, "
+            "string_agg(word, ' ' ORDER BY pos) AS clean_text "
+            "FROM kept GROUP BY doc_id"
+        )
+    return f"""
+    WITH {_substring_runs_sql(g, g, n, min_run, final_cte="maxruns")},
+    tok AS ({_token_positions_sql(dialect, source)}),
+    victims AS (
+      SELECT id_b AS doc_id, start_b AS s, start_b + run_tokens AS e
+      FROM maxruns
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.word FROM tok t
+      WHERE NOT EXISTS (SELECT 1 FROM victims v
+                        WHERE v.doc_id = t.doc_id
+                          AND t.pos >= v.s AND t.pos < v.e)
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+    reassembled AS ({reasm})
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           md5(COALESCE(r.clean_text, '')) AS clean_fp,
+           CAST(length(COALESCE(r.clean_text, '')) AS BIGINT) AS clean_chars
+    FROM totals t LEFT JOIN reassembled r ON t.doc_id = r.doc_id
+    """
+
+
+def exact_substring_remove(
+    spark,
+    n: int = 8,
+    min_run: int = 12,
+    source: str = "documents",
+) -> DataFrame:
+    """Production Spark form of :func:`exact_substring_remove_sql`: the gram
+    relation is computed once over the spread source and persisted (the
+    inlined SQL form pays the explode + per-gram md5 twice for the self-join
+    plus once more for tokens)."""
+    spread_view = "__essr_spread_src"
+    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
+    grams = spark.sql(_gram_positions_sql("spark", n, spread_view)).persist()
+    grams.createOrReplaceTempView("__essr_grams")
+    return spark.sql(
+        exact_substring_remove_sql(
+            "spark", n, min_run, source=spread_view, grams_rel="__essr_grams"
+        )
+    )

@@ -663,6 +663,34 @@ class TestExactSubstring:
         # r1: a tokens 0..11, b tokens 14..25; r2: a tokens 14..26, b 0..12
         assert out == [(0, 14, 12), (14, 0, 13)]
 
+    def test_remove_cuts_run_from_later_doc_only(self, spark):
+        """Apply stage: the duplicate run disappears from the HIGHER doc_id
+        (earliest copy survives) and the reassembled text is exact."""
+        import hashlib
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            exact_substring_remove,
+        )
+
+        run = " ".join(f"d{i}" for i in range(14))
+        a = "a0 a1 " + run + " a2"
+        b = "b0 " + run + " b1 b2"
+        self._mk(spark, [(0, a), (1, b)])
+        out = {
+            r.doc_id: r
+            for r in exact_substring_remove(
+                spark, n=8, min_run=12, source="ess_docs"
+            ).collect()
+        }
+        # doc 0 (earlier) untouched
+        assert out[0].n_removed == 0
+        assert out[0].clean_fp == hashlib.md5(a.encode()).hexdigest()
+        # doc 1 loses exactly the 14-token run; survivors keep order
+        assert out[1].n_removed == 14
+        want = "b0 b1 b2"
+        assert out[1].clean_fp == hashlib.md5(want.encode()).hexdigest()
+        assert out[1].clean_chars == len(want)
+
     def test_oracle_parity_on_planted_corpus(self, spark, tmp_path):
         import duckdb
         import pyarrow as pa
