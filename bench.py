@@ -69,6 +69,10 @@ HEADLINE = [
     "boilerplate_doc_coverage",
     "dedup_incremental",
     "dedup_minhash_incremental",
+    "dedup_exact_substring",
+    "dedup_exact_substring_apply",
+    "aql_day_pruned_scan",
+    "multimodal_png_decode",
     "dedup_passages",
     "dedup_passage_spans",
     "text_unigram_loglik",

@@ -1240,6 +1240,84 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         _trans.format(ms="epoch_ms"),
     )
 
+    # ---- time-spine gap fill: hourly resample with zero-filled gaps ---------
+    # The dashboard/alerting primitive a rollup table can't answer alone
+    # ("no events in hour H" is itself the signal — beacon silence, feed
+    # outage).  Per-domain hourly spine from MIN..MAX hour, left-joined to
+    # the hourly aggregate, missing hours emitted as 0.  Spine arithmetic is
+    # exact BIGINT epoch-hours, reconstructed to timestamps with
+    # timestamp_micros/make_timestamp (identical naive-UTC semantics); the
+    # spine explode is per-domain bounded by the time span, never row count.
+    _gapfill_spark = (
+        "WITH agg AS ("
+        "  SELECT domainId, "
+        "  CAST(unix_millis(date_trunc('hour', ts)) DIV 3600000 AS BIGINT) AS hi, "
+        "  CAST(SUM(eventCount) AS BIGINT) AS n "
+        "  FROM qevents GROUP BY 1, 2"
+        "), bounds AS ("
+        "  SELECT domainId, MIN(hi) AS h0, MAX(hi) AS h1 FROM agg GROUP BY 1"
+        "), spine AS ("
+        "  SELECT domainId, explode(sequence(h0, h1)) AS hi FROM bounds"
+        ") "
+        "SELECT s.domainId, timestamp_micros(s.hi * 3600000000) AS hour_ts, "
+        "COALESCE(a.n, 0) AS n_events "
+        "FROM spine s LEFT JOIN agg a ON s.domainId = a.domainId AND s.hi = a.hi"
+    )
+    _gapfill_duck = (
+        "agg AS ("
+        "  SELECT domainId, "
+        "  CAST(epoch_ms(date_trunc('hour', ts)) // 3600000 AS BIGINT) AS hi, "
+        "  CAST(SUM(eventCount) AS BIGINT) AS n "
+        "  FROM qevents GROUP BY 1, 2"
+        "), bounds AS ("
+        "  SELECT domainId, MIN(hi) AS h0, MAX(hi) AS h1 FROM agg GROUP BY 1"
+        "), spine AS ("
+        "  SELECT domainId, UNNEST(generate_series(h0, h1)) AS hi FROM bounds"
+        ") "
+        "SELECT s.domainId, make_timestamp(s.hi * 3600000000) AS hour_ts, "
+        "COALESCE(a.n, 0) AS n_events "
+        "FROM spine s LEFT JOIN agg a ON s.domainId = a.domainId AND s.hi = a.hi"
+    )
+    # _duck_cte wraps `WITH qevents AS (...) <body>`; the gap-fill body needs
+    # its own CTE chain, so extend the same WITH list instead of nesting.
+    q["resample_hourly_gapfill"] = _df_entry(
+        lambda spark, sf: spark.sql(_gapfill_spark),
+        f"WITH qevents AS ({qevents_sql('duckdb')}), "
+        f"ref_sets AS ({REF_SETS_SQL}), " + _gapfill_duck,
+    )
+
+    # ---- SCD2-style status intervals: RLE-compress per-user event_type runs -
+    # The warehouse "validity interval" shape (slowly-changing dimension
+    # type 2) built from an event stream: consecutive same-type events merge
+    # into one (user, type, valid_from, valid_to, n_events) row.  Change
+    # flags via LAG, run ids via a running SUM of flags — the window rides
+    # the same (user, ms, event_id) order contract as the rest of the window
+    # family (and would take the bucketed_lag form at hot-key scale).
+    _scd2 = (
+        "WITH seq AS ("
+        "  SELECT user_id, event_type, CAST({ms}(ts) AS BIGINT) AS m, event_id, "
+        "  LAG(event_type) OVER (PARTITION BY user_id "
+        "    ORDER BY {ms}(ts), event_id) AS prev FROM events"
+        "), flagged AS ("
+        "  SELECT user_id, event_type, m, event_id, "
+        "  CASE WHEN prev IS NULL OR prev != event_type THEN 1 ELSE 0 END AS chg "
+        "  FROM seq"
+        "), runs AS ("
+        "  SELECT user_id, event_type, m, "
+        "  SUM(chg) OVER (PARTITION BY user_id ORDER BY m, event_id "
+        "    ROWS UNBOUNDED PRECEDING) AS run_id FROM flagged"
+        ") "
+        "SELECT user_id, event_type, "
+        "CAST(MIN(m) AS BIGINT) AS valid_from_ms, "
+        "CAST(MAX(m) AS BIGINT) AS valid_to_ms, "
+        "COUNT(*) AS n_events "
+        "FROM runs GROUP BY user_id, event_type, run_id"
+    )
+    q["user_status_intervals"] = _df_entry(
+        lambda spark, sf: spark.sql(_scd2.format(ms="unix_millis")),
+        _scd2.format(ms="epoch_ms"),
+    )
+
     # ---- range join: value-band bucketing via inline table ------------------
     # Small band table ⇒ Spark broadcasts it (BroadcastNestedLoopJoin on the
     # range predicate) — each event row tests ≤3 bands, no shuffle.

@@ -691,6 +691,33 @@ class TestExactSubstring:
         assert out[1].clean_fp == hashlib.md5(want.encode()).hexdigest()
         assert out[1].clean_chars == len(want)
 
+    def test_gram_doc_freq_cap_drops_boilerplate_grams(self, spark):
+        """max_gram_doc_freq: grams present in more than the cap's docs are
+        excluded from candidate generation — the boilerplate-explosion guard
+        for web corpora."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            exact_substring_pairs,
+        )
+
+        boiler = " ".join(f"b{i}" for i in range(12))  # shared by ALL docs
+        uniq = " ".join(f"u{i}" for i in range(12))    # shared by docs 0,1 only
+        docs = [
+            (0, boiler + " x0 " + uniq),
+            (1, uniq + " y0 " + boiler),
+            (2, boiler + " z0 z1 z2 z3 z4"),
+            (3, "w0 w1 " + boiler + " w2"),
+        ]
+        self._mk(spark, docs)
+        # uncapped: boilerplate run pairs every doc with every other
+        full = exact_substring_pairs(spark, n=8, min_run=12, source="ess_docs")
+        assert full.count() > 1
+        # cap 3: the all-doc boilerplate grams (df=4) drop; only the
+        # doc-0/1 unique run survives
+        capped = exact_substring_pairs(
+            spark, n=8, min_run=12, source="ess_docs", max_gram_doc_freq=3
+        ).collect()
+        assert [(r.id_a, r.id_b, r.run_tokens) for r in capped] == [(0, 1, 12)]
+
     def test_oracle_parity_on_planted_corpus(self, spark, tmp_path):
         import duckdb
         import pyarrow as pa
