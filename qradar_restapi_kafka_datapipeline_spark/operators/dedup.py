@@ -1456,10 +1456,17 @@ def exact_substring_remove_sql(
       FROM maxruns
     ),
     kept AS (
-      SELECT t.doc_id, t.pos, t.word FROM tok t
-      WHERE NOT EXISTS (SELECT 1 FROM victims v
-                        WHERE v.doc_id = t.doc_id
-                          AND t.pos >= v.s AND t.pos < v.e)
+      -- left-join + IS NULL rather than NOT EXISTS, with a broadcast hint:
+      -- victims is runs-sized (tiny vs tokens), so the scalable plan
+      -- streams tok through a broadcast probe instead of sort-merging the
+      -- token relation on doc_id.  DuckDB reads the hint as a comment; a
+      -- token inside k matching ranges appears k times and every copy is
+      -- filtered, a token in none appears exactly once — anti-join
+      -- semantics preserved.
+      SELECT /*+ BROADCAST(v) */ t.doc_id, t.pos, t.word
+      FROM tok t LEFT JOIN victims v
+        ON t.doc_id = v.doc_id AND t.pos >= v.s AND t.pos < v.e
+      WHERE v.doc_id IS NULL
     ),
     totals AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
     reassembled AS ({reasm})
