@@ -103,19 +103,13 @@ class QueryFileError(RuntimeError):
     """A query registry file is missing, malformed, or the wrong shape."""
 
 
-def load_query_file(path) -> dict[str, str]:
-    """Load a ``{name: aql_string}`` JSON query registry from disk — the
-    reference's external query-input channel (``qradar/input/queries.json``,
-    loaded by ``attributes.py:13-33``) with its error-context contract:
-    a malformed file raises with the filename AND the first lines of the
-    offending content quoted, so the operator can see the typo without
-    opening the file.  Deliberate deviation: a typed :class:`QueryFileError`
-    instead of the reference's ``SystemExit`` — a library must not kill the
-    caller's driver process.
-
-    The loaded queries run through the same frontend as the built-in corpus:
-    ``setup(spark, sf_dir).sql(load_query_file(p)["MyQuery"], params)``.
-    """
+def _load_json_with_context(path, validate, shape_msg: str):
+    """Shared loader implementing the reference's error-context contract
+    (``attributes.py:13-33``): a malformed file raises with the filename AND
+    the first lines of the offending content quoted, so the operator sees
+    the typo without opening the file.  Deliberate deviation: a typed
+    :class:`QueryFileError` instead of the reference's ``SystemExit`` — a
+    library must not kill the caller's driver process."""
     import json
     from pathlib import Path
 
@@ -135,14 +129,25 @@ def load_query_file(path) -> dict[str, str]:
             f"Error loading {p.name}: invalid JSON at line {e.lineno} "
             f"column {e.colno} ({e.msg}). Error near:\n{context}"
         ) from e
-    if not isinstance(data, dict) or not all(
-        isinstance(k, str) and isinstance(v, str) for k, v in data.items()
-    ):
-        raise QueryFileError(
-            f"Error loading {p.name}: expected a flat "
-            '{"query_name": "AQL string"} object'
-        )
+    if not validate(data):
+        raise QueryFileError(f"Error loading {p.name}: expected {shape_msg}")
     return data
+
+
+def load_query_file(path) -> dict[str, str]:
+    """Load a ``{name: aql_string}`` JSON query registry from disk — the
+    reference's external query-input channel (``qradar/input/queries.json``)
+    via :func:`_load_json_with_context`.
+
+    The loaded queries run through the same frontend as the built-in corpus:
+    ``setup(spark, sf_dir).sql(load_query_file(p)["MyQuery"], params)``.
+    """
+    return _load_json_with_context(
+        path,
+        lambda d: isinstance(d, dict)
+        and all(isinstance(k, str) and isinstance(v, str) for k, v in d.items()),
+        'a flat {"query_name": "AQL string"} object',
+    )
 
 
 def load_ep_clients(path) -> dict[str, list[str]]:
@@ -151,40 +156,17 @@ def load_ep_clients(path) -> dict[str, list[str]]:
     consumed by ``run.py:44-51``, which zips EP ids with their customer
     lists into per-(EP, customer) work).  Shape: ``{"149": ["Customer A",
     ...], ...}`` — EP ids as string keys, customer-name lists as values.
-
-    Same error-context contract as :func:`load_query_file` (filename + first
-    lines of the offending content on malformed JSON; typed
-    :class:`QueryFileError` instead of the reference's ``SystemExit`` — a
-    library must not kill the caller's driver).
+    Same error-context contract as :func:`load_query_file`.
     """
-    import json
-    from pathlib import Path
-
-    p = Path(path)
-    try:
-        with p.open("r") as f:
-            data = json.load(f)
-    except FileNotFoundError as e:
-        raise QueryFileError(f"Error loading {p.name}: {e}") from e
-    except json.JSONDecodeError as e:
-        try:
-            with p.open("r") as f:
-                context = "".join(f.readlines()[:3])
-        except OSError:
-            context = "<unreadable>"
-        raise QueryFileError(
-            f"Error loading {p.name}: invalid JSON at line {e.lineno} "
-            f"column {e.colno} ({e.msg}). Error near:\n{context}"
-        ) from e
-    if not isinstance(data, dict) or not all(
-        isinstance(k, str)
-        and isinstance(v, list)
-        and all(isinstance(c, str) for c in v)
-        for k, v in data.items()
-    ):
-        raise QueryFileError(
-            f"Error loading {p.name}: expected "
-            '{"ep_id": ["customer name", ...]} with string keys and '
-            "string-list values"
-        )
-    return data
+    return _load_json_with_context(
+        path,
+        lambda d: isinstance(d, dict)
+        and all(
+            isinstance(k, str)
+            and isinstance(v, list)
+            and all(isinstance(c, str) for c in v)
+            for k, v in d.items()
+        ),
+        '{"ep_id": ["customer name", ...]} with string keys and '
+        "string-list values",
+    )

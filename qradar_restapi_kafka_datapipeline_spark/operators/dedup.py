@@ -1395,18 +1395,15 @@ def exact_substring_pairs(
 
 
 def _token_positions_sql(dialect: str, source: str) -> str:
-    """``(doc_id, pos, word)`` — 0-based token positions, EVERY doc (splitting
-    '' yields [''], so even empty docs keep one row and row-count parity)."""
-    if dialect == "spark":
-        return (
-            f"SELECT doc_id, posexplode(w) AS (pos, word) FROM "
-            f"(SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM {source}) d"
-        )
-    return (
-        f"SELECT doc_id, i - 1 AS pos, w[i] AS word FROM "
-        f"(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
-        f"FROM {source}) d, UNNEST(generate_series(1, len(w))) AS u(i)"
+    """The shared ``(doc_id, pos, word)`` tokenization relation — ONE
+    definition in ``operators/text.py`` drives the positional fingerprint
+    AND the removal stage here (per-engine split logic written twice is how
+    parity breaks, CLAUDE.md)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        token_positions_sql,
     )
+
+    return token_positions_sql(dialect, source)
 
 
 def exact_substring_remove_sql(

@@ -74,7 +74,13 @@ def bucketed_lag(
     from pyspark.sql.window import Window
 
     w_in = Window.partitionBy(*part_cols, bucket_col).orderBy(*order_cols)
-    inner = df.withColumn("__prev_in", F.lag(val_col).over(w_in))
+    # position-based stitch, NOT coalesce: only each bucket's FIRST row takes
+    # the previous bucket's last value.  A coalesce would also fire when the
+    # inner LAG legitimately returns NULL because the predecessor row's VALUE
+    # is NULL — diverging from plain LAG on NULL-bearing columns.
+    inner = df.withColumn("__prev_in", F.lag(val_col).over(w_in)).withColumn(
+        "__rn_in", F.row_number().over(w_in)
+    )
     w_last = Window.partitionBy(*part_cols, bucket_col).orderBy(
         *[c.desc() for c in order_cols]
     )
@@ -89,8 +95,13 @@ def bucketed_lag(
     ).select(*part_cols, bucket_col, "__prev_bucket_last")
     return (
         inner.join(prev_last, [*part_cols, bucket_col], "left")
-        .withColumn(out_col, F.coalesce("__prev_in", "__prev_bucket_last"))
-        .drop("__prev_in", "__prev_bucket_last")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__rn_in") == 1, F.col("__prev_bucket_last")
+            ).otherwise(F.col("__prev_in")),
+        )
+        .drop("__prev_in", "__prev_bucket_last", "__rn_in")
     )
 
 

@@ -141,6 +141,31 @@ def normalized_md5_sql(col: str, dialect: str) -> str:
     return f"md5({norm})"
 
 
+def token_positions_sql(
+    dialect: str, source: str = "documents", text_col: str = "text"
+) -> str:
+    """``(doc_id, pos, word)`` — 0-based whitespace-token positions, EVERY
+    doc (splitting '' yields [''] in both engines, so even empty docs keep
+    one row and row-count parity holds).  THE shared tokenization relation:
+    the positional fingerprint and the exact-substring removal stage both
+    build on it — per CLAUDE.md, writing per-engine split logic twice is how
+    parity breaks."""
+    if dialect == "spark":
+        return (
+            f"SELECT doc_id, posexplode(w) AS (pos, word) FROM "
+            f"(SELECT doc_id, split(trim({text_col}), '\\\\s+') AS w "
+            f"FROM {source}) d"
+        )
+    if dialect == "duckdb":
+        return (
+            f"SELECT doc_id, i - 1 AS pos, w[i] AS word FROM "
+            f"(SELECT doc_id, regexp_split_to_array(trim({text_col}), '\\s+') "
+            f"AS w FROM {source}) d, "
+            f"UNNEST(generate_series(1, len(w))) AS u(i)"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
 def positional_fingerprint_sql(
     dialect: str, source: str = "documents", text_col: str = "text"
 ) -> str:
@@ -165,11 +190,10 @@ def positional_fingerprint_sql(
     emits exactly one row (splitting '' yields [''], never an empty array,
     in both engines).
     """
+    tok = token_positions_sql(dialect, source, text_col)
     if dialect == "spark":
         return f"""
-        WITH w AS (SELECT doc_id, split(trim({text_col}), '\\\\s+') AS w
-                   FROM {source}),
-        t AS (SELECT doc_id, posexplode(w) AS (pos, word) FROM w)
+        WITH t AS ({tok})
         SELECT doc_id,
                SUM(CAST(CONV(SUBSTR(MD5(CONCAT(word, '@', pos)), 1, 15),
                    16, 10) AS BIGINT) % 1000000007) % 1000000007 AS fp_pos
@@ -177,11 +201,7 @@ def positional_fingerprint_sql(
         """
     if dialect == "duckdb":
         return f"""
-        WITH w AS (SELECT doc_id,
-                          regexp_split_to_array(trim({text_col}), '\\s+') AS w
-                   FROM {source}),
-        t AS (SELECT doc_id, w[i] AS word, i - 1 AS pos
-              FROM w, UNNEST(generate_series(1, len(w))) AS u(i))
+        WITH t AS ({tok})
         SELECT doc_id,
                CAST(SUM(CAST(('0x' || substr(md5(word || '@' || pos), 1, 15))
                     AS BIGINT) % 1000000007) % 1000000007 AS BIGINT) AS fp_pos

@@ -59,6 +59,33 @@ class Pipeline:
         }
         return self.frontend.sql(self.queries[query_name], params)
 
+    def _run_one(
+        self,
+        customer: str,
+        qname: str,
+        start_time: str,
+        stop_time: str,
+        event_processor: str,
+        measure: str,
+        time_col: str,
+    ) -> QueryRun | None:
+        """One (customer, query) unit of the full run: execute → normalize →
+        hourly summing roll-up to the sanitized table path (B15).  Returns
+        None for view-shaped results, which manage their own grain."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.normalize import normalize
+
+        df = self.run_query(
+            qname, customer, start_time, stop_time, event_processor=event_processor
+        )
+        norm = normalize(df)
+        if measure not in norm.columns or time_col not in norm.columns:
+            return None
+        table = table_name(customer, qname)
+        path = f"{self.sink_base}/{table}"
+        merge_rollup(self.spark, norm, path, measure=measure, time_col=time_col)
+        rows = self.spark.read.parquet(path).count()
+        return QueryRun(customer, qname, table, rows)
+
     def run_all(
         self,
         customer_names: list[str],
@@ -67,26 +94,21 @@ class Pipeline:
         query_names: list[str] | None = None,
         measure: str = "Event_Count",
         time_col: str = "Start_Time",
+        event_processor: str = "ep1",
     ) -> list[QueryRun]:
         """The reference's full run (§3.1) — every (customer, query) pair,
         each written as an hourly summing roll-up to its own sanitized table
         path (B15). Spark schedules the jobs; no process/thread pools (B18)."""
-        from qradar_restapi_kafka_datapipeline_spark.operators.normalize import normalize
-
-        out: list[QueryRun] = []
         names = list(self.queries) if query_names is None else query_names
-        for customer in customer_names:
-            for qname in names:
-                df = self.run_query(qname, customer, start_time, stop_time)
-                norm = normalize(df)
-                if measure not in norm.columns or time_col not in norm.columns:
-                    continue  # view-shaped results manage their own grain
-                table = table_name(customer, qname)
-                path = f"{self.sink_base}/{table}"
-                merge_rollup(self.spark, norm, path, measure=measure, time_col=time_col)
-                rows = self.spark.read.parquet(path).count()
-                out.append(QueryRun(customer, qname, table, rows))
-        return out
+        out = [
+            self._run_one(
+                customer, qname, start_time, stop_time,
+                event_processor, measure, time_col,
+            )
+            for customer in customer_names
+            for qname in names
+        ]
+        return [r for r in out if r is not None]
 
     def run_from_ep_clients(
         self,
@@ -94,7 +116,8 @@ class Pipeline:
         start_time: str,
         stop_time: str,
         query_names: list[str] | None = None,
-        **run_all_kwargs,
+        measure: str = "Event_Count",
+        time_col: str = "Start_Time",
     ) -> list[QueryRun]:
         """The reference's top-level entry (``run.py:44-51``): zip the
         ``ep_clients.json`` mapping into per-(event processor, customer)
@@ -106,32 +129,19 @@ class Pipeline:
         query) plan is just a Spark job.
         """
         from qradar_restapi_kafka_datapipeline_spark.aql_corpus import load_ep_clients
-        from qradar_restapi_kafka_datapipeline_spark.operators.normalize import normalize
 
         mapping = (
             ep_clients
             if isinstance(ep_clients, dict)
             else load_ep_clients(ep_clients)
         )
-        measure = run_all_kwargs.get("measure", "Event_Count")
-        time_col = run_all_kwargs.get("time_col", "Start_Time")
-        out: list[QueryRun] = []
         names = list(self.queries) if query_names is None else query_names
-        for ep_id, customers in mapping.items():
-            for customer in customers:
-                for qname in names:
-                    df = self.run_query(
-                        qname, customer, start_time, stop_time,
-                        event_processor=ep_id,
-                    )
-                    norm = normalize(df)
-                    if measure not in norm.columns or time_col not in norm.columns:
-                        continue
-                    table = table_name(customer, qname)
-                    path = f"{self.sink_base}/{table}"
-                    merge_rollup(
-                        self.spark, norm, path, measure=measure, time_col=time_col
-                    )
-                    rows = self.spark.read.parquet(path).count()
-                    out.append(QueryRun(customer, qname, table, rows))
-        return out
+        out = [
+            self._run_one(
+                customer, qname, start_time, stop_time, ep_id, measure, time_col
+            )
+            for ep_id, customers in mapping.items()
+            for customer in customers
+            for qname in names
+        ]
+        return [r for r in out if r is not None]

@@ -89,3 +89,41 @@ def test_metrics_listener_counts_rows(spark, tmp_path):
         assert listener.total_rows == 25
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_bucketed_lag_equals_plain_lag_with_nulls(spark):
+    """bucketed_lag must match plain LAG even when the lagged COLUMN holds
+    NULLs mid-bucket (review r3: a coalesce-based stitch wrongly substituted
+    the previous bucket's last value for a legitimate NULL predecessor)."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.skew import bucketed_lag
+
+    rows = []
+    v = ["a", None, "b", None, None, "c", "d"]
+    for i, val in enumerate(v * 3):  # spans 3 "days" via i // 7
+        rows.append(
+            Row(
+                user_id=1,
+                seq=i,
+                day=datetime.date(2024, 1, 1 + i // 7),
+                val=val,
+            )
+        )
+    df = spark.createDataFrame(rows)
+    got = {
+        r.seq: r.prev
+        for r in bucketed_lag(
+            df, ["user_id"], [F.col("seq")], "val", "day", out_col="prev"
+        ).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("seq")
+    want = {
+        r.seq: r.prev
+        for r in df.withColumn("prev", F.lag("val").over(w)).collect()
+    }
+    assert got == want
