@@ -57,6 +57,9 @@ _SETUP_DONE: dict[tuple[int, str], AQLFrontend] = {}
 #: write per process/sf, shared by the gate entry and the plan-quality test.
 _DAY_PART_MEMO: dict[tuple[int, str], str] = {}
 
+#: (session id, sf_dir) → persisted IVF index path (same memo contract).
+_IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
+
 
 def setup(
     spark: SparkSession, sf_dir: str, events_partitions: int | None = None
@@ -1821,6 +1824,43 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
         "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
     )
+    # Persisted-index serving path: build-once IVF (assignments PARTITIONED
+    # BY list_id — the inverted file as storage layout), search with a
+    # static probed-lists predicate so the scan file-prunes to nprobe
+    # partitions (plan-asserted).  Same emitted-keys property oracle as the
+    # per-call IVF: pairs engine-chosen, every row value-verified.
+    def _ivf_index_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        key = (id(spark), sf)
+        if key not in _IVF_INDEX_MEMO:
+            base = os.path.join(scratch_dir("ivf_index_"), "index")
+            S.build_ivf_index(spark, spark.table("embeddings"), base)
+            _IVF_INDEX_MEMO[key] = base
+        return S.knn_ivf_from_index(
+            spark,
+            _IVF_INDEX_MEMO[key],
+            spark.table("embeddings").where("vec_id < 10"),
+            k=3,
+        )
+
+    q["knn_ivf_persisted"] = _emitting_entry(
+        "knn_ivf_persisted",
+        _ivf_index_run,
+        "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "s AS (SELECT em.q_id, em.n_id, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM emitted em JOIN e a ON a.vec_id = em.q_id "
+        "JOIN e b ON b.vec_id = em.n_id "
+        "WHERE em.q_id < 10 AND em.q_id != em.n_id), "
+        "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
+        "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
+    )
+
     # Quality contract for the approximate path: exact counts + a recall
     # floor vs the value-checked brute-force truth (see
     # similarity.knn_ivf_recall_report for why the floor is 0.5).

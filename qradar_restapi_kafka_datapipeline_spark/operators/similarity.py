@@ -601,3 +601,100 @@ def quantize_embeddings_oracle_sql(source: str = "embeddings") -> str:
            CAST(e <= scale * 0.5 + 1e-12 AS BOOLEAN) AS within_half_step
     FROM err
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the build-once / query-many ANN serving shape
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1024,
+    iters: int = 4,
+) -> list[list[float]]:
+    """Materialize an IVF index: ``centroids/`` (cid, cv) + ``assignments/``
+    PARTITIONED BY list_id.
+
+    The partition layout IS the index: a query probing ``nprobe`` lists
+    reads only those directories (file-level pruning), so per-query scan
+    cost is corpus·nprobe/n_centroids regardless of table size — the
+    FAISS inverted-file idea expressed as storage layout + Catalyst
+    partition pruning instead of an in-memory structure.  Assignment uses
+    the same literal-folded/broadcast-join split as the per-call path
+    (:func:`knn_ivf` / :func:`_assign_cells_join`).  Returns the trained
+    centroids (also persisted, so a cold reader needs only ``path``).
+    """
+    cents = _train_ivf_centroids(emb, n_centroids, id_col, vec_col, sample_n, iters)
+    spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in enumerate(cents)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if n_centroids <= 64:
+        assigned = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(_nearest_lists(vec_col, cents, 1), 1).alias("list_id"),
+        )
+    else:
+        assigned = _assign_cells_join(emb, cents, 1, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/assignments"
+    )
+    return cents
+
+
+def knn_ivf_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a persisted IVF index (:func:`build_ivf_index`).
+
+    Centroids load from the index (driver-side, n_centroids × dim floats —
+    bounded like the training sample); each query's ``nprobe`` probe lists
+    are computed, COLLECTED (queries × nprobe ints, the serving-path
+    equivalent of a query plan constant) and pushed as a static
+    ``list_id IN (...)`` predicate, so the assignments scan is file-pruned
+    to the probed partitions before a row is read — plan-asserted by
+    ``test_ivf_index_scan_prunes_to_probed_lists``.  Exact cosine re-rank
+    over the candidates, identical to :func:`knn_ivf`.
+    """
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    )
+    cents = [list(r["cv"]) for r in cent_rows]
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_lists(vec_col, cents, nprobe)).alias("list_id"),
+    )
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    corpus = (
+        spark.read.option("basePath", f"{path}/assignments")
+        .parquet(f"{path}/assignments")
+        .where(F.col("list_id").isin(probed))
+        .select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "list_id"
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "list_id")
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "n_id", "cos", "rk")
+    )

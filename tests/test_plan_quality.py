@@ -268,3 +268,30 @@ def test_day_partitioned_scan_never_opens_pruned_files(spark, tmp_path, sf_dir):
     plain_fe = AQLFrontend(spark, events_view="qevents_day_canary")
     with pytest.raises(Exception):
         plain_fe.sql(aql).collect()
+
+
+def test_ivf_index_scan_prunes_to_probed_lists(spark, reg, sf_dir):
+    """The persisted-IVF serving contract: the assignments scan must carry a
+    list_id PartitionFilter (the probed lists as a static IN), so per-query
+    scan cost is bounded by nprobe partitions regardless of index size."""
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import (
+        _IVF_INDEX_MEMO,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        knn_ivf_from_index,
+    )
+
+    reg["knn_ivf_persisted"].run(spark, sf_dir)  # builds + memoizes the index
+    df = knn_ivf_from_index(
+        spark,
+        _IVF_INDEX_MEMO[(id(spark), sf_dir)],
+        spark.table("embeddings").where("vec_id < 10"),
+        k=3,
+    )
+    plan = _formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters on the assignments scan"
+    assert "list_id" in m.group(1), m.group(1)
+    # static probed-set pruning renders as INSET (Catalyst may add a
+    # dynamicpruningexpression on top — both are file-level pruning)
+    assert "INSET" in m.group(1) or "IN (" in m.group(1), m.group(1)
