@@ -73,6 +73,9 @@ HEADLINE = [
     "dedup_exact_substring_apply",
     "aql_day_pruned_scan",
     "multimodal_png_decode",
+    "knn_ivf_persisted",
+    "resample_hourly_gapfill",
+    "user_status_intervals",
     "dedup_passages",
     "dedup_passage_spans",
     "text_unigram_loglik",

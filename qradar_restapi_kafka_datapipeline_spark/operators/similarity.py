@@ -698,3 +698,36 @@ def knn_ivf_from_index(
         .where(F.col("rk") <= k)
         .select("q_id", "n_id", "cos", "rk")
     )
+
+
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors with the index's
+    PERSISTED centroids and append them into the partitioned assignments —
+    no retrain, no rewrite of existing lists (each append lands new files
+    inside the affected ``list_id=`` directories only).
+
+    This is how production IVF serving absorbs a growing corpus (FAISS
+    ``add`` after ``train``): the quantizer stays fixed so existing
+    assignments remain valid; re-train + rebuild only when drift degrades
+    the recall contract (measure with :func:`knn_ivf_recall_report` against
+    the index's brute-force truth).
+    """
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = [list(r["cv"]) for r in cent_rows]
+    if len(cents) <= 64:
+        assigned = new_emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(_nearest_lists(vec_col, cents, 1), 1).alias("list_id"),
+        )
+    else:
+        assigned = _assign_cells_join(new_emb, cents, 1, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/assignments"
+    )

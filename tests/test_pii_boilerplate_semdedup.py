@@ -319,3 +319,35 @@ def test_boilerplate_coverage_dataframe_matches_sql_form(spark, tables):
         for r in spark.sql(boilerplate_coverage_sql("spark")).collect()
     }
     assert df_form == sql_form and df_form
+
+
+def test_ivf_index_append_absorbs_new_vectors(spark, tmp_path):
+    """Incremental IVF maintenance: vectors appended with the persisted
+    centroids are findable, existing assignments are untouched, and the
+    union index holds exactly old + new."""
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_ivf_from_index,
+    )
+
+    setup(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "ivf_incr")
+    old = emb.where("vec_id % 7 != 0")
+    new = emb.where("vec_id % 7 = 0")
+    build_ivf_index(spark, old, base)
+    before = spark.read.parquet(f"{base}/assignments").count()
+    assert before == old.count()
+    append_to_ivf_index(spark, base, new)
+    after = spark.read.parquet(f"{base}/assignments")
+    assert after.count() == emb.count()
+    assert after.select("vec_id").distinct().count() == emb.count()
+    # a probe that exhausts every list degenerates to exact search over the
+    # WHOLE index — appended ids must appear among results
+    hits = knn_ivf_from_index(
+        spark, base, emb.where("vec_id < 5"), k=5, nprobe=16
+    )
+    n_ids = {r.n_id for r in hits.collect()}
+    assert any(i % 7 == 0 for i in n_ids), n_ids
