@@ -1813,16 +1813,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: S.knn_ivf(
             spark.table("embeddings"), query_ids=list(range(10)), k=3
         ),
-        "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-        "s AS (SELECT em.q_id, em.n_id, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
-        "FROM emitted em JOIN e a ON a.vec_id = em.q_id "
-        "JOIN e b ON b.vec_id = em.n_id "
-        "WHERE em.q_id < 10 AND em.q_id != em.n_id), "
-        "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
-        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
-        "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
+        S.knn_emitted_oracle_sql(query_max=10, k=3),
     )
     # Persisted-index serving path: build-once IVF (assignments PARTITIONED
     # BY list_id — the inverted file as storage layout), search with a
@@ -1849,16 +1840,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["knn_ivf_persisted"] = _emitting_entry(
         "knn_ivf_persisted",
         _ivf_index_run,
-        "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-        "s AS (SELECT em.q_id, em.n_id, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
-        "FROM emitted em JOIN e a ON a.vec_id = em.q_id "
-        "JOIN e b ON b.vec_id = em.n_id "
-        "WHERE em.q_id < 10 AND em.q_id != em.n_id), "
-        "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
-        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
-        "SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 3",
+        S.knn_emitted_oracle_sql(query_max=10, k=3),
     )
 
     # Quality contract for the approximate path: exact counts + a recall

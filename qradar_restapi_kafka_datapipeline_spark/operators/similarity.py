@@ -175,20 +175,46 @@ def knn_ivf(
     embeddings get sharply better recall at equal candidate budget.
     """
     cents = _train_ivf_centroids(emb, n_centroids, id_col, vec_col, sample_n, iters)
-    corpus = emb.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("nv"),
-        F.element_at(_nearest_lists(vec_col, cents, 1), 1).alias("list_id"),
+    corpus = _assign(emb, cents, 1, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "list_id"
     )
     q = emb
     if query_ids is not None:
         q = q.where(F.col(id_col).isin(query_ids))
-    q = q.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_nearest_lists(vec_col, cents, nprobe)).alias("list_id"),
+    q = _assign(q, cents, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "list_id"
     )
-    # (q_id, list_id) and (n_id, list_id) are both unique ⇒ no distinct needed
+    return _rerank_topk(q, corpus, k)
+
+
+def _assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id, vec, list_id)`` — ``probes`` rows per vector, nearest-centroid
+    assignment.  ONE definition keyed on the TRAINED centroid count (not the
+    requested one — the sample can yield fewer): ≤64 centroids literal-fold
+    into codegen, more take the broadcast centroid-table join
+    (:func:`_assign_cells_join`, janino 64 KB limit).  Shared by the
+    per-call IVF, the index build, the index append, and the serving-path
+    probes, so all four stay on the same scale split."""
+    if len(cents) <= 64:
+        return df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(_nearest_lists(vec_col, cents, probes)).alias("list_id"),
+        )
+    return _assign_cells_join(df, cents, probes, id_col, vec_col)
+
+
+def _rerank_topk(q: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Shared exact-cosine re-rank: broadcast the (small) probe side, join on
+    list_id, round per CLAUDE.md float discipline, per-query top-k.
+    (q_id, list_id) and (n_id, list_id) are both unique ⇒ no distinct
+    needed.  ONE definition for the per-call and persisted-index paths."""
     scored = (
         F.broadcast(q)
         .join(corpus, "list_id")
@@ -359,14 +385,9 @@ def semantic_dedup_pairs(
     sanctioned collect).
     """
     cents = _train_ivf_centroids(emb, n_centroids, id_col, vec_col, sample_n, iters)
-    if n_centroids <= 64:  # literal-folded assignment stays inside codegen
-        assigned = emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(_nearest_lists(vec_col, cents, probes)).alias("list_id"),
-        )
-    else:  # broadcast centroid-table join — the many-cell scale path
-        assigned = _assign_cells_join(emb, cents, probes, id_col, vec_col)
+    # shared assignment split: ≤64 TRAINED centroids literal-fold (codegen),
+    # more take the broadcast centroid-table join (see _assign)
+    assigned = _assign(emb, cents, probes, id_col, vec_col)
     a = assigned.select(
         F.col("list_id"),
         F.col(id_col).alias("id_a"),
@@ -634,17 +655,9 @@ def build_ivf_index(
         [(cid, [float(x) for x in cv]) for cid, cv in enumerate(cents)],
         "cid INT, cv ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    if n_centroids <= 64:
-        assigned = emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.element_at(_nearest_lists(vec_col, cents, 1), 1).alias("list_id"),
-        )
-    else:
-        assigned = _assign_cells_join(emb, cents, 1, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{path}/assignments"
-    )
+    _assign(emb, cents, 1, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/assignments")
     return cents
 
 
@@ -672,10 +685,8 @@ def knn_ivf_from_index(
         spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     )
     cents = [list(r["cv"]) for r in cent_rows]
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_nearest_lists(vec_col, cents, nprobe)).alias("list_id"),
+    q = _assign(queries, cents, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "list_id"
     )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     corpus = (
@@ -686,18 +697,7 @@ def knn_ivf_from_index(
             F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "list_id"
         )
     )
-    scored = (
-        F.broadcast(q)
-        .join(corpus, "list_id")
-        .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("q_id", "n_id", "cos", "rk")
-    )
+    return _rerank_topk(q, corpus, k)
 
 
 def append_to_ivf_index(
@@ -720,14 +720,27 @@ def append_to_ivf_index(
     """
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cents = [list(r["cv"]) for r in cent_rows]
-    if len(cents) <= 64:
-        assigned = new_emb.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.element_at(_nearest_lists(vec_col, cents, 1), 1).alias("list_id"),
-        )
-    else:
-        assigned = _assign_cells_join(new_emb, cents, 1, id_col, vec_col)
-    assigned.write.mode("append").partitionBy("list_id").parquet(
-        f"{path}/assignments"
+    _assign(new_emb, cents, 1, id_col, vec_col).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/assignments")
+
+
+def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3) -> str:
+    """Emitted-keys property-oracle template for ENGINE-CHOSEN kNN results
+    (``{emitted}`` expands to the materialized result relation): DuckDB reads
+    back only (q_id, n_id) and recomputes cosine, rank, the k cutoff and the
+    id-domain predicates from the raw embeddings — one builder drives every
+    IVF-flavored entry (per-call and persisted-index), so the value checks
+    cannot drift apart."""
+    return (
+        "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "s AS (SELECT em.q_id, em.n_id, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "FROM emitted em JOIN e a ON a.vec_id = em.q_id "
+        "JOIN e b ON b.vec_id = em.n_id "
+        f"WHERE em.q_id < {query_max} AND em.q_id != em.n_id), "
+        "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
+        f"SELECT q_id, n_id, cos, rk FROM r WHERE rk <= {k}"
     )

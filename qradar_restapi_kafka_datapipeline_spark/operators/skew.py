@@ -61,9 +61,11 @@ def bucketed_lag(
        gets NULL;
     2. a per-(key, bucket) LAST-row relation (row_number, same bounded
        partitions) — |keys × buckets| rows, tiny vs events;
-    3. LAG over THAT relation ordered by bucket fills each bucket-first
+    3. LAG over THAT relation ordered by bucket supplies each bucket-FIRST
        row's true predecessor (the last row of the key's previous non-empty
-       bucket) via coalesce after an equi-join back.
+       bucket) — substituted by ROW POSITION after an equi-join back, never
+       by coalesce, so a legitimate NULL value mid-bucket stays NULL exactly
+       as plain LAG returns it.
 
     Exactly equal to the plain LAG whenever ``bucket_col`` is monotone in the
     primary order column (a coarse truncation of it) — proven by the gate

@@ -344,10 +344,13 @@ def test_ivf_index_append_absorbs_new_vectors(spark, tmp_path):
     after = spark.read.parquet(f"{base}/assignments")
     assert after.count() == emb.count()
     assert after.select("vec_id").distinct().count() == emb.count()
-    # a probe that exhausts every list degenerates to exact search over the
-    # WHOLE index — appended ids must appear among results
-    hits = knn_ivf_from_index(
-        spark, base, emb.where("vec_id < 5"), k=5, nprobe=16
+    # deterministic visibility proof (generation-proof, unlike asserting a
+    # multiple-of-7 lands in some random query's top-k): query with an
+    # APPENDED vector's own embedding under a fresh id — its exact duplicate
+    # (cos 1.0, strictly above any distinct random vector) must be the
+    # top-1 hit, which requires the appended row to be in the index
+    probe = emb.where("vec_id = 7").select(
+        F.lit(-1).cast("long").alias("vec_id"), "embedding"
     )
-    n_ids = {r.n_id for r in hits.collect()}
-    assert any(i % 7 == 0 for i in n_ids), n_ids
+    top = knn_ivf_from_index(spark, base, probe, k=1, nprobe=16).collect()
+    assert top and top[0].n_id == 7 and top[0].cos == 1.0, top

@@ -201,11 +201,11 @@ def test_semantic_dedup_join_path_shape(spark, reg, sf_dir):
 
 
 def test_day_partitioned_aql_scan_prunes(spark, reg, sf_dir):
-    """The A13 scan-economics proof (VERDICT r2 #7): a START/STOP AQL run
-    through the frontend over day-partitioned events must carry constant
-    event_date PartitionFilters — file-level pruning, not post-scan row
-    filtering — and the pruned scan must read strictly fewer files than the
-    table holds."""
+    """The A13 scan-economics proof (VERDICT r2 #7), static half: a
+    START/STOP AQL run through the frontend over day-partitioned events must
+    carry constant event_date PartitionFilters.  The dynamic half (the
+    pruned scan never OPENS out-of-range files) is the corrupt-file-canary
+    test below."""
     df = reg["aql_day_pruned_scan"].run(spark, sf_dir)
     plan = _formatted_plan(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
