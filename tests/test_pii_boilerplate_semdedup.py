@@ -354,3 +354,38 @@ def test_ivf_index_append_absorbs_new_vectors(spark, tmp_path):
     )
     top = knn_ivf_from_index(spark, base, probe, k=1, nprobe=16).collect()
     assert top and top[0].n_id == 7 and top[0].cos == 1.0, top
+
+
+def test_ivf_index_serving_matches_per_call_past_codegen_limit(spark, tmp_path):
+    """>64 trained centroids: the serving path must take the broadcast
+    centroid-table assignment (literal folding would fall out of codegen)
+    and still reproduce the per-call IVF exactly — same training sample,
+    same centroids, same probes, same re-rank."""
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_from_index,
+    )
+
+    setup(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "ivf_wide")
+    build_ivf_index(spark, emb, base, n_centroids=80)
+    got = sorted(
+        map(
+            tuple,
+            knn_ivf_from_index(
+                spark, base, emb.where("vec_id < 6"), k=3, nprobe=4
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            knn_ivf(
+                emb, query_ids=list(range(6)), k=3, n_centroids=80, nprobe=4
+            ).collect(),
+        )
+    )
+    assert got == want and got
