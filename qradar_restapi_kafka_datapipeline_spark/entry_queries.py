@@ -1965,6 +1965,46 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "JOIN fp ON d.doc_id = fp.doc_id",
     )
 
+    # ---- feature-hashed embeddings: text → sparse vector → cosine pairs -----
+    # Hashing-trick embeddings (Weinberger et al. 2009) with exact-BIGINT
+    # postings: doubles appear only in the terminal sqrt/divide, so even the
+    # APPROXIMATE (prefix-filtered) path is deterministic and fully
+    # hash-checked — no quality contract needed, unlike the k-means paths.
+    q["text_hash_embedding_profile"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            f"WITH post AS ({T.hashed_embedding_postings_sql('spark')}) "
+            "SELECT doc_id, COUNT(*) AS n_buckets, "
+            "CAST(SUM(w * w) AS BIGINT) AS n2, "
+            "CAST(SUM(bucket * w) % 1000000007 AS BIGINT) AS chk "
+            "FROM post GROUP BY doc_id"
+        ),
+        f"WITH post AS ({T.hashed_embedding_postings_sql('duckdb')}) "
+        "SELECT doc_id, COUNT(*) AS n_buckets, "
+        "CAST(SUM(w * w) AS BIGINT) AS n2, "
+        "CAST(SUM(bucket * w) % 1000000007 AS BIGINT) AS chk "
+        "FROM post GROUP BY doc_id",
+    )
+    # Exhaustive inverted-index cosine join on a capped subset (the
+    # dedup_ngram_jaccard precedent: dense vectors make the full join
+    # all-pairs; prefix filtering below is the scale path).
+    _HCAP = "(SELECT * FROM documents WHERE doc_id < 300) hcap"
+    q["text_semantic_pairs_hashed"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            T.hashed_semantic_pairs_sql("spark", threshold=0.5, source=_HCAP)
+        ),
+        T.hashed_semantic_pairs_sql("duckdb", threshold=0.5, source=_HCAP),
+    )
+    # AllPairs-style prefix filter (Bayardo et al. 2007): candidates from
+    # each doc's 8 heaviest buckets, full exact-cosine verify — uncapped,
+    # and still fully value-checked because the top-m selection is
+    # deterministic SQL.
+    q["text_semantic_pairs_hashed_prefix"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            T.hashed_semantic_pairs_sql("spark", threshold=0.5, prefix_m=8)
+        ),
+        T.hashed_semantic_pairs_sql("duckdb", threshold=0.5, prefix_m=8),
+    )
+
     # ---- cross-split contamination (n-gram overlap vs train split) -----------
     from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
         contamination_oracle_sql,

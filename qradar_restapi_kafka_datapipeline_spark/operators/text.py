@@ -593,3 +593,126 @@ def unigram_loglik_sql(dialect: str, source: str = "documents") -> str:
     FROM tok t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
     GROUP BY t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document embeddings (hashing trick, Weinberger et al. 2009)
+# — text → sparse vector → cosine pairs with NO external model, expressed so
+# every intermediate is an exact BIGINT (CLAUDE.md float discipline): doubles
+# appear only in the one terminal sqrt/divide, so the whole family is fully
+# value-checkable cross-engine, including the approximate path.
+# ---------------------------------------------------------------------------
+
+def hashed_embedding_postings_sql(
+    dialect: str, dim: int = 256, source: str = "documents"
+) -> str:
+    """``(doc_id, bucket, w)`` — signed-hash feature postings: each token's
+    60-bit portable hash supplies a sign bit (unbiases collisions, the
+    hashing-trick trick) and a bucket in [0, dim); ``w`` = Σ sign·tf as an
+    exact BIGINT.  Zero-sum buckets are dropped (a sparse vector's implicit
+    zeros).  Linear: one token explode + two narrow aggregates keyed by
+    (doc, token) then (doc, bucket)."""
+    tok = token_positions_sql(dialect, source)
+    if dialect == "spark":
+        h = "CAST(CONV(SUBSTR(MD5(feat), 1, 15), 16, 10) AS BIGINT)"
+        div = "DIV"
+    else:
+        h = "('0x' || substr(md5(feat), 1, 15))::BIGINT"
+        div = "//"
+    # Features are word BIGRAMS, not unigrams: unigram bag-of-words
+    # degenerates on small shared vocabularies (every pair looks similar —
+    # measured 83% of random pairs ≥ 0.5 on the synthetic corpus), while
+    # bigrams carry local order and square the feature space.  Two
+    # integer-exact damping steps keep the cosine meaningful AND the gate
+    # bit-exact: corpus-stopword bigrams drop by document frequency
+    # (df·2 > N — an exact integer predicate, no float idf whose last-ulp
+    # ln() could diverge between engines), and tf saturates at 3
+    # (sublinear weighting, LEAST is exact).
+    return f"""
+    WITH tok AS ({tok}),
+    feats AS (
+      SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    tf AS (SELECT doc_id, feat, COUNT(*) AS c FROM feats GROUP BY doc_id, feat),
+    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    keep AS (
+      SELECT feat FROM tf GROUP BY feat
+      HAVING COUNT(DISTINCT doc_id) * 2 <= (SELECT n FROM ndocs)
+    ),
+    post AS (
+      SELECT doc_id, CAST(({h} {div} 2) % {dim} AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN {h} % 2 = 0 THEN LEAST(c, 3)
+                           ELSE -LEAST(c, 3) END) AS BIGINT) AS w
+      FROM tf WHERE feat IN (SELECT feat FROM keep)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, bucket, w FROM post WHERE w != 0
+    """
+
+
+def hashed_semantic_pairs_sql(
+    dialect: str,
+    dim: int = 256,
+    threshold: float = 0.5,
+    source: str = "documents",
+    prefix_m: int | None = None,
+) -> str:
+    """Document pairs with hashed-embedding cosine ≥ ``threshold``.
+
+    cosine = dot/(‖a‖·‖b‖) where dot and both squared norms are EXACT
+    BIGINTs (integer postings), so the two engines agree bit-for-bit until
+    the single terminal sqrt/divide — even the approximate path needs no
+    quality contract, the gate hash-checks it outright.
+
+    ``prefix_m`` = None is the exhaustive inverted-index join: correct, but
+    dense vectors (docs longer than ``dim`` distinct tokens) populate every
+    bucket and the join degenerates to all-pairs — cap the input (the
+    ``dedup_ngram_jaccard`` precedent) or use the prefix path at scale.
+    ``prefix_m`` = m is the AllPairs/PPJoin-style prefix filter (Bayardo et
+    al. 2007): candidates must collide on one of each doc's m
+    HEAVIEST-|w| buckets (deterministic tie-break on bucket id), then the
+    FULL exact cosine verifies each candidate — candidate volume drops from
+    dim·(docs/bucket)² to m-bounded postings join, and because the top-m
+    selection is itself deterministic SQL, the approximate pair set is
+    value-checked too."""
+    posts = hashed_embedding_postings_sql(dialect, dim, source)
+    if prefix_m is None:
+        cand = (
+            "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM post a JOIN post b "
+            "ON a.bucket = b.bucket AND a.doc_id < b.doc_id"
+        )
+    else:
+        cand = f"""
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id, bucket FROM ranked WHERE rk <= {prefix_m}) a
+        JOIN (SELECT doc_id, bucket FROM ranked WHERE rk <= {prefix_m}) b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+    ranked = (
+        ", ranked AS (SELECT doc_id, bucket, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY ABS(w) DESC, bucket ASC) AS rk "
+        "FROM post)"
+        if prefix_m is not None
+        else ""
+    )
+    return f"""
+    WITH posts_base AS ({posts}),
+    post AS (SELECT doc_id, bucket, w FROM posts_base){ranked},
+    n AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+          FROM post GROUP BY doc_id),
+    cand AS ({cand}),
+    dots AS (
+      SELECT c.id_a, c.id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS d
+      FROM cand c
+      JOIN post a ON a.doc_id = c.id_a
+      JOIN post b ON b.doc_id = c.id_b AND b.bucket = a.bucket
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(d / SQRT(1.0 * na.n2 * nb.n2) + 1e-9, 6) AS cos
+    FROM dots
+    JOIN n na ON na.doc_id = id_a
+    JOIN n nb ON nb.doc_id = id_b
+    WHERE d / SQRT(1.0 * na.n2 * nb.n2) >= {threshold}
+    """

@@ -357,3 +357,49 @@ def test_blocklist_quote_bearing_config_is_sql_safe(spark, tmp_path):
     assert got == want
     v = {r[0]: r[2] for r in got}
     assert v == {0: "blocked_term", 1: "blocked_source", 2: "kept"}
+
+
+def test_hashed_embedding_pairs_find_planted_dups_only(spark, tmp_path):
+    """Feature-hashed (bigram, signed) embeddings: a near-duplicate pair must
+    score ~1.0 while unrelated docs stay below threshold — and Spark/DuckDB
+    must agree bit-for-bit (exact-integer postings, one terminal sqrt)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        hashed_semantic_pairs_sql,
+    )
+
+    base = ("spark shuffles the sorted batches through the hash join "
+            "while the window merges the stream parts").split()
+    near = list(base)
+    near[3] = "reordered"  # one token differs
+    docs = [
+        (0, " ".join(base)),
+        (1, " ".join(near)),
+        (2, "totally different words about cats dogs birds fish "
+            "lizards mice owls and weather patterns today"),
+        (3, "another unrelated line of text regarding music theory "
+            "chords scales rhythm and tempo markings"),
+    ]
+    path = str(tmp_path / "hash_docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        path,
+    )
+    spark.read.parquet(path).createOrReplaceTempView("hash_docs")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW hash_docs AS SELECT * FROM '{path}'")
+    sql_s = hashed_semantic_pairs_sql("spark", threshold=0.5, source="hash_docs")
+    sql_d = hashed_semantic_pairs_sql("duckdb", threshold=0.5, source="hash_docs")
+    got = sorted(tuple(r) for r in spark.sql(sql_s).collect())
+    want = sorted(tuple(r) for r in con.execute(sql_d).fetchall())
+    assert got == want
+    assert [(a, b) for a, b, _ in got] == [(0, 1)]  # ONLY the planted pair
+    assert got[0][2] > 0.8
