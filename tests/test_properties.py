@@ -7,6 +7,8 @@ per-example Spark jobs would be 1000× slower than the properties are worth.
 import datetime
 import ipaddress
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -320,3 +322,127 @@ class TestBigramLoglikDifferential:
             n, mll = got[d]
             assert n == len(trans)
             assert abs(mll - ref) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# AQL frontend differential fuzz: random well-formed AQL → both dialects →
+# identical results.  The corpus tests pin 13 fixed queries; this pins the
+# GRAMMAR — projection/aggregate shapes × nested predicates × IN lists ×
+# INCIDR × START/STOP — against engine divergence.
+# ---------------------------------------------------------------------------
+
+
+class TestAQLDifferentialFuzz:
+    NUM_COLS = {
+        "domainId": (0, 7), "eventCount": (1, 5), "magnitude": (0, 10),
+        "qid": (0, 30), "sourcePort": (0, 12), "destinationPort": (0, 12),
+        "event_id": (0, 2000),
+    }
+    STR_COLS = {
+        "userName": [f"user_{i}" for i in range(20)] + ["nobody"],
+        "eventName": ["error", "login", "logout", "purchase", "view",
+                      "click", "signup", "no_such_event"],
+    }
+    CIDRS = ["10.0.0.0/8", "192.168.0.0/16", "10.1.0.0/16", "0.0.0.0/0"]
+
+    @pytest.fixture(scope="class")
+    def engines(self, spark, sf_dir):
+        import duckdb
+
+        from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+
+        setup(spark, sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        return spark, con
+
+    def _pred_strategy(self):
+        from hypothesis import strategies as st
+
+        def num_leaf(draw):
+            col = draw(st.sampled_from(sorted(self.NUM_COLS)))
+            lo, hi = self.NUM_COLS[col]
+            op = draw(st.sampled_from(["=", "!=", "<", ">", "<=", ">="]))
+            return f"{col} {op} {draw(st.integers(lo, hi))}"
+
+        def str_leaf(draw):
+            col = draw(st.sampled_from(sorted(self.STR_COLS)))
+            vals = self.STR_COLS[col]
+            if draw(st.booleans()):
+                picks = draw(st.lists(st.sampled_from(vals), min_size=1,
+                                      max_size=3, unique=True))
+                neg = "NOT " if draw(st.booleans()) else ""
+                inlist = ", ".join(f"'{v}'" for v in picks)
+                return f"{col} {neg}IN ({inlist})"
+            return f"{col} = '{draw(st.sampled_from(vals))}'"
+
+        def cidr_leaf(draw):
+            col = draw(st.sampled_from(["sourceip", "destinationip"]))
+            return f"INCIDR('{draw(st.sampled_from(self.CIDRS))}', {col})"
+
+        @st.composite
+        def leaf(draw):
+            kind = draw(st.sampled_from(["num", "str", "cidr"]))
+            body = {"num": num_leaf, "str": str_leaf, "cidr": cidr_leaf}[kind](draw)
+            return f"NOT ({body})" if draw(st.booleans()) else body
+
+        @st.composite
+        def pred(draw):
+            parts = draw(st.lists(leaf(), min_size=1, max_size=3))
+            glue = draw(st.sampled_from([" AND ", " OR "]))
+            return "(" + glue.join(f"({p})" for p in parts) + ")"
+
+        return pred()
+
+    def test_random_aql_agrees_across_engines(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.plans.aql import (
+            aql_oracle_sql,
+            translate,
+        )
+
+        spark, con = engines
+        pred = self._pred_strategy()
+
+        @settings(max_examples=40, deadline=None, database=None)
+        @given(
+            pred,
+            st.booleans(),  # aggregate shape?
+            st.sampled_from(["domainId", "eventName", "userName", "magnitude"]),
+            st.booleans(),  # START/STOP window?
+        )
+        def check(where, agg, gcol, windowed):
+            time_clause = (
+                " START '2024-01-03 00:00:00' STOP '2024-01-15 00:00:00'"
+                if windowed
+                else ""
+            )
+            if agg:
+                aql = (
+                    f"SELECT {gcol}, CAST(SUM(eventCount) AS BIGINT) AS total, "
+                    f"COUNT(*) AS n FROM events WHERE {where} "
+                    f"GROUP BY {gcol}{time_clause}"
+                )
+            else:
+                aql = (
+                    f"SELECT event_id, domainId, eventName, eventCount "
+                    f"FROM events WHERE {where}{time_clause}"
+                )
+            sdf = spark.sql(translate(aql, dialect="spark")).toPandas()
+            ddf = con.execute(aql_oracle_sql(aql)).df()
+            cols = sorted(sdf.columns)
+            assert cols == sorted(ddf.columns), aql
+            srows = sorted(
+                "|".join(map(str, r))
+                for r in sdf[cols].itertuples(index=False, name=None)
+            )
+            drows = sorted(
+                "|".join(map(str, r))
+                for r in ddf[cols].itertuples(index=False, name=None)
+            )
+            assert srows == drows, f"{aql}\nspark={srows[:2]}\nduck={drows[:2]}"
+
+        check()
