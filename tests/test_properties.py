@@ -446,3 +446,93 @@ class TestAQLDifferentialFuzz:
             assert srows == drows, f"{aql}\nspark={srows[:2]}\nduck={drows[:2]}"
 
         check()
+
+
+class TestAQLDecodeRewriteFuzz:
+    """Differential fuzz for the REWRITE passes specifically: random decode
+    calls (nested in expressions), quoted aliases, DATEFORMAT, and
+    REFERENCESETCONTAINS — the span-wise quote rewrite and paren-balanced
+    call parser are the frontend's most delicate code."""
+
+    DECODES = [
+        ("DOMAINNAME", "domainId"),
+        ("QIDNAME", "qid"),
+        ("LOGSOURCENAME", "logSourceId"),
+        ("SENSORDEVICENAME", "logSourceId"),
+        ("LOGSOURCETYPENAME", "devicetype"),
+        ("SENSORDEVICETYPENAME", "devicetype"),
+        ("CATEGORYNAME", "category"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def engines(self, spark, sf_dir):
+        import duckdb
+
+        from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+
+        setup(spark, sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        return spark, con
+
+    def test_random_decode_projections_agree(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.plans.aql import (
+            aql_oracle_sql,
+            translate,
+        )
+
+        spark, con = engines
+        decode = st.sampled_from(self.DECODES)
+        # alias pool exercises the quoted-alias span rewrite: bare words,
+        # double-quoted with spaces/parens, and shadowing column names
+        alias = st.sampled_from(
+            ['d1', 'out', '"Decoded Name"', '"Name (most recent)"',
+             '"Log Source"', 'eventName_d']
+        )
+
+        @settings(max_examples=30, deadline=None, database=None)
+        @given(
+            st.lists(st.tuples(decode, alias), min_size=1, max_size=3),
+            st.booleans(),  # wrap first decode in CONCAT?
+            st.booleans(),  # DATEFORMAT column too?
+            st.integers(0, 9),
+        )
+        def check(picks, nest, with_date, dom):
+            # unique aliases (duplicate output names break pandas compare)
+            seen, proj = set(), []
+            for i, ((fn, col), al) in enumerate(picks):
+                if al in seen:
+                    al = f'a{i}'
+                seen.add(al)
+                expr = f"{fn}({col})"
+                if nest and i == 0:
+                    expr = f"CONCAT({expr}, ':', CAST({col} AS STRING))"
+                proj.append(f"{expr} AS {al}")
+            if with_date:
+                proj.append(
+                    "DATEFORMAT(ts, 'yyyy-MM-dd HH') AS \"Start Hour\""
+                )
+            aql = (
+                f"SELECT event_id, {', '.join(proj)} FROM events "
+                f"WHERE domainId = {dom} AND REFERENCESETCONTAINS("
+                f"'Watchlist Users', userName) = FALSE OR domainId = {dom}"
+            )
+            sdf = spark.sql(translate(aql, dialect="spark")).toPandas()
+            ddf = con.execute(aql_oracle_sql(aql)).df()
+            cols = sorted(sdf.columns)
+            assert cols == sorted(ddf.columns), aql
+            s = sorted(
+                "|".join(map(str, r))
+                for r in sdf[cols].itertuples(index=False, name=None)
+            )
+            d = sorted(
+                "|".join(map(str, r))
+                for r in ddf[cols].itertuples(index=False, name=None)
+            )
+            assert s == d, f"{aql}\nspark={s[:1]}\nduck={d[:1]}"
+
+        check()
