@@ -332,6 +332,21 @@ def _uniform_ops(spark, k: int):
                 # candidate pairs only on equal fingerprints (K copies are
                 # distinct populations, so pair volume stays linear in K)
                 "text_winnow_overlap": lambda: T.winnow_overlap(spark),
+                # round-3: gram-hash equi-join + diagonal islands; copies are
+                # distinct populations so runs (and candidates) stay linear
+                "dedup_exact_substring": lambda: D.exact_substring_pairs(
+                    spark, n=8, min_run=12
+                ),
+                # round-3: prefix-filtered hashed-embedding cosine — the
+                # AllPairs scale path (rarest-df prefixes, postings built
+                # once, full exact-cosine verify).  dim ∝ K, the documented
+                # practice (like n_centroids ∝ N above): fixed dim would
+                # densify every bucket linearly in K and candidate volume
+                # quadratically; with dim scaling, bucket occupancy — and
+                # candidates per doc — stay constant
+                "text_semantic_pairs_hashed_prefix": lambda: T.hashed_semantic_pairs(
+                    spark, dim=4096 * k, threshold=0.5, prefix_m=4
+                ),
             }
 
 
