@@ -1048,9 +1048,14 @@ def incremental_minhash_duckdb_sql(
 #: 100 TB, and is bit-identical in Spark and DuckDB (same family as
 #: :data:`PORTABLE_SEED_HASH`).
 def _passage_hash(dialect: str, col: str = "passage") -> str:
-    if dialect == "spark":
-        return f"CAST(CONV(SUBSTR(MD5({col}), 1, 15), 16, 10) AS BIGINT)"
-    return f"('0x' || substr(md5({col}), 1, 15))::BIGINT"
+    """Delegates to the ONE canonical 60-bit portable hash definition
+    (``operators/text.py:portable_hash60_sql``) — per-engine hash logic
+    written twice is how cross-engine parity breaks."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        portable_hash60_sql,
+    )
+
+    return portable_hash60_sql(dialect, col)
 
 
 def _chunk_ctes(dialect: str, k: int, table: str) -> str:

@@ -141,6 +141,16 @@ def normalized_md5_sql(col: str, dialect: str) -> str:
     return f"md5({norm})"
 
 
+def portable_hash60_sql(dialect: str, expr: str) -> str:
+    """THE canonical dual-dialect 60-bit portable hash: first 15 hex chars of
+    md5 as a BIGINT — one definition (``operators/dedup.py``'s
+    ``_passage_hash`` delegates here) so a precision tweak can never break
+    cross-engine parity between call sites."""
+    if dialect == "spark":
+        return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 def token_positions_sql(
     dialect: str, source: str = "documents", text_col: str = "text"
 ) -> str:
@@ -613,12 +623,8 @@ def hashed_embedding_postings_sql(
     zeros).  Linear: one token explode + two narrow aggregates keyed by
     (doc, token) then (doc, bucket)."""
     tok = token_positions_sql(dialect, source)
-    if dialect == "spark":
-        h = "CAST(CONV(SUBSTR(MD5(feat), 1, 15), 16, 10) AS BIGINT)"
-        div = "DIV"
-    else:
-        h = "('0x' || substr(md5(feat), 1, 15))::BIGINT"
-        div = "//"
+    h = portable_hash60_sql(dialect, "feat")
+    div = "DIV" if dialect == "spark" else "//"
     # Features are word BIGRAMS, not unigrams: unigram bag-of-words
     # degenerates on small shared vocabularies (every pair looks similar —
     # measured 83% of random pairs ≥ 0.5 on the synthetic corpus), while
@@ -640,12 +646,18 @@ def hashed_embedding_postings_sql(
       SELECT feat FROM tf GROUP BY feat
       HAVING COUNT(DISTINCT doc_id) * 2 <= (SELECT n FROM ndocs)
     ),
+    hashed AS (
+      -- hash hoisted ONCE per (doc, feat): md5 dominates the postings
+      -- build, and Catalyst does not guarantee CSE between a GROUP BY key
+      -- and an aggregate input (the simhash builder's precedent)
+      SELECT doc_id, {h} AS h, c FROM tf
+      WHERE feat IN (SELECT feat FROM keep)
+    ),
     post AS (
-      SELECT doc_id, CAST(({h} {div} 2) % {dim} AS BIGINT) AS bucket,
-             CAST(SUM(CASE WHEN {h} % 2 = 0 THEN LEAST(c, 3)
+      SELECT doc_id, CAST((h {div} 2) % {dim} AS BIGINT) AS bucket,
+             CAST(SUM(CASE WHEN h % 2 = 0 THEN LEAST(c, 3)
                            ELSE -LEAST(c, 3) END) AS BIGINT) AS w
-      FROM tf WHERE feat IN (SELECT feat FROM keep)
-      GROUP BY 1, 2
+      FROM hashed GROUP BY 1, 2
     )
     SELECT doc_id, bucket, w FROM post WHERE w != 0
     """
@@ -743,7 +755,7 @@ def hashed_semantic_pairs(
     spark,
     dim: int = 256,
     threshold: float = 0.5,
-    prefix_m: int | None = 8,
+    prefix_m: int | None = None,
     source: str = "documents",
     max_bucket_docs: int | None = None,
 ) -> DataFrame:

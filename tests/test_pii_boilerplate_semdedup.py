@@ -321,7 +321,7 @@ def test_boilerplate_coverage_dataframe_matches_sql_form(spark, tables):
     assert df_form == sql_form and df_form
 
 
-def test_ivf_index_append_absorbs_new_vectors(spark, tmp_path):
+def test_ivf_index_append_absorbs_new_vectors(spark, tmp_path, sf_dir):
     """Incremental IVF maintenance: vectors appended with the persisted
     centroids are findable, existing assignments are untouched, and the
     union index holds exactly old + new."""
@@ -332,7 +332,7 @@ def test_ivf_index_append_absorbs_new_vectors(spark, tmp_path):
         knn_ivf_from_index,
     )
 
-    setup(spark, "/root/testdata/sf0.001")
+    setup(spark, sf_dir)
     emb = spark.table("embeddings")
     base = str(tmp_path / "ivf_incr")
     old = emb.where("vec_id % 7 != 0")
@@ -356,7 +356,9 @@ def test_ivf_index_append_absorbs_new_vectors(spark, tmp_path):
     assert top and top[0].n_id == 7 and top[0].cos == 1.0, top
 
 
-def test_ivf_index_serving_matches_per_call_past_codegen_limit(spark, tmp_path):
+def test_ivf_index_serving_matches_per_call_past_codegen_limit(
+    spark, tmp_path, sf_dir
+):
     """>64 trained centroids: the serving path must take the broadcast
     centroid-table assignment (literal folding would fall out of codegen)
     and still reproduce the per-call IVF exactly — same training sample,
@@ -368,7 +370,7 @@ def test_ivf_index_serving_matches_per_call_past_codegen_limit(spark, tmp_path):
         knn_ivf_from_index,
     )
 
-    setup(spark, "/root/testdata/sf0.001")
+    setup(spark, sf_dir)
     emb = spark.table("embeddings")
     base = str(tmp_path / "ivf_wide")
     build_ivf_index(spark, emb, base, n_centroids=80)

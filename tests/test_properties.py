@@ -499,9 +499,10 @@ class TestAQLDecodeRewriteFuzz:
             st.lists(st.tuples(decode, alias), min_size=1, max_size=3),
             st.booleans(),  # wrap first decode in CONCAT?
             st.booleans(),  # DATEFORMAT column too?
-            st.integers(0, 9),
+            st.integers(2, 9),
+            st.booleans(),  # ref-set membership polarity
         )
-        def check(picks, nest, with_date, dom):
+        def check(picks, nest, with_date, dom_hi, member):
             # unique aliases (duplicate output names break pandas compare)
             seen, proj = set(), []
             for i, ((fn, col), al) in enumerate(picks):
@@ -516,10 +517,14 @@ class TestAQLDecodeRewriteFuzz:
                 proj.append(
                     "DATEFORMAT(ts, 'yyyy-MM-dd HH') AS \"Start Hour\""
                 )
+            # the ref-set predicate must MATTER: 'Known DNS traffic' holds
+            # ~1/17 of destination IPs, so both polarities split the rows
+            # and an inverted/mis-scoped IN rewrite changes the result set
             aql = (
                 f"SELECT event_id, {', '.join(proj)} FROM events "
-                f"WHERE domainId = {dom} AND REFERENCESETCONTAINS("
-                f"'Watchlist Users', userName) = FALSE OR domainId = {dom}"
+                f"WHERE REFERENCESETCONTAINS('Known DNS traffic', "
+                f"destinationip) = {'TRUE' if member else 'FALSE'} "
+                f"AND domainId <= {dom_hi}"
             )
             sdf = spark.sql(translate(aql, dialect="spark")).toPandas()
             ddf = con.execute(aql_oracle_sql(aql)).df()

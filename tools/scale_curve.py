@@ -236,6 +236,10 @@ def main() -> None:
                     t0 = time.time()
                     consume(build())
                     times.append(time.time() - t0)
+                    # the persisting ops (winnow, exact-substring, hashed
+                    # pairs) cache a fresh relation per call — release it so
+                    # accumulated storage never distorts later timings
+                    spark.catalog.clearCache()
                 with open("/proc/loadavg") as f:
                     load1 = float(f.read().split()[0])
                 print(
