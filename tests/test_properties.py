@@ -541,3 +541,88 @@ class TestAQLDecodeRewriteFuzz:
             assert s == d, f"{aql}\nspark={s[:1]}\nduck={d[:1]}"
 
         check()
+
+
+class TestAQLGlobalViewFuzz:
+    """Differential fuzz for the GLOBALVIEW rewrite: random view × predicate
+    over the view's columns × optional re-aggregation × optional START/STOP.
+    Spark routes to registered views; the DuckDB translation INLINES each
+    view's defining aggregate as a subquery — the two paths must agree for
+    every generated shape (the misaligned-window gate entry pins one shape;
+    this pins the grammar)."""
+
+    VIEWS = [
+        "MongoDB_AuthenticationFailure", "MongoDB_VPNAccess",
+        "MongoDB_TopSecurityEvents", "MongoDB_UBA",
+        "MongoDB_GroupModification", "MongoDB_LogonType",
+    ]
+
+    @pytest.fixture(scope="class")
+    def engines(self, spark, sf_dir):
+        import duckdb
+
+        from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+
+        setup(spark, sf_dir)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        return spark, con
+
+    def test_random_globalview_queries_agree(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.entry_queries import (
+            _SETUP_DONE,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.plans.aql import (
+            aql_oracle_sql,
+            translate,
+        )
+
+        spark, con = engines
+
+        @settings(max_examples=25, deadline=None, database=None)
+        @given(
+            st.sampled_from(self.VIEWS),
+            st.integers(0, 5),          # domainId bound
+            st.sampled_from(["<=", ">=", "="]),
+            st.integers(1, 30),         # SUM_eventCount threshold
+            st.booleans(),              # re-aggregate?
+            st.booleans(),              # START/STOP?
+        )
+        def check(view, dom, op, thr, agg, windowed):
+            tc = (
+                " START '2024-01-04 00:00:00' STOP '2024-01-18 00:00:00'"
+                if windowed
+                else ""
+            )
+            where = f"domainId {op} {dom} AND SUM_eventCount < {thr}"
+            if agg:
+                aql = (
+                    f"SELECT eventName, CAST(SUM(SUM_eventCount) AS BIGINT) "
+                    f"AS total, COUNT(*) AS n "
+                    f"FROM GLOBALVIEW('{view}','NORMAL') WHERE {where} "
+                    f"GROUP BY eventName{tc}"
+                )
+            else:
+                aql = (
+                    f"SELECT domainId, userName, eventName, SUM_eventCount "
+                    f"FROM GLOBALVIEW('{view}','NORMAL') WHERE {where}{tc}"
+                )
+            sdf = spark.sql(translate(aql, dialect="spark")).toPandas()
+            ddf = con.execute(aql_oracle_sql(aql)).df()
+            cols = sorted(sdf.columns)
+            assert cols == sorted(ddf.columns), aql
+            s = sorted(
+                "|".join(map(str, r))
+                for r in sdf[cols].itertuples(index=False, name=None)
+            )
+            d = sorted(
+                "|".join(map(str, r))
+                for r in ddf[cols].itertuples(index=False, name=None)
+            )
+            assert s == d, f"{aql}\nspark={s[:1]}\nduck={d[:1]}"
+
+        check()
