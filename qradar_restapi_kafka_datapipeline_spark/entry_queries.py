@@ -2012,6 +2012,14 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: T.hashed_semantic_pairs(spark, **_HSE_KW),
         T.hashed_semantic_pairs_sql("duckdb", **_HSE_KW),
     )
+    # Search-serving form: top-k "documents like this one" per query doc —
+    # inverted-index candidates (a nonzero cosine NEEDS a shared bucket, so
+    # the candidate set is exact for cos > 0), integer-exact re-rank,
+    # deterministic ties ⇒ the top-k set itself is fully value-checked.
+    q["text_knn_hashed"] = _df_entry(
+        lambda spark, sf: T.hashed_text_knn(spark, query_max=3, k=3),
+        T.hashed_text_knn_sql("duckdb", query_max=3, k=3),
+    )
 
     # ---- cross-split contamination (n-gram overlap vs train split) -----------
     from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (

@@ -783,3 +783,80 @@ def hashed_semantic_pairs(
             max_bucket_docs=max_bucket_docs,
         )
     )
+
+
+def hashed_text_knn_sql(
+    dialect: str,
+    query_max: int = 3,
+    k: int = 3,
+    dim: int = 4096,
+    source: str = "documents",
+    posts_rel: str | None = None,
+) -> str:
+    """Top-``k`` most-similar documents for each query doc (ids below
+    ``query_max``) by hashed-embedding cosine — "find documents like this
+    one" with no external model, the search-serving form of
+    :func:`hashed_semantic_pairs_sql`.
+
+    Candidates come from the inverted index (docs sharing ANY bucket with
+    the query — exact for cosine > 0, since a nonzero dot needs a shared
+    bucket), re-ranked by the exact integer dot / one terminal sqrt.
+    Deterministic end-to-end (ties broken by n_id), so the top-k set is
+    fully value-checked cross-engine.  Per-query cost is the query's
+    postings × their bucket occupancy — independent of corpus size given
+    the documented dim ∝ corpus rule."""
+    posts = posts_rel and f"SELECT doc_id, bucket, w FROM {posts_rel}"
+    posts = posts or hashed_embedding_postings_sql(dialect, dim, source)
+    return f"""
+    WITH posts_base AS ({posts}),
+    post AS (SELECT doc_id, bucket, w FROM posts_base),
+    n AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+          FROM post GROUP BY doc_id),
+    qp AS (SELECT doc_id, bucket, w FROM post WHERE doc_id < {query_max}),
+    dots AS (
+      SELECT q.doc_id AS q_id, c.doc_id AS n_id,
+             CAST(SUM(q.w * c.w) AS BIGINT) AS d
+      FROM qp q JOIN post c
+        ON q.bucket = c.bucket AND q.doc_id != c.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT q_id, n_id, d / SQRT(1.0 * nq.n2 * nn.n2) AS cos_raw
+      FROM dots
+      JOIN n nq ON nq.doc_id = q_id
+      JOIN n nn ON nn.doc_id = n_id
+    ),
+    r AS (
+      SELECT q_id, n_id, cos_raw, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos_raw DESC, n_id ASC) AS INT) AS rk
+      FROM scored
+    )
+    SELECT q_id, n_id, ROUND(cos_raw + 1e-9, 6) AS cos, rk
+    FROM r WHERE rk <= {k}
+    """
+
+
+def hashed_text_knn(
+    spark,
+    query_max: int = 3,
+    k: int = 3,
+    dim: int = 4096,
+    source: str = "documents",
+) -> DataFrame:
+    """Production Spark form of :func:`hashed_text_knn_sql`: postings built
+    once over the spread source and persisted (same single-persist rule as
+    :func:`hashed_semantic_pairs`)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
+
+    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(
+        "__htk_spread_src"
+    )
+    posts = spark.sql(
+        hashed_embedding_postings_sql("spark", dim, "__htk_spread_src")
+    ).persist()
+    posts.createOrReplaceTempView("__htk_post")
+    return spark.sql(
+        hashed_text_knn_sql(
+            "spark", query_max, k, dim, posts_rel="__htk_post"
+        )
+    )

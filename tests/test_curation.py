@@ -403,3 +403,48 @@ def test_hashed_embedding_pairs_find_planted_dups_only(spark, tmp_path):
     assert got == want
     assert [(a, b) for a, b, _ in got] == [(0, 1)]  # ONLY the planted pair
     assert got[0][2] > 0.8
+
+
+def test_hashed_text_knn_ranks_planted_near_dup_first(spark, tmp_path):
+    """Search serving: a query doc's planted near-duplicate must be its
+    rank-1 hit, and both engines must agree on the full top-k."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        hashed_text_knn_sql,
+    )
+
+    base = ("the quick brown fox jumps over lazy dogs while rivers flow "
+            "north past ancient stone bridges every winter morning").split()
+    near = list(base)
+    near[5] = "above"
+    docs = [
+        (0, " ".join(base)),                       # the query
+        (1, " ".join(near)),                       # its near-dup
+        (2, "completely different content about quantum chemistry and "
+            "molecular orbital theory in modern computation"),
+        (3, "unrelated sports commentary covering the match score goals "
+            "penalties and the crowd reaction tonight"),
+    ]
+    path = str(tmp_path / "knn_docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        ),
+        path,
+    )
+    spark.read.parquet(path).createOrReplaceTempView("knn_docs")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW knn_docs AS SELECT * FROM '{path}'")
+    sql_s = hashed_text_knn_sql("spark", query_max=1, k=3, source="knn_docs")
+    sql_d = hashed_text_knn_sql("duckdb", query_max=1, k=3, source="knn_docs")
+    got = sorted(tuple(r) for r in spark.sql(sql_s).collect())
+    want = sorted(tuple(r) for r in con.execute(sql_d).fetchall())
+    assert got == want
+    top = [r for r in got if r[3] == 1]
+    assert top and top[0][1] == 1 and top[0][2] > 0.8  # near-dup is rank 1
