@@ -2013,12 +2013,14 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         T.hashed_semantic_pairs_sql("duckdb", **_HSE_KW),
     )
     # Search-serving form: top-k "documents like this one" per query doc —
-    # inverted-index candidates (a nonzero cosine NEEDS a shared bucket, so
-    # the candidate set is exact for cos > 0), integer-exact re-rank,
-    # deterministic ties ⇒ the top-k set itself is fully value-checked.
+    # inverted-index candidates filtered to positive dots (the exact cos>0
+    # top-k), integer-exact re-rank, deterministic ties ⇒ the top-k set
+    # itself is fully value-checked.  One kwargs dict drives BOTH engines
+    # (the _HSE_KW precedent) so the call sites cannot desync.
+    _TKN_KW = dict(query_max=3, k=3, dim=4096)
     q["text_knn_hashed"] = _df_entry(
-        lambda spark, sf: T.hashed_text_knn(spark, query_max=3, k=3),
-        T.hashed_text_knn_sql("duckdb", query_max=3, k=3),
+        lambda spark, sf: T.hashed_text_knn(spark, **_TKN_KW),
+        T.hashed_text_knn_sql("duckdb", **_TKN_KW),
     )
 
     # ---- cross-split contamination (n-gram overlap vs train split) -----------

@@ -799,17 +799,20 @@ def hashed_text_knn_sql(
     :func:`hashed_semantic_pairs_sql`.
 
     Candidates come from the inverted index (docs sharing ANY bucket with
-    the query — exact for cosine > 0, since a nonzero dot needs a shared
-    bucket), re-ranked by the exact integer dot / one terminal sqrt.
-    Deterministic end-to-end (ties broken by n_id), so the top-k set is
-    fully value-checked cross-engine.  Per-query cost is the query's
-    postings × their bucket occupancy — independent of corpus size given
-    the documented dim ∝ corpus rule."""
+    the query), restricted to POSITIVE dot products before ranking: every
+    positive-cosine doc necessarily shares a bucket, so the returned set is
+    the exact top-k among cos > 0 neighbors — without the guard a
+    negative-dot bucket-mate could outrank a true-zero NON-candidate (a
+    review-caught boundary bug the gate can't see, since both engines
+    agreed on it).  Queries with fewer than k positive neighbors return
+    fewer rows.  Deterministic end-to-end (ties broken by n_id), so the
+    top-k set is fully value-checked cross-engine.  Per-query cost is the
+    query's postings × their bucket occupancy — independent of corpus size
+    given the documented dim ∝ corpus rule."""
     posts = posts_rel and f"SELECT doc_id, bucket, w FROM {posts_rel}"
     posts = posts or hashed_embedding_postings_sql(dialect, dim, source)
     return f"""
-    WITH posts_base AS ({posts}),
-    post AS (SELECT doc_id, bucket, w FROM posts_base),
+    WITH post AS ({posts}),
     n AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
           FROM post GROUP BY doc_id),
     qp AS (SELECT doc_id, bucket, w FROM post WHERE doc_id < {query_max}),
@@ -819,6 +822,7 @@ def hashed_text_knn_sql(
       FROM qp q JOIN post c
         ON q.bucket = c.bucket AND q.doc_id != c.doc_id
       GROUP BY 1, 2
+      HAVING SUM(q.w * c.w) > 0
     ),
     scored AS (
       SELECT q_id, n_id, d / SQRT(1.0 * nq.n2 * nn.n2) AS cos_raw

@@ -332,6 +332,21 @@ class TestBigramLoglikDifferential:
 # ---------------------------------------------------------------------------
 
 
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    """Shared Spark + DuckDB pair for the three differential-fuzz grammars —
+    ONE registration of the events view and the frontend setup (three
+    per-class copies previously had to be edited in lockstep)."""
+    import duckdb
+
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+
+    setup(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return spark, con
+
+
 class TestAQLDifferentialFuzz:
     NUM_COLS = {
         "domainId": (0, 7), "eventCount": (1, 5), "magnitude": (0, 10),
@@ -344,19 +359,6 @@ class TestAQLDifferentialFuzz:
                       "click", "signup", "no_such_event"],
     }
     CIDRS = ["10.0.0.0/8", "192.168.0.0/16", "10.1.0.0/16", "0.0.0.0/0"]
-
-    @pytest.fixture(scope="class")
-    def engines(self, spark, sf_dir):
-        import duckdb
-
-        from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
-
-        setup(spark, sf_dir)
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
-        )
-        return spark, con
 
     def _pred_strategy(self):
         from hypothesis import strategies as st
@@ -464,19 +466,6 @@ class TestAQLDecodeRewriteFuzz:
         ("CATEGORYNAME", "category"),
     ]
 
-    @pytest.fixture(scope="class")
-    def engines(self, spark, sf_dir):
-        import duckdb
-
-        from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
-
-        setup(spark, sf_dir)
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
-        )
-        return spark, con
-
     def test_random_decode_projections_agree(self, engines):
         from hypothesis import given, settings, strategies as st
 
@@ -557,25 +546,9 @@ class TestAQLGlobalViewFuzz:
         "MongoDB_GroupModification", "MongoDB_LogonType",
     ]
 
-    @pytest.fixture(scope="class")
-    def engines(self, spark, sf_dir):
-        import duckdb
-
-        from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
-
-        setup(spark, sf_dir)
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
-        )
-        return spark, con
-
     def test_random_globalview_queries_agree(self, engines):
         from hypothesis import given, settings, strategies as st
 
-        from qradar_restapi_kafka_datapipeline_spark.entry_queries import (
-            _SETUP_DONE,
-        )
         from qradar_restapi_kafka_datapipeline_spark.plans.aql import (
             aql_oracle_sql,
             translate,
