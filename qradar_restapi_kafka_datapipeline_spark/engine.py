@@ -18,6 +18,45 @@ from pyspark.sql import SparkSession
 
 _SCRATCH_ROOT: str | None = None
 
+# --- persisted-relation lifecycle (ADVICE r3) --------------------------------
+# Operators that persist an intermediate relation (postings, gram positions)
+# used to register it under a FIXED global temp-view name and never unpersist:
+# repeated invocations in a long-lived session accumulated executor storage
+# and clobbered the shared names.  One registry keyed by operator: the next
+# invocation releases the previous relation, and every view name gets a
+# per-invocation suffix so concurrently-held plans never alias each other.
+import itertools as _itertools
+
+_PERSISTED: dict[str, object] = {}
+_VIEW_SEQ = _itertools.count()
+
+
+def unique_view(df, key: str) -> str:
+    """Register ``df`` as a temp view under a fresh per-invocation name."""
+    name = f"{key}_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def persist_tracked(df, key: str):
+    """Persist ``df``, releasing the relation the SAME operator persisted
+    previously.  Callers that still hold a prior invocation's DataFrame lose
+    only its cache (it recomputes), never its correctness."""
+    prev = _PERSISTED.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    df = df.persist()
+    _PERSISTED[key] = df
+    return df
+
+
+def persist_view(df, key: str) -> str:
+    """:func:`persist_tracked` + a fresh per-invocation temp-view name."""
+    df = persist_tracked(df, key)
+    name = f"{key}_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(name)
+    return name
+
 
 def scratch_dir(prefix: str) -> str:
     """Per-process scratch directory, removed at interpreter exit.

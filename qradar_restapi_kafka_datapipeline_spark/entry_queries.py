@@ -1775,9 +1775,9 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings WHERE vec_id < 500) "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cos "
         "FROM e a, e b WHERE a.vec_id < b.vec_id "
-        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
+        "AND ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.42",
     )
     q["knn_bruteforce_cosine"] = _df_entry(
         lambda spark, sf: S.knn_bruteforce(
@@ -1786,7 +1786,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 10), "
         "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings), "
-        "s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(qv, nv), 6) AS cos "
+        "s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(qv, nv) + 1e-9, 6) AS cos "
         "FROM q, c WHERE q_id != n_id), "
         "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
@@ -1869,7 +1869,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
         "FROM embeddings WHERE vec_id < 10), "
         "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings), "
-        "s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(qv, nv), 6) AS cos "
+        "s AS (SELECT q_id, n_id, ROUND(list_cosine_similarity(qv, nv) + 1e-9, 6) AS cos "
         "FROM q, c WHERE q_id != n_id), "
         "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
@@ -2274,11 +2274,11 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "WITH emitted AS (SELECT DISTINCT id_a, id_b FROM {emitted}), "
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
         "SELECT em.id_a, em.id_b, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cos "
         "FROM emitted em JOIN e a ON a.vec_id = em.id_a "
         "JOIN e b ON b.vec_id = em.id_b "
         "WHERE em.id_a < em.id_b "
-        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
+        "AND ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.42",
     )
     q["semantic_dedup_contract"] = _df_entry(
         lambda spark, sf: S.semantic_dedup_contract(
@@ -2289,7 +2289,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, "
         "TRUE AS found_subset_of_true, TRUE AS recall_ge_floor "
         "FROM e a, e b WHERE a.vec_id < b.vec_id "
-        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
+        "AND ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.42",
     )
     q["semantic_dedup_exhaustive"] = _df_entry(
         lambda spark, sf: S.semantic_dedup_pairs(
@@ -2298,7 +2298,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings) "
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cos "
         "FROM e a, e b WHERE a.vec_id < b.vec_id "
-        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.42",
+        "AND ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.42",
     )

@@ -108,14 +108,19 @@ def boilerplate_coverage(
     the returned plan reads ``g`` lazily — callers that materialize and move
     on release it via ``spark.catalog.clearCache()``.
     """
+    from qradar_restapi_kafka_datapipeline_spark.engine import persist_tracked, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
-    spread_view = "__boilerplate_spread_src"
-    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
-    g = spark.sql(
-        f"WITH {_ngram_cte('spark', spread_view)} "
-        "SELECT doc_id, source, ngram FROM g"
-    ).persist()
+    spread_view = unique_view(
+        _spread(spark.table(source), by="doc_id"), "__boilerplate_spread_src"
+    )
+    g = persist_tracked(
+        spark.sql(
+            f"WITH {_ngram_cte('spark', spread_view)} "
+            "SELECT doc_id, source, ngram FROM g"
+        ),
+        "__boilerplate_g",
+    )
     lex = (
         g.groupBy("source", "ngram")
         .agg(F.countDistinct("doc_id").alias("__nd"))

@@ -803,7 +803,7 @@ def embedding_near_dup_lsh(
         .distinct()
     )
     return (
-        cands.withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        cands.withColumn("cos", F.round(cosine_expr("va", "vb") + F.lit(1e-9), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -823,7 +823,7 @@ def embedding_cosine_pairs(
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        .withColumn("cos", F.round(cosine_expr("va", "vb") + F.lit(1e-9), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -1381,8 +1381,9 @@ def exact_substring_pairs(
     that many docs before the join (the boilerplate-explosion guard for web
     corpora; None = off).  Cache contract as in :func:`minhash_lsh_pairs`:
     the returned plan reads the persisted relation lazily."""
-    spread_view = "__ess_spread_src"
-    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
+    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
+
+    spread_view = unique_view(_spread(spark.table(source), by="doc_id"), "__ess_spread_src")
     grams = spark.sql(_gram_positions_sql("spark", n, spread_view))
     if max_gram_doc_freq is not None:
         df_counts = grams.groupBy("h").agg(
@@ -1393,9 +1394,8 @@ def exact_substring_pairs(
             "h",
             "left_semi",
         )
-    grams = grams.persist()
-    grams.createOrReplaceTempView("__ess_grams")
-    gsel = "SELECT doc_id, i, h FROM __ess_grams"
+    grams_view = persist_view(grams, "__ess_grams")
+    gsel = f"SELECT doc_id, i, h FROM {grams_view}"
     return spark.sql(f"WITH {_substring_runs_sql(gsel, gsel, n, min_run)}")
 
 
@@ -1491,12 +1491,14 @@ def exact_substring_remove(
     relation is computed once over the spread source and persisted (the
     inlined SQL form pays the explode + per-gram md5 twice for the self-join
     plus once more for tokens)."""
-    spread_view = "__essr_spread_src"
-    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
-    grams = spark.sql(_gram_positions_sql("spark", n, spread_view)).persist()
-    grams.createOrReplaceTempView("__essr_grams")
+    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
+
+    spread_view = unique_view(_spread(spark.table(source), by="doc_id"), "__essr_spread_src")
+    grams_view = persist_view(
+        spark.sql(_gram_positions_sql("spark", n, spread_view)), "__essr_grams"
+    )
     return spark.sql(
         exact_substring_remove_sql(
-            "spark", n, min_run, source=spread_view, grams_rel="__essr_grams"
+            "spark", n, min_run, source=spread_view, grams_rel=grams_view
         )
     )

@@ -39,7 +39,7 @@ def knn_bruteforce(
     scored = (
         F.broadcast(q)
         .join(c, F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
+        .withColumn("cos", F.round(cosine_expr("qv", "nv") + F.lit(1e-9), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -219,7 +219,7 @@ def _rerank_topk(q: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
         F.broadcast(q)
         .join(corpus, "list_id")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
+        .withColumn("cos", F.round(cosine_expr("qv", "nv") + F.lit(1e-9), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -271,7 +271,7 @@ def knn_lsh(
         .where(F.col("q_id") != F.col("n_id"))
         .select("q_id", "qv", "n_id", "nv")
         .distinct()
-        .withColumn("cos", F.round(cosine_expr("qv", "nv"), 6))
+        .withColumn("cos", F.round(cosine_expr("qv", "nv") + F.lit(1e-9), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -406,7 +406,7 @@ def semantic_dedup_pairs(
     if probes > 1:  # multi-assignment can produce the same pair via two cells
         cands = cands.distinct()
     return (
-        cands.withColumn("cos", F.round(cosine_expr("va", "vb"), 6))
+        cands.withColumn("cos", F.round(cosine_expr("va", "vb") + F.lit(1e-9), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -513,7 +513,7 @@ def knn_lsh_oracle_sql(
     cand AS (SELECT DISTINCT q_id, qv, n_id, nv
              FROM q JOIN c USING (table_id, bucket) WHERE q_id != n_id),
     s AS (SELECT q_id, n_id,
-                 ROUND(list_cosine_similarity(qv, nv), 6) AS cos FROM cand),
+                 ROUND(list_cosine_similarity(qv, nv) + 1e-9, 6) AS cos FROM cand),
     r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER
           (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s)
     SELECT q_id, n_id, cos, rk FROM r WHERE rk <= {k}
@@ -538,8 +538,8 @@ def embedding_lsh_oracle_sql(
              FROM sk a JOIN sk b
                ON a.table_id = b.table_id AND a.bucket = b.bucket
               AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b, ROUND(list_cosine_similarity(va, vb), 6) AS cos
-    FROM cand WHERE ROUND(list_cosine_similarity(va, vb), 6) >= {threshold}
+    SELECT id_a, id_b, ROUND(list_cosine_similarity(va, vb) + 1e-9, 6) AS cos
+    FROM cand WHERE ROUND(list_cosine_similarity(va, vb) + 1e-9, 6) >= {threshold}
     """
 
 
@@ -736,7 +736,7 @@ def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3) -> str:
         "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         "s AS (SELECT em.q_id, em.n_id, "
-        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos "
+        "ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cos "
         "FROM emitted em JOIN e a ON a.vec_id = em.q_id "
         "JOIN e b ON b.vec_id = em.n_id "
         f"WHERE em.q_id < {query_max} AND em.q_id != em.n_id), "

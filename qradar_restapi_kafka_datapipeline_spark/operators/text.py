@@ -494,13 +494,16 @@ def winnow_overlap(
     returned plan reads the persisted relation lazily — callers that
     materialize and move on release it via ``spark.catalog.clearCache()``.
     """
+    from qradar_restapi_kafka_datapipeline_spark.engine import persist_tracked, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
-    spread_view = "__winnow_spread_src"
-    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(spread_view)
-    fps = spark.sql(
-        winnow_fingerprints_sql("spark", k, window, spread_view)
-    ).persist()
+    spread_view = unique_view(
+        _spread(spark.table(source), by="doc_id"), "__winnow_spread_src"
+    )
+    fps = persist_tracked(
+        spark.sql(winnow_fingerprints_sql("spark", k, window, spread_view)),
+        "__winnow_fps",
+    )
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -764,22 +767,20 @@ def hashed_semantic_pairs(
     — the inlined SQL form pays the tokenize + hash pipeline once per CTE
     reference (Spark shares no common subplans; measured 48.7 s vs ~3 s at
     5 k docs).  Cache contract as in ``winnow_overlap``."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
-    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(
-        "__hse_spread_src"
+    src = unique_view(_spread(spark.table(source), by="doc_id"), "__hse_spread_src")
+    posts_view = persist_view(
+        spark.sql(hashed_embedding_postings_sql("spark", dim, src)), "__hse_post"
     )
-    posts = spark.sql(
-        hashed_embedding_postings_sql("spark", dim, "__hse_spread_src")
-    ).persist()
-    posts.createOrReplaceTempView("__hse_post")
     return spark.sql(
         hashed_semantic_pairs_sql(
             "spark",
             dim,
             threshold,
             prefix_m=prefix_m,
-            posts_rel="__hse_post",
+            posts_rel=posts_view,
             max_bucket_docs=max_bucket_docs,
         )
     )
@@ -850,17 +851,13 @@ def hashed_text_knn(
     """Production Spark form of :func:`hashed_text_knn_sql`: postings built
     once over the spread source and persisted (same single-persist rule as
     :func:`hashed_semantic_pairs`)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
-    _spread(spark.table(source), by="doc_id").createOrReplaceTempView(
-        "__htk_spread_src"
+    src = unique_view(_spread(spark.table(source), by="doc_id"), "__htk_spread_src")
+    posts_view = persist_view(
+        spark.sql(hashed_embedding_postings_sql("spark", dim, src)), "__htk_post"
     )
-    posts = spark.sql(
-        hashed_embedding_postings_sql("spark", dim, "__htk_spread_src")
-    ).persist()
-    posts.createOrReplaceTempView("__htk_post")
     return spark.sql(
-        hashed_text_knn_sql(
-            "spark", query_max, k, dim, posts_rel="__htk_post"
-        )
+        hashed_text_knn_sql("spark", query_max, k, dim, posts_rel=posts_view)
     )

@@ -469,15 +469,24 @@ def _rewrite_start_stop(
     if partition_col:
         import datetime as _dt
 
-        start = _dt.datetime.fromisoformat(t0)
-        stop = _dt.datetime.fromisoformat(t1)
-        d1 = stop.date()
-        if stop.time() == _dt.time(0):
-            d1 = d1 - _dt.timedelta(days=1)
-        pred = (
-            f"({partition_col} >= DATE'{start.date()}' "
-            f"AND {partition_col} <= DATE'{d1}' AND {pred[1:]}"
-        )
+        try:
+            start = _dt.datetime.fromisoformat(t0)
+            stop = _dt.datetime.fromisoformat(t1)
+        except ValueError:
+            # Non-ISO AQL time syntax: the plain ts predicate below still
+            # accepts whatever the engine's timestamp literal parser does, so
+            # partition pruning must not CHANGE which formats the frontend
+            # tolerates — skip the derived partition bounds and keep the scan
+            # un-pruned (ADVICE r3: pruning is an optimization, not a gate).
+            pass
+        else:
+            d1 = stop.date()
+            if stop.time() == _dt.time(0):
+                d1 = d1 - _dt.timedelta(days=1)
+            pred = (
+                f"({partition_col} >= DATE'{start.date()}' "
+                f"AND {partition_col} <= DATE'{d1}' AND {pred[1:]}"
+            )
     return _inject_where_pred(q[: m.start()] + q[m.end():], pred)
 
 

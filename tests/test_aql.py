@@ -348,3 +348,21 @@ def test_doubled_backtick_identifier_is_one_span():
     q2 = "SELECT `SUM``(eventCount)` AS s FROM events"
     s0 = _literal_spans(q2)[0]
     assert q2[s0[0]:s0[1]] == "`SUM``(eventCount)`"
+
+
+def test_non_iso_start_stop_skips_partition_bounds_not_translation():
+    """ADVICE r3: partition pruning must not change which time syntaxes the
+    frontend tolerates — a non-ISO START/STOP keeps the plain ts predicate
+    (whatever the engine's timestamp parser accepts) and simply skips the
+    derived partition bounds."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.aql import _rewrite_start_stop
+
+    q = "SELECT * FROM ev START '01/02/2024 00:00' STOP '01/03/2024 00:00'"
+    out = _rewrite_start_stop(q, "ts", partition_col="event_date")
+    assert "event_date" not in out  # pruning skipped, not raised
+    assert "ts >= timestamp'01/02/2024 00:00'" in out
+    # ISO bounds still derive the pruning predicate
+    q2 = "SELECT * FROM ev START '2024-01-02 00:00:00' STOP '2024-01-03 00:00:00'"
+    out2 = _rewrite_start_stop(q2, "ts", partition_col="event_date")
+    assert "event_date >= DATE'2024-01-02'" in out2
+    assert "event_date <= DATE'2024-01-02'" in out2

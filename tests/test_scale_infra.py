@@ -127,3 +127,21 @@ def test_bucketed_lag_equals_plain_lag_with_nulls(spark):
         for r in df.withColumn("prev", F.lag("val").over(w)).collect()
     }
     assert got == want
+
+
+def test_persist_view_releases_previous_relation(spark):
+    """ADVICE r3: operators that persist intermediates must release the prior
+    invocation's relation and never clobber a shared fixed view name."""
+    from qradar_restapi_kafka_datapipeline_spark import engine
+
+    df1 = spark.range(10)
+    df2 = spark.range(20)
+    v1 = engine.persist_view(df1, "__t_pv")
+    held1 = engine._PERSISTED["__t_pv"]
+    assert held1.storageLevel.useMemory
+    v2 = engine.persist_view(df2, "__t_pv")
+    assert v1 != v2  # per-invocation names: no clobbering
+    assert not held1.storageLevel.useMemory  # previous relation unpersisted
+    assert spark.table(v2).count() == 20
+    assert spark.table(v1).count() == 10  # old view still resolvable (uncached)
+    engine._PERSISTED.pop("__t_pv").unpersist()
