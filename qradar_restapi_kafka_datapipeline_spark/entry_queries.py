@@ -685,12 +685,24 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     aggregation (oracle = the plain GROUP BY it must equal)."""
     from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
         sessionize,
+        sessionize_bucketed,
         sessionize_sql,
     )
     from qradar_restapi_kafka_datapipeline_spark.operators.skew import salted_sum
 
     q["sessionize_events"] = _df_entry(
         lambda spark, sf: sessionize(
+            spark.table("events"), gap_minutes=30, agg_cols={"value": "total_value"}
+        ),
+        sessionize_sql("duckdb", gap_minutes=30),
+    )
+
+    # Skew-safe twin (VERDICT r3 #2): per-(user, day) sessionization with a
+    # cross-midnight stitch — the oracle IS the plain form's SQL, so the gate
+    # proves the bounded-partition rewrite is value-identical (including the
+    # session_id numbering).
+    q["sessionize_events_bucketed"] = _df_entry(
+        lambda spark, sf: sessionize_bucketed(
             spark.table("events"), gap_minutes=30, agg_cols={"value": "total_value"}
         ),
         sessionize_sql("duckdb", gap_minutes=30),

@@ -60,6 +60,101 @@ def sessionize(
     )
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    agg_cols: dict[str, str] | None = None,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Skew-safe twin of :func:`sessionize` — identical output, window
+    partitions bounded by (user × day).
+
+    The plain form sorts each user's ENTIRE history in one task; a bot
+    account holding 5–20 % of 100 TB of events makes that a single straggler
+    (measured 7.88 s vs 3.47–4.37 s for the bucketed LAG family at 64×/50 %
+    skew — DESIGN.md).  Same two-level decomposition as
+    :func:`~qradar_restapi_kafka_datapipeline_spark.operators.skew.bucketed_lag`,
+    specialized to gaps-and-islands numbering:
+
+    1. per-(user, day) windows mark intra-day session starts and number them
+       (``__intra_run``) — every window partition is bounded by one user-day;
+    2. a per-(user, day) relation (|users × days| rows, tiny vs events)
+       carries first/last event ms and the intra-day start count; a LAG over
+       THAT relation decides whether each day's FIRST event continues the
+       previous day's session (``__bflag``) and a running sum supplies the
+       session-number offset of all prior days;
+    3. ``session_id = offset + __bflag + __intra_run`` reproduces the plain
+       running-sum numbering exactly, and the final per-(user, session)
+       aggregate combines map-side (sum/min/max/count), so no straggler.
+
+    Exactly equal to :func:`sessionize` because day is a monotone truncation
+    of ``ts``: intra-day rows see the same LAG predecessor either way, and a
+    day's first row's start flag is precisely the cross-midnight gap test.
+    Sub-ms ordering differences cannot flip a flag (rows within one ms have
+    gap 0 — they can never split a session), so ordering by
+    (ms, ``tiebreak_col``) is deterministic AND plain-LAG-compatible.
+    Oracle-proven: the gate entry's DuckDB oracle IS the plain form's SQL.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+    e = df.withColumn("__ms", F.unix_millis(F.col(ts_col))).withColumn(
+        "__day", F.to_date(ts_col)
+    )
+    w_in = Window.partitionBy(user_col, "__day").orderBy("__ms", tiebreak_col)
+    marked = (
+        e.withColumn("__prev_ms", F.lag("__ms").over(w_in))
+        .withColumn(
+            "__flag",
+            F.when(F.col("__ms") - F.col("__prev_ms") > gap_ms, 1)
+            .otherwise(0)
+            .cast("long"),
+        )
+        .withColumn(
+            "__intra_run",
+            F.sum("__flag").over(
+                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    bstats = marked.groupBy(user_col, "__day").agg(
+        F.min("__ms").alias("__first_ms"),
+        F.max("__ms").alias("__last_ms"),
+        F.sum("__flag").alias("__intra_starts"),
+    )
+    w_b = Window.partitionBy(user_col).orderBy("__day")
+    b2 = (
+        bstats.withColumn("__prev_last", F.lag("__last_ms").over(w_b))
+        .withColumn(
+            "__bflag",
+            F.when(F.col("__first_ms") - F.col("__prev_last") > gap_ms, 1)
+            .otherwise(0)  # first day: NULL gap → continue (plain LAG NULL → 0)
+            .cast("long"),
+        )
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum(F.col("__intra_starts") + F.col("__bflag")).over(
+                    w_b.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select(user_col, "__day", "__bflag", "__offset")
+    )
+    sessions = marked.join(b2, [user_col, "__day"]).withColumn(
+        "session_id", F.col("__offset") + F.col("__bflag") + F.col("__intra_run")
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    for col, alias in (agg_cols or {}).items():
+        aggs.append(F.round(F.sum(col), 2).alias(alias))
+    return sessions.groupBy(user_col, "session_id").agg(*aggs)
+
+
 def sessionize_sql(dialect: str, gap_minutes: int = 30, source: str = "events") -> str:
     """The same sessionization as one SQL string per dialect (oracle twin)."""
     epoch_ms = "unix_millis({c})" if dialect == "spark" else "epoch_ms({c})"

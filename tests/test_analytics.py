@@ -213,3 +213,42 @@ def test_operators_handle_empty_input(spark):
         [], "Start_Time TIMESTAMP, domainId BIGINT, Event_Count BIGINT"
     )
     assert summing_rollup(empty_rollup_src).count() == 0
+
+
+def test_sessionize_bucketed_cross_midnight_stitch(spark):
+    """The bucketed twin must reproduce plain sessionize EXACTLY (including
+    session_id numbering) on the hard cases: a session continuing across
+    midnight, a session break exactly at a day boundary, multi-day gaps
+    (empty buckets between), and single-event days."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        sessionize_bucketed,
+    )
+
+    rows = [
+        # u1: session crosses midnight (23:50 -> 00:10, 20 min gap)
+        (1, 101, T(2024, 1, 1, 23, 50), 1.0),
+        (1, 102, T(2024, 1, 2, 0, 10), 2.0),
+        # ... then a >30min break INSIDE day 2
+        (1, 103, T(2024, 1, 2, 1, 0), 3.0),
+        # ... then a 3-day gap (empty day buckets in between)
+        (1, 104, T(2024, 1, 5, 9, 0), 4.0),
+        # u2: break lands exactly on the midnight boundary (2h gap)
+        (2, 201, T(2024, 1, 1, 22, 0), 5.0),
+        (2, 202, T(2024, 1, 2, 0, 0), 6.0),
+        # u3: single event
+        (3, 301, T(2024, 1, 3, 12, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    key = lambda r: (r["user_id"], r["session_id"])
+    plain = {key(r): r for r in sessionize(
+        df, gap_minutes=30, agg_cols={"value": "total_value"}).collect()}
+    bucketed = {key(r): r for r in sessionize_bucketed(
+        df, gap_minutes=30, agg_cols={"value": "total_value"}).collect()}
+    assert plain.keys() == bucketed.keys()
+    for k in plain:
+        for c in ("session_start", "session_end", "n_events", "total_value"):
+            assert plain[k][c] == bucketed[k][c], (k, c)
+    # sanity on the intended shapes
+    assert plain[(1, 0)]["n_events"] == 2          # midnight-crossing session
+    assert plain[(1, 2)]["session_start"] == T(2024, 1, 5, 9, 0)
+    assert (2, 1) in plain                          # u2 split at the boundary

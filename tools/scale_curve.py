@@ -145,7 +145,10 @@ def _skew_ops(spark):
     from pyspark.sql.window import Window
 
     from qradar_restapi_kafka_datapipeline_spark.operators import skew as SK
-    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        sessionize,
+        sessionize_bucketed,
+    )
 
     def _ms(df):
         return df.withColumn("__ms", F.expr("unix_millis(ts)"))
@@ -195,8 +198,10 @@ def _skew_ops(spark):
         "beaconing_bucketed": lambda: SK.beaconing_score_bucketed(
             spark.table("events")
         ),
-        # inherent per-key ordering bound — measured, documented, no twin
-        "sessionize_events": lambda: sessionize(
+        "sessionize_plain": lambda: sessionize(
+            spark.table("events"), gap_minutes=30, agg_cols={"value": "total_value"}
+        ),
+        "sessionize_bucketed": lambda: sessionize_bucketed(
             spark.table("events"), gap_minutes=30, agg_cols={"value": "total_value"}
         ),
     }
