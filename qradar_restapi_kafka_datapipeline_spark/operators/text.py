@@ -758,7 +758,7 @@ def hashed_semantic_pairs(
     spark,
     dim: int = 256,
     threshold: float = 0.5,
-    prefix_m: int | None = None,
+    prefix_m: int | None = 4,
     source: str = "documents",
     max_bucket_docs: int | None = None,
 ) -> DataFrame:
@@ -766,14 +766,40 @@ def hashed_semantic_pairs(
     postings relation is computed ONCE over the spread source and persisted
     — the inlined SQL form pays the tokenize + hash pipeline once per CTE
     reference (Spark shares no common subplans; measured 48.7 s vs ~3 s at
-    5 k docs).  Cache contract as in ``winnow_overlap``."""
+    5 k docs).  Cache contract as in ``winnow_overlap``.
+
+    The DEFAULT regime is the AllPairs prefix path (``prefix_m=4``, the
+    measured-100 %-recall config at the documented dim ∝ vocabulary rule) —
+    the exhaustive inverted-index join degenerates toward all-pairs on dense
+    documents (VERDICT r3 #3), so a caller who doesn't read the docstring
+    must land in the scale-safe regime.  Passing ``prefix_m=None`` opts into
+    the exhaustive join, guarded: if mean postings per doc exceed dim/2
+    (every doc hits most buckets → the candidate join is quadratic), raise
+    rather than silently run the wrong regime."""
     from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
     src = unique_view(_spread(spark.table(source), by="doc_id"), "__hse_spread_src")
-    posts_view = persist_view(
-        spark.sql(hashed_embedding_postings_sql("spark", dim, src)), "__hse_post"
-    )
+    posts = spark.sql(hashed_embedding_postings_sql("spark", dim, src))
+    posts_view = persist_view(posts, "__hse_post")
+    if prefix_m is None:
+        # density guard for the explicitly-requested exhaustive regime: the
+        # postings are persisted anyway, so this aggregate only fronts the
+        # materialization the candidate join would pay regardless.
+        from pyspark.sql import functions as F
+
+        stats = spark.table(posts_view).agg(
+            F.count(F.lit(1)).alias("np"), F.countDistinct("doc_id").alias("nd")
+        ).first()
+        if stats["nd"] and stats["np"] / stats["nd"] > dim / 2:
+            raise ValueError(
+                f"hashed_semantic_pairs: mean postings/doc "
+                f"{stats['np'] / stats['nd']:.0f} > dim/2 ({dim // 2}) — the "
+                "exhaustive inverted-index join would degenerate toward "
+                "all-pairs on these dense documents. Raise dim (∝ corpus "
+                "vocabulary), use the default prefix_m path, or cap the "
+                "input relation."
+            )
     return spark.sql(
         hashed_semantic_pairs_sql(
             "spark",

@@ -448,3 +448,24 @@ def test_hashed_text_knn_ranks_planted_near_dup_first(spark, tmp_path):
     assert got == want
     top = [r for r in got if r[3] == 1]
     assert top and top[0][1] == 1 and top[0][2] > 0.8  # near-dup is rank 1
+
+
+def test_hashed_pairs_default_is_prefix_path_and_dense_guard_raises(spark, tables):
+    """VERDICT r3 #3: the default call must land in the AllPairs prefix
+    regime, and the explicitly-requested exhaustive regime must refuse dense
+    postings rather than silently degenerate toward all-pairs."""
+    import pytest as _pytest
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        hashed_semantic_pairs,
+    )
+
+    # default == explicit prefix_m=4 (the scale-safe regime), value-equal
+    d = {tuple(r) for r in hashed_semantic_pairs(spark, dim=4096).collect()}
+    e = {tuple(r) for r in hashed_semantic_pairs(spark, dim=4096, prefix_m=4).collect()}
+    assert d == e and len(d) > 0
+
+    # exhaustive regime on dense docs (dim far below distinct bigrams/doc):
+    # the density guard must raise, naming the remediations
+    with _pytest.raises(ValueError, match="dense|prefix_m"):
+        hashed_semantic_pairs(spark, dim=32, prefix_m=None)
