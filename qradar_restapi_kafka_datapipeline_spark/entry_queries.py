@@ -59,6 +59,7 @@ _DAY_PART_MEMO: dict[tuple[int, str], str] = {}
 
 #: (session id, sf_dir) → persisted IVF index path (same memo contract).
 _IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
+_IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
 
 
 def setup(
@@ -1852,6 +1853,38 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["knn_ivf_persisted"] = _emitting_entry(
         "knn_ivf_persisted",
         _ivf_index_run,
+        S.knn_emitted_oracle_sql(query_max=10, k=3),
+    )
+
+    # Incremental maintenance drift check (VERDICT r3 #7): build on a 6/7
+    # subset, append the disjoint 1/7 with the PERSISTED quantizer, then
+    # serve — every emitted row value-verified by the same emitted-keys
+    # oracle.  The appended index's assignment relation is pytest-proven
+    # identical to a single-shot build over the union with the same
+    # centroids (test_ivf_appended_assignments_equal_single_shot_build), so
+    # this entry pins the full append→serve path, not just visibility.
+    def _ivf_appended_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        key = (id(spark), sf)
+        if key not in _IVF_APPEND_MEMO:
+            base = os.path.join(scratch_dir("ivf_append_"), "index")
+            emb = spark.table("embeddings")
+            S.build_ivf_index(spark, emb.where("vec_id % 7 != 0"), base)
+            S.append_to_ivf_index(spark, base, emb.where("vec_id % 7 = 0"))
+            _IVF_APPEND_MEMO[key] = base
+        return S.knn_ivf_from_index(
+            spark,
+            _IVF_APPEND_MEMO[key],
+            spark.table("embeddings").where("vec_id < 10"),
+            k=3,
+        )
+
+    q["knn_ivf_appended"] = _emitting_entry(
+        "knn_ivf_appended",
+        _ivf_appended_run,
         S.knn_emitted_oracle_sql(query_max=10, k=3),
     )
 

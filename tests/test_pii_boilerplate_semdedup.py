@@ -391,3 +391,40 @@ def test_ivf_index_serving_matches_per_call_past_codegen_limit(
         )
     )
     assert got == want and got
+
+
+def test_ivf_appended_assignments_equal_single_shot_build(spark, tmp_path, sf_dir):
+    """Append-vs-rebuild drift (VERDICT r3 #7): with the quantizer held
+    fixed, build(base) + append(extra) must produce EXACTLY the assignment
+    relation a single-shot build over the union would — which makes any
+    search over the appended index identical to the rebuild's by
+    construction (same candidate lists, same re-rank)."""
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        _assign,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    setup(spark, sf_dir)
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "ivf_drift")
+    build_ivf_index(spark, emb.where("vec_id % 7 != 0"), base)
+    append_to_ivf_index(spark, base, emb.where("vec_id % 7 = 0"))
+    cents = [
+        list(r["cv"])
+        for r in spark.read.parquet(f"{base}/centroids").orderBy("cid").collect()
+    ]
+    appended = {
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.parquet(f"{base}/assignments")
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    single_shot = {
+        (r["vec_id"], r["list_id"])
+        for r in _assign(emb, cents, 1, "vec_id", "embedding")
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert appended == single_shot and len(appended) == emb.count()
