@@ -175,6 +175,20 @@ def registry() -> dict[str, Q]:
     for name, aql in AQL_CORPUS.items():
         q[f"aql_{name}"] = _aql_entry(aql)
 
+    # ---- Parameterized (named-argument) execution of the flagship corpus
+    # query: values bound via spark.sql(args=...), never spliced into the
+    # text (SURVEY A16's injection-safe improvement; VERDICT r3 #6).  The
+    # oracle is the SAME str.format-path oracle, so the gate proves the two
+    # binding modes are value-identical.
+    q["aql_parameterized"] = Q(
+        run=lambda spark, sf: setup(spark, sf).sql_bound(
+            AQL_CORPUS["AllowedInboundTraffic"], DEFAULT_PARAMS
+        ),
+        oracle=aql_oracle_sql(
+            AQL_CORPUS["AllowedInboundTraffic"], DEFAULT_PARAMS
+        ),
+    )
+
     # ---- AQL aggregation through the frontend (A3+A10+A15 in one query) ----
     q["aql_agg_by_customer"] = _aql_entry(
         "SELECT DOMAINNAME(domainId) AS customer, "

@@ -536,6 +536,47 @@ def translate(
     return q
 
 
+def bind_parameters(sql: str) -> tuple[str, list[str]]:
+    """Rewrite ``str.format`` placeholders left in a TRANSLATED query into
+    Spark named-parameter markers (SURVEY §2A A16's stated improvement over
+    the reference's ``.format(**params)`` splice, reference ``main.py:48``).
+
+    Three shapes, in order: ``timestamp'{p}'`` (the START/STOP rewrite's
+    output) becomes ``CAST(:p AS TIMESTAMP)`` so the bound string still
+    compares as a timestamp; a placeholder that IS a whole string literal
+    (``'{p}'``) becomes ``:p``; bare ``{p}`` OUTSIDE string literals becomes
+    ``:p`` (a brace inside a literal's text is data, never a parameter).
+    Returns the rewritten SQL and the referenced parameter names — bind with
+    ``spark.sql(sql, args={...})`` and the values can never re-enter the
+    parser: injection is structurally impossible in this mode.
+    """
+    names: list[str] = []
+
+    def _ts(m: re.Match) -> str:
+        names.append(m.group(1))
+        return f"CAST(:{m.group(1)} AS TIMESTAMP)"
+
+    sql = re.sub(r"timestamp'\{(\w+)\}'", _ts, sql)
+
+    def _lit(m: re.Match) -> str:
+        names.append(m.group(1))
+        return f":{m.group(1)}"
+
+    sql = re.sub(r"'\{(\w+)\}'", _lit, sql)
+    spans = _literal_spans(sql)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(r"\{(\w+)\}", sql):
+        if any(s <= m.start() < e for s, e in spans):
+            continue  # brace inside a literal is data
+        out.append(sql[last : m.start()])
+        out.append(f":{m.group(1)}")
+        names.append(m.group(1))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out), names
+
+
 def aql_oracle_sql(aql: str, params: dict[str, str] | None = None) -> str:
     """Full DuckDB oracle query for an AQL string: qevents + ref_sets CTEs +
     the duckdb-dialect translation. Runs on the raw parquet views alone."""
@@ -591,3 +632,28 @@ class AQLFrontend:
 
     def sql(self, aql: str, params: dict[str, str] | None = None) -> DataFrame:
         return self.spark.sql(self.translate(aql, params))
+
+    def translate_bound(
+        self, aql: str, params: dict[str, str] | None = None
+    ) -> tuple[str, dict[str, str]]:
+        """Translate with placeholders INTACT, then rewrite them to Spark
+        named-parameter markers (:func:`bind_parameters`).  Returns
+        ``(sql, args)``; raises ``KeyError`` naming any placeholder the
+        caller didn't supply.  The derived partition-pruning bounds need
+        literal values, so this mode emits the plain ts predicate only —
+        binding trades that static pruning for structural injection safety.
+        """
+        sql, names = bind_parameters(self.translate(aql, None))
+        supplied = params or {}
+        return sql, {n: supplied[n] for n in set(names)}
+
+    def sql_bound(
+        self, aql: str, params: dict[str, str] | None = None
+    ) -> DataFrame:
+        """Injection-safe twin of :meth:`sql`: parameter values are bound at
+        execution (``spark.sql(..., args=...)``), never spliced into the
+        query text.  Hash-identical to :meth:`sql` on the whole reference
+        corpus (gate entry ``aql_parameterized`` + differential tests); the
+        ``str.format`` path is kept for reference parity."""
+        sql, args = self.translate_bound(aql, params)
+        return self.spark.sql(sql, args=args)
