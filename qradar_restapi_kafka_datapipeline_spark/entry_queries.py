@@ -60,6 +60,21 @@ _DAY_PART_MEMO: dict[tuple[int, str], str] = {}
 #: (session id, sf_dir) → persisted IVF index path (same memo contract).
 _IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
+_BPE_MEMO: dict[tuple[int, str], list[str]] = {}
+
+
+def _bpe_tokens_for(spark: SparkSession, sf: str) -> list[str]:
+    """Train-once-per-(session, sf) BPE vocabulary; writes the per-process
+    vocab artifact the oracles read (gate contract: Spark runs strictly
+    before its oracle in-process, like the emitted-keys entries)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import bpe as B
+
+    key = (id(spark), sf)
+    if key not in _BPE_MEMO:
+        tokens = B.train_bpe(spark)
+        B.write_bpe_vocab(spark, tokens, _emit_dir("bpe_vocab"))
+        _BPE_MEMO[key] = tokens
+    return _BPE_MEMO[key]
 
 
 def setup(
@@ -691,6 +706,40 @@ def _curation_entries(q: dict[str, Q]) -> None:
             spark.table("documents"), budget=512, shard_size=100
         ),
         C.pack_contract_oracle_sql(budget=512),
+    )
+
+    # Packing re-based on REAL tokens (VERDICT r3 #5): same next-fit packer,
+    # token counts from the corpus-trained BPE relation instead of the
+    # chars/4 estimate.  The oracle re-derives per-doc counts from the
+    # emitted vocab (the full recursive longest-match application) and
+    # checks exact totals + the budget/bound booleans.
+    def _bpe_pack_run(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from qradar_restapi_kafka_datapipeline_spark.operators import bpe as B
+
+        setup(spark, sf)
+        tok_df = B.bpe_doc_tokens(spark, _bpe_tokens_for(spark, sf)).select(
+            "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+        )
+        return C.pack_contract(
+            spark.table("documents"), budget=512, shard_size=100, tokens_df=tok_df
+        )
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.bpe import (
+        bpe_doc_tokens_oracle_sql,
+    )
+
+    q["pack_sequences_bpe_contract"] = Q(
+        run=_bpe_pack_run,
+        oracle=(
+            f"WITH bpe AS ({bpe_doc_tokens_oracle_sql(_emit_dir('bpe_vocab'))}) "
+            "SELECT d.source, COUNT(*) AS n_docs, "
+            "CAST(SUM(LEAST(b.n_bpe_tokens, 512)) AS BIGINT) AS total_tokens, "
+            "TRUE AS all_bins_within_budget, TRUE AS bin_count_within_bound "
+            "FROM documents d JOIN bpe b ON b.doc_id = d.doc_id "
+            "GROUP BY d.source"
+        ),
     )
 
 
@@ -2008,6 +2057,26 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         f"{T.regex_token_count_sql('text', 'duckdb')} AS n_tokens_regex, "
         "length(text) AS n_chars_measured FROM documents",
     )
+    # ---- corpus-trained BPE tokenizer (VERDICT r3 #5): REAL token counts —
+    # vocabulary learned from this corpus (distributed word-freq extraction,
+    # deterministic driver-side merge training on the capped vocab — the IVF
+    # quantizer's bounded-collect pattern), applied as a fully relational
+    # longest-match tokenize.  The learned vocab is EMITTED per-process and
+    # the DuckDB oracle re-runs the entire application (substr-join steps
+    # relation + recursive-CTE walk) from that artifact and the raw
+    # documents: per-doc token counts AND the full tokenization fingerprint
+    # are value-checked.  Spark runs strictly before the oracle in-process
+    # (the emitted-keys entries' documented gate contract).
+    from qradar_restapi_kafka_datapipeline_spark.operators import bpe as B
+
+    def _bpe_run(spark: SparkSession, sf: str) -> DataFrame:
+        setup(spark, sf)
+        return B.bpe_doc_tokens(spark, _bpe_tokens_for(spark, sf))
+
+    q["text_bpe_tokenize"] = Q(
+        run=_bpe_run, oracle=B.bpe_doc_tokens_oracle_sql(_emit_dir("bpe_vocab"))
+    )
+
     # fp_md5 (exact-dup key) + fp_pos (order-sensitive positional word-hash,
     # explode + SUM — the char-level interpreted lambda it replaces is gone;
     # VERDICT r2 #6)

@@ -331,6 +331,7 @@ def pack_sequences(
     shard_size: int = 100,
     id_col: str = "doc_id",
     strat_col: str = "source",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Pack documents into token-budget bins (LLM pretraining batch shaping).
 
@@ -347,9 +348,22 @@ def pack_sequences(
     functions without recursion.  Sharding bounds group size so the Arrow
     batch per task is O(shard_size) regardless of corpus size.
     """
-    tokens = F.least(
-        F.expr(bpe_token_estimate_sql("text")), F.lit(budget)
-    ).cast("long")
+    # ``tokens_df`` (doc_id, n_tokens) swaps the chars/4 estimate for REAL
+    # counts — e.g. the corpus-trained BPE relation (operators/bpe.py); the
+    # packing algorithm itself is token-source-agnostic.
+    if tokens_df is not None:
+        df = df.join(
+            tokens_df.select(
+                F.col("doc_id").alias("__tok_id"),
+                F.col("n_tokens").alias("__tok_n"),
+            ),
+            F.col(id_col) == F.col("__tok_id"),
+        )
+        tokens = F.least(F.col("__tok_n"), F.lit(budget)).cast("long")
+    else:
+        tokens = F.least(
+            F.expr(bpe_token_estimate_sql("text")), F.lit(budget)
+        ).cast("long")
     base = df.select(
         F.col(strat_col).alias("source"),
         (F.col(id_col) / shard_size).cast("long").alias("shard"),
@@ -373,7 +387,12 @@ def pack_sequences(
     return base.groupBy("source", "shard").applyInPandas(_pack, _PACK_SCHEMA)
 
 
-def pack_contract(df: DataFrame, budget: int = 2048, shard_size: int = 100) -> DataFrame:
+def pack_contract(
+    df: DataFrame,
+    budget: int = 2048,
+    shard_size: int = 100,
+    tokens_df: DataFrame | None = None,
+) -> DataFrame:
     """Value-checkable contract over :func:`pack_sequences` (per source):
 
     - ``n_docs`` / ``total_tokens`` must equal the input's (oracle-exact);
@@ -384,7 +403,9 @@ def pack_contract(df: DataFrame, budget: int = 2048, shard_size: int = 100) -> D
     computes the booleans, the oracle asserts TRUE, so a packing bug
     hash-mismatches instead of slipping through a rows-only check.
     """
-    packed = pack_sequences(df, budget=budget, shard_size=shard_size)
+    packed = pack_sequences(
+        df, budget=budget, shard_size=shard_size, tokens_df=tokens_df
+    )
     per_bin = packed.groupBy("source", "shard", "bin_id").agg(
         F.sum("n_tokens").alias("bin_tokens"),
         F.count("*").alias("bin_docs"),
