@@ -2341,6 +2341,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         M.png_decode_oracle_sql(),
     )
+    # Baseline-DCT JPEG (VERDICT r3 #8): real entropy-coded bitstream —
+    # canonical Huffman from DHT, byte-unstuffed bit reads, DC diff chain,
+    # dequantize, general numpy IDCT, MCU pad + crop; DC-only payloads keep
+    # every reconstructed pixel integer-exact so the oracle recomputes the
+    # positional checksum from the encoder spec.
+    q["multimodal_jpeg_decode"] = _df_entry(
+        lambda spark, sf: M.extract_jpeg_features(
+            M.attach_jpeg_payload(spark.table("documents"))
+        ),
+        M.jpeg_decode_oracle_sql(),
+    )
 
     # ---- PII redaction audit (operators/pii.py) ------------------------------
     # Regex scrub of emails/IPs/phones/ids over a log line derived from real

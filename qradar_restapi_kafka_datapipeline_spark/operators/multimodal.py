@@ -544,3 +544,353 @@ def png_decode_oracle_sql(source: str = "documents") -> str:
                 % {BMP_CHECKSUM_MOD} AS BIGINT) AS pixel_checksum
     FROM dims
     """
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT): the fourth real-decode family member (VERDICT r3 #8) —
+# a true entropy-coded bitstream: canonical Huffman tables built from DHT,
+# bit-level reads with 0xFF byte-unstuffing, DC difference decoding,
+# dequantization, a general numpy float IDCT, MCU padding + crop.  The
+# encoded coefficients are DC-only with q_dc = 16, so every reconstructed
+# pixel is the INTEGER 128 + 2·DC (the float IDCT of a DC-only block is the
+# constant F00/8 up to ~1e-14, which rounds exactly) — the SQL oracle
+# recomputes the full pixel checksum without touching bytes while the
+# decoder still runs the completely general baseline path.
+# ---------------------------------------------------------------------------
+
+# Custom canonical Huffman tables (JPEG allows any; these cover the emitted
+# symbols): DC categories 0..6 as seven 3-bit codes, AC as the single 1-bit
+# EOB code.  (bits[i] = number of codes of length i+1, then the value list —
+# exactly the DHT wire layout.)
+_JPEG_DC_BITS = [0, 0, 7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(7))
+_JPEG_AC_BITS = [1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00]  # EOB
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for a canonical JPEG Huffman table."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dims(doc_id: int, text: str) -> tuple[int, int]:
+    return 5 + len(text) % 12, 3 + doc_id % 10
+
+
+def _jpeg_dc(doc_id: int, k: int) -> int:
+    """DC coefficient of block ``k`` — pixels are 128 + 2·dc ∈ [64, 190]."""
+    return ((doc_id * 11 + k * 5) % 64) - 32
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+def encode_jpeg(doc_id: int, text: str) -> bytes:
+    """A VALID baseline 8-bit grayscale JFIF-less JPEG with deterministic
+    dimensions and DC-only blocks.  Decoder hazards baked in: every third
+    doc carries a COM segment; every fourth doc packs BOTH Huffman tables
+    into ONE DHT segment (multi-table DHT — fixed-per-segment readers
+    fail); dimensions are not MCU-aligned, so the decoder must pad to the
+    8×8 grid and crop back; the entropy stream is byte-stuffed."""
+    import struct
+
+    w, h = _jpeg_dims(doc_id, text)
+    bpr, bpc = (w + 7) // 8, (h + 7) // 8
+    qtab = [16] + [17 + (i * 7) % 99 for i in range(1, 64)]  # q[0]=16: dc·16/8 exact
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dht_dc = bytes([0x00] + _JPEG_DC_BITS + _JPEG_DC_VALS)
+    dht_ac = bytes([0x10] + _JPEG_AC_BITS + _JPEG_AC_VALS)
+    out = b"\xff\xd8"  # SOI
+    if doc_id % 3 == 0:
+        out += seg(0xFFFE, b"synthetic comment")  # COM
+    out += seg(0xFFDB, bytes([0x00] + qtab))  # DQT, table 0, 8-bit
+    if doc_id % 4 == 0:
+        out += seg(0xFFC4, dht_dc + dht_ac)  # one DHT, two tables
+    else:
+        out += seg(0xFFC4, dht_dc) + seg(0xFFC4, dht_ac)
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))  # SOF0
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev = 0
+    for k in range(bpr * bpc):
+        dc = _jpeg_dc(doc_id, k)
+        diff = dc - prev
+        prev = dc
+        mag = abs(diff)
+        cat = mag.bit_length()
+        code, length = dc_codes[cat]
+        bw.put(code, length)
+        if cat:
+            bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        code, length = ac_codes[0x00]  # EOB: all 63 AC coefficients zero
+        bw.put(code, length)
+    return out + bw.flush() + b"\xff\xd9"  # EOI
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data, self.pos, self.acc, self.nbits = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError("marker inside entropy stream")
+            self.acc, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(br: "_BitReader", codes: dict[int, tuple[int, int]]) -> int:
+    inv = {(c, l): s for s, (c, l) in codes.items()}
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        if (code, length) in inv:
+            return inv[(code, length)]
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    return v if cat == 0 or v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Natural-order position for each zig-zag index (ITU T.81 Figure 5) —
+    derived, not tabulated: walk the anti-diagonals, alternating direction."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left → top-right
+        order.extend(y * 8 + x for y, x in diag)
+    return order
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Fully general baseline grayscale JPEG decode in pure numpy: segment
+    walk, DHT canonical-table build, DQT read, bit-level entropy decode
+    (DC diffs + AC run-length, byte-unstuffed), dequantization, float IDCT,
+    round/clamp/level-shift, MCU-grid crop.  Returns ``(width, height,
+    precision, n_segments, n_blocks, pixel_checksum)`` — the checksum
+    positionally weights every RECONSTRUCTED pixel, so a wrong Huffman
+    table, skipped dequantize, transposed IDCT, or missing crop hash-fails.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, n_segments = 2, 1  # SOI counts
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    w = h = precision = -1
+    br = None
+    while pos + 2 <= len(payload):
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:  # EOI
+            n_segments += 1
+            break
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        n_segments += 1
+        if marker == 0xFFDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                qtabs[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xFFC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _jpeg_canonical_codes(bits, vals)
+                i += 17 + n
+        elif marker == 0xFFC0:  # SOF0 baseline
+            precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if nc != 1:
+                raise ValueError("decoder supports single-component (grayscale)")
+        elif marker == 0xFFDA:  # SOS: entropy data follows the header
+            br = _BitReader(payload, pos + 2 + length)
+            break
+        pos += 2 + length
+    if br is None or w < 0 or 0 not in qtabs:
+        raise ValueError("missing SOS/SOF0/DQT")
+    zig = _jpeg_zigzag()
+    q = np.zeros(64, dtype=np.float64)
+    q[zig] = qtabs[0]  # DQT entries arrive in zig-zag order (T.81 B.2.4.1)
+    q = q.reshape(8, 8)
+    dc_codes, ac_codes = huff[(0, 0)], huff[(1, 0)]
+    bpr, bpc = (w + 7) // 8, (h + 7) // 8
+    # orthonormal DCT basis: C[u, x] = 0.5 * c(u) * cos((2x+1)uπ/16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    C = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    C[0, :] *= 1 / np.sqrt(2)
+    img = np.zeros((bpc * 8, bpr * 8), dtype=np.int64)
+    prev, n_blocks = 0, 0
+    for k in range(bpr * bpc):
+        cat = _jpeg_huff_decode(br, dc_codes)
+        diff = _jpeg_extend(br.bits(cat), cat) if cat else 0
+        prev += diff
+        coef = np.zeros((8, 8), dtype=np.float64)
+        coef[0, 0] = prev
+        n_ac = 0
+        while n_ac < 63:
+            sym = _jpeg_huff_decode(br, ac_codes)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0 and run == 15:  # ZRL
+                n_ac += 16
+                continue
+            n_ac += run + 1
+            val = _jpeg_extend(br.bits(size), size)
+            nat = zig[n_ac]  # entropy order is zig-zag; place naturally
+            coef[nat // 8, nat % 8] = val
+        block = C.T @ (coef * q) @ C
+        py, px = (k // bpr) * 8, (k % bpr) * 8
+        img[py : py + 8, px : px + 8] = np.clip(
+            np.rint(block + 128).astype(np.int64), 0, 255
+        )
+        n_blocks += 1
+    # after the last block the reader sits on the byte boundary (padding bits
+    # belong to the last consumed byte) — EOI must follow, and counts
+    if payload[br.pos : br.pos + 2] != b"\xff\xd9":
+        raise ValueError("missing EOI after entropy data")
+    n_segments += 1
+    crop = img[:h, :w]
+    weights = 1 + (np.arange(h * w, dtype=np.int64) % 97).reshape(h, w)
+    checksum = int((crop * weights).sum() % BMP_CHECKSUM_MOD)
+    return w, h, precision, n_segments, n_blocks, checksum
+
+
+def attach_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, payload)`` with a real baseline JPEG per document."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_jpeg(int(i), t)
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id LONG, payload BINARY"
+    )
+
+
+def extract_jpeg_features(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real-decode JPEG features: every value comes out of
+    :func:`decode_jpeg`'s entropy decode + IDCT."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *decode_jpeg(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "precision", "n_segments",
+                    "n_blocks", "pixel_checksum",
+                ],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id LONG, width INT, height INT, precision INT, "
+        "n_segments INT, n_blocks INT, pixel_checksum LONG",
+    )
+
+
+def jpeg_decode_oracle_sql(source: str = "documents") -> str:
+    """DuckDB recomputation of every decoded JPEG property from the encoder
+    spec: pixels are the integer 128 + 2·DC of the MCU block covering each
+    (x, y) — the checksum therefore value-checks the Huffman DC chain, the
+    dequantize-by-16, the IDCT constant, and the pad-and-crop geometry."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(5 + length(text) % 12 AS INT) AS w,
+             CAST(3 + doc_id % 10 AS INT) AS h
+      FROM {source}
+    )
+    SELECT doc_id, w AS width, h AS height, CAST(8 AS INT) AS precision,
+           CAST(7 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                  - CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_segments,
+           CAST(((w + 7) // 8) * ((h + 7) // 8) AS INT) AS n_blocks,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                i -> (128 + 2 * (((doc_id * 11
+                       + ((i // w) // 8 * ((w + 7) // 8) + (i % w) // 8) * 5)
+                      % 64) - 32))
+                     * (1 + i % 97)))
+                % {BMP_CHECKSUM_MOD} AS BIGINT) AS pixel_checksum
+    FROM dims
+    """
