@@ -670,7 +670,84 @@ def registry() -> dict[str, Q]:
     _north_star_entries(q)
     _analytics_entries(q)
     _curation_entries(q)
-    return q
+    return _gate_window_order(q)
+
+
+#: The driver's hard correctness gate hashes only the FIRST 50 registry
+#: entries (VERDICT r3 #1) — this window is chosen so every operator family
+#: has at least one value-checked representative inside it: flagship AQL +
+#: parameterized binding + GLOBALVIEW + pruned scan, decode functions,
+#: normalize/rollup/streaming-txn, TPC-H analytics, exact / exact-substring /
+#: MinHash(+incremental) / SimHash / clustering dedup, embedding-cosine,
+#: brute+persisted+appended ANN, SemDeDup, int8 quantization, hashed
+#: embeddings + text kNN, the text-analysis family, corpus-trained BPE, PII,
+#: boilerplate, decontamination, curation + BPE-based packing, PNG + JPEG
+#: real decodes, streaming sessionize parity, resample/gap-fill, and the
+#: skew-safe bucketed twins.  Everything else follows in its original order
+#: and stays covered by the full-registry mirror (tools/check_correctness).
+GATE_WINDOW: tuple[str, ...] = (
+    "aql_AllowedInboundTraffic",
+    "aql_parameterized",
+    "aql_agg_functions",
+    "aql_nested_incidr_coalesce",
+    "aql_globalview_misaligned_window",
+    "aql_day_pruned_scan",
+    "full_network_name_domain_divergence",
+    "refset_membership",
+    "normalize_dates",
+    "summing_rollup_hourly",
+    "streaming_rollup_txn_parity",
+    "globalview_aggregate",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_users_per_event_type",
+    "dedup_exact_stats",
+    "dedup_exact_substring",
+    "dedup_exact_substring_apply",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "knn_bruteforce_cosine",
+    "knn_ivf_persisted",
+    "knn_ivf_appended",
+    "semantic_dedup_pairs",
+    "embedding_quantize_report",
+    "text_knn_hashed",
+    "text_semantic_pairs_hashed",
+    "text_semantic_pairs_hashed_prefix",
+    "text_langid_distribution",
+    "text_quality_scores",
+    "text_fingerprint",
+    "text_tfidf_topk",
+    "text_winnow_overlap",
+    "text_bpe_tokenize",
+    "pii_redaction_report",
+    "boilerplate_doc_coverage",
+    "decontaminate_train",
+    "curate_blocklist",
+    "mix_to_target_weights",
+    "pack_sequences_bpe_contract",
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
+    "streaming_sessionize_parity",
+    "resample_hourly_gapfill",
+    "sessionize_events_bucketed",
+    "event_gaps_lag_bucketed",
+)
+
+
+def _gate_window_order(q: dict[str, Q]) -> dict[str, Q]:
+    """Reorder so ``GATE_WINDOW`` leads; raise loudly on a typo'd or removed
+    window name (a silently-shrunk hard gate is worse than a crash)."""
+    missing = [n for n in GATE_WINDOW if n not in q]
+    if missing:
+        raise KeyError(f"GATE_WINDOW names missing from registry: {missing}")
+    ordered = {n: q[n] for n in GATE_WINDOW}
+    ordered.update((n, e) for n, e in q.items() if n not in ordered)
+    return ordered
 
 
 def _curation_entries(q: dict[str, Q]) -> None:

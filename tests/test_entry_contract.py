@@ -64,3 +64,27 @@ def test_entry_runs_on_vanilla_session():
         timeout=240,
     )
     assert "ENTRY_OK" in out.stdout, out.stdout[-500:] + out.stderr[-1500:]
+
+
+def test_gate_window_leads_registry_and_is_fully_oracled():
+    """VERDICT r3 #1: the driver hashes only the first 50 entries — those
+    must be exactly GATE_WINDOW (one representative per operator family),
+    every one of them value-checked (an oracle, never rows-only)."""
+    import __spark_entry__ as entrymod
+
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import GATE_WINDOW
+
+    names = list(entrymod.queries().keys())
+    assert len(GATE_WINDOW) == 50
+    assert tuple(names[:50]) == GATE_WINDOW
+    oracles = entrymod.oracle_sql()
+    assert all(n in oracles for n in GATE_WINDOW)
+    # family spot-checks: at least one of each major family inside the window
+    for prefix in (
+        "aql_", "dedup_minhash", "dedup_simhash", "dedup_exact_substring",
+        "knn_", "semantic_dedup", "text_bpe", "text_semantic", "pii_",
+        "boilerplate_", "curate_", "multimodal_", "streaming_",
+        "sessionize_events_bucketed", "event_gaps_lag_bucketed",
+        "resample_", "pack_sequences",
+    ):
+        assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
