@@ -86,6 +86,13 @@ HEADLINE = [
     "event_transition_matrix",
     "beaconing_score",
     "multimodal_wav_decode",
+    # round 4
+    "sessionize_events_bucketed",
+    "text_bpe_tokenize",
+    "multimodal_jpeg_decode",
+    "knn_ivf_appended",
+    "aql_parameterized",
+    "text_semantic_pairs_hashed_prefix",
 ]
 
 
