@@ -35,93 +35,101 @@ from tools.check_correctness import value_hash  # noqa: E402
 from tools.scale_curve import amplify  # noqa: E402
 
 #: Accumulation-sensitive entries — families where more volume changes the
-#: numeric regime, not just the row count.
-AMPLIFIED_ENTRIES = (
-    "summing_rollup_hourly",
-    "event_rate_anomaly",
-    "event_gaps_lag",
-    "event_gaps_lag_bucketed",
-    "event_transition_matrix",
-    "event_transition_matrix_bucketed",
-    "beaconing_score",
-    "beaconing_score_bucketed",
-    "sessionize_events",
-    "sessionize_events_bucketed",
-    "percentile_values",
-    "dedup_minhash_lsh",
-    "text_semantic_pairs_hashed_prefix",
-    "text_bpe_tokenize",
-)
+#: numeric regime, not just the row count.  Value is the entry's K CAP: the
+#: DuckDB oracle re-derives each pipeline from scratch with no persisted
+#: intermediates, so the two document-similarity oracles (64 md5 minhashes
+#: per shingle / a bigram-postings self-join) are O(docs²)-ish in the
+#: SINGLE-process oracle even though the Spark side scales — they get a
+#: bounded amplification (the accumulation regime they test, sketch
+#: saturation and BIGINT dot growth, is already ×4 there); everything
+#: events-shaped runs at the full requested K.
+AMPLIFIED_ENTRIES: dict[str, int | None] = {
+    "summing_rollup_hourly": None,
+    "event_rate_anomaly": None,
+    "event_gaps_lag": None,
+    "event_gaps_lag_bucketed": None,
+    "event_transition_matrix": None,
+    "event_transition_matrix_bucketed": None,
+    "beaconing_score": None,
+    "beaconing_score_bucketed": None,
+    "sessionize_events": None,
+    "sessionize_events_bucketed": None,
+    "percentile_values": None,
+    "text_bpe_tokenize": None,
+    "dedup_minhash_lsh": 4,
+    "text_semantic_pairs_hashed_prefix": 4,
+}
 
 
 def main() -> int:
     args = sys.argv[1:]
     k = int(args[0]) if args else 16
     prefixes = tuple(args[1:])
-    names = [n for n in AMPLIFIED_ENTRIES if not prefixes or n.startswith(prefixes)]
+    plan: dict[int, list[str]] = {}
+    for n, cap in AMPLIFIED_ENTRIES.items():
+        if prefixes and not n.startswith(prefixes):
+            continue
+        plan.setdefault(min(k, cap) if cap else k, []).append(n)
 
-    base = tempfile.mkdtemp(prefix=f"amp_check_{k}x_")
     spark = get_spark(app_name="check-amplified")
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"amplifying sf0.1 by {k}x into {base} ...")
-    t0 = time.time()
-    amplify(spark, base, k)
-    print(f"amplified in {time.time()-t0:.0f}s")
-
-    con = duckdb.connect()
-    for t in TABLES:
-        path = f"{base}/{t}.parquet"
-        if os.path.isdir(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
-        elif os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = 0
-    for name in names:
+    failures = n_entries = 0
+    for kk, names in sorted(plan.items(), reverse=True):
+        base = tempfile.mkdtemp(prefix=f"amp_check_{kk}x_")
         t0 = time.time()
-        try:
-            sdf = qs[name](spark, base).toPandas()
-        except Exception as e:
-            print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:160]}")
+        amplify(spark, base, kk)
+        print(f"amplified sf0.1 by {kk}x in {time.time()-t0:.0f}s", flush=True)
+        con = duckdb.connect()
+        for t in TABLES:
+            path = f"{base}/{t}.parquet"
+            if os.path.isdir(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'")
+            elif os.path.exists(path):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        for name in names:
+            n_entries += 1
+            t0 = time.time()
+            try:
+                sdf = qs[name](spark, base).toPandas()
+            except Exception as e:
+                print(f"FAIL  {name} @{kk}x: spark error {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                failures += 1
+                continue
+            try:
+                ddf = con.execute(oracles[name]).df()
+            except Exception as e:
+                print(f"FAIL  {name} @{kk}x: oracle error {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                failures += 1
+                continue
+            sc, sh, scols = value_hash(sdf)
+            dc, dh, dcols = value_hash(ddf)
+            if (scols == dcols) and (sc == dc) and (sh == dh):
+                print(f"OK    {name} @{kk}x: {sc} rows hash={sh} "
+                      f"[{time.time()-t0:.1f}s]", flush=True)
+                continue
             failures += 1
-            continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception as e:
-            print(f"FAIL  {name}: oracle error {type(e).__name__}: {str(e)[:160]}")
-            failures += 1
-            continue
-        sc, sh, scols = value_hash(sdf)
-        dc, dh, dcols = value_hash(ddf)
-        ok = (scols == dcols) and (sc == dc) and (sh == dh)
-        if not ok:
-            failures += 1
-            print(
-                f"FAIL  {name}: rows {sc}/{dc} hash {sh}/{dh} "
-                f"cols_match={scols == dcols} [{time.time()-t0:.1f}s]"
-            )
-            srows = sorted(
-                "|".join(map(str, r))
-                for r in sdf[scols].itertuples(index=False, name=None)
-            )
-            drows = sorted(
-                "|".join(map(str, r))
-                for r in ddf[dcols].itertuples(index=False, name=None)
-            ) if scols == dcols else []
-            for a, b in zip(srows, drows):
-                if a != b:
-                    print(f"      spark: {a[:180]}\n      duck : {b[:180]}")
-                    break
-        else:
-            print(f"OK    {name}: {sc} rows hash={sh} [{time.time()-t0:.1f}s]")
+            print(f"FAIL  {name} @{kk}x: rows {sc}/{dc} hash {sh}/{dh} "
+                  f"cols_match={scols == dcols} [{time.time()-t0:.1f}s]",
+                  flush=True)
+            if scols == dcols:
+                srows = sorted("|".join(map(str, r)) for r in
+                               sdf[scols].itertuples(index=False, name=None))
+                drows = sorted("|".join(map(str, r)) for r in
+                               ddf[dcols].itertuples(index=False, name=None))
+                for a, b in zip(srows, drows):
+                    if a != b:
+                        print(f"      spark: {a[:180]}\n      duck : {b[:180]}",
+                              flush=True)
+                        break
+        con.close()
+        shutil.rmtree(base, ignore_errors=True)
     spark.stop()
-    shutil.rmtree(base, ignore_errors=True)
-    print(
-        f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'} "
-        f"({len(names)} amplified entries, k={k})"
-    )
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'} "
+          f"({n_entries} amplified entries, k={k})", flush=True)
     return 1 if failures else 0
 
 
