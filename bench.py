@@ -92,7 +92,11 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "knn_ivf_appended",
     "aql_parameterized",
-    "text_semantic_pairs_hashed_prefix",
+    # the dense-bucket-capped AllPairs config — the bounded-candidate regime
+    # a power-law corpus needs; the uncapped prefix entry stays gate-checked
+    # but its cost on THIS corpus is dominated by the synthetic 31-word
+    # vocabulary's degenerate bucket occupancy (measured 19 s vs 6.5 s).
+    "text_semantic_pairs_hashed_capped",
 ]
 
 

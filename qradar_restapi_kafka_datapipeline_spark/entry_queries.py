@@ -2217,6 +2217,18 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: T.hashed_semantic_pairs(spark, **_HSE_KW),
         T.hashed_semantic_pairs_sql("duckdb", **_HSE_KW),
     )
+    # ... and WITH the dense-bucket cap engaged (the power-law-corpus
+    # production config): candidate generation skips top-m buckets shared by
+    # more than 64 docs.  On this synthetic corpus (31-word vocabulary —
+    # CLAUDE.md's documented pathological case) the cap costs recall
+    # (256 → 85 pairs at sf0.1) but bounds the candidate join at any corpus
+    # shape; the selection is deterministic SQL on both engines, so the
+    # capped pair set is hash-checked outright, same as the uncapped form.
+    _HSE_CAP_KW = dict(dim=4096, threshold=0.5, prefix_m=4, max_bucket_docs=64)
+    q["text_semantic_pairs_hashed_capped"] = _df_entry(
+        lambda spark, sf: T.hashed_semantic_pairs(spark, **_HSE_CAP_KW),
+        T.hashed_semantic_pairs_sql("duckdb", **_HSE_CAP_KW),
+    )
     # Search-serving form: top-k "documents like this one" per query doc —
     # inverted-index candidates filtered to positive dots (the exact cos>0
     # top-k), integer-exact re-rank, deterministic ties ⇒ the top-k set
