@@ -51,10 +51,46 @@ def persist_tracked(df, key: str):
 
 
 def persist_view(df, key: str) -> str:
-    """:func:`persist_tracked` + a fresh per-invocation temp-view name."""
+    """:func:`persist_tracked` + a fresh per-invocation temp-view name.
+
+    CAVEAT (measured, round 4): Spark's CacheManager does NOT substitute a
+    cached plan that is referenced through a ``WITH`` CTE — a single
+    ``WITH post AS (SELECT ... FROM <this view>)`` consumer re-executes the
+    full lineage per reference (0 InMemoryRelation in the optimized plan).
+    Use this only for DataFrame-API consumers (joins built on the returned
+    relation object); SQL-CTE consumers must use :func:`materialize_view`.
+    """
     df = persist_tracked(df, key)
     name = f"{key}_{next(_VIEW_SEQ)}"
     df.createOrReplaceTempView(name)
+    return name
+
+
+_MATERIALIZED: dict[str, str] = {}
+
+
+def materialize_view(spark, df, key: str) -> str:
+    """Write ``df`` to per-process scratch parquet once and register the
+    read-back relation under a fresh temp-view name.
+
+    The compute-once mechanism for relations consumed via SQL ``WITH`` CTEs
+    (postings, gram positions): Spark shares no common subplans across CTE
+    references AND CacheManager substitution does not reach through CTE
+    definitions (see :func:`persist_view`), so caching silently recomputes
+    the pipeline per reference — materialized parquet makes every reference
+    a cheap columnar scan instead.  This is also the plan that survives
+    100 TB: the shared relation exists once on storage, and each consumer
+    stage scans it with pruning instead of re-deriving it.  Re-invocation
+    under the same ``key`` removes the previous artifact (bounded scratch).
+    """
+    prev = _MATERIALIZED.pop(key, None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    path = scratch_dir(f"mat_{key.strip('_')}_")
+    df.write.mode("overwrite").parquet(path)
+    _MATERIALIZED[key] = path
+    name = f"{key}_{next(_VIEW_SEQ)}"
+    spark.read.parquet(path).createOrReplaceTempView(name)
     return name
 
 

@@ -1379,9 +1379,10 @@ def exact_substring_pairs(
     persisted) and self-joined — the inlined SQL form pays the explode +
     per-gram md5 twice.  ``max_gram_doc_freq`` drops grams seen in more than
     that many docs before the join (the boilerplate-explosion guard for web
-    corpora; None = off).  Cache contract as in :func:`minhash_lsh_pairs`:
-    the returned plan reads the persisted relation lazily."""
-    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
+    corpora; None = off).  The gram relation is MATERIALIZED, not cached:
+    its consumers reference it through SQL CTEs, which Spark's CacheManager
+    does not substitute (round-4 finding — see engine.materialize_view)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
 
     spread_view = unique_view(_spread(spark.table(source), by="doc_id"), "__ess_spread_src")
     grams = spark.sql(_gram_positions_sql("spark", n, spread_view))
@@ -1394,7 +1395,7 @@ def exact_substring_pairs(
             "h",
             "left_semi",
         )
-    grams_view = persist_view(grams, "__ess_grams")
+    grams_view = materialize_view(spark, grams, "__ess_grams")
     gsel = f"SELECT doc_id, i, h FROM {grams_view}"
     return spark.sql(f"WITH {_substring_runs_sql(gsel, gsel, n, min_run)}")
 
@@ -1488,14 +1489,15 @@ def exact_substring_remove(
     source: str = "documents",
 ) -> DataFrame:
     """Production Spark form of :func:`exact_substring_remove_sql`: the gram
-    relation is computed once over the spread source and persisted (the
+    relation is computed once over the spread source and materialized (the
     inlined SQL form pays the explode + per-gram md5 twice for the self-join
-    plus once more for tokens)."""
-    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
+    plus once more for tokens; CTE consumers bypass the cache — see
+    engine.materialize_view)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
 
     spread_view = unique_view(_spread(spark.table(source), by="doc_id"), "__essr_spread_src")
-    grams_view = persist_view(
-        spark.sql(_gram_positions_sql("spark", n, spread_view)), "__essr_grams"
+    grams_view = materialize_view(
+        spark, spark.sql(_gram_positions_sql("spark", n, spread_view)), "__essr_grams"
     )
     return spark.sql(
         exact_substring_remove_sql(

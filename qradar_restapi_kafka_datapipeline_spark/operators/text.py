@@ -763,10 +763,13 @@ def hashed_semantic_pairs(
     max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Production Spark form of :func:`hashed_semantic_pairs_sql`: the
-    postings relation is computed ONCE over the spread source and persisted
-    — the inlined SQL form pays the tokenize + hash pipeline once per CTE
-    reference (Spark shares no common subplans; measured 48.7 s vs ~3 s at
-    5 k docs).  Cache contract as in ``winnow_overlap``.
+    postings relation is computed ONCE over the spread source and
+    MATERIALIZED to scratch parquet — Spark shares no common subplans
+    across CTE references AND CacheManager substitution does not reach
+    through WITH CTEs (round-4 finding: a persisted relation consumed via
+    CTE re-executes its full lineage per reference — 0 InMemoryRelation,
+    72 parquet scans in the optimized plan; measured 19 s → 2.6 s capped /
+    25 s → 15 s uncapped at sf0.1 after materializing).
 
     The DEFAULT regime is the AllPairs prefix path (``prefix_m=4``, the
     measured-100 %-recall config at the documented dim ∝ vocabulary rule) —
@@ -776,12 +779,12 @@ def hashed_semantic_pairs(
     the exhaustive join, guarded: if mean postings per doc exceed dim/2
     (every doc hits most buckets → the candidate join is quadratic), raise
     rather than silently run the wrong regime."""
-    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
     src = unique_view(_spread(spark.table(source), by="doc_id"), "__hse_spread_src")
     posts = spark.sql(hashed_embedding_postings_sql("spark", dim, src))
-    posts_view = persist_view(posts, "__hse_post")
+    posts_view = materialize_view(spark, posts, "__hse_post")
     if prefix_m is None:
         # density guard for the explicitly-requested exhaustive regime: the
         # postings are persisted anyway, so this aggregate only fronts the
@@ -875,14 +878,14 @@ def hashed_text_knn(
     source: str = "documents",
 ) -> DataFrame:
     """Production Spark form of :func:`hashed_text_knn_sql`: postings built
-    once over the spread source and persisted (same single-persist rule as
+    once over the spread source and materialized (same CTE-vs-cache rule as
     :func:`hashed_semantic_pairs`)."""
-    from qradar_restapi_kafka_datapipeline_spark.engine import persist_view, unique_view
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
     src = unique_view(_spread(spark.table(source), by="doc_id"), "__htk_spread_src")
-    posts_view = persist_view(
-        spark.sql(hashed_embedding_postings_sql("spark", dim, src)), "__htk_post"
+    posts_view = materialize_view(
+        spark, spark.sql(hashed_embedding_postings_sql("spark", dim, src)), "__htk_post"
     )
     return spark.sql(
         hashed_text_knn_sql("spark", query_max, k, dim, posts_rel=posts_view)
