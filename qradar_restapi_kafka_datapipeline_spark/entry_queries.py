@@ -204,6 +204,35 @@ def registry() -> dict[str, Q]:
         ),
     )
 
+    # ---- Aggregate navigator (round 4, beyond-ref): a raw-events aggregate
+    # provably covered by a GLOBALVIEW routes to the pre-aggregation
+    # automatically (plans/rollup_router.py).  The Spark side runs ROUTED;
+    # the oracle computes from RAW events — equality proves the routing, not
+    # just the view definition.
+    _ROUTED_AQL = (
+        "SELECT domainId, userName, CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE eventName = 'error' AND domainId = 2 "
+        "GROUP BY domainId, userName "
+        "START '{start_time}' STOP '{stop_time}'"
+    )
+    q["aql_auto_rollup_routed"] = Q(
+        run=lambda spark, sf: setup(spark, sf).sql(
+            _ROUTED_AQL, DEFAULT_PARAMS, auto_route=True
+        ),
+        oracle=aql_oracle_sql(_ROUTED_AQL, DEFAULT_PARAMS),
+    )
+    _ROUTED_TOPK_AQL = (
+        "SELECT userName, CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE magnitude >= 7 GROUP BY userName "
+        "ORDER BY SUM(eventCount) DESC, userName ASC LIMIT 10"
+    )
+    q["aql_auto_rollup_routed_topk"] = Q(
+        run=lambda spark, sf: setup(spark, sf).sql(
+            _ROUTED_TOPK_AQL, DEFAULT_PARAMS, auto_route=True
+        ),
+        oracle=aql_oracle_sql(_ROUTED_TOPK_AQL, DEFAULT_PARAMS),
+    )
+
     # ---- AQL aggregation through the frontend (A3+A10+A15 in one query) ----
     q["aql_agg_by_customer"] = _aql_entry(
         "SELECT DOMAINNAME(domainId) AS customer, "
@@ -690,7 +719,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "aql_parameterized",
     "aql_agg_functions",
     "aql_nested_incidr_coalesce",
-    "aql_globalview_misaligned_window",
+    "aql_auto_rollup_routed",
     "aql_day_pruned_scan",
     "full_network_name_domain_divergence",
     "refset_membership",

@@ -630,7 +630,28 @@ class AQLFrontend:
             partition_col=self.partition_col,
         )
 
-    def sql(self, aql: str, params: dict[str, str] | None = None) -> DataFrame:
+    def sql(
+        self,
+        aql: str,
+        params: dict[str, str] | None = None,
+        auto_route: bool = False,
+    ) -> DataFrame:
+        """Translate and run.  ``auto_route=True`` additionally tries the
+        aggregate navigator (:mod:`.rollup_router`): a raw-events aggregate
+        provably covered by a registered GLOBALVIEW is rewritten to scan the
+        pre-aggregation (routing correctness is gate-proven — the routed
+        entry's oracle computes from RAW events); anything not provably
+        covered runs unchanged."""
+        if auto_route:
+            from qradar_restapi_kafka_datapipeline_spark.plans.rollup_router import (
+                try_route_to_globalview,
+            )
+
+            routed = try_route_to_globalview(
+                aql.format(**params) if params else aql
+            )
+            if routed is not None:
+                return self.spark.sql(self.translate(routed[0], None))
         return self.spark.sql(self.translate(aql, params))
 
     def translate_bound(

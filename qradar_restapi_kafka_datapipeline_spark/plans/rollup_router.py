@@ -1,0 +1,154 @@
+"""Automatic rollup routing — the aggregate navigator (round 4, beyond-ref).
+
+The reference's queries name their GLOBALVIEW explicitly
+(``new_queries.json:2-10``); a real analytics engine ALSO routes raw-event
+aggregate queries to a covering pre-aggregation automatically (SSAS/Druid
+"aggregate navigator", materialized-view rewrite in Oracle/Calcite).  This
+module does that for the AQL surface: a ``FROM events`` aggregate whose
+referenced columns are covered by a registered GLOBALVIEW's dimensions,
+whose WHERE carries the view's defining filter as a top-level conjunct, and
+whose time bounds are hour-aligned is rewritten to scan
+``GLOBALVIEW('<name>','NORMAL')`` — pre-collapsed data, zero recompute —
+with ``SUM(eventCount)`` re-targeted to the partial-sum column.
+
+Matching is deliberately SYNTACTIC and conservative (normalized-text
+conjunct equality, exactly the classic view-matching safety posture): any
+query the router cannot PROVE covered runs against raw events unchanged.
+Correctness is gate-proven: the routed entry's DuckDB oracle computes from
+RAW events, so a routing bug hash-fails.
+"""
+
+from __future__ import annotations
+
+import re
+
+from qradar_restapi_kafka_datapipeline_spark.plans.aql import _literal_spans
+
+_KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "and", "or", "not", "in", "as", "sum", "cast", "bigint", "int", "count",
+    "start", "stop", "events", "asc", "desc", "between", "like", "is",
+    "null", "distinct", "when", "case", "then", "else", "end",
+}
+
+#: sub-hour time syntax in START/STOP makes hourly pre-aggregation unsafe
+_HOUR_ALIGNED = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:00:00(\.0+)?$")
+
+
+def _top_level_split_and(pred: str) -> list[str] | None:
+    """Split a predicate on top-level AND (depth 0, outside literals).
+    Returns None if a top-level OR exists (disjuncts defeat subsumption)."""
+    spans = _literal_spans(pred)
+    depth = 0
+    parts: list[str] = []
+    last = 0
+    i = 0
+    upper = pred.upper()
+    while i < len(pred):
+        if any(s <= i < e for s, e in spans):
+            i += 1
+            continue
+        c = pred[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and upper.startswith(" AND ", i):
+            parts.append(pred[last:i])
+            last = i + 5
+            i += 5
+            continue
+        elif depth == 0 and upper.startswith(" OR ", i):
+            return None
+        i += 1
+    parts.append(pred[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip().strip("()")).strip()
+
+
+def _identifiers(fragment: str) -> set[str]:
+    """Bare identifiers outside string literals, minus keywords/functions."""
+    spans = _literal_spans(fragment)
+    out: set[str] = set()
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", fragment):
+        if any(s <= m.start() < e for s, e in spans):
+            continue
+        if re.search(r"\bAS\s+$", fragment[: m.start()], flags=re.I):
+            continue  # alias target, not a source column
+        if m.group(0).lower() not in _KEYWORDS:
+            out.add(m.group(0))
+    return out
+
+
+def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
+    """``(routed_aql, view_name)`` when a registered GLOBALVIEW provably
+    covers the query; ``None`` otherwise (caller runs against raw events).
+
+    Preconditions checked: single ``FROM events`` aggregate; every measure
+    is ``SUM(eventCount)`` (COUNT(*) is NOT derivable — the views keep no
+    row count); select/group/residual-WHERE identifiers ⊆ view dims; the
+    view's defining filter appears verbatim (whitespace-normalized) as a
+    top-level conjunct; START/STOP absent or hour-aligned; no top-level OR.
+    """
+    from qradar_restapi_kafka_datapipeline_spark.views import (
+        GLOBALVIEW_SPECS,
+        _VIEW_DIMS,
+    )
+
+    m = re.match(
+        r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+events\s+WHERE\s+(?P<pred>.*?)"
+        r"\s+GROUP\s+BY\s+(?P<grp>.*?)"
+        r"(?P<tail>(\s+HAVING\s+.*?)?(\s+ORDER\s+BY\s+.*?)?(\s+LIMIT\s+\d+)?)"
+        r"(\s+START\s+'(?P<t0>[^']+)'\s+STOP\s+'(?P<t1>[^']+)')?\s*$",
+        aql,
+        flags=re.I | re.S,
+    )
+    if not m:
+        return None
+    for t in (m.group("t0"), m.group("t1")):
+        if t is not None and not _HOUR_ALIGNED.match(t.strip()):
+            return None
+    sel, grp, tail = m.group("sel"), m.group("grp"), m.group("tail") or ""
+    # every eventCount reference must sit inside SUM( eventCount )
+    stripped = re.sub(r"SUM\s*\(\s*eventCount\s*\)", "", sel + tail, flags=re.I)
+    if re.search(r"\beventCount\b", stripped, flags=re.I):
+        return None
+    if re.search(r"\bCOUNT\s*\(", sel + tail, flags=re.I):
+        return None
+    conjuncts = _top_level_split_and(m.group("pred"))
+    if conjuncts is None:
+        return None
+    dims = set(_VIEW_DIMS)
+    for name, flt in GLOBALVIEW_SPECS.items():
+        matched = [c for c in conjuncts if _norm(c) == _norm(flt)]
+        if not matched:
+            continue
+        residual = [c for c in conjuncts if _norm(c) != _norm(flt)]
+        refs = _identifiers(sel) | _identifiers(grp) | _identifiers(tail)
+        for c in residual:
+            refs |= _identifiers(c)
+        if not (refs - {"eventCount"}) <= dims:
+            continue
+        where = (" WHERE " + " AND ".join(residual)) if residual else ""
+        new_sel = re.sub(
+            r"SUM\s*\(\s*eventCount\s*\)", "SUM(SUM_eventCount)", sel,
+            flags=re.I,
+        )
+        new_tail = re.sub(
+            r"SUM\s*\(\s*eventCount\s*\)", "SUM(SUM_eventCount)", tail,
+            flags=re.I,
+        )
+        time_clause = (
+            f" START '{m.group('t0')}' STOP '{m.group('t1')}'"
+            if m.group("t0") is not None
+            else ""
+        )
+        routed = (
+            f"SELECT {new_sel} FROM GLOBALVIEW('{name}','NORMAL')"
+            f"{where} GROUP BY {grp}{new_tail}{time_clause}"
+        )
+        return routed, name
+    return None

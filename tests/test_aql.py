@@ -408,3 +408,70 @@ def test_bind_parameters_leaves_braces_inside_literals():
     assert "brace" not in names
     assert "'%{brace} text%'" in sql
     assert "CAST(:t0 AS TIMESTAMP)" in sql and ":p" in sql and ":num" in sql
+
+
+class TestRollupRouter:
+    """Aggregate navigator: raw-events aggregates provably covered by a
+    GLOBALVIEW must route to the pre-aggregation and return IDENTICAL
+    results; anything not provably covered must not route."""
+
+    ROUTABLE = [
+        "SELECT domainId, userName, CAST(SUM(eventCount) AS BIGINT) AS total "
+        "FROM events WHERE eventName = 'error' AND domainId = 2 "
+        "GROUP BY domainId, userName "
+        "START '2024-01-01 00:00:00' STOP '2024-02-01 00:00:00'",
+        "SELECT sourceip, CAST(SUM(eventCount) AS BIGINT) AS total "
+        "FROM events WHERE magnitude >= 7 GROUP BY sourceip",
+        "SELECT userName, CAST(SUM(eventCount) AS BIGINT) AS total "
+        "FROM events WHERE eventName = 'view' GROUP BY userName "
+        "ORDER BY SUM(eventCount) DESC, userName ASC LIMIT 5",
+        "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE category IN (4005, 4010, 4015) AND userName LIKE 'user_1%' "
+        "GROUP BY domainId",
+    ]
+    NOT_ROUTABLE = [
+        # non-dim column in select/group
+        "SELECT qid, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'error' GROUP BY qid",
+        # sub-hour window: hourly pre-aggregation unsafe
+        "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'error' GROUP BY domainId "
+        "START '2024-01-01 00:30:00' STOP '2024-02-01 00:00:00'",
+        # COUNT(*) not derivable from the partial sums
+        "SELECT domainId, COUNT(*) AS n FROM events "
+        "WHERE eventName = 'error' GROUP BY domainId",
+        # top-level OR defeats filter subsumption
+        "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'error' OR domainId = 1 GROUP BY domainId",
+        # residual conjunct over a non-dim column
+        "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'error' AND qid % 2 = 0 GROUP BY domainId",
+    ]
+
+    def test_routed_equals_raw_on_engine(self, frontend):
+        from qradar_restapi_kafka_datapipeline_spark.plans.rollup_router import (
+            try_route_to_globalview,
+        )
+
+        for aql in self.ROUTABLE:
+            assert try_route_to_globalview(aql) is not None, aql
+            raw = _rows_key(frontend.sql(aql).toPandas())
+            routed = _rows_key(frontend.sql(aql, auto_route=True).toPandas())
+            assert raw == routed, aql
+
+    def test_uncovered_queries_do_not_route(self, frontend):
+        from qradar_restapi_kafka_datapipeline_spark.plans.rollup_router import (
+            try_route_to_globalview,
+        )
+
+        for aql in self.NOT_ROUTABLE:
+            assert try_route_to_globalview(aql) is None, aql
+            # and auto_route falls through to the raw plan, same results
+            raw = _rows_key(frontend.sql(aql).toPandas())
+            fallthrough = _rows_key(frontend.sql(aql, auto_route=True).toPandas())
+            assert raw == fallthrough, aql
+
+    def test_routed_plan_reads_the_view_not_raw_events(self, frontend):
+        df = frontend.sql(self.ROUTABLE[1], auto_route=True)
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "MongoDB_TopSecurityEvents" in plan
