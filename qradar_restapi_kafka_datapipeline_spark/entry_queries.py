@@ -2151,6 +2151,9 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         f"SELECT doc_id, {T.quality_score_sql('text', 'duckdb')} AS quality "
         "FROM documents",
     )
+    # estimator family kept alongside the REAL counts (text_bpe_tokenize):
+    # the estimators are cheap single-pass expressions for triage; the BPE
+    # relation is the budget-grade number the packing entries consume.
     q["text_token_stats"] = _df_entry(
         lambda spark, sf: spark.sql(
             f"SELECT doc_id, {T.word_count_sql('text', 'spark')} AS n_words, "

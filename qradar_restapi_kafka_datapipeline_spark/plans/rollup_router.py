@@ -83,6 +83,15 @@ def _identifiers(fragment: str) -> set[str]:
     return out
 
 
+#: ts is routable ONLY inside DATE_TRUNC at hour-or-coarser grain: the
+#: view's ts IS the hour truncation, so any coarser truncation composes
+#: (date_trunc('day', ts_raw) == date_trunc('day', date_trunc('hour', ts_raw))).
+_SAFE_TS_TRUNC = re.compile(
+    r"DATE_TRUNC\s*\(\s*'(hour|day|week|month|quarter|year)'\s*,\s*ts\s*\)",
+    flags=re.I,
+)
+
+
 def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
     """``(routed_aql, view_name)`` when a registered GLOBALVIEW provably
     covers the query; ``None`` otherwise (caller runs against raw events).
@@ -127,8 +136,12 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
         if not matched:
             continue
         residual = [c for c in conjuncts if _norm(c) != _norm(flt)]
-        refs = _identifiers(sel) | _identifiers(grp) | _identifiers(tail)
-        for c in residual:
+        refs = (
+            _identifiers(_SAFE_TS_TRUNC.sub("", sel))
+            | _identifiers(_SAFE_TS_TRUNC.sub("", grp))
+            | _identifiers(_SAFE_TS_TRUNC.sub("", tail))
+        )
+        for c in residual:  # raw-ts predicates in WHERE stay unroutable
             refs |= _identifiers(c)
         if not (refs - {"eventCount"}) <= dims:
             continue

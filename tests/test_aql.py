@@ -475,3 +475,33 @@ class TestRollupRouter:
         df = frontend.sql(self.ROUTABLE[1], auto_route=True)
         plan = df._jdf.queryExecution().analyzed().toString()
         assert "MongoDB_TopSecurityEvents" in plan
+
+
+def test_router_allows_hour_or_coarser_ts_trunc_only(frontend):
+    """DATE_TRUNC('hour'|'day', ts) composes with the view's hourly grain and
+    routes; minute grain (or raw ts) cannot be derived and must not."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.rollup_router import (
+        try_route_to_globalview,
+    )
+
+    hourly = (
+        "SELECT DATE_TRUNC('day', ts) AS d, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total FROM events "
+        "WHERE eventName = 'view' GROUP BY DATE_TRUNC('day', ts)"
+    )
+    r = try_route_to_globalview(hourly)
+    assert r is not None and r[1] == "MongoDB_UBA"
+    raw = _rows_key(frontend.sql(hourly).toPandas())
+    routed = _rows_key(frontend.sql(hourly, auto_route=True).toPandas())
+    assert raw == routed
+
+    for bad in (
+        hourly.replace("'day'", "'minute'"),
+        "SELECT ts, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'view' GROUP BY ts",
+        # raw-ts residual predicate must not route either
+        "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'view' AND ts > timestamp'2024-01-05 00:00:00' "
+        "GROUP BY domainId",
+    ):
+        assert try_route_to_globalview(bad) is None, bad
