@@ -97,6 +97,8 @@ HEADLINE = [
     # but its cost on THIS corpus is dominated by the synthetic 31-word
     # vocabulary's degenerate bucket occupancy (measured 19 s vs 6.5 s).
     "text_semantic_pairs_hashed_capped",
+    # aggregate navigator: the routed scan reads pre-collapsed hourly rows
+    "aql_auto_rollup_routed",
 ]
 
 
