@@ -214,6 +214,11 @@ def main() -> None:
         i = args.index("--skew")
         skew_pct = int(args[i + 1])
         del args[i : i + 2]
+    op_prefixes: tuple[str, ...] = ()
+    if "--ops" in args:
+        i = args.index("--ops")
+        op_prefixes = tuple(args[i + 1].split(","))
+        del args[i : i + 2]
     ks = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark(app_name="scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
@@ -230,6 +235,8 @@ def main() -> None:
                 ops = _skew_ops(spark)
             else:
                 ops = _uniform_ops(spark, k)
+            if op_prefixes:
+                ops = {n: f for n, f in ops.items() if n.startswith(op_prefixes)}
             n_events = spark.table("events").count()
             n_docs = spark.table("documents").count()
             for name, build in ops.items():
@@ -275,7 +282,10 @@ def _uniform_ops(spark, k: int):
     from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
         contamination_report,
     )
-    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        sessionize,
+        sessionize_bucketed,
+    )
 
     return {
                 "dedup_exact": lambda: D.exact_dup_groups(spark.table("documents")),
@@ -356,7 +366,36 @@ def _uniform_ops(spark, k: int):
                 "text_semantic_pairs_hashed_prefix": lambda: T.hashed_semantic_pairs(
                     spark, dim=4096 * k, threshold=0.5, prefix_m=4
                 ),
+                # round-4: dense-bucket-capped AllPairs — the bounded-candidate
+                # regime; same dim ∝ K rule
+                "text_semantic_pairs_hashed_capped": lambda: T.hashed_semantic_pairs(
+                    spark, dim=4096 * k, threshold=0.5, prefix_m=4,
+                    max_bucket_docs=64,
+                ),
+                # round-4: per-(user, day) sessionize twin — bounded windows
+                "sessionize_events_bucketed": lambda: sessionize_bucketed(
+                    spark.table("events"),
+                    gap_minutes=30,
+                    agg_cols={"value": "total_value"},
+                ),
+                # round-4: BPE train (vocab extraction + bounded-collect merge
+                # learning) + relational longest-match apply, end to end
+                "text_bpe_tokenize": lambda: _bpe(spark),
+                # round-4: Arrow-batched encode + full baseline JPEG decode
+                "multimodal_jpeg_decode": lambda: _jpeg(spark),
             }
+
+
+def _bpe(spark):
+    from qradar_restapi_kafka_datapipeline_spark.operators import bpe as B
+
+    return B.bpe_doc_tokens(spark, B.train_bpe(spark))
+
+
+def _jpeg(spark):
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    return M.extract_jpeg_features(M.attach_jpeg_payload(spark.table("documents")))
 
 
 if __name__ == "__main__":
