@@ -669,3 +669,80 @@ class TestAQLBindingModeFuzz:
             assert n >= 0  # quotes/braces/semicolons are data, never syntax
 
         check()
+
+
+class TestRollupRouterFuzz:
+    """Property fuzz for the aggregate navigator: for RANDOM queries over
+    dims × view filters × residual predicates × windows, auto_route must
+    NEVER change the answer — routed (or fall-through) results always equal
+    the raw-events plan's."""
+
+    def test_random_aggregates_routed_or_not_always_agree(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.plans.aql import (
+            aql_oracle_sql,
+            translate,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.plans.rollup_router import (
+            try_route_to_globalview,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.views import GLOBALVIEW_SPECS
+
+        spark, con = engines
+        filters = st.sampled_from(sorted(GLOBALVIEW_SPECS.values()))
+        dims = st.lists(
+            st.sampled_from(["domainId", "userName", "sourceip", "eventName"]),
+            min_size=1, max_size=2, unique=True,
+        )
+        residual = st.sampled_from([
+            None,
+            "domainId = 2",
+            "userName LIKE 'user_1%'",
+            "sourceip != '10.0.0.1'",
+            "magnitude >= 5",        # non-dim residual → must NOT route
+            "qid % 2 = 0",           # non-dim residual → must NOT route
+        ])
+        windows = st.sampled_from([
+            None,
+            ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),   # aligned
+            ("2024-01-01 00:30:00", "2024-02-01 00:00:00"),   # sub-hour
+        ])
+
+        routed_count = 0
+
+        @settings(max_examples=30, deadline=None, database=None)
+        @given(filters, dims, residual, windows, st.booleans())
+        def check(flt, ds, res, win, trunc_day):
+            nonlocal routed_count
+            sel_dims = list(ds)
+            grp = list(ds)
+            if trunc_day:
+                sel_dims.append("DATE_TRUNC('day', ts) AS d")
+                grp.append("DATE_TRUNC('day', ts)")
+            where = flt + (f" AND {res}" if res else "")
+            time_clause = f" START '{win[0]}' STOP '{win[1]}'" if win else ""
+            aql = (
+                f"SELECT {', '.join(sel_dims)}, "
+                "CAST(SUM(eventCount) AS BIGINT) AS total "
+                f"FROM events WHERE {where} "
+                f"GROUP BY {', '.join(grp)}{time_clause}"
+            )
+            routed = try_route_to_globalview(aql)
+            if routed is not None:
+                routed_count += 1
+                engine_sql = translate(routed[0], dialect="spark")
+            else:
+                engine_sql = translate(aql, dialect="spark")
+            sdf = spark.sql(engine_sql).toPandas()
+            ddf = con.execute(aql_oracle_sql(aql)).df()  # ALWAYS raw events
+            cols = sorted(sdf.columns)
+            assert cols == sorted(ddf.columns), aql
+            srows = sorted("|".join(map(str, r)) for r in
+                           sdf[cols].itertuples(index=False, name=None))
+            drows = sorted("|".join(map(str, r)) for r in
+                           ddf[cols].itertuples(index=False, name=None))
+            assert srows == drows, f"{aql}\nrouted={routed}"
+
+        check()
+        assert routed_count > 0  # the routable grammar actually routed
