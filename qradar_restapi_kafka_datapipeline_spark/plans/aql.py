@@ -651,7 +651,12 @@ class AQLFrontend:
                 aql.format(**params) if params else aql
             )
             if routed is not None:
-                return self.spark.sql(self.translate(routed[0], None))
+                try:
+                    return self.spark.sql(self.translate(routed[0], None))
+                except Exception:
+                    # routing is an optimization: any analysis surprise on
+                    # the rewritten text falls back to the raw-events plan
+                    pass
         return self.spark.sql(self.translate(aql, params))
 
     def translate_bound(

@@ -107,6 +107,11 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
         _VIEW_DIMS,
     )
 
+    if '"' in aql or "`" in aql:
+        # quoted identifiers (custom properties) are invisible to the
+        # identifier check (they scan as literal spans) and never exist on
+        # the views — refuse rather than route to a missing column
+        return None
     m = re.match(
         r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+events\s+WHERE\s+(?P<pred>.*?)"
         r"\s+GROUP\s+BY\s+(?P<grp>.*?)"

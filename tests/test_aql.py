@@ -505,3 +505,21 @@ def test_router_allows_hour_or_coarser_ts_trunc_only(frontend):
         "GROUP BY domainId",
     ):
         assert try_route_to_globalview(bad) is None, bad
+
+
+def test_router_refuses_quoted_identifiers(frontend):
+    """Custom-property (double-quoted) references scan as literal spans and
+    never exist on the views — the router must refuse, and auto_route must
+    return the raw-events answer."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.rollup_router import (
+        try_route_to_globalview,
+    )
+
+    aql = (
+        'SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events '
+        'WHERE eventName = \'error\' AND "Rule Name" = \'rule_1\' '
+        "GROUP BY domainId"
+    )
+    assert try_route_to_globalview(aql) is None
+    raw = _rows_key(frontend.sql(aql).toPandas())
+    assert _rows_key(frontend.sql(aql, auto_route=True).toPandas()) == raw
