@@ -786,6 +786,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int, int]:
     prev, n_blocks = 0, 0
     for k in range(bpr * bpc):
         cat = _jpeg_huff_decode(br, dc_codes)
+        if cat > 11:
+            raise ValueError("DC category out of range (corrupt stream)")
         diff = _jpeg_extend(br.bits(cat), cat) if cat else 0
         prev += diff
         coef = np.zeros((8, 8), dtype=np.float64)
@@ -800,6 +802,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, int, int, int]:
                 n_ac += 16
                 continue
             n_ac += run + 1
+            if n_ac > 63:
+                raise ValueError("AC run past block end (corrupt stream)")
             val = _jpeg_extend(br.bits(size), size)
             nat = zig[n_ac]  # entropy order is zig-zag; place naturally
             coef[nat // 8, nat % 8] = val
