@@ -62,3 +62,46 @@ def test_bpe_oracle_matches_engine_on_crafted_corpus(spark, tmp_path):
     # the empty doc contributes a (0, 0, md5('')) row on both engines
     empty = sdf[sdf.doc_id == 1].iloc[0]
     assert empty["n_words"] == 0 and empty["n_bpe_tokens"] == 0
+
+
+def test_tokenization_is_lossless_per_word(spark, tables):
+    """Longest-match invariant: the concatenation of a word's tokens IS the
+    word — no character dropped, duplicated, or reordered, for every
+    distinct word in the real corpus."""
+    from pyspark.sql import functions as F
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        token_positions_sql,
+    )
+
+    tokens = B.train_bpe(spark)
+    words = (
+        spark.sql(token_positions_sql("spark", "documents"))
+        .where("word != ''")
+        .select("word")
+        .distinct()
+    )
+    words.createOrReplaceTempView("__bpe_words_rt")
+    from qradar_restapi_kafka_datapipeline_spark.operators.bpe import _word_steps
+
+    steps = _word_steps(spark, tokens, spark.table("__bpe_words_rt"))
+    arr = steps.groupBy("word").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(p, step))), x -> x.step)"
+        ).alias("steps")
+    )
+    rt = arr.select(
+        "word",
+        F.expr(
+            """
+            aggregate(sequence(1, size(steps)),
+                      named_struct('p', 1, 's', ''),
+                      (acc, i) -> IF(i = acc.p,
+                        named_struct('p', acc.p + element_at(steps, i),
+                          's', concat(acc.s, substr(word, i, element_at(steps, i)))),
+                        acc)).s
+            """
+        ).alias("rejoined"),
+    )
+    bad = rt.where(F.col("word") != F.col("rejoined")).count()
+    assert bad == 0
