@@ -653,6 +653,42 @@ def registry() -> dict[str, Q]:
         _gv_mat_run, _duck_cte(globalview_sql("MongoDB_AuthenticationFailure"))
     )
 
+    # ---- navigator × storage: the SAME raw-events aggregate, auto-routed,
+    # with the target view registered as MATERIALIZED day-partitioned
+    # parquet (incl. a late-fold) — routing + incremental maintenance +
+    # collapsed-scan read path in one entry, still against the RAW-events
+    # oracle.
+    def _routed_mat_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+        from qradar_restapi_kafka_datapipeline_spark.views import (
+            materialize_globalviews,
+            register_materialized_globalviews,
+            update_globalviews_incremental,
+        )
+
+        frontend = setup(spark, sf)
+        view = "MongoDB_AuthenticationFailure"
+        base_path = os.path.join(scratch_dir("gv_mat_routed_"), "table")
+        spark.sql("SELECT * FROM qevents WHERE qid % 7 != 3").createOrReplaceTempView(
+            "__gv_base_r"
+        )
+        materialize_globalviews(spark, base_path, source="__gv_base_r", names=[view])
+        late = spark.sql("SELECT * FROM qevents WHERE qid % 7 = 3")
+        update_globalviews_incremental(spark, base_path, late, names=[view])
+        register_materialized_globalviews(spark, base_path, names=[view])
+        try:
+            return frontend.sql(
+                _ROUTED_AQL, DEFAULT_PARAMS, auto_route=True
+            )
+        finally:
+            register_globalviews(spark)
+
+    q["aql_routed_materialized"] = Q(
+        run=_routed_mat_run, oracle=aql_oracle_sql(_ROUTED_AQL, DEFAULT_PARAMS)
+    )
+
     # ---- general analytics over the TPC-H-ish tables (bench headliners) -----
     q["pricing_summary"] = _table_sql_entry(
         "SELECT l_returnflag, l_linestatus, "
