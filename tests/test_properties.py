@@ -746,3 +746,56 @@ class TestRollupRouterFuzz:
 
         check()
         assert routed_count > 0  # the routable grammar actually routed
+
+
+class TestSessionizeBucketedFuzz:
+    """Differential fuzz for the per-day sessionize twin: random event sets
+    concentrated around midnight boundaries and the 30-minute gap edge must
+    produce EXACTLY the plain sessionizer's output (keys, bounds, counts,
+    sums, session numbering)."""
+
+    def test_random_event_sets_agree(self, spark):
+        import datetime
+
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+            sessionize,
+            sessionize_bucketed,
+        )
+
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        # offsets in minutes across 4 days, biased to midnight±gap edges
+        edge_minutes = []
+        for day in range(4):
+            m0 = day * 1440
+            edge_minutes += [m0 - 31, m0 - 30, m0 - 29, m0 - 1, m0,
+                             m0 + 1, m0 + 29, m0 + 30, m0 + 31, m0 + 720]
+        offsets = st.lists(
+            st.sampled_from([m for m in edge_minutes if m >= 0]),
+            min_size=1, max_size=12,
+        )
+
+        @settings(max_examples=20, deadline=None, database=None)
+        @given(st.lists(offsets, min_size=1, max_size=3))
+        def check(users):
+            rows = []
+            eid = 0
+            for uid, mins in enumerate(users):
+                for mm in mins:
+                    rows.append((
+                        uid, eid, base + datetime.timedelta(minutes=mm),
+                        float(eid % 7),
+                    ))
+                    eid += 1
+            df = spark.createDataFrame(
+                rows, "user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE"
+            )
+            key = lambda r: (r["user_id"], r["session_id"])
+            plain = {key(r): tuple(r) for r in sessionize(
+                df, gap_minutes=30, agg_cols={"value": "v"}).collect()}
+            bucketed = {key(r): tuple(r) for r in sessionize_bucketed(
+                df, gap_minutes=30, agg_cols={"value": "v"}).collect()}
+            assert plain == bucketed, users
+
+        check()

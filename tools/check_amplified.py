@@ -56,6 +56,7 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sessionize_events_bucketed": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
+    "aql_auto_rollup_routed": None,  # navigator vs raw-events oracle at volume
     "dedup_minhash_lsh": 4,
     "text_semantic_pairs_hashed_prefix": 4,
 }
