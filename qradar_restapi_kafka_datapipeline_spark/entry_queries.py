@@ -61,6 +61,7 @@ _DAY_PART_MEMO: dict[tuple[int, str], str] = {}
 _IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
+_TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 
 
 def _bpe_tokens_for(spark: SparkSession, sf: str) -> list[str]:
@@ -2306,6 +2307,34 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["text_knn_hashed"] = _df_entry(
         lambda spark, sf: T.hashed_text_knn(spark, **_TKN_KW),
         T.hashed_text_knn_sql("duckdb", **_TKN_KW),
+    )
+
+    # Persisted text-search index (round 4): postings PARTITIONED BY bucket
+    # group + shipped stoplist; the query is doc 0's raw TEXT featurized
+    # driver-side (the exact Python replica of the postings pipeline), the
+    # scan file-prunes to the query's posting groups, and the result must
+    # hash-match the SAME inline DuckDB oracle as the per-call kNN — the
+    # whole build→featurize→prune→score path is value-checked end to end.
+    def _tki_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _TEXT_INDEX_MEMO:
+            base = os.path.join(scratch_dir("text_index_"), "index")
+            T.build_text_index(spark, base, dim=4096)
+            _TEXT_INDEX_MEMO[key] = base
+        qtext = spark.table("documents").where("doc_id = 0").first()["text"]
+        return T.text_knn_from_index(
+            spark, _TEXT_INDEX_MEMO[key], qtext, k=3, dim=4096,
+            query_id=0, exclude_id=0,
+        )
+
+    q["text_knn_indexed"] = Q(
+        run=_tki_run,
+        oracle=T.hashed_text_knn_sql("duckdb", query_max=1, k=3, dim=4096),
     )
 
     # ---- cross-split contamination (n-gram overlap vs train split) -----------

@@ -890,3 +890,152 @@ def hashed_text_knn(
     return spark.sql(
         hashed_text_knn_sql("spark", query_max, k, dim, posts_rel=posts_view)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted text-search index (round 4) — the text analogue of the persisted
+# IVF path (operators/similarity.py): build the hashed-bigram postings ONCE
+# as parquet PARTITIONED BY bucket group, ship the corpus stoplist with the
+# index, and serve "documents like this text" queries whose scans file-prune
+# to only the query's posting groups.  Per-query cost is the query's
+# postings × their bucket occupancy — independent of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def build_text_index(
+    spark,
+    path: str,
+    dim: int = 4096,
+    source: str = "documents",
+    n_groups: int = 64,
+) -> None:
+    """Materialize the search index: ``postings/`` (doc_id, bucket, w)
+    PARTITIONED BY ``bucket_group = bucket % n_groups`` (bounded directory
+    count; a query's scan prunes to its own groups), ``norms/`` (doc_id,
+    n2), and ``stoplist/`` — the corpus-stopword bigrams the postings
+    pipeline drops (df·2 > N).  The stoplist ships WITH the index because
+    the query-side featurizer must drop exactly the same features: a
+    stopword bigram's hash bucket still holds OTHER features' weights, so a
+    query that hashed it anyway would add false dot-product contributions.
+    (Real search engines ship index-time analyzers for the same reason.)
+    """
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
+
+    src = unique_view(_spread(spark.table(source), by="doc_id"), "__bti_spread_src")
+    posts = spark.sql(hashed_embedding_postings_sql("spark", dim, src))
+    posts.withColumn(
+        "bucket_group", F.pmod(F.col("bucket"), F.lit(n_groups)).cast("int")
+    ).write.mode("overwrite").partitionBy("bucket_group").parquet(
+        f"{path}/postings"
+    )
+    spark.read.parquet(f"{path}/postings").groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    ).write.mode("overwrite").parquet(f"{path}/norms")
+    tok = token_positions_sql("spark", src)
+    spark.sql(
+        f"""
+        WITH tok AS ({tok}),
+        feats AS (
+          SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        tf AS (SELECT doc_id, feat FROM feats GROUP BY doc_id, feat),
+        ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf)
+        SELECT feat FROM tf GROUP BY feat
+        HAVING COUNT(DISTINCT doc_id) * 2 > (SELECT n FROM ndocs)
+        """
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stoplist")
+
+
+def _query_postings(text: str, stoplist: set, dim: int) -> dict[int, int]:
+    """Driver-side featurizer for ONE query text — the exact Python replica
+    of :func:`hashed_embedding_postings_sql`'s per-doc pipeline (whitespace
+    bigrams, stoplist drop, 60-bit md5 portable hash, sign by parity,
+    bucket by div-2 mod dim, tf saturated at 3, zero-sum buckets dropped).
+    Bounded work: one document's features."""
+    import hashlib
+    from collections import Counter
+
+    words = text.strip().split()
+    tf = Counter(
+        f"{a} {b}" for a, b in zip(words, words[1:])
+    )
+    posts: dict[int, int] = {}
+    for feat, c in tf.items():
+        if feat in stoplist:
+            continue
+        h = int(hashlib.md5(feat.encode("utf-8")).hexdigest()[:15], 16)
+        w = min(c, 3) if h % 2 == 0 else -min(c, 3)
+        b = (h // 2) % dim
+        posts[b] = posts.get(b, 0) + w
+    return {b: w for b, w in posts.items() if w != 0}
+
+
+def text_knn_from_index(
+    spark,
+    path: str,
+    query_text: str,
+    k: int = 3,
+    dim: int = 4096,
+    n_groups: int = 64,
+    query_id: int = -1,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-``k`` most-similar indexed documents for a QUERY TEXT, served
+    from the persisted index: the postings scan carries static
+    ``bucket_group IN (...)`` AND ``bucket IN (...)`` predicates (the
+    query's posting buckets are driver-side constants, like the IVF probe
+    lists), so only the touched partition directories are read.  Scoring is
+    identical to :func:`hashed_text_knn_sql` — exact BIGINT dots, positive
+    filter, one terminal sqrt/divide, (cos DESC, n_id) ties — so a query
+    using an indexed document's own text reproduces that entry's rows
+    exactly (the gate proves it)."""
+    stoplist = {
+        r["feat"] for r in spark.read.parquet(f"{path}/stoplist").collect()
+    }
+    qp = _query_postings(query_text, stoplist, dim)
+    if not qp:
+        return spark.createDataFrame(
+            [], "q_id LONG, n_id LONG, cos DOUBLE, rk INT"
+        )
+    groups = sorted({b % n_groups for b in qp})
+    qdf = spark.createDataFrame(
+        [(b, w) for b, w in qp.items()], "bucket BIGINT, qw BIGINT"
+    )
+    n2q = sum(w * w for w in qp.values())
+    cand = (
+        spark.read.option("basePath", f"{path}/postings")
+        .parquet(f"{path}/postings")
+        .where(F.col("bucket_group").isin(groups))
+        .where(F.col("bucket").isin([int(b) for b in qp]))
+        .join(F.broadcast(qdf), "bucket")
+    )
+    if exclude_id is not None:
+        cand = cand.where(F.col("doc_id") != exclude_id)
+    dots = (
+        cand.groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).cast("long").alias("d"))
+        .where(F.col("d") > 0)
+    )
+    norms = spark.read.parquet(f"{path}/norms")
+    scored = dots.join(norms, "doc_id").select(
+        F.lit(query_id).cast("long").alias("q_id"),
+        F.col("doc_id").alias("n_id"),
+        F.expr(f"d / SQRT(1.0 * {n2q} * n2)").alias("cos_raw"),
+    )
+    from pyspark.sql.window import Window
+
+    w_rk = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .where(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.expr("ROUND(cos_raw + 1e-9, 6)").alias("cos"),
+            "rk",
+        )
+    )

@@ -295,3 +295,28 @@ def test_ivf_index_scan_prunes_to_probed_lists(spark, reg, sf_dir):
     # static probed-set pruning renders as INSET (Catalyst may add a
     # dynamicpruningexpression on top — both are file-level pruning)
     assert "INSET" in m.group(1) or "IN (" in m.group(1), m.group(1)
+
+
+def test_text_index_scan_prunes_to_query_groups(spark, reg, sf_dir):
+    """The persisted text-search serving contract: the postings scan must
+    carry a bucket_group PartitionFilter (the query's posting groups as a
+    static IN), so per-query scan cost is bounded by the query's features
+    regardless of index size — the IVF probed-lists contract, for text."""
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import (
+        _TEXT_INDEX_MEMO,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        text_knn_from_index,
+    )
+
+    reg["text_knn_indexed"].run(spark, sf_dir)  # builds + memoizes the index
+    qtext = spark.table("documents").where("doc_id = 1").first()["text"]
+    df = text_knn_from_index(
+        spark, _TEXT_INDEX_MEMO[(id(spark), sf_dir)], qtext, k=3,
+        query_id=1, exclude_id=1,
+    )
+    plan = _formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters on the postings scan"
+    assert "bucket_group" in m.group(1), m.group(1)
+    assert "INSET" in m.group(1) or "IN (" in m.group(1), m.group(1)
