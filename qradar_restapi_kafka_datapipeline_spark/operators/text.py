@@ -1039,3 +1039,59 @@ def text_knn_from_index(
             "rk",
         )
     )
+
+
+def append_to_text_index(
+    spark,
+    path: str,
+    new_source: str,
+    dim: int = 4096,
+    n_groups: int = 64,
+) -> None:
+    """Incremental index maintenance: featurize NEW documents with the
+    index's FROZEN analyzer (the shipped stoplist — exactly like IVF append
+    reusing the persisted quantizer) and append their postings/norms into
+    the partitioned layout; existing entries are untouched (new files land
+    inside the affected ``bucket_group=`` directories only).
+
+    The stoplist deliberately does NOT retrain: a drifting analyzer would
+    silently re-score the existing corpus.  Rebuild the index when df drift
+    degrades retrieval (the IVF recall-contract posture).  Append postings
+    are provably what the frozen featurizer emits — per-doc equality
+    against :func:`_query_postings` is pytest-pinned."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
+
+    src = unique_view(_spread(spark.table(new_source), by="doc_id"), "__bta_spread_src")
+    stop_view = unique_view(
+        spark.read.parquet(f"{path}/stoplist"), "__bta_stoplist"
+    )
+    tok = token_positions_sql("spark", src)
+    h = portable_hash60_sql("spark", "feat")
+    posts = spark.sql(
+        f"""
+        WITH tok AS ({tok}),
+        feats AS (
+          SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        tf AS (SELECT doc_id, feat, COUNT(*) AS c FROM feats GROUP BY doc_id, feat),
+        hashed AS (
+          SELECT doc_id, {h} AS h, c FROM tf
+          WHERE feat NOT IN (SELECT feat FROM {stop_view})
+        ),
+        post AS (
+          SELECT doc_id, CAST((h DIV 2) % {dim} AS BIGINT) AS bucket,
+                 CAST(SUM(CASE WHEN h % 2 = 0 THEN LEAST(c, 3)
+                               ELSE -LEAST(c, 3) END) AS BIGINT) AS w
+          FROM hashed GROUP BY 1, 2
+        )
+        SELECT doc_id, bucket, w FROM post WHERE w != 0
+        """
+    )
+    posts.withColumn(
+        "bucket_group", F.pmod(F.col("bucket"), F.lit(n_groups)).cast("int")
+    ).write.mode("append").partitionBy("bucket_group").parquet(f"{path}/postings")
+    posts.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
+    ).write.mode("append").parquet(f"{path}/norms")

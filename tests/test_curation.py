@@ -469,3 +469,37 @@ def test_hashed_pairs_default_is_prefix_path_and_dense_guard_raises(spark, table
     # the density guard must raise, naming the remediations
     with _pytest.raises(ValueError, match="dense|prefix_m"):
         hashed_semantic_pairs(spark, dim=32, prefix_m=None)
+
+
+def test_text_index_append_is_frozen_analyzer_exact(spark, tables, tmp_path):
+    """Incremental text-index maintenance: appended docs' postings must be
+    EXACTLY what the index's frozen analyzer (shipped stoplist) emits —
+    per-doc dict equality against the driver-side featurizer — and an
+    appended doc's own text must self-hit at cos 1.0 from the index."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        _query_postings,
+        append_to_text_index,
+        build_text_index,
+        text_knn_from_index,
+    )
+
+    path = str(tmp_path / "text_index")
+    spark.sql("SELECT * FROM documents WHERE doc_id % 5 != 0").createOrReplaceTempView(
+        "__tia_base"
+    )
+    spark.sql("SELECT * FROM documents WHERE doc_id % 5 = 0").createOrReplaceTempView(
+        "__tia_new"
+    )
+    build_text_index(spark, path, source="__tia_base")
+    append_to_text_index(spark, path, "__tia_new")
+    stop = {r["feat"] for r in spark.read.parquet(f"{path}/stoplist").collect()}
+    idx: dict = {}
+    for r in spark.read.parquet(f"{path}/postings").where("doc_id % 5 = 0").collect():
+        idx.setdefault(r["doc_id"], {})[r["bucket"]] = r["w"]
+    docs = spark.table("__tia_new").collect()
+    for d in docs[:30]:
+        assert _query_postings(d["text"], stop, 4096) == idx.get(d["doc_id"], {}), (
+            d["doc_id"])
+    probe = docs[0]
+    top = text_knn_from_index(spark, path, probe["text"], k=1).collect()
+    assert top and top[0]["n_id"] == probe["doc_id"] and top[0]["cos"] == 1.0
