@@ -99,6 +99,8 @@ HEADLINE = [
     "text_semantic_pairs_hashed_capped",
     # aggregate navigator: the routed scan reads pre-collapsed hourly rows
     "aql_auto_rollup_routed",
+    # persisted text-search serving (cold pass pays the index build, memoized)
+    "text_knn_indexed",
 ]
 
 

@@ -71,6 +71,26 @@ def main() -> None:
         .count()
     )
     print(f"recall@3 after append: {hit_n}/{exact.count()}")
+
+    # 5. The same serving pattern for TEXT: build the hashed-bigram postings
+    #    index (partitioned by bucket group, stoplist shipped), search with a
+    #    raw query string — the scan file-prunes to the query's posting
+    #    groups — then absorb new documents with the frozen analyzer.
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        append_to_text_index,
+        build_text_index,
+        text_knn_from_index,
+    )
+
+    tindex = os.path.join(os.path.dirname(index), "text_index")
+    spark.sql("SELECT * FROM documents WHERE doc_id % 5 != 0").createOrReplaceTempView(
+        "__serve_base"
+    )
+    build_text_index(spark, tindex, source="__serve_base")
+    qtext = spark.table("documents").where("doc_id = 0").first()["text"]
+    print("text search for doc 0's own words:")
+    text_knn_from_index(spark, tindex, qtext, k=3, query_id=0, exclude_id=0).show()
+    append_to_text_index(spark, tindex, "documents")  # idempotent demo append
     spark.stop()
 
 
