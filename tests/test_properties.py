@@ -799,3 +799,40 @@ class TestSessionizeBucketedFuzz:
             assert plain == bucketed, users
 
         check()
+
+
+class TestJpegRoundTripFuzz:
+    """Pure-python property fuzz for the baseline JPEG codec: random doc
+    ids × text lengths (hitting every COM/combined-DHT/dimension/stuffing
+    combination) must round-trip to the closed-form decode properties."""
+
+    def test_random_docs_round_trip(self):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            BMP_CHECKSUM_MOD,
+            _jpeg_dc,
+            _jpeg_dims,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        @settings(max_examples=120, deadline=None, database=None)
+        @given(st.integers(min_value=0, max_value=10_000),
+               st.integers(min_value=0, max_value=200))
+        def check(doc_id, text_len):
+            text = "t" * text_len
+            w, h, prec, nseg, nblk, chk = decode_jpeg(encode_jpeg(doc_id, text))
+            ew, eh = _jpeg_dims(doc_id, text)
+            bpr = (ew + 7) // 8
+            assert (w, h, prec) == (ew, eh, 8)
+            assert nblk == bpr * ((eh + 7) // 8)
+            assert nseg == 7 + (doc_id % 3 == 0) - (doc_id % 4 == 0)
+            exp = sum(
+                (128 + 2 * _jpeg_dc(doc_id, (i // w // 8) * bpr + (i % w) // 8))
+                * (1 + i % 97)
+                for i in range(w * h)
+            )
+            assert chk == exp % BMP_CHECKSUM_MOD
+
+        check()
