@@ -781,7 +781,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "knn_ivf_appended",
     "semantic_dedup_pairs",
     "embedding_quantize_report",
-    "text_knn_hashed",
+    "text_knn_indexed",
     "text_semantic_pairs_hashed",
     "text_semantic_pairs_hashed_prefix",
     "text_langid_distribution",
