@@ -90,7 +90,15 @@ def main() -> None:
     qtext = spark.table("documents").where("doc_id = 0").first()["text"]
     print("text search for doc 0's own words:")
     text_knn_from_index(spark, tindex, qtext, k=3, query_id=0, exclude_id=0).show()
-    append_to_text_index(spark, tindex, "documents")  # idempotent demo append
+    # absorb ONLY the held-out docs: parquet append is not idempotent, so
+    # appending the full corpus would duplicate postings/norms for the 4/5
+    # already indexed and double-count every subsequent query (ADVICE r4)
+    spark.sql(
+        "SELECT * FROM documents WHERE doc_id % 5 = 0"
+    ).createOrReplaceTempView("__serve_holdout")
+    append_to_text_index(spark, tindex, "__serve_holdout")
+    print("text search after absorbing the held-out 1/5:")
+    text_knn_from_index(spark, tindex, qtext, k=3, query_id=0, exclude_id=0).show()
     spark.stop()
 
 

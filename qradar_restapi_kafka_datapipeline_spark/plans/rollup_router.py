@@ -37,30 +37,32 @@ _HOUR_ALIGNED = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:00:00(\.0+)?$")
 
 def _top_level_split_and(pred: str) -> list[str] | None:
     """Split a predicate on top-level AND (depth 0, outside literals).
-    Returns None if a top-level OR exists (disjuncts defeat subsumption)."""
+    Returns None if a top-level OR exists (disjuncts defeat subsumption).
+
+    Scans a literal-masked COPY with a word-boundary regex (ADVICE r4): the
+    old fixed ``' OR '`` substring missed ``b OR(c)`` and ``b\\nOR c`` and
+    silently routed the query (dropping the disjunct's rows), and
+    ``pred.upper()`` index math breaks when non-ASCII case folding changes
+    string length (e.g. ``'ß'.upper() == 'SS'``)."""
     spans = _literal_spans(pred)
+    masked = list(pred)
+    for s, e in spans:
+        for j in range(s, e):
+            masked[j] = "\x00"  # non-word char: kills \b matches, keeps offsets
     depth = 0
     parts: list[str] = []
     last = 0
-    i = 0
-    upper = pred.upper()
-    while i < len(pred):
-        if any(s <= i < e for s, e in spans):
-            i += 1
-            continue
-        c = pred[i]
-        if c == "(":
+    for m in re.finditer(r"[()]|\b(?:AND|OR)\b", "".join(masked), flags=re.I):
+        tok = m.group(0)
+        if tok == "(":
             depth += 1
-        elif c == ")":
+        elif tok == ")":
             depth -= 1
-        elif depth == 0 and upper.startswith(" AND ", i):
-            parts.append(pred[last:i])
-            last = i + 5
-            i += 5
-            continue
-        elif depth == 0 and upper.startswith(" OR ", i):
-            return None
-        i += 1
+        elif depth == 0:
+            if tok.upper() == "OR":
+                return None
+            parts.append(pred[last:m.start()])
+            last = m.end()
     parts.append(pred[last:])
     return [p.strip() for p in parts if p.strip()]
 

@@ -391,9 +391,15 @@ def test_bound_parameters_defeat_injection_where_format_splices(frontend):
     spliced_n = frontend.sql(aql, hostile).collect()[0]["n"]
     assert spliced_n > 0  # the documented format-mode hazard, for contrast
 
-    # unsupplied placeholder: a clear KeyError, not silent empty binding
+    # unsupplied WHOLE-LITERAL placeholder: literal data, not a parameter
+    # (ADVICE r4 — '{u}' with no 'u' bound compares against the literal text)
+    sql, args = frontend.translate_bound(aql, {})
+    assert args == {} and "'{u}'" in sql
+    # unsupplied BARE placeholder (never valid literal data): clear KeyError
     with pytest.raises(KeyError):
-        frontend.translate_bound(aql, {})
+        frontend.translate_bound(
+            "SELECT COUNT(*) AS n FROM events WHERE magnitude >= {m}", {}
+        )
 
 
 def test_bind_parameters_leaves_braces_inside_literals():
@@ -408,6 +414,32 @@ def test_bind_parameters_leaves_braces_inside_literals():
     assert "brace" not in names
     assert "'%{brace} text%'" in sql
     assert "CAST(:t0 AS TIMESTAMP)" in sql and ":p" in sql and ":num" in sql
+
+
+def test_bind_parameters_unsupplied_literal_stays_data():
+    """A whole string literal ``'{x}'`` whose name the caller never bound is
+    literal DATA (ADVICE r4): it must survive binding untouched instead of
+    becoming a parameter marker that raises KeyError downstream."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.aql import bind_parameters
+
+    sql, names = bind_parameters(
+        "SELECT * FROM t WHERE a = '{name}' AND b = '{p}' "
+        "AND ts >= timestamp'{unbound_ts}'",
+        supplied={"p"},
+    )
+    assert names == ["p"]
+    assert "'{name}'" in sql and ":p" in sql
+    assert "timestamp'{unbound_ts}'" in sql  # unsupplied ts literal untouched
+
+
+def test_translate_bound_literal_brace_data_runs(frontend):
+    """End-to-end: a query whose literal data is the text ``{name}`` runs and
+    compares against the literal (no KeyError, no unintended binding)."""
+    sql, args = frontend.translate_bound(
+        "SELECT COUNT(*) AS n FROM events WHERE userName = '{name}'", None
+    )
+    assert args == {} and "'{name}'" in sql
+    assert frontend.spark.sql(sql, args=args).first()["n"] == 0
 
 
 class TestRollupRouter:
@@ -443,6 +475,13 @@ class TestRollupRouter:
         # top-level OR defeats filter subsumption
         "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
         "WHERE eventName = 'error' OR domainId = 1 GROUP BY domainId",
+        # ... in every spelling (ADVICE r4: fixed ' OR ' substring missed
+        # tight parens and newline separators and silently dropped the
+        # disjunct's rows)
+        "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'error' OR(domainId = 1) GROUP BY domainId",
+        "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'error'\nOR\ndomainId = 1 GROUP BY domainId",
         # residual conjunct over a non-dim column
         "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
         "WHERE eventName = 'error' AND qid % 2 = 0 GROUP BY domainId",
