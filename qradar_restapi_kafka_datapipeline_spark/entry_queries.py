@@ -233,6 +233,39 @@ def registry() -> dict[str, Q]:
         ),
         oracle=aql_oracle_sql(_ROUTED_TOPK_AQL, DEFAULT_PARAMS),
     )
+    # Re-aggregation rewrite (round 5, VERDICT r4 #3): coarser grain (day
+    # from the hourly view) + dimension SUBSET (no dims in GROUP BY beyond
+    # the truncated ts) + measures that survive roll-up (COUNT(DISTINCT dim)
+    # — the view keeps every distinct dim × hour combination — alongside the
+    # partial-sum re-aggregate).  The classic analyst query; the oracle
+    # computes from RAW events, so a routing bug hash-fails.
+    _ROUTED_REAGG_AQL = (
+        "SELECT DATE_TRUNC('day', ts) AS day, "
+        "COUNT(DISTINCT userName) AS n_users, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE eventName = 'error' "
+        "GROUP BY DATE_TRUNC('day', ts)"
+    )
+    q["aql_auto_rollup_reagg"] = Q(
+        run=lambda spark, sf: setup(spark, sf).sql(
+            _ROUTED_REAGG_AQL, DEFAULT_PARAMS, auto_route=True
+        ),
+        oracle=aql_oracle_sql(_ROUTED_REAGG_AQL, DEFAULT_PARAMS),
+    )
+    # Whole-relation totals (GROUP BY absent): re-aggregates the view to one
+    # row — previously unroutable because the router required a GROUP BY.
+    _ROUTED_TOTAL_AQL = (
+        "SELECT CAST(SUM(eventCount) AS BIGINT) AS total_events, "
+        "COUNT(DISTINCT userName) AS n_users, "
+        "MAX(userName) AS last_user "
+        "FROM events WHERE magnitude >= 7"
+    )
+    q["aql_auto_rollup_total"] = Q(
+        run=lambda spark, sf: setup(spark, sf).sql(
+            _ROUTED_TOTAL_AQL, DEFAULT_PARAMS, auto_route=True
+        ),
+        oracle=aql_oracle_sql(_ROUTED_TOTAL_AQL, DEFAULT_PARAMS),
+    )
 
     # ---- AQL aggregation through the frontend (A3+A10+A15 in one query) ----
     q["aql_agg_by_customer"] = _aql_entry(
@@ -747,16 +780,28 @@ def registry() -> dict[str, Q]:
 #: MinHash(+incremental) / SimHash / clustering dedup, embedding-cosine,
 #: brute+persisted+appended ANN, SemDeDup, int8 quantization, hashed
 #: embeddings + text kNN, the text-analysis family, corpus-trained BPE, PII,
-#: boilerplate, decontamination, curation + BPE-based packing, PNG + JPEG
-#: real decodes, streaming sessionize parity, resample/gap-fill, and the
+#: boilerplate, decontamination, curation + BPE-based packing, JPEG real
+#: decode, streaming sessionize + dedup parities, resample/gap-fill, and the
 #: skew-safe bucketed twins.  Everything else follows in its original order
 #: and stays covered by the full-registry mirror (tools/check_correctness).
+#:
+#: ROTATION (VERDICT r4 #2): the window is re-drawn each round — redundant
+#: slots (a second rep of an already-covered family) are swapped for entries
+#: the hard gate has never hashed, so hard-gate coverage cycles through the
+#: whole registry across rounds while every family keeps >= 1 rep.  Round 5
+#: rotated OUT pricing_summary, dedup_minhash_incremental,
+#: text_semantic_pairs_hashed, multimodal_png_decode, mix_to_target_weights,
+#: aql_agg_functions; IN aql_TopSecurityEvents (GLOBALVIEW corpus),
+#: aql_routed_materialized, aql_auto_rollup_reagg (new), streaming_dedup_parity,
+#: text_semantic_pairs_hashed_capped (the bench config), dedup_passages.
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
-    "aql_agg_functions",
+    "aql_TopSecurityEvents",
     "aql_nested_incidr_coalesce",
     "aql_auto_rollup_routed",
+    "aql_auto_rollup_reagg",
+    "aql_routed_materialized",
     "aql_day_pruned_scan",
     "full_network_name_domain_divergence",
     "refset_membership",
@@ -764,7 +809,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "summing_rollup_hourly",
     "streaming_rollup_txn_parity",
     "globalview_aggregate",
-    "pricing_summary",
     "revenue_by_nation",
     "top_users_per_event_type",
     "dedup_exact_stats",
@@ -772,9 +816,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "dedup_exact_substring_apply",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_passages",
     "dedup_embedding_cosine",
     "knn_bruteforce_cosine",
     "knn_ivf_persisted",
@@ -782,8 +826,8 @@ GATE_WINDOW: tuple[str, ...] = (
     "semantic_dedup_pairs",
     "embedding_quantize_report",
     "text_knn_indexed",
-    "text_semantic_pairs_hashed",
     "text_semantic_pairs_hashed_prefix",
+    "text_semantic_pairs_hashed_capped",
     "text_langid_distribution",
     "text_quality_scores",
     "text_fingerprint",
@@ -794,11 +838,10 @@ GATE_WINDOW: tuple[str, ...] = (
     "boilerplate_doc_coverage",
     "decontaminate_train",
     "curate_blocklist",
-    "mix_to_target_weights",
     "pack_sequences_bpe_contract",
-    "multimodal_png_decode",
     "multimodal_jpeg_decode",
     "streaming_sessionize_parity",
+    "streaming_dedup_parity",
     "resample_hourly_gapfill",
     "sessionize_events_bucketed",
     "event_gaps_lag_bucketed",

@@ -57,13 +57,31 @@ def train_bpe(
     Deterministic end-to-end: the word table is ordered (freq DESC, word
     ASC) before the cap, and each iteration picks the max-count pair with a
     lexicographic tie-break, so the same corpus always yields the same
-    merge table on any cluster."""
+    merge table on any cluster.
+
+    ``vocab_cap`` bounds the ONLY driver-side collect (this is how BPE
+    trainers work — the merge loop needs the word-frequency table in
+    memory), and it must be an actual bound, not a silent truncation: if
+    the corpus has MORE distinct words than the cap, the dropped tail would
+    skew pair counts — and therefore every downstream token budget —
+    without any signal (VERDICT r4 #6).  We fetch cap+1 rows and raise when
+    the corpus overflows; callers with genuinely huge vocabularies should
+    raise ``vocab_cap`` (the collect is (word, freq) pairs — 10⁶ words is
+    ~tens of MB) or pre-filter the corpus."""
     rows = spark.sql(
         f"SELECT word, COUNT(*) AS freq "
         f"FROM ({token_positions_sql('spark', source)}) t "
         f"WHERE word != '' GROUP BY word "
-        f"ORDER BY freq DESC, word ASC LIMIT {vocab_cap}"
+        f"ORDER BY freq DESC, word ASC LIMIT {vocab_cap + 1}"
     ).collect()
+    if len(rows) > vocab_cap:
+        raise ValueError(
+            f"train_bpe: corpus has more than vocab_cap={vocab_cap} distinct "
+            "words — training on the truncated table would silently skew "
+            "merge counts and downstream token budgets. Raise vocab_cap to "
+            "cover the corpus vocabulary (driver memory is ~tens of bytes "
+            "per word) or pre-filter the corpus."
+        )
     freqs = {r["word"]: r["freq"] for r in rows}
     seqs = {w: tuple(w) for w in freqs}
     merges: list[tuple[str, str]] = []

@@ -666,6 +666,18 @@ def hashed_embedding_postings_sql(
     """
 
 
+#: auto-cap candidate budget: kept buckets may generate at most this many
+#: candidate pairs PER DOC on average (sum over kept buckets of C(occ,2)
+#: <= AUTO_CAP_PAIRS_PER_DOC × n_docs) — candidates stay LINEAR in corpus
+#: size by construction.  Swept on the adversarial synthetic corpus
+#: (31-word vocabulary, the densest regime; sf0.1, dim 4096, m=4): budget
+#: 64 → 6.3 s / recall 159/256, 128 → 6.9 s / 210/256, 256 → 10.7 s /
+#: 256/256 (full recall, vs 15–19.8 s uncapped), 512+ → no further change.
+#: 256 is the smallest full-recall budget even on this worst case; real
+#: power-law corpora sit far inside it.
+AUTO_CAP_PAIRS_PER_DOC = 256
+
+
 def hashed_semantic_pairs_sql(
     dialect: str,
     dim: int = 256,
@@ -673,7 +685,7 @@ def hashed_semantic_pairs_sql(
     source: str = "documents",
     prefix_m: int | None = None,
     posts_rel: str | None = None,
-    max_bucket_docs: int | None = None,
+    max_bucket_docs: int | None | str = "auto",
 ) -> str:
     """Document pairs with hashed-embedding cosine ≥ ``threshold``.
 
@@ -704,7 +716,14 @@ def hashed_semantic_pairs_sql(
     ``max_bucket_docs`` excludes DENSE buckets (more than that many docs in
     the top-m relation) from candidate generation only — the AllPairs
     analogue of a stopword list; deterministic, so the gate still
-    hash-checks the capped pair set."""
+    hash-checks the capped pair set.  The DEFAULT ``"auto"`` (VERDICT r4
+    #4) derives the cap from the top-m occupancy distribution itself: keep
+    the sparsest buckets whose cumulative candidate pairs fit a linear
+    budget (``AUTO_CAP_PAIRS_PER_DOC`` × n_docs), so the degenerate-density
+    regime (synthetic 31-word vocabulary, measured 19.8 s uncapped at
+    sf0.1) is unreachable without the explicit ``None`` opt-out; the whole
+    derivation is integer-only deterministic SQL, identical in both
+    engines, so the auto-capped pair set stays fully hash-checked."""
     posts = posts_rel and f"SELECT doc_id, bucket, w FROM {posts_rel}"
     posts = posts or hashed_embedding_postings_sql(dialect, dim, source)
     if prefix_m is None:
@@ -716,7 +735,32 @@ def hashed_semantic_pairs_sql(
         ranked = ""
     else:
         topm = f"SELECT doc_id, bucket FROM ranked WHERE rk <= {prefix_m}"
-        if max_bucket_docs is not None:
+        cap_ctes = ""
+        if max_bucket_docs == "auto":
+            # occupancy of each top-m bucket, cheapest-first cumulative pair
+            # count (2×C(c,2) = c·(c−1), exact BIGINT), cap = occupancy of
+            # the last bucket inside the budget (floor: the sparsest tier
+            # always participates, so candidates never vanish entirely)
+            cap_ctes = f""",
+            occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM ({topm}) o GROUP BY bucket),
+            cum AS (SELECT bucket, c,
+                           SUM(c * (c - 1)) OVER (
+                             ORDER BY c ASC, bucket ASC) AS cum2
+                    FROM occ),
+            nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+                   FROM post),
+            capv AS (SELECT COALESCE(
+                       MAX(CASE WHEN cum2 <= {2 * AUTO_CAP_PAIRS_PER_DOC} * n
+                                THEN c END),
+                       MIN(c)) AS cap
+                     FROM cum CROSS JOIN nd),
+            okb AS (SELECT occ.bucket FROM occ CROSS JOIN capv
+                    WHERE occ.c <= capv.cap)"""
+            topm = f"""
+            SELECT t.doc_id, t.bucket FROM ({topm}) t
+            JOIN okb ON t.bucket = okb.bucket"""
+        elif max_bucket_docs is not None:
             topm = f"""
             SELECT t.doc_id, t.bucket FROM ({topm}) t
             JOIN (SELECT bucket FROM ranked WHERE rk <= {prefix_m}
@@ -731,6 +775,7 @@ def hashed_semantic_pairs_sql(
             ", ranked AS (SELECT post.doc_id, post.bucket, ROW_NUMBER() OVER ("
             "PARTITION BY post.doc_id ORDER BY bdf.df ASC, post.bucket ASC) "
             "AS rk FROM post JOIN bdf ON post.bucket = bdf.bucket)"
+            + cap_ctes
         )
     return f"""
     WITH posts_base AS ({posts}),
@@ -760,7 +805,7 @@ def hashed_semantic_pairs(
     threshold: float = 0.5,
     prefix_m: int | None = 4,
     source: str = "documents",
-    max_bucket_docs: int | None = None,
+    max_bucket_docs: int | None | str = "auto",
 ) -> DataFrame:
     """Production Spark form of :func:`hashed_semantic_pairs_sql`: the
     postings relation is computed ONCE over the spread source and

@@ -28,7 +28,7 @@ _KEYWORDS = {
     "select", "from", "where", "group", "by", "having", "order", "limit",
     "and", "or", "not", "in", "as", "sum", "cast", "bigint", "int", "count",
     "start", "stop", "events", "asc", "desc", "between", "like", "is",
-    "null", "distinct", "when", "case", "then", "else", "end",
+    "null", "distinct", "when", "case", "then", "else", "end", "min", "max",
 }
 
 #: sub-hour time syntax in START/STOP makes hourly pre-aggregation unsafe
@@ -93,16 +93,38 @@ _SAFE_TS_TRUNC = re.compile(
     flags=re.I,
 )
 
+#: re-aggregable measures over a DIMENSION column (filled in per-view with
+#: the actual dim list): the view's GROUP BY keeps every distinct dim
+#: combination, so COUNT(DISTINCT d), MIN(d), MAX(d) computed over view rows
+#: equal the raw-events answers.  COUNT(DISTINCT ...) over a coarser-grain
+#: ts truncation composes the same way.  Plain COUNT/AVG stay refused — the
+#: views keep no row count.
+def _dim_reagg_pattern(dims: set[str]) -> re.Pattern:
+    alt = "|".join(sorted(dims))
+    trunc = _SAFE_TS_TRUNC.pattern
+    return re.compile(
+        rf"(?:COUNT\s*\(\s*DISTINCT\s+(?:(?:{alt})|{trunc})\s*\)"
+        rf"|(?:MIN|MAX)\s*\(\s*(?:{alt})\s*\))",
+        flags=re.I,
+    )
+
 
 def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
     """``(routed_aql, view_name)`` when a registered GLOBALVIEW provably
     covers the query; ``None`` otherwise (caller runs against raw events).
 
     Preconditions checked: single ``FROM events`` aggregate; every measure
-    is ``SUM(eventCount)`` (COUNT(*) is NOT derivable — the views keep no
-    row count); select/group/residual-WHERE identifiers ⊆ view dims; the
-    view's defining filter appears verbatim (whitespace-normalized) as a
-    top-level conjunct; START/STOP absent or hour-aligned; no top-level OR.
+    is ``SUM(eventCount)`` or a dim re-aggregation (``COUNT(DISTINCT d)`` /
+    ``MIN(d)`` / ``MAX(d)`` for d ∈ dims, or ``COUNT(DISTINCT
+    DATE_TRUNC('hour-or-coarser', ts))`` — the view keeps every distinct
+    dim × hour combination, so these survive roll-up; plain COUNT(*)/AVG do
+    NOT — the views keep no row count); select/group/residual-WHERE
+    identifiers ⊆ view dims; the view's defining filter appears verbatim
+    (whitespace-normalized) as a top-level conjunct; START/STOP absent or
+    hour-aligned; no top-level OR.  GROUP BY may be absent (whole-relation
+    totals) or any SUBSET of the view's dims at hour-or-coarser grain — the
+    routed query re-aggregates the pre-collapsed rows (VERDICT r4 #3, the
+    classic coarser-grain / fewer-dims view rewrite).
     """
     from qradar_restapi_kafka_datapipeline_spark.views import (
         GLOBALVIEW_SPECS,
@@ -116,7 +138,7 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
         return None
     m = re.match(
         r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+events\s+WHERE\s+(?P<pred>.*?)"
-        r"\s+GROUP\s+BY\s+(?P<grp>.*?)"
+        r"(\s+GROUP\s+BY\s+(?P<grp>.*?))?"
         r"(?P<tail>(\s+HAVING\s+.*?)?(\s+ORDER\s+BY\s+.*?)?(\s+LIMIT\s+\d+)?)"
         r"(\s+START\s+'(?P<t0>[^']+)'\s+STOP\s+'(?P<t1>[^']+)')?\s*$",
         aql,
@@ -128,16 +150,19 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
         if t is not None and not _HOUR_ALIGNED.match(t.strip()):
             return None
     sel, grp, tail = m.group("sel"), m.group("grp"), m.group("tail") or ""
-    # every eventCount reference must sit inside SUM( eventCount )
+    dims = set(_VIEW_DIMS)
+    reagg = _dim_reagg_pattern(dims)
+    # every eventCount reference must sit inside SUM( eventCount ), and the
+    # only COUNTs allowed are the dim re-aggregations
     stripped = re.sub(r"SUM\s*\(\s*eventCount\s*\)", "", sel + tail, flags=re.I)
+    stripped = reagg.sub("", stripped)
     if re.search(r"\beventCount\b", stripped, flags=re.I):
         return None
-    if re.search(r"\bCOUNT\s*\(", sel + tail, flags=re.I):
+    if re.search(r"\bCOUNT\s*\(", stripped, flags=re.I):
         return None
     conjuncts = _top_level_split_and(m.group("pred"))
     if conjuncts is None:
         return None
-    dims = set(_VIEW_DIMS)
     for name, flt in GLOBALVIEW_SPECS.items():
         matched = [c for c in conjuncts if _norm(c) == _norm(flt)]
         if not matched:
@@ -145,7 +170,7 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
         residual = [c for c in conjuncts if _norm(c) != _norm(flt)]
         refs = (
             _identifiers(_SAFE_TS_TRUNC.sub("", sel))
-            | _identifiers(_SAFE_TS_TRUNC.sub("", grp))
+            | _identifiers(_SAFE_TS_TRUNC.sub("", grp or ""))
             | _identifiers(_SAFE_TS_TRUNC.sub("", tail))
         )
         for c in residual:  # raw-ts predicates in WHERE stay unroutable
@@ -166,9 +191,10 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
             if m.group("t0") is not None
             else ""
         )
+        group_clause = f" GROUP BY {grp}" if grp else ""
         routed = (
             f"SELECT {new_sel} FROM GLOBALVIEW('{name}','NORMAL')"
-            f"{where} GROUP BY {grp}{new_tail}{time_clause}"
+            f"{where}{group_clause}{new_tail}{time_clause}"
         )
         return routed, name
     return None

@@ -460,6 +460,23 @@ class TestRollupRouter:
         "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
         "WHERE category IN (4005, 4010, 4015) AND userName LIKE 'user_1%' "
         "GROUP BY domainId",
+        # --- re-aggregation rewrites (round 5, VERDICT r4 #3) ---
+        # whole-relation totals: GROUP BY absent
+        "SELECT CAST(SUM(eventCount) AS BIGINT) AS total FROM events "
+        "WHERE eventName = 'error'",
+        # COUNT(DISTINCT dim): the view keeps every distinct dim combination
+        "SELECT COUNT(DISTINCT userName) AS n_users FROM events "
+        "WHERE eventName = 'error'",
+        # day grain + dim subset + mixed re-aggregable measures
+        "SELECT DATE_TRUNC('day', ts) AS day, COUNT(DISTINCT userName) AS n, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total FROM events "
+        "WHERE eventName = 'error' GROUP BY DATE_TRUNC('day', ts)",
+        # MIN/MAX of a dim survives roll-up
+        "SELECT domainId, MIN(userName) AS first_u, MAX(userName) AS last_u "
+        "FROM events WHERE magnitude >= 7 GROUP BY domainId",
+        # COUNT(DISTINCT coarser-grain ts) composes with the hourly grain
+        "SELECT COUNT(DISTINCT DATE_TRUNC('day', ts)) AS n_days FROM events "
+        "WHERE eventName = 'error'",
     ]
     NOT_ROUTABLE = [
         # non-dim column in select/group
@@ -485,6 +502,14 @@ class TestRollupRouter:
         # residual conjunct over a non-dim column
         "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
         "WHERE eventName = 'error' AND qid % 2 = 0 GROUP BY domainId",
+        # COUNT(DISTINCT non-dim): collapsed by the roll-up, not derivable
+        "SELECT COUNT(DISTINCT qid) AS n FROM events "
+        "WHERE eventName = 'error'",
+        # MIN of a non-dim measure: not kept by the view
+        "SELECT MIN(magnitude) AS m FROM events WHERE eventName = 'error'",
+        # COUNT(DISTINCT sub-hour trunc): finer than the view's grain
+        "SELECT COUNT(DISTINCT DATE_TRUNC('minute', ts)) AS n FROM events "
+        "WHERE eventName = 'error'",
     ]
 
     def test_routed_equals_raw_on_engine(self, frontend):
@@ -514,6 +539,21 @@ class TestRollupRouter:
         df = frontend.sql(self.ROUTABLE[1], auto_route=True)
         plan = df._jdf.queryExecution().analyzed().toString()
         assert "MongoDB_TopSecurityEvents" in plan
+
+    def test_reagg_entries_actually_route(self, frontend):
+        """The gate entries prove VALUE equality vs raw events; this pins
+        that the plan really reads the view (a silent fall-through to raw
+        would pass the gate while losing the routed win)."""
+        # totals (no GROUP BY) and day-grain re-aggregation both route
+        for aql, view in (
+            (self.ROUTABLE[4], "MongoDB_AuthenticationFailure"),
+            (self.ROUTABLE[6], "MongoDB_AuthenticationFailure"),
+        ):
+            plan = (
+                frontend.sql(aql, auto_route=True)
+                ._jdf.queryExecution().analyzed().toString()
+            )
+            assert view in plan, aql
 
 
 def test_router_allows_hour_or_coarser_ts_trunc_only(frontend):

@@ -25,6 +25,19 @@ def test_train_bpe_is_deterministic_and_greedy(spark):
     assert t1[0] == "aa" and "ab" in t1
 
 
+def test_train_bpe_raises_on_vocab_cap_overflow(spark):
+    """VERDICT r4 #6: a corpus with more distinct words than vocab_cap must
+    raise — training on a silently-truncated word table would skew merge
+    counts and every downstream token budget."""
+    import pytest
+
+    view = _docs(spark, ["one two three four five six"])
+    with pytest.raises(ValueError, match="vocab_cap"):
+        B.train_bpe(spark, source=view, vocab_cap=3)
+    # a cap that exactly fits the vocabulary is NOT an overflow
+    assert B.train_bpe(spark, source=view, vocab_cap=6) == []
+
+
 def test_longest_match_wins_and_unseen_chars_fall_back(spark):
     view = _docs(spark, ["abcd", "zq"])
     # hand vocab: both 'ab' and 'abc' known -> 'abcd' must take 'abc' first

@@ -79,6 +79,14 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     assert tuple(names[:50]) == GATE_WINDOW
     oracles = entrymod.oracle_sql()
     assert all(n in oracles for n in GATE_WINDOW)
+    # VERDICT r4 #2: the round-5 window rotated >= 5 slots vs round 4's —
+    # these were never hard-gated before and must be inside now
+    for rotated_in in (
+        "aql_TopSecurityEvents", "aql_routed_materialized",
+        "aql_auto_rollup_reagg", "streaming_dedup_parity",
+        "text_semantic_pairs_hashed_capped", "dedup_passages",
+    ):
+        assert rotated_in in GATE_WINDOW, rotated_in
     # family spot-checks: at least one of each major family inside the window
     for prefix in (
         "aql_", "dedup_minhash", "dedup_simhash", "dedup_exact_substring",

@@ -10,7 +10,13 @@ BPE token counts, and the summing rollup — so value drift that only
 appears with volume (accumulation order, sketch saturation, overflow)
 cannot hide below the sf0.1 gate scale.
 
-    python3 tools/check_amplified.py [K] [name_prefix ...]   # default K=16
+    python3 tools/check_amplified.py [K] [--skew P] [name_prefix ...]  # K=16
+
+``--skew P`` reassigns a deterministic P% of all events to ONE hot user
+before the comparison (same transform both engines see), so the window
+family's oracle runs in the straggler regime the skew study timed — the
+64×/50% configuration puts ~3M rows on a single key, past the ~1M-row
+task-sort budget where the bucketed twins earn their keep (VERDICT r4 #5).
 
 One JSON-ish OK/FAIL line per entry, ALL OK summary last; record the run
 in BASELINE.md.
@@ -64,6 +70,11 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
 
 def main() -> int:
     args = sys.argv[1:]
+    skew_pct = None
+    if "--skew" in args:
+        i = args.index("--skew")
+        skew_pct = int(args[i + 1])
+        del args[i : i + 2]
     k = int(args[0]) if args else 16
     prefixes = tuple(args[1:])
     plan: dict[int, list[str]] = {}
@@ -80,8 +91,13 @@ def main() -> int:
     for kk, names in sorted(plan.items(), reverse=True):
         base = tempfile.mkdtemp(prefix=f"amp_check_{kk}x_")
         t0 = time.time()
-        amplify(spark, base, kk)
-        print(f"amplified sf0.1 by {kk}x in {time.time()-t0:.0f}s", flush=True)
+        amplify(spark, base, kk, skew_pct)
+        print(
+            f"amplified sf0.1 by {kk}x"
+            + (f" at {skew_pct}% hot-user skew" if skew_pct else "")
+            + f" in {time.time()-t0:.0f}s",
+            flush=True,
+        )
         con = duckdb.connect()
         for t in TABLES:
             path = f"{base}/{t}.parquet"
