@@ -99,6 +99,9 @@ HEADLINE = [
     "text_semantic_pairs_hashed_capped",
     # aggregate navigator: the routed scan reads pre-collapsed hourly rows
     "aql_auto_rollup_routed",
+    # round 5: re-aggregation rewrite — day grain + dim subset +
+    # COUNT(DISTINCT dim) re-aggregated from the hourly view
+    "aql_auto_rollup_reagg",
     # persisted text-search serving (cold pass pays the index build, memoized)
     "text_knn_indexed",
 ]

@@ -66,12 +66,12 @@ def persist_view(df, key: str) -> str:
     return name
 
 
-#: share_view's cutover between inline lineage and scratch parquet.
-#: Below this row estimate a CHEAP-lineage relation is sub-second to
-#: recompute and any materialization job is pure tax (round-4 bench:
-#: dedup_exact_substring 0.49 → 1.39 s from the write alone); above it the
-#: write amortizes across the CTE's multiple scans.
-SHARE_INLINE_MAX_ROWS = 2_000_000
+#: share_view's cutover between persisted blocks and scratch parquet.
+#: Below this row estimate the relation fits executor storage comfortably
+#: and the parquet write is pure tax (round-4 bench: dedup_exact_substring
+#: 0.49 → 1.39 s from the write alone); above it the write amortizes across
+#: the consumers' multiple scans and survives eviction/executor churn.
+SHARE_SMALL_MAX_ROWS = 2_000_000
 
 
 def input_size_bytes(df) -> int | None:
@@ -98,24 +98,27 @@ def share_view(spark, df, key: str, approx_rows: int | None = None) -> str:
 
     ``approx_rows`` is the caller's metadata-only estimate of the relation's
     row count (e.g. input bytes for a gram relation — never a scan).  Small
-    relations register the UN-materialized DataFrame as a plain temp view:
-    each CTE reference recomputes the lineage, and for a cheap lineage at
-    small size that beats ANY materialization job.  Large or unknown
-    relations take :func:`materialize_view` — the plan that survives 100 TB.
+    relations take :func:`persist_view`; large or unknown relations take
+    :func:`materialize_view` — the plan that survives 100 TB, where
+    persisted blocks would pin executor storage and evict.
 
-    Measured three-way at sf0.1 (exact-substring grams, min-of-3 steady):
-    inline 0.43 s, ``localCheckpoint``-backed view 0.78 s, scratch parquet
-    0.74 s — the checkpoint's LogicalRDD scan loses parquet's column pruning
-    and stats while still paying a materialization job, so it is never the
-    winner; the size-aware choice is inline-vs-parquet.  Relations with
-    EXPENSIVE lineage (tokenize + hash + window rank: the hashed-postings
-    family, measured materialize 2.24 s / checkpoint 2.61 s / inline 3.64 s)
-    should call :func:`materialize_view` directly at every size.
+    Why persist for small (r5 measurement story, sf0.1 exact-substring
+    grams): back-to-back steady favors a plain un-materialized temp view
+    (0.43 s vs persist 0.79 s vs parquet 0.74 s vs localCheckpoint 0.78 s —
+    the LogicalRDD scan also loses parquet pruning/stats), BUT under a
+    bench-realistic mix of ~16 other queries between runs the inlined
+    lineage pays a full whole-stage-codegen recompile of its LARGE expanded
+    plan every time (2.0–3.2 s) while the persisted relation substitutes to
+    a compact InMemoryRelation scan and stays at 1.0–1.1 s.  Real workloads
+    churn the codegen cache, so persist is the small-size default.
+    Relations with EXPENSIVE lineage (tokenize + hash + window rank: the
+    hashed-postings family, measured materialize 2.24 s / inline 3.64 s)
+    should call :func:`materialize_view` directly at every size — their
+    consumers reference them through ``WITH`` CTE definitions where cache
+    substitution has been observed NOT to reach (round-4 finding).
     """
-    if approx_rows is not None and approx_rows <= SHARE_INLINE_MAX_ROWS:
-        name = f"{key}_{next(_VIEW_SEQ)}"
-        df.createOrReplaceTempView(name)
-        return name
+    if approx_rows is not None and approx_rows <= SHARE_SMALL_MAX_ROWS:
+        return persist_view(df, key)
     return materialize_view(spark, df, key)
 
 

@@ -723,6 +723,47 @@ def registry() -> dict[str, Q]:
         run=_routed_mat_run, oracle=aql_oracle_sql(_ROUTED_AQL, DEFAULT_PARAMS)
     )
 
+    # ---- maintenance compaction is value-neutral (VERDICT r4 #7) ------------
+    # Continuous merge ingestion leaves each day partition with one small
+    # file per shuffle task per fold (the small-files problem ClickHouse's
+    # background merges absorb, reference clickhouse/clickhouse.py:74-75).
+    # This entry drives the WHOLE maintenance cycle — materialize a
+    # GLOBALVIEW day-partitioned, fold four late batches, compact every
+    # partition to one file — and returns the compacted table; the oracle
+    # recomputes the view from RAW events, so value drift anywhere in
+    # materialize → fold → compact hash-fails.  The file-count contract
+    # (compaction actually shrank the layout) is pinned by
+    # tests/test_rollup.py::test_compaction_parity_and_file_count.
+    def _compaction_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+        from qradar_restapi_kafka_datapipeline_spark.operators.maintenance import (
+            compact_rollup,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.views import (
+            materialize_globalviews,
+            update_globalviews_incremental,
+        )
+
+        setup(spark, sf)
+        view = "MongoDB_VPNAccess"
+        base_path = os.path.join(scratch_dir("gv_compact_"), "table")
+        spark.sql("SELECT * FROM qevents WHERE qid % 5 = 0").createOrReplaceTempView(
+            "__gvc_base"
+        )
+        materialize_globalviews(spark, base_path, source="__gvc_base", names=[view])
+        for r in (1, 2, 3, 4):  # late folds: each overwrites affected days
+            late = spark.sql(f"SELECT * FROM qevents WHERE qid % 5 = {r}")
+            update_globalviews_incremental(spark, base_path, late, names=[view])
+        compact_rollup(spark, f"{base_path}/{view}", target_files_per_partition=1)
+        df = spark.read.parquet(f"{base_path}/{view}")
+        return df.select(*[c for c in df.columns if c != "event_date"])
+
+    q["rollup_compaction_parity"] = _df_entry(
+        _compaction_run, _duck_cte(globalview_sql("MongoDB_VPNAccess"))
+    )
+
     # ---- general analytics over the TPC-H-ish tables (bench headliners) -----
     q["pricing_summary"] = _table_sql_entry(
         "SELECT l_returnflag, l_linestatus, "

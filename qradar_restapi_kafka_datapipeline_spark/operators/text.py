@@ -1144,3 +1144,43 @@ def append_to_text_index(
     posts.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     ).write.mode("append").parquet(f"{path}/norms")
+
+
+def compact_text_index(
+    spark, path: str, target_files_per_partition: int = 1
+) -> int:
+    """Background-merge pass for the persisted text index (the
+    ``compact_rollup`` pattern applied to the serving layout): every
+    :func:`append_to_text_index` lands one new file set inside the affected
+    ``bucket_group=`` directories and appends to ``norms/``, so a
+    frequently-maintained index accretes exactly the small-files state that
+    erodes the file-pruned serving scan.  Rewrites each bucket-group
+    partition to ``target_files_per_partition`` files and collapses
+    ``norms/`` to one file — value-neutral by construction (same rows, new
+    layout), pinned by ``tests/test_analytics.py``'s serve-before ≡
+    serve-after check.  Returns the number of postings partitions rewritten.
+    """
+    from qradar_restapi_kafka_datapipeline_spark.operators.maintenance import (
+        compact_rollup,
+    )
+
+    n = compact_rollup(
+        spark,
+        f"{path}/postings",
+        target_files_per_partition,
+        partition_col="bucket_group",
+    )
+    # norms is small and unpartitioned: Spark refuses an in-place overwrite
+    # of a path it is reading, so stage to a dotted temp dir (invisible to
+    # listings) and swap with the filesystem's atomic-enough dir rename.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = f"{path}/.norms_compact_tmp"
+    spark.read.parquet(f"{path}/norms").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs.delete(hpath(f"{path}/norms"), True)
+    if not fs.rename(hpath(tmp), hpath(f"{path}/norms")):
+        raise RuntimeError(f"compact_text_index: rename failed for {tmp}")
+    return n

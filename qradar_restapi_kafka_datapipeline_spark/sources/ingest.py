@@ -71,6 +71,17 @@ def split_quarantine(df: DataFrame, corrupt_col: str) -> tuple[DataFrame, DataFr
     return clean, bad
 
 
+def parse_kafka_values(raw: DataFrame, schema: StructType | str = RAW_EVENT_DDL) -> DataFrame:
+    """Kafka wire rows → parsed event rows: value bytes → ``from_json`` with
+    the pinned schema.  ONE definition consumed by both the real source
+    (:func:`read_kafka_stream`) and the file-backed loopback fake
+    (``sources/kafka_fake.py``), so the tested parse chain IS the production
+    one."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e")
+    ).select("e.*")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -503,3 +503,54 @@ def test_text_index_append_is_frozen_analyzer_exact(spark, tables, tmp_path):
     probe = docs[0]
     top = text_knn_from_index(spark, path, probe["text"], k=1).collect()
     assert top and top[0]["n_id"] == probe["doc_id"] and top[0]["cos"] == 1.0
+
+
+def test_text_index_compaction_is_value_neutral(spark, tables, tmp_path):
+    """Round 5: repeated appends accrete one file set per maintenance pass
+    inside each bucket_group partition (plus norms appends); compaction must
+    collapse the layout WITHOUT changing a single serving result."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        append_to_text_index,
+        build_text_index,
+        compact_text_index,
+        text_knn_from_index,
+    )
+
+    path = str(tmp_path / "text_index")
+    spark.sql(
+        "SELECT * FROM documents WHERE doc_id % 5 NOT IN (0, 1)"
+    ).createOrReplaceTempView("__tic_base")
+    build_text_index(spark, path, source="__tic_base")
+    for r in (0, 1):  # two maintenance passes → two appended file sets
+        spark.sql(
+            f"SELECT * FROM documents WHERE doc_id % 5 = {r}"
+        ).createOrReplaceTempView("__tic_new")
+        append_to_text_index(spark, path, "__tic_new")
+
+    def n_files(sub):
+        out = 0
+        for root, _dirs, files in os.walk(os.path.join(path, sub)):
+            out += sum(f.endswith(".parquet") for f in files)
+        return out
+
+    probes = [r["text"] for r in spark.table("documents").limit(3).collect()]
+    before = [
+        sorted(map(tuple, text_knn_from_index(spark, path, t, k=5).collect()))
+        for t in probes
+    ]
+    files_before = (n_files("postings"), n_files("norms"))
+    assert files_before[1] >= 3  # base write + 2 appends
+
+    n_parts = compact_text_index(spark, path)
+    files_after = (n_files("postings"), n_files("norms"))
+    assert n_parts > 0
+    assert files_after[0] <= n_parts  # <= 1 file per bucket_group partition
+    assert files_after[1] == 1
+    assert files_after[0] < files_before[0]
+    after = [
+        sorted(map(tuple, text_knn_from_index(spark, path, t, k=5).collect()))
+        for t in probes
+    ]
+    assert after == before

@@ -708,27 +708,46 @@ class TestRollupRouterFuzz:
             ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),   # aligned
             ("2024-01-01 00:30:00", "2024-02-01 00:00:00"),   # sub-hour
         ])
+        # (measure expression, may-the-router-accept-it): round-5 grammar —
+        # re-aggregable dim measures alongside SUM, plus measures the views
+        # cannot derive, which must NEVER route (second element False)
+        measures = st.sampled_from([
+            ("CAST(SUM(eventCount) AS BIGINT) AS total", True),
+            ("COUNT(DISTINCT userName) AS n_users", True),
+            ("MAX(userName) AS last_user", True),
+            ("MIN(sourceip) AS first_ip", True),
+            ("COUNT(*) AS n_rows", False),
+            ("COUNT(DISTINCT qid) AS n_qids", False),
+            ("MIN(magnitude) AS min_mag", False),
+        ])
 
         routed_count = 0
 
-        @settings(max_examples=30, deadline=None, database=None)
-        @given(filters, dims, residual, windows, st.booleans())
-        def check(flt, ds, res, win, trunc_day):
+        @settings(max_examples=40, deadline=None, database=None)
+        @given(filters, dims, residual, windows, st.booleans(), measures,
+               st.booleans())
+        def check(flt, ds, res, win, trunc_day, measure, groupless):
             nonlocal routed_count
-            sel_dims = list(ds)
-            grp = list(ds)
-            if trunc_day:
-                sel_dims.append("DATE_TRUNC('day', ts) AS d")
-                grp.append("DATE_TRUNC('day', ts)")
+            m_expr, m_routable = measure
+            if groupless:  # aggregate-only totals (round-5 routable shape)
+                sel_dims, grp = [], []
+            else:
+                sel_dims = list(ds)
+                grp = list(ds)
+                if trunc_day:
+                    sel_dims.append("DATE_TRUNC('day', ts) AS d")
+                    grp.append("DATE_TRUNC('day', ts)")
             where = flt + (f" AND {res}" if res else "")
             time_clause = f" START '{win[0]}' STOP '{win[1]}'" if win else ""
+            group_clause = f" GROUP BY {', '.join(grp)}" if grp else ""
             aql = (
-                f"SELECT {', '.join(sel_dims)}, "
-                "CAST(SUM(eventCount) AS BIGINT) AS total "
-                f"FROM events WHERE {where} "
-                f"GROUP BY {', '.join(grp)}{time_clause}"
+                f"SELECT {', '.join(sel_dims + [m_expr])} "
+                f"FROM events WHERE {where}"
+                f"{group_clause}{time_clause}"
             )
             routed = try_route_to_globalview(aql)
+            if not m_routable:
+                assert routed is None, f"underivable measure routed: {aql}"
             if routed is not None:
                 routed_count += 1
                 engine_sql = translate(routed[0], dialect="spark")
