@@ -102,6 +102,10 @@ HEADLINE = [
     # round 5: re-aggregation rewrite — day grain + dim subset +
     # COUNT(DISTINCT dim) re-aggregated from the hourly view
     "aql_auto_rollup_reagg",
+    # round 5: PQ codes + ADC serving (cold pays codebook training, memoized)
+    "knn_pq_adc",
+    # round 5: Okapi BM25 ranked retrieval, integer-exact contributions
+    "text_bm25_topk",
     # persisted text-search serving (cold pass pays the index build, memoized)
     "text_knn_indexed",
 ]

@@ -62,6 +62,7 @@ _IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
+_PQ_MEMO: dict[tuple[int, str], str] = {}
 
 
 def _bpe_tokens_for(spark: SparkSession, sf: str) -> list[str]:
@@ -2146,6 +2147,32 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         S.knn_emitted_oracle_sql(query_max=10, k=3),
     )
 
+    # ---- PQ + asymmetric distance (round 5, Jégou et al. 2011) ----------
+    # The memory-compression half of large-scale ANN: corpus vectors become
+    # m=4 one-byte codes (64× smaller than dim-64 floats) and serving scans
+    # read CODES through a per-query LUT, never raw vectors.  The trained
+    # codebooks are an emitted artifact (the BPE-vocab contract: Spark
+    # trains + writes strictly before its oracle runs in-process) and the
+    # DuckDB oracle recomputes the ENTIRE encode → LUT → ADC pipeline from
+    # that artifact — rounded-distance argmin with j tie-break and exact
+    # 1e-6-multiple LUT sums make every step engine-agnostic, so the full
+    # result (not just emitted keys) is hash-checked.
+    def _pq_run(spark: SparkSession, sf: str) -> DataFrame:
+        setup(spark, sf)
+        key = (id(spark), sf)
+        art = _emit_dir("pq_codebook")
+        if key not in _PQ_MEMO:
+            books = S.train_pq_codebooks(spark.table("embeddings"))
+            S.write_pq_codebooks(spark, books, art)
+            _PQ_MEMO[key] = art
+        return S.knn_pq_adc(spark, art, query_max=3, k=3, retrain=False)
+
+    q["knn_pq_adc"] = Q(
+        run=_pq_run,
+        oracle=S.pq_adc_sql("duckdb", _emit_dir("pq_codebook"),
+                            query_max=3, k=3),
+    )
+
     # Incremental maintenance drift check (VERDICT r3 #7): build on a 6/7
     # subset, append the disjoint 1/7 with the PERSISTED quantizer, then
     # serve — every emitted row value-verified by the same emitted-keys
@@ -2510,6 +2537,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["text_tfidf_topk"] = _df_entry(
         lambda spark, sf: spark.sql(T.tfidf_topk_sql("spark")),
         T.tfidf_topk_sql("duckdb"),
+    )
+
+    # ---- Okapi BM25 ranked retrieval (round 5) ------------------------------
+    # Query = doc 0's distinct words (a relation, not a driver featurization);
+    # per-term contributions become integer micro-scores so the per-doc sum
+    # is exact BIGINT arithmetic and ranking is fully deterministic — the
+    # classic ranked-search scorer, value-checked outright.
+    q["text_bm25_topk"] = _df_entry(
+        lambda spark, sf: spark.sql(T.bm25_topk_sql("spark")),
+        T.bm25_topk_sql("duckdb"),
     )
 
     # ---- corpus Zipf/vocab profile + second-order LM score ------------------

@@ -744,3 +744,183 @@ def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3) -> str:
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
         f"SELECT q_id, n_id, cos, rk FROM r WHERE rk <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search — round 5.
+# The memory-compression half of large-scale ANN (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"; the FAISS IVF-PQ
+# pattern): corpus vectors are stored as m small centroid CODES (m bytes
+# instead of dim floats — 16× compression at dim 64 / m 16, the measured
+# fidelity sweet spot: m=4's 16-dim subspaces under 16 centroids drown the
+# random-corpus dot spread, m=16's 4-dim subspaces track it), and a query
+# scores candidates through a per-query lookup table without ever touching
+# the raw corpus vectors.  At 100 TB this is what makes the serving scan
+# read codes, not embeddings.  Composes with the IVF layout
+# (build_ivf_index): assignments partition the corpus, PQ codes compress
+# what each probe reads.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1024,
+    iters: int = 4,
+) -> list[list[list[float]]]:
+    """Per-subvector k-means codebooks (``m`` books × ``ksub`` centroids of
+    ``dim/m`` floats), trained like the IVF quantizer: a deterministic
+    bounded sample (``sample_n`` lowest ids), Lloyd iterations in driver
+    numpy, only m·ksub·dsub floats ever leaving the driver."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        xs = x[:, mi * dsub : (mi + 1) * dsub]
+        cents = xs[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ksub):
+                members = xs[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def write_pq_codebooks(spark, books: list[list[list[float]]], path: str) -> None:
+    """Persist codebooks as the oracle-readable ``(m, j, cv)`` artifact —
+    the emitted-artifact gate contract (the BPE vocab precedent): Spark
+    trains and writes, the static DuckDB oracle recomputes the WHOLE
+    encode → LUT → ADC pipeline from this artifact and the raw embeddings."""
+    rows = [
+        (mi, j, [float(x) for x in cv])
+        for mi, book in enumerate(books)
+        for j, cv in enumerate(book)
+    ]
+    spark.createDataFrame(rows, "m INT, j INT, cv ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def pq_adc_sql(
+    dialect: str,
+    artifact: str,
+    m: int = 16,
+    dsub: int = 4,
+    query_max: int = 3,
+    k: int = 3,
+    source: str = "embeddings",
+) -> str:
+    """Top-``k`` by PQ asymmetric distance, one dialect-shared relational
+    pipeline reading the codebook artifact:
+
+    1. ``sub``: explode each vector into its ``m`` subvectors;
+    2. ``codes``: nearest-centroid code per (vector, subvector) — distances
+       ROUNDed (+1e-9, 6dp) before the argmin with a ``j`` tie-break, so
+       both engines pick identical codes even at float-boundary distances;
+    3. ``lut``: per-query dot(query subvector, centroid), ROUNDed the same
+       way — each entry becomes an exact multiple of 1e-6, so the ADC sum
+       over ``m`` entries is EXACT in doubles and order-independent
+       (the CLAUDE.md round-per-row-then-aggregate discipline);
+    4. ``scores``: SUM of the query's LUT entries at the candidate's codes —
+       the ADC approximation of dot(q, v) that never reads the candidate's
+       raw vector; rank by (score DESC, n_id).
+
+    The encode join is corpus × m × ksub rows against a BROADCAST codebook —
+    shuffle-free and linear in corpus size; serving reads only codes + the
+    bounded per-query LUT.  Fully value-checked: every step is deterministic
+    SQL from the artifact, no quality contract needed."""
+    if dialect == "spark":
+        cb = f"SELECT m, j, cv FROM parquet.`{artifact}`"
+        vex = "CAST(embedding AS ARRAY<DOUBLE>)"
+        sub = (
+            f"SELECT vec_id, mi, slice(v, mi * {dsub} + 1, {dsub}) AS s "
+            f"FROM (SELECT vec_id, {vex} AS v FROM {source}) e "
+            f"LATERAL VIEW explode(sequence(0, {m - 1})) t AS mi"
+        )
+        d2 = ("aggregate(zip_with(s, cb.cv, (x, y) -> (x - y) * (x - y)), "
+              "0D, (acc, z) -> acc + z)")
+        dot = ("aggregate(zip_with(s, cb.cv, (x, y) -> x * y), "
+               "0D, (acc, z) -> acc + z)")
+    else:
+        cb = f"SELECT m, j, cv FROM '{artifact}/*.parquet'"
+        vex = "CAST(embedding AS DOUBLE[])"
+        sub = (
+            f"SELECT vec_id, mi, list_slice(v, mi * {dsub} + 1, "
+            f"(mi + 1) * {dsub}) AS s "
+            f"FROM (SELECT vec_id, {vex} AS v FROM {source}) e, "
+            f"UNNEST(generate_series(0, {m - 1})) AS t(mi)"
+        )
+        d2 = (f"list_sum(list_transform(generate_series(1, {dsub}), "
+              "i -> (s[i] - cb.cv[i]) * (s[i] - cb.cv[i])))")
+        dot = (f"list_sum(list_transform(generate_series(1, {dsub}), "
+               "i -> s[i] * cb.cv[i]))")
+    return f"""
+    WITH cb AS ({cb}),
+    sub AS ({sub}),
+    dists AS (
+      SELECT sub.vec_id, sub.mi, cb.j,
+             ROUND({d2} + 1e-9, 6) AS d2r
+      FROM sub JOIN cb ON cb.m = sub.mi
+    ),
+    codes AS (
+      SELECT vec_id, mi, j FROM (
+        SELECT vec_id, mi, j, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, mi ORDER BY d2r ASC, j ASC) AS rn
+        FROM dists
+      ) r WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.vec_id AS q_id, sub.mi, cb.j,
+             ROUND({dot} + 1e-9, 6) AS lv
+      FROM sub JOIN cb ON cb.m = sub.mi
+      WHERE sub.vec_id < {query_max}
+    ),
+    scores AS (
+      SELECT l.q_id, c.vec_id AS n_id, ROUND(SUM(l.lv) + 1e-9, 6) AS score
+      FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.j
+      WHERE c.vec_id != l.q_id
+      GROUP BY l.q_id, c.vec_id
+    )
+    SELECT q_id, n_id, score, rk FROM (
+      SELECT q_id, n_id, score, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS INT) AS rk
+      FROM scores
+    ) ranked WHERE rk <= {k}
+    """
+
+
+def knn_pq_adc(
+    spark,
+    artifact: str,
+    emb: DataFrame | None = None,
+    m: int = 16,
+    ksub: int = 16,
+    query_max: int = 3,
+    k: int = 3,
+    source: str = "embeddings",
+    retrain: bool = True,
+) -> DataFrame:
+    """Train (optionally), persist the codebook artifact, and run the shared
+    ADC pipeline on the Spark side.  ``retrain=False`` reuses an existing
+    artifact (the frozen-quantizer append posture of the IVF/text indexes)."""
+    src = emb if emb is not None else spark.table(source)
+    if retrain:
+        books = train_pq_codebooks(src, m=m, ksub=ksub)
+        write_pq_codebooks(spark, books, artifact)
+    dim = len(src.select("embedding").first()[0])
+    return spark.sql(
+        pq_adc_sql("spark", artifact, m=m, dsub=dim // m,
+                   query_max=query_max, k=k, source=source)
+    )

@@ -1184,3 +1184,72 @@ def compact_text_index(
     if not fs.rename(hpath(tmp), hpath(f"{path}/norms")):
         raise RuntimeError(f"compact_text_index: rename failed for {tmp}")
     return n
+
+
+def bm25_topk_sql(
+    dialect: str,
+    query_doc: int = 0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    source: str = "documents",
+) -> str:
+    """Top-``k`` documents by Okapi BM25 for the query "the distinct words
+    of document ``query_doc``" — the classic ranked-retrieval scorer
+    (Robertson & Walker 1994), fully relational and dialect-shared:
+
+        score(q, d) = Σ_t  idf(t) · tf(t,d)·(k1+1)
+                            / (tf(t,d) + k1·(1 − b + b·len_d/avgdl))
+        idf(t)      = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+    Plan shape at 100 TB: token explode → per-(doc, term) tf aggregate +
+    per-doc length aggregate + vocab-sized df aggregate; the query's term
+    set is itself a relation (no driver featurization), the contribution
+    join is query-terms-sized per doc, and everything shuffles on doc_id or
+    term only.  Cross-engine float discipline: each per-term contribution
+    becomes an INTEGER micro-score (``floor(x·1e6 + 0.5)`` — the CLAUDE.md
+    half-up idiom; the ln's possible last-ulp difference between libm and
+    Java Math.log would need x·1e6 within ~2e-9 of a half-way boundary to
+    flip it), so the per-doc SUM is exact BIGINT arithmetic — order-free —
+    and ranking ties break on doc_id.  The emitted ``score`` is the integer
+    sum scaled back once.
+    """
+    tok = token_positions_sql(dialect, source)
+    x = (
+        f"LN((ns.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+        f"(tf.tf * ({k1} + 1)) / "
+        f"(tf.tf + {k1} * (1 - {b} + {b} * dl.len / ns.avgdl))"
+    )
+    return f"""
+    WITH tok AS ({tok}),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE word != '' GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+           FROM tok WHERE word != '' GROUP BY doc_id),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM dl),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    q AS (SELECT DISTINCT word FROM tok
+          WHERE doc_id = {query_doc} AND word != ''),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(({x}) * 1000000 + 0.5) AS BIGINT) AS ci
+      FROM tf
+      JOIN q ON q.word = tf.word
+      JOIN df ON df.word = tf.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN ns
+      WHERE tf.doc_id != {query_doc}
+    ),
+    scores AS (
+      SELECT doc_id, CAST(SUM(ci) AS BIGINT) AS si
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(CAST(si AS DOUBLE) / 1000000, 6) AS score, rk
+    FROM (
+      SELECT doc_id, si, CAST(ROW_NUMBER() OVER (
+        ORDER BY si DESC, doc_id ASC) AS INT) AS rk
+      FROM scores
+    ) ranked WHERE rk <= {k}
+    """

@@ -946,3 +946,85 @@ class TestJpegDecode:
 
         assert chk == exp % BMP_CHECKSUM_MOD
         assert len(set(px[0])) > 1  # the AC coefficient really shaped row 0
+
+
+class TestPQ:
+    """Product quantization + ADC (round 5): approximation quality vs the
+    exact dot-product truth, code validity, and frozen-codebook reuse."""
+
+    def test_adc_score_approximates_true_dot(self, spark, sf_dir, tmp_path):
+        import numpy as np
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            knn_pq_adc,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb.createOrReplaceTempView("embeddings")
+        art = str(tmp_path / "books")
+        got = knn_pq_adc(spark, art, query_max=3, k=10).collect()
+        assert got and all(1 <= r["rk"] <= 10 for r in got)
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        # ADC reconstructs dot(q, v) from m=16 codes: distortion stays well
+        # under the score scale even on this worst-case random corpus
+        # (measured mean err ≈ 0.05 at |dot| up to ~0.4)
+        errs = [abs(float(np.dot(vecs[r["q_id"]], vecs[r["n_id"]])) - r["score"])
+                for r in got]
+        assert max(errs) < 0.2 and sum(errs) / len(errs) < 0.08
+
+    def test_adc_retrieves_clusters_on_clustered_data(self, spark, tmp_path):
+        """The honest quality contract: on CLUSTERED vectors (the real-world
+        shape — random vectors have no structure for the codebooks to learn)
+        ADC top-9 must recover a query's entire perturbed-copy cluster.
+        Measured 9/9 for every query at m=8 and m=16."""
+        import numpy as np
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            knn_pq_adc,
+        )
+
+        rng = np.random.RandomState(7)
+        rows, vid = [], 0
+        for b in rng.randn(50, 64):
+            for _c in range(10):
+                v = b + 0.15 * rng.randn(64)
+                v = v / np.linalg.norm(v)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        spark.createDataFrame(
+            rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+        ).createOrReplaceTempView("embeddings")
+        art = str(tmp_path / "books")
+        got = knn_pq_adc(spark, art, query_max=3, k=9).collect()
+        for q in range(3):
+            cluster = {n for n in range(q // 10 * 10, q // 10 * 10 + 10)
+                       if n != q}
+            adc = {r["n_id"] for r in got if r["q_id"] == q}
+            assert adc == cluster, (q, sorted(adc))
+
+    def test_frozen_codebooks_reused_without_retrain(self, spark, sf_dir, tmp_path):
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            knn_pq_adc,
+            train_pq_codebooks,
+            write_pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb.createOrReplaceTempView("embeddings")
+        art = str(tmp_path / "books")
+        write_pq_codebooks(spark, train_pq_codebooks(emb), art)
+        a = sorted(map(tuple, knn_pq_adc(spark, art, retrain=False).collect()))
+        b = sorted(map(tuple, knn_pq_adc(spark, art, retrain=False).collect()))
+        assert a == b and a  # deterministic serving off the frozen artifact
+
+    def test_train_rejects_indivisible_dim(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            train_pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with _pytest.raises(ValueError, match="divisible"):
+            train_pq_codebooks(emb, m=7)
