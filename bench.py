@@ -104,6 +104,8 @@ HEADLINE = [
     "aql_auto_rollup_reagg",
     # round 5: PQ codes + ADC serving (cold pays codebook training, memoized)
     "knn_pq_adc",
+    # round 5: IVF-PQ — pruned partitions + compressed codes, no raw vectors
+    "knn_ivfpq_persisted",
     # round 5: Okapi BM25 ranked retrieval, integer-exact contributions
     "text_bm25_topk",
     # persisted text-search serving (cold pass pays the index build, memoized)

@@ -63,6 +63,7 @@ _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
+_IVFPQ_MEMO: dict[tuple[int, str], str] = {}
 
 
 def _bpe_tokens_for(spark: SparkSession, sf: str) -> list[str]:
@@ -2145,6 +2146,37 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "knn_ivf_persisted",
         _ivf_index_run,
         S.knn_emitted_oracle_sql(query_max=10, k=3),
+    )
+
+    # ---- IVF-PQ persisted serving (round 5) -----------------------------
+    # The full FAISS architecture: coarse lists prune WHICH partitions a
+    # query reads (static list_id predicates over the partitioned codes
+    # store), PQ codes compress WHAT it reads (no raw vectors in the serve
+    # scan).  Every stage is the shared rounded/tie-broken SQL, so the
+    # static oracle recomputes the ENTIRE pipeline — coarse assignment,
+    # probe selection, code assignment, LUT, ADC, top-k — from the two
+    # emitted artifacts: a probe-selection bug hash-fails, not just a
+    # scoring bug (stronger than the emitted-keys IVF contract).
+    def _ivfpq_run(spark: SparkSession, sf: str) -> DataFrame:
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _IVFPQ_MEMO:
+            import os
+
+            from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+            base = os.path.join(_emit_dir("ivfpq"), "index")
+            S.build_ivfpq_index(spark, spark.table("embeddings"), base)
+            _IVFPQ_MEMO[key] = base
+        return S.knn_ivfpq_from_index(spark, _IVFPQ_MEMO[key], dim=64)
+
+    q["knn_ivfpq_persisted"] = Q(
+        run=_ivfpq_run,
+        oracle=S.ivfpq_oracle_sql(
+            f"{_emit_dir('ivfpq')}/index/centroids",
+            f"{_emit_dir('ivfpq')}/index/codebooks",
+            dim=64,
+        ),
     )
 
     # ---- PQ + asymmetric distance (round 5, Jégou et al. 2011) ----------

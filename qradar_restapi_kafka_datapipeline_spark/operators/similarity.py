@@ -924,3 +924,268 @@ def knn_pq_adc(
         pq_adc_sql("spark", artifact, m=m, dsub=dim // m,
                    query_max=query_max, k=k, source=source)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the full FAISS serving architecture, composed from the two
+# halves above: the IVF coarse quantizer prunes WHICH partitions a query
+# reads (storage layout + static list_id predicates, as in
+# build_ivf_index), and PQ codes compress WHAT it reads (16× smaller than
+# raw vectors).  Round-5 addition: every stage — coarse assignment, code
+# assignment, LUT, ADC — is dialect-shared SQL with the rounded-argmin
+# discipline, so the DuckDB oracle recomputes the ENTIRE pipeline from the
+# two emitted artifacts (centroids + codebooks) and a probe-selection bug
+# hash-fails the gate, not just a scoring bug.
+# ---------------------------------------------------------------------------
+
+
+def _cb_rel_sql(dialect: str, artifact: str, cols: str) -> str:
+    if dialect == "spark":
+        return f"SELECT {cols} FROM parquet.`{artifact}`"
+    return f"SELECT {cols} FROM '{artifact}/*.parquet'"
+
+
+def _vec_rel_sql(dialect: str, source: str) -> str:
+    cast = "ARRAY<DOUBLE>" if dialect == "spark" else "DOUBLE[]"
+    return f"SELECT vec_id, CAST(embedding AS {cast}) AS v FROM {source}"
+
+
+def _dot_full_sql(dialect: str, a: str, b: str, dim: int) -> str:
+    """Ordered-fold dot product of two array expressions (length ``dim``)."""
+    if dialect == "spark":
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
+                "(acc, z) -> acc + z)")
+    return (f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> {a}[i] * {b}[i]))")
+
+
+def ivf_assign_sql(
+    dialect: str,
+    cent_artifact: str,
+    dim: int,
+    nprobe: int = 1,
+    source: str = "embeddings",
+) -> str:
+    """``(vec_id, list_id, rk)`` — each vector's ``nprobe`` nearest coarse
+    centroids by ROUNDED dot (+1e-9, 6 dp) with a cid tie-break: the
+    deterministic twin of :func:`_nearest_lists`, shared by the index BUILD
+    (nprobe=1) and the oracle's recomputation, so the stored layout and the
+    static oracle can never disagree on an assignment."""
+    cents = _cb_rel_sql(dialect, cent_artifact, "cid, cv")
+    vecs = _vec_rel_sql(dialect, source)
+    dot = _dot_full_sql(dialect, "e.v", "c.cv", dim)
+    return f"""
+    SELECT vec_id, list_id, rk FROM (
+      SELECT e.vec_id, c.cid AS list_id, CAST(ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND({dot} + 1e-9, 6) DESC, c.cid ASC) AS INT) AS rk
+      FROM ({vecs}) e CROSS JOIN ({cents}) c
+    ) r WHERE rk <= {nprobe}
+    """
+
+
+def pq_codes_sql(
+    dialect: str,
+    cb_artifact: str,
+    m: int,
+    dsub: int,
+    source: str = "embeddings",
+) -> str:
+    """``(vec_id, mi, j)`` — the PQ code assignment CTE body, factored from
+    :func:`pq_adc_sql`'s encode stage (identical rounding + tie-break)."""
+    cb = _cb_rel_sql(dialect, cb_artifact, "m, j, cv")
+    if dialect == "spark":
+        sub = (
+            f"SELECT vec_id, mi, slice(v, mi * {dsub} + 1, {dsub}) AS s "
+            f"FROM ({_vec_rel_sql(dialect, source)}) e "
+            f"LATERAL VIEW explode(sequence(0, {m - 1})) t AS mi"
+        )
+        d2 = ("aggregate(zip_with(s, cb.cv, (x, y) -> (x - y) * (x - y)), "
+              "0D, (acc, z) -> acc + z)")
+    else:
+        sub = (
+            f"SELECT vec_id, mi, list_slice(v, mi * {dsub} + 1, "
+            f"(mi + 1) * {dsub}) AS s "
+            f"FROM ({_vec_rel_sql(dialect, source)}) e, "
+            f"UNNEST(generate_series(0, {m - 1})) AS t(mi)"
+        )
+        d2 = (f"list_sum(list_transform(generate_series(1, {dsub}), "
+              "i -> (s[i] - cb.cv[i]) * (s[i] - cb.cv[i])))")
+    return f"""
+    SELECT vec_id, mi, j FROM (
+      SELECT sub.vec_id, sub.mi, cb.j, ROW_NUMBER() OVER (
+        PARTITION BY sub.vec_id, sub.mi
+        ORDER BY ROUND({d2} + 1e-9, 6) ASC, cb.j ASC) AS rn
+      FROM ({sub}) sub JOIN ({cb}) cb ON cb.m = sub.mi
+    ) r WHERE rn = 1
+    """
+
+
+def pq_lut_sql(
+    dialect: str,
+    cb_artifact: str,
+    m: int,
+    dsub: int,
+    query_max: int,
+    source: str = "embeddings",
+) -> str:
+    """``(q_id, mi, j, lv)`` — per-query LUT entries, rounded to exact 1e-6
+    multiples so downstream ADC sums are order-free."""
+    cb = _cb_rel_sql(dialect, cb_artifact, "m, j, cv")
+    if dialect == "spark":
+        sub = (
+            f"SELECT vec_id, mi, slice(v, mi * {dsub} + 1, {dsub}) AS s "
+            f"FROM ({_vec_rel_sql(dialect, source)}) e "
+            f"LATERAL VIEW explode(sequence(0, {m - 1})) t AS mi"
+        )
+        dot = ("aggregate(zip_with(s, cb.cv, (x, y) -> x * y), "
+               "0D, (acc, z) -> acc + z)")
+    else:
+        sub = (
+            f"SELECT vec_id, mi, list_slice(v, mi * {dsub} + 1, "
+            f"(mi + 1) * {dsub}) AS s "
+            f"FROM ({_vec_rel_sql(dialect, source)}) e, "
+            f"UNNEST(generate_series(0, {m - 1})) AS t(mi)"
+        )
+        dot = (f"list_sum(list_transform(generate_series(1, {dsub}), "
+               "i -> s[i] * cb.cv[i]))")
+    return f"""
+    SELECT sub.vec_id AS q_id, sub.mi, cb.j,
+           ROUND({dot} + 1e-9, 6) AS lv
+    FROM ({sub}) sub JOIN ({cb}) cb ON cb.m = sub.mi
+    WHERE sub.vec_id < {query_max}
+    """
+
+
+def _ivfpq_rank_sql(codes_rel: str, probes_rel: str, lut_rel: str, k: int) -> str:
+    """Dialect-common ADC scoring + ranking over any codes/probes/LUT
+    relations: candidates are vectors whose assigned list is probed by the
+    query; score = exact sum of the query's LUT entries at their codes."""
+    return f"""
+    scores AS (
+      SELECT p.q_id, c.vec_id AS n_id, ROUND(SUM(l.lv) + 1e-9, 6) AS score
+      FROM ({probes_rel}) p
+      JOIN ({codes_rel}) c ON c.list_id = p.list_id
+      JOIN ({lut_rel}) l ON l.q_id = p.q_id AND l.mi = c.mi AND l.j = c.j
+      WHERE c.vec_id != p.q_id
+      GROUP BY p.q_id, c.vec_id
+    )
+    SELECT q_id, n_id, score, rk FROM (
+      SELECT q_id, n_id, score, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS INT) AS rk
+      FROM scores
+    ) ranked WHERE rk <= {k}
+    """
+
+
+def build_ivfpq_index(
+    spark,
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    ksub: int = 16,
+    sample_n: int = 1024,
+    iters: int = 4,
+    source_view: str = "embeddings",
+) -> None:
+    """Materialize the IVF-PQ index: ``centroids/`` + ``codebooks/`` (the
+    two driver-trained, oracle-readable artifacts) and ``codes/`` —
+    ``(vec_id, mi, j)`` PARTITIONED BY list_id, so a probing query's scan
+    file-prunes to its lists AND reads 1-byte codes instead of raw vectors.
+    Assignment and encoding run the SHARED rounded SQL
+    (:func:`ivf_assign_sql` / :func:`pq_codes_sql`), so the stored layout
+    is bit-identical to what the static oracle recomputes."""
+    dim = len(emb.select("embedding").first()[0])
+    cents = _train_ivf_centroids(emb, n_centroids, "vec_id", "embedding",
+                                 sample_n, iters)
+    spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in enumerate(cents)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    books = train_pq_codebooks(emb, m=m, ksub=ksub, sample_n=sample_n,
+                               iters=iters)
+    write_pq_codebooks(spark, books, f"{path}/codebooks")
+    assign = spark.sql(
+        ivf_assign_sql("spark", f"{path}/centroids", dim, 1, source_view)
+    ).select("vec_id", "list_id")
+    codes = spark.sql(
+        pq_codes_sql("spark", f"{path}/codebooks", m, dim // m, source_view)
+    )
+    codes.join(assign, "vec_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/codes")
+
+
+def knn_ivfpq_from_index(
+    spark,
+    path: str,
+    dim: int,
+    m: int = 16,
+    nprobe: int = 4,
+    query_max: int = 3,
+    k: int = 3,
+    source_view: str = "embeddings",
+) -> DataFrame:
+    """Serve top-``k`` from the persisted IVF-PQ index: probe lists come
+    from the shared rounded assignment SQL (collected — queries × nprobe
+    ints, a plan constant), the codes scan carries a static
+    ``list_id IN (...)`` predicate (file-pruned like the raw-vector IVF
+    path), and scoring is the exact-integer ADC sum.  The scan never
+    touches an embedding."""
+    probes = spark.sql(
+        ivf_assign_sql("spark", f"{path}/centroids", dim, nprobe, source_view)
+    ).where(F.col("vec_id") < query_max).select(
+        F.col("vec_id").alias("q_id"), "list_id"
+    )
+    probed = sorted(
+        {r["list_id"] for r in probes.select("list_id").distinct().collect()}
+    )
+    codes = (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes")
+        .where(F.col("list_id").isin(probed))
+    )
+    codes.createOrReplaceTempView("__ivfpq_codes")
+    F.broadcast(probes).createOrReplaceTempView("__ivfpq_probes")
+    lut = pq_lut_sql("spark", f"{path}/codebooks", m, dim // m, query_max,
+                     source_view)
+    return spark.sql(
+        "WITH " + _ivfpq_rank_sql(
+            "SELECT vec_id, mi, j, list_id FROM __ivfpq_codes",
+            "SELECT q_id, list_id FROM __ivfpq_probes",
+            lut,
+            k,
+        )
+    )
+
+
+def ivfpq_oracle_sql(
+    cent_artifact: str,
+    cb_artifact: str,
+    dim: int,
+    m: int = 16,
+    nprobe: int = 4,
+    query_max: int = 3,
+    k: int = 3,
+    source: str = "embeddings",
+) -> str:
+    """Static DuckDB recomputation of the WHOLE IVF-PQ pipeline from the two
+    artifacts — coarse assignment (nprobe for queries, 1 for the corpus),
+    code assignment, LUT, candidate cut, ADC, top-k.  Because every stage
+    uses the rounded/tie-broken shared SQL, a divergence ANYWHERE (including
+    which lists a query probes) hash-fails the entry."""
+    dsub = dim // m
+    corpus_assign = ivf_assign_sql("duckdb", cent_artifact, dim, 1, source)
+    q_probes = (
+        f"SELECT vec_id AS q_id, list_id FROM ("
+        f"{ivf_assign_sql('duckdb', cent_artifact, dim, nprobe, source)}"
+        f") pa WHERE vec_id < {query_max}"
+    )
+    codes = (
+        f"SELECT pc.vec_id, pc.mi, pc.j, ca.list_id "
+        f"FROM ({pq_codes_sql('duckdb', cb_artifact, m, dsub, source)}) pc "
+        f"JOIN ({corpus_assign}) ca ON ca.vec_id = pc.vec_id"
+    )
+    lut = pq_lut_sql("duckdb", cb_artifact, m, dsub, query_max, source)
+    return "WITH " + _ivfpq_rank_sql(codes, q_probes, lut, k)

@@ -1028,3 +1028,36 @@ class TestPQ:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         with _pytest.raises(ValueError, match="divisible"):
             train_pq_codebooks(emb, m=7)
+
+
+def test_ivfpq_retrieves_clusters_end_to_end(spark, tmp_path):
+    """IVF-PQ composition on clustered vectors: the pruned + compressed
+    serve path must still recover a query's perturbed-copy cluster (probe
+    selection finds the right lists, ADC ranks the right members)."""
+    import numpy as np
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        knn_ivfpq_from_index,
+    )
+
+    rng = np.random.RandomState(11)
+    rows, vid = [], 0
+    for b in rng.randn(30, 64):
+        for _c in range(10):
+            v = b + 0.15 * rng.randn(64)
+            v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    emb.createOrReplaceTempView("embeddings")
+    base = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, emb, base)
+    got = knn_ivfpq_from_index(spark, base, dim=64, nprobe=4, query_max=3,
+                               k=9).collect()
+    for q in range(3):
+        cluster = {n for n in range(q // 10 * 10, q // 10 * 10 + 10) if n != q}
+        found = {r["n_id"] for r in got if r["q_id"] == q}
+        # nprobe=4 of 16 lists: the query's own cluster list is always
+        # probed; allow an edge member to straddle a list boundary
+        assert len(found & cluster) >= 7, (q, sorted(found))

@@ -297,6 +297,35 @@ def test_ivf_index_scan_prunes_to_probed_lists(spark, reg, sf_dir):
     assert "INSET" in m.group(1) or "IN (" in m.group(1), m.group(1)
 
 
+def test_ivfpq_codes_scan_prunes_and_reads_no_vectors(spark, reg, sf_dir):
+    """The IVF-PQ serving contract (round 5): the codes scan must carry a
+    list_id PartitionFilter (file-pruned to the probed lists) AND must not
+    read an embedding column anywhere — the whole point of PQ is that the
+    serve path touches codes, the LUT, and nothing vector-shaped."""
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import (
+        _IVFPQ_MEMO,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        knn_ivfpq_from_index,
+    )
+
+    reg["knn_ivfpq_persisted"].run(spark, sf_dir)  # builds + memoizes
+    df = knn_ivfpq_from_index(
+        spark, _IVFPQ_MEMO[(id(spark), sf_dir)], dim=64
+    )
+    plan = _formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters on the codes scan"
+    assert "list_id" in m.group(1), m.group(1)
+    assert "INSET" in m.group(1) or "IN (" in m.group(1), m.group(1)
+    # the codes scan itself is embedding-free; the only embedding read is
+    # the bounded query-side LUT/probe derivation (vec_id < query_max)
+    codes_scans = [
+        seg for seg in plan.split("Scan parquet")[1:] if "/codes" in seg[:400]
+    ]
+    assert codes_scans and all("embedding" not in seg[:400] for seg in codes_scans)
+
+
 def test_text_index_scan_prunes_to_query_groups(spark, reg, sf_dir):
     """The persisted text-search serving contract: the postings scan must
     carry a bucket_group PartitionFilter (the query's posting groups as a
