@@ -108,6 +108,9 @@ HEADLINE = [
     "knn_ivfpq_persisted",
     # round 5: Okapi BM25 ranked retrieval, integer-exact contributions
     "text_bm25_topk",
+    # round 5: distilled quality classifier applied corpus-wide (cold pays
+    # the bounded driver-side training, memoized)
+    "curate_quality_classifier",
     # persisted text-search serving (cold pass pays the index build, memoized)
     "text_knn_indexed",
 ]

@@ -64,6 +64,7 @@ _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_MEMO: dict[tuple[int, str], str] = {}
+_QC_MEMO: dict[tuple[int, str], str] = {}
 
 
 def _bpe_tokens_for(spark: SparkSession, sf: str) -> list[str]:
@@ -922,6 +923,32 @@ def _curation_entries(q: dict[str, Q]) -> None:
     q["curate_quality_quantile"] = _df_entry(
         lambda spark, sf: spark.sql(C.quality_quantile_sql("spark")),
         C.quality_quantile_sql("duckdb"),
+    )
+
+    # ---- train-then-apply quality classifier (round 5) ----------------------
+    # The fastText-curation pattern (DCLM/FineWeb-Edu): the composite quality
+    # heuristic is distilled into a linear model over hashed bigram features
+    # on a bounded deterministic sample (driver numpy, fixed iterations), the
+    # weights are an emitted artifact, and scoring the WHOLE corpus is a
+    # postings ⋈ broadcast-weights join.  The oracle recomputes featurize →
+    # integer-exact micro-contribution sum → sigmoid → verdict statically
+    # from the artifact (99% sample fidelity to the heuristic, pinned in
+    # pytest; the gate hash-checks the scoring pipeline outright).
+    def _qc_run(spark: SparkSession, sf: str) -> DataFrame:
+        setup(spark, sf)
+        key = (id(spark), sf)
+        art = _emit_dir("quality_classifier")
+        if key not in _QC_MEMO:
+            w, b = C.train_quality_classifier(spark)
+            C.write_quality_classifier(spark, w, b, art)
+            _QC_MEMO[key] = art
+        return spark.sql(C.quality_classifier_sql("spark", art))
+
+    q["curate_quality_classifier"] = Q(
+        run=_qc_run,
+        oracle=C.quality_classifier_sql(
+            "duckdb", _emit_dir("quality_classifier")
+        ),
     )
     q["corpus_length_histogram"] = _df_entry(
         lambda spark, sf: spark.sql(C.length_histogram_sql()),

@@ -435,3 +435,127 @@ def pack_contract_oracle_sql(budget: int = 2048, table: str = "documents") -> st
         "TRUE AS all_bins_within_budget, TRUE AS bin_count_within_bound "
         f"FROM {table} GROUP BY source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Train-then-apply quality classifier (round 5) — the fastText-classifier
+# curation pattern (DCLM, FineWeb-Edu): an expensive quality signal is
+# distilled into a cheap linear model over hashed features, and the MODEL
+# is what runs at corpus scale.  Training is driver-side on a bounded
+# deterministic sample (the IVF/PQ/BPE trainer posture); application is a
+# postings ⋈ broadcast-weights join + per-doc sum — linear, shuffle-light,
+# no Python in the row path.  The weights are an emitted artifact, so the
+# DuckDB oracle recomputes featurize → dot → sigmoid → verdict statically
+# and the whole scoring pipeline is hash-checked.
+# ---------------------------------------------------------------------------
+
+
+def train_quality_classifier(
+    spark,
+    dim: int = 1024,
+    sample_n: int = 400,
+    iters: int = 200,
+    lr: float = 0.5,
+    source: str = "documents",
+) -> tuple[list[float], float]:
+    """Logistic probe over hashed-bigram features, labels = "is this doc's
+    composite quality score above the sample median" (the heuristic being
+    distilled).  Deterministic end-to-end: the sample is the ``sample_n``
+    lowest doc_ids, init is zeros, full-batch gradient descent runs a fixed
+    ``iters`` — the same corpus always yields the same weights.  Returns
+    ``(weights[dim], bias)``."""
+    import numpy as np
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        hashed_embedding_postings_sql,
+        quality_score_sql,
+    )
+
+    sample = (
+        f"(SELECT * FROM {source} ORDER BY doc_id LIMIT {sample_n}) qcs"
+    )
+    posts = spark.sql(
+        hashed_embedding_postings_sql("spark", dim, sample)
+    ).collect()
+    labels = spark.sql(
+        f"SELECT doc_id, {quality_score_sql('text', 'spark')} AS q "
+        f"FROM {sample}"
+    ).collect()
+    ids = sorted(r["doc_id"] for r in labels)
+    row_of = {d: i for i, d in enumerate(ids)}
+    x = np.zeros((len(ids), dim))
+    for r in posts:
+        if r["doc_id"] in row_of:
+            x[row_of[r["doc_id"]], r["bucket"]] = r["w"]
+    q = np.array([r["q"] for r in sorted(labels, key=lambda r: r["doc_id"])])
+    y = (q >= np.median(q)).astype(np.float64)
+    w = np.zeros(dim)
+    b = 0.0
+    n = len(ids)
+    for _ in range(iters):
+        z = x @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (x.T @ g) / n
+        b -= lr * float(g.mean())
+    return [float(v) for v in w], float(b)
+
+
+def write_quality_classifier(
+    spark, weights: list[float], bias: float, path: str
+) -> None:
+    """Persist the model as the oracle-readable ``(bucket, w)`` artifact;
+    the bias rides as bucket −1 (no hashed feature is negative)."""
+    rows = [(-1, float(bias))] + [
+        (i, float(v)) for i, v in enumerate(weights) if v != 0.0
+    ]
+    spark.createDataFrame(rows, "bucket BIGINT, w DOUBLE").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def quality_classifier_sql(
+    dialect: str,
+    artifact: str,
+    dim: int = 1024,
+    source: str = "documents",
+) -> str:
+    """Per-doc classifier verdicts from the emitted weights: featurize with
+    the SAME hashed-postings pipeline the trainer used, join the broadcast
+    weights relation, sum integer-exact micro-contributions, one sigmoid.
+
+    Float discipline: each feature contribution (BIGINT feature weight ×
+    model double) rounds to an exact 1e-6 multiple, so the per-doc sum is
+    order-free; the sigmoid's possible libm-vs-Math.exp last-ulp difference
+    is absorbed by the final ROUND(+1e-9, 6).  Docs with NO surviving
+    features (stopword-only) still emit a row at the bias alone."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        hashed_embedding_postings_sql,
+    )
+
+    posts = hashed_embedding_postings_sql(dialect, dim, source)
+    if dialect == "spark":
+        model = f"SELECT bucket, w FROM parquet.`{artifact}`"
+    else:
+        model = f"SELECT bucket, w FROM '{artifact}/*.parquet'"
+    return f"""
+    WITH post AS ({posts}),
+    model AS ({model}),
+    contrib AS (
+      SELECT p.doc_id, ROUND(p.w * m.w + 1e-9, 6) AS c
+      FROM post p JOIN model m ON m.bucket = p.bucket
+    ),
+    bias AS (SELECT w AS b FROM model WHERE bucket = -1),
+    logits AS (
+      SELECT d.doc_id,
+             ROUND(COALESCE(s.sc, 0.0) + bias.b + 1e-9, 6) AS logit
+      FROM (SELECT DISTINCT doc_id FROM {source}) d
+      LEFT JOIN (SELECT doc_id, SUM(c) AS sc FROM contrib GROUP BY doc_id) s
+        ON s.doc_id = d.doc_id
+      CROSS JOIN bias
+    )
+    SELECT doc_id, logit,
+           ROUND(1.0 / (1.0 + EXP(-logit)) + 1e-9, 6) AS score,
+           CAST(logit >= 0 AS BOOLEAN) AS keep
+    FROM logits
+    """

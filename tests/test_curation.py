@@ -554,3 +554,48 @@ def test_text_index_compaction_is_value_neutral(spark, tables, tmp_path):
         for t in probes
     ]
     assert after == before
+
+
+class TestQualityClassifier:
+    """Train-then-apply quality classifier (round 5): determinism, fidelity
+    to the heuristic it distills, and holdout generalization."""
+
+    def test_training_is_deterministic(self, spark, tables):
+        from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+            train_quality_classifier,
+        )
+
+        w1, b1 = train_quality_classifier(spark, sample_n=200, iters=50)
+        w2, b2 = train_quality_classifier(spark, sample_n=200, iters=50)
+        assert w1 == w2 and b1 == b2
+
+    def test_distills_heuristic_and_generalizes(self, spark, tables, tmp_path):
+        from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+            quality_classifier_sql,
+            train_quality_classifier,
+            write_quality_classifier,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            quality_score_sql,
+        )
+
+        w, b = train_quality_classifier(spark, sample_n=400)
+        art = str(tmp_path / "model")
+        write_quality_classifier(spark, w, b, art)
+        scored = {
+            r["doc_id"]: r["keep"]
+            for r in spark.sql(quality_classifier_sql("spark", art)).collect()
+        }
+        qs = spark.sql(
+            f"SELECT doc_id, {quality_score_sql('text', 'spark')} AS q "
+            "FROM documents"
+        ).collect()
+        train_q = sorted(r["q"] for r in qs if r["doc_id"] < 400)
+        med = train_q[len(train_q) // 2]
+
+        def acc(rows):
+            hits = [ (r["q"] >= med) == scored[r["doc_id"]] for r in rows ]
+            return sum(hits) / len(hits)
+
+        assert acc([r for r in qs if r["doc_id"] < 400]) >= 0.9   # training
+        assert acc([r for r in qs if r["doc_id"] >= 400]) >= 0.7  # holdout
