@@ -2060,6 +2060,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         D.dup_clusters_oracle_sql(pairs_sql_noround),
     )
+    # Quality-aware canonical selection per cluster (keep the BEST member,
+    # not the min-id one) — rep choice + membership count both value-checked
+    # against the recursive-closure + shared-quality-SQL oracle.
+    q["dedup_cluster_representatives"] = _df_entry(
+        lambda spark, sf: D.cluster_representatives(
+            spark.table("documents"),
+            D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85),
+        ),
+        D.cluster_representatives_oracle_sql(pairs_sql_noround),
+    )
     # The funnel's terminal relation: corpus minus non-canonical cluster
     # members. Oracle = anti-join against the recursive-closure drop list.
     q["dedup_corpus_near"] = _df_entry(
@@ -2530,6 +2540,20 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         decontaminate_oracle_sql(),
     )
+    # The 100 TB shape of the same decision: broadcast Bloom-bitmap prefilter
+    # eliminates non-candidate train shingles MAP-SIDE (zero shuffle for the
+    # bulk), exact verify only on survivors.  The oracle is the SAME raw
+    # exact SQL — a bitmap/hash bug (dropped true positive) hash-fails here.
+    from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+        decontaminate_train_bloom,
+    )
+
+    q["decontaminate_bloom"] = _df_entry(
+        lambda spark, sf: decontaminate_train_bloom(spark.table("documents")).select(
+            "doc_id", "source", "lang"
+        ),
+        decontaminate_oracle_sql(),
+    )
 
     # ---- prefix dedup (first-N-words fingerprint) ----------------------------
     q["dedup_prefix"] = _df_entry(
@@ -2616,6 +2640,12 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["text_bigram_loglik"] = _df_entry(
         lambda spark, sf: spark.sql(T.bigram_loglik_sql("spark")),
         T.bigram_loglik_sql("duckdb"),
+    )
+    # CCNet head/middle/tail terciles over the bigram-LM score — the
+    # train-order curation decision, per-doc bucket value-checked.
+    q["curate_ccnet_buckets"] = _df_entry(
+        lambda spark, sf: spark.sql(T.ccnet_buckets_sql("spark")),
+        T.ccnet_buckets_sql("duckdb"),
     )
 
     # ---- winnowing fingerprints (MOSS) + copy-detection overlap join --------

@@ -116,6 +116,95 @@ def decontaminate_train(
     return train.join(flagged, id_col, "left_anti")
 
 
+def decontaminate_train_bloom(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    test_mod: int = 5,
+    max_rate: float = 0.5,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """:func:`decontaminate_train` with a broadcast Bloom-filter PREFILTER —
+    the 100 TB shape of the same decision, value-identical output.
+
+    The exact path semi-joins EVERY train shingle against the eval shingle
+    set: correct, but at corpus scale that join shuffles the full train
+    shingle relation (string keys) even though almost none of it overlaps an
+    eval set.  Here the eval shingles are folded into an ``m_bits`` Bloom
+    bitmap — a SINGLE ROW of ``m_bits/64`` longs (128 KiB at the default
+    2^20) built with one aggregation — that Catalyst broadcasts to every
+    task.  Train shingles test membership with pure JVM bit expressions
+    (``n_hashes`` independent ``xxhash64`` probes), so the non-candidate
+    bulk of the corpus is eliminated MAP-SIDE with zero shuffle; only the
+    surviving candidates (true hits + the bounded false-positive residue)
+    enter the exact semi-join that makes the final answer auditable.
+
+    Bloom false positives are removed by that exact verify and false
+    negatives are impossible (every bit of a present shingle is set), so the
+    output is hash-identical to :func:`decontaminate_train` — the driver
+    gate checks this against the SAME raw-SQL oracle, meaning a hashing or
+    bitmap bug fails loudly rather than silently over/under-scrubbing.
+    (Reference context: vikramaditya-tatke/qradar-restapi-kafka-datapipeline has no
+    corpus analysis — ``etl.py:16-49`` is per-event; this extends the
+    engine's training-data family.)
+    """
+    train = df.where(F.col(id_col) % test_mod != 0)
+    test_sh = (
+        _word_shingles(
+            df.where(F.col(id_col) % test_mod == 0), id_col, text_col, shingle_k
+        )
+        .select("shingle")
+        .distinct()
+    )
+    # one bit position per (shingle, probe): pos = xxhash64(shingle, i) mod m
+    probes = F.explode(
+        F.array(*[F.lit(i) for i in range(n_hashes)])
+    ).alias("__i")
+    positions = test_sh.select("shingle", probes).select(
+        F.pmod(F.xxhash64("shingle", "__i"), F.lit(m_bits)).alias("__pos")
+    )
+    # fold positions into a one-row {word_index -> 64-bit mask} map; the
+    # aggregation is distributed (per-word-index bit_or, then one bounded
+    # collect of <= m_bits/64 entries into the single broadcast row)
+    bitmap = (
+        positions.select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__m"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__w", "__m"))).alias("__bloom")
+        )
+    )
+    train_sh = _word_shingles(train, id_col, text_col, shingle_k)
+    counts = train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    bit_checks = [
+        "(coalesce(try_element_at(__bloom, CAST(pmod(xxhash64(shingle, "
+        f"{i}), {m_bits}) / 64 AS INT)), 0L) & shiftleft(1L, "
+        f"CAST(pmod(xxhash64(shingle, {i}), {m_bits}) % 64 AS INT))) != 0"
+        for i in range(n_hashes)
+    ]
+    candidates = (
+        train_sh.join(F.broadcast(bitmap))
+        .where(F.expr(" AND ".join(bit_checks)))
+        .drop("__bloom")
+    )
+    hits = (
+        candidates.join(test_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    flagged = (
+        counts.join(hits, id_col)
+        .where(F.col("__h") / F.col("__n") > max_rate)
+        .select(id_col)
+    )
+    return train.join(flagged, id_col, "left_anti")
+
+
 def decontaminate_oracle_sql(
     source: str = "documents",
     shingle_k: int = 3,

@@ -531,6 +531,77 @@ def dup_clusters_oracle_sql(pairs_sql: str) -> str:
     """
 
 
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware CANONICAL selection per near-dup cluster: instead of the
+    min-id convention (:func:`dedup_corpus_near`), keep the member with the
+    highest :func:`~..text.quality_score` (ties broken by min id so both
+    engines agree).  Training pipelines prefer this — duplicate clusters
+    often mix a clean original with truncated/boilerplated mirrors, and
+    min-id keeps whichever crawled first.
+
+    Returns one row per cluster: ``(cluster_id, rep_doc_id, n_members,
+    rep_quality)``.  Scale shape: the cluster relation is only the dup-doc
+    subset (tiny vs the corpus), the quality join is an equi-join on the doc
+    id (Catalyst broadcasts the cluster side), and the per-cluster window
+    partitions on ``cluster_id`` — near-dup clusters are shallow, so no
+    single window key grows with corpus size.
+    """
+    from pyspark.sql import Window
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import quality_score
+
+    clusters = dup_clusters(pairs)
+    members = clusters.join(
+        df.select(F.col(id_col).alias("doc_id"), quality_score(text_col).alias("__q")),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("__q").alias("rep_quality"),
+        )
+    )
+
+
+def cluster_representatives_oracle_sql(pairs_sql: str, source: str = "documents") -> str:
+    """DuckDB twin: recursive-closure clusters + the shared quality-score SQL
+    + the identical (quality DESC, doc_id) argmax window."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import quality_score_sql
+
+    return f"""
+    WITH clusters AS ({dup_clusters_oracle_sql(pairs_sql)}),
+    q AS (
+      SELECT doc_id, {quality_score_sql('text', 'duckdb')} AS __q FROM {source}
+    ),
+    m AS (
+      SELECT c.cluster_id, c.doc_id, q.__q,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id ORDER BY q.__q DESC, c.doc_id
+             ) AS __rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members, __q AS rep_quality
+    FROM m WHERE __rn = 1
+    """
+
+
 def dedup_corpus_near(
     df: DataFrame,
     id_col: str = "doc_id",

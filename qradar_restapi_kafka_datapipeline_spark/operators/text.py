@@ -608,6 +608,32 @@ def unigram_loglik_sql(dialect: str, source: str = "documents") -> str:
     """
 
 
+def ccnet_buckets_sql(dialect: str, source: str = "documents") -> str:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): rank every
+    document by its corpus-LM likelihood and cut the corpus into terciles —
+    CCNet trains on "head" (lowest-perplexity) web text first, "middle" next,
+    and discards or down-weights "tail".  The LM here is the in-engine
+    second-order model (:func:`bigram_loglik_sql`, the KenLM stand-in), so
+    the whole filter needs NO external artifact.
+
+    Determinism: the tercile window orders by the ROUNDED 4-dp likelihood
+    (already proven hash-identical cross-engine by the ``text_bigram_loglik``
+    gate entry) with ``doc_id`` settling ties, so NTILE assigns identically
+    in both engines.  Scale note: NTILE over a global ORDER BY is a single
+    -partition sort of one narrow (doc_id, score) row per doc — fine to
+    ~10^9 docs; past that, swap the exact tercile for sampled cut-points
+    (``approxQuantile`` on the score) and a stateless CASE compare, which
+    changes only the boundary docs.
+    """
+    return f"""
+    SELECT doc_id, n_transitions, mean_bigram_loglik,
+           CASE NTILE(3) OVER (ORDER BY mean_bigram_loglik DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ccnet_bucket
+    FROM ({bigram_loglik_sql(dialect, source)}) ll
+    """
+
+
 # ---------------------------------------------------------------------------
 # Feature-hashed document embeddings (hashing trick, Weinberger et al. 2009)
 # — text → sparse vector → cosine pairs with NO external model, expressed so
