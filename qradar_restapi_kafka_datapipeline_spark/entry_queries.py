@@ -634,6 +634,32 @@ def registry() -> dict[str, Q]:
         ),
     )
 
+    # Streaming anomaly parity: hourly per-type VOLUME state maintained by
+    # the watermarked streaming roll-up, z-scored by the shared exact-BIGINT
+    # layer; oracle recomputes hourly volumes from RAW events and scores with
+    # the IDENTICAL SQL — any streamed drop/double-count hash-fails.
+    def _anomaly_stream_run(spark: SparkSession, sf: str) -> DataFrame:
+        from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+            anomaly_scores_streaming,
+        )
+
+        return anomaly_scores_streaming(spark, sf)
+
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        volume_anomaly_sql,
+    )
+
+    q["streaming_anomaly_parity"] = _df_entry(
+        _anomaly_stream_run,
+        _duck_cte(
+            volume_anomaly_sql(
+                "SELECT date_trunc('hour', ts) AS h, eventName, "
+                "CAST(SUM(eventCount) AS BIGINT) AS n "
+                "FROM qevents GROUP BY 1, 2"
+            )
+        ),
+    )
+
     # ---- B5/B9: epoch autodetect + WeekFrom/ReportDate derivation -----------
     q["normalize_dates"] = _shared_sql_entry(
         _normalize_dates_body("spark"), _normalize_dates_body("duckdb")

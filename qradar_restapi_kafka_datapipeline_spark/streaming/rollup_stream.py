@@ -300,3 +300,47 @@ def streaming_rollup_watermarked(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def volume_anomaly_sql(hourly_src: str) -> str:
+    """Trailing z-score over an HOURLY-VOLUME relation ``(h, eventName, n)``
+    — the engine-shared scoring layer of the streaming anomaly parity.  Same
+    exact-BIGINT rearrangement as the batch ``event_rate_anomaly`` entry
+    (every intermediate integer; doubles only in the two terminal sqrts), so
+    the score is bit-identical whether ``hourly_src`` is the live streamed
+    state or the oracle's one-shot batch aggregate."""
+    return f"""
+    SELECT h AS hour, eventName, CAST(n AS BIGINT) AS n_volume,
+           ROUND((n * k - s1) * sqrt(CAST(k * (k - 1) AS DOUBLE)) /
+             (k * NULLIF(sqrt(CAST(s2 * k - s1 * s1 AS DOUBLE)), 0)) + 1e-9, 4)
+             AS z
+    FROM (
+      SELECT h, eventName, n,
+        CAST(SUM(n) OVER w AS BIGINT) AS s1,
+        CAST(SUM(n * n) OVER w AS BIGINT) AS s2,
+        CAST(COUNT(*) OVER w AS BIGINT) AS k
+      FROM ({hourly_src}) hourly
+      WINDOW w AS (PARTITION BY eventName ORDER BY h
+        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ) stats WHERE k >= 12
+    """
+
+
+def anomaly_scores_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFrame:
+    """Streaming twin of the volume-anomaly detector: the hourly per-type
+    state is maintained by the WATERMARKED streaming roll-up (event-time
+    contiguous replay, append mode, sentinel flush), and the z-scoring layer
+    is a view over that streamed state — the standard production split
+    (stream keeps the pre-aggregate small and hot; scoring reads it).  The
+    parity entry hashes this against the oracle's one-shot raw-events
+    aggregate + the SAME scoring SQL, so a drop/double-count anywhere in the
+    streaming path fails the gate."""
+    hourly = rollup_events_streaming_watermarked(spark, sf_dir, n_batches)
+    hourly.createOrReplaceTempView("__stream_hourly_anomaly")
+    return spark.sql(
+        volume_anomaly_sql(
+            "SELECT Start_Time AS h, eventName, "
+            "CAST(SUM(Event_Count) AS BIGINT) AS n "
+            "FROM __stream_hourly_anomaly GROUP BY 1, 2"
+        )
+    )

@@ -1061,3 +1061,142 @@ def test_ivfpq_retrieves_clusters_end_to_end(spark, tmp_path):
         # nprobe=4 of 16 lists: the query's own cluster list is always
         # probed; allow an edge member to straddle a list boundary
         assert len(found & cluster) >= 7, (q, sorted(found))
+
+
+class TestBloomDecontamination:
+    """The Bloom-prefilter path must be VALUE-IDENTICAL to the exact
+    semi-join path — false positives are removed by the exact verify,
+    false negatives are impossible."""
+
+    def _docs(self, spark):
+        leak = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (0, leak, "s", "en"),                       # eval doc
+            (1, leak + " eta theta", "s", "en"),        # train, heavy overlap
+            (2, "one two three four five six seven", "s", "en"),  # clean
+            (3, "alpha beta gamma nine ten eleven twelve", "s", "en"),  # light
+            (5, "totally unrelated words here present now", "s", "en"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, source STRING, lang STRING"
+        )
+
+    def test_bloom_equals_exact_and_expected(self, spark):
+        from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+            decontaminate_train,
+            decontaminate_train_bloom,
+        )
+
+        docs = self._docs(spark)
+        exact = {r["doc_id"] for r in decontaminate_train(docs).collect()}
+        bloom = {r["doc_id"] for r in decontaminate_train_bloom(docs).collect()}
+        assert bloom == exact
+        # docs 0 and 5 are the eval split (%5==0); train doc 1 leaks 4/6
+        # distinct shingles of eval doc 0 → flagged; 2 and 3 survive
+        assert exact == {2, 3}
+
+    def test_tiny_bitmap_false_positive_stress(self, spark):
+        """256-bit bitmap over the full corpus's eval shingles: nearly every
+        probe collides, so the exact verify must carry the decision alone."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+            decontaminate_train,
+            decontaminate_train_bloom,
+        )
+
+        docs = self._docs(spark)
+        tiny = {
+            r["doc_id"]
+            for r in decontaminate_train_bloom(
+                docs, m_bits=256, n_hashes=2
+            ).collect()
+        }
+        exact = {r["doc_id"] for r in decontaminate_train(docs).collect()}
+        assert tiny == exact
+
+
+class TestClusterRepresentatives:
+    def test_rep_is_max_quality_tie_broken_by_min_id(self, spark):
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            cluster_representatives,
+        )
+
+        # quality_score favors longer text with stopwords; doc 11 is the
+        # clearly-best member of cluster {10, 11, 12}; 20/21 tie exactly
+        # (identical text) so min id 20 must win.
+        long_good = (
+            "the quick brown fox and the lazy dog of the meadow ran to a "
+            "stream and the day was long and the grass was soft. " * 6
+        )
+        rows = [
+            (10, "short junk", "s", "en"),
+            (11, long_good, "s", "en"),
+            (12, "middling text the and of a to here", "s", "en"),
+            (20, long_good, "s", "en"),
+            (21, long_good, "s", "en"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, source STRING, lang STRING"
+        )
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (20, 21)], "id_a BIGINT, id_b BIGINT"
+        )
+        got = {
+            r["cluster_id"]: r for r in cluster_representatives(docs, pairs).collect()
+        }
+        assert got[10]["rep_doc_id"] == 11 and got[10]["n_members"] == 3
+        assert got[20]["rep_doc_id"] == 20 and got[20]["n_members"] == 2
+
+
+class TestCcnetBuckets:
+    def test_terciles_balanced_and_ordered(self, spark):
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            ccnet_buckets_sql,
+        )
+
+        # 12 docs: repeated formulaic bigrams (high loglik) vs token salad
+        rows = [(i, "the cat sat on the mat and the cat sat", "s", "en") for i in range(4)]
+        rows += [(10 + i, f"one two three four five six seven w{i}", "s", "en") for i in range(4)]
+        rows += [(20 + i, f"zz{i} qq{i} jj{i} xx{i} vv{i} kk{i}", "s", "en") for i in range(4)]
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, source STRING, lang STRING"
+        ).createOrReplaceTempView("__ccnet_docs")
+        out = spark.sql(ccnet_buckets_sql("spark", source="__ccnet_docs")).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["ccnet_bucket"], []).append(r)
+        assert {len(v) for v in by_bucket.values()} == {4}
+        avg = {
+            b: sum(r["mean_bigram_loglik"] for r in v) / len(v)
+            for b, v in by_bucket.items()
+        }
+        assert avg["head"] > avg["middle"] > avg["tail"]
+        # the formulaic docs are the head
+        assert {r["doc_id"] for r in by_bucket["head"]} == {0, 1, 2, 3}
+
+
+class TestVolumeAnomalySql:
+    def test_spike_scores_positive_steady_scores_zero(self, spark):
+        from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+            volume_anomaly_sql,
+        )
+
+        rows = []
+        for h in range(30):
+            # non-constant history (zero variance would NULL every z via the
+            # NULLIF guard); one 1000-volume spike in the last hour
+            n = 1000 if h == 29 else 10 + (h % 3)
+            rows.append((f"2024-01-01 {h % 24:02d}:00:00", "A", h, n))
+        spark.createDataFrame(
+            rows, "hs STRING, eventName STRING, hidx BIGINT, n BIGINT"
+        ).createOrReplaceTempView("__vol_hourly")
+        out = spark.sql(
+            volume_anomaly_sql(
+                "SELECT timestamp(hs) + make_interval(0,0,0,0,CAST(hidx DIV 24 AS INT)*24) AS h,"
+                " eventName, n FROM __vol_hourly"
+            )
+        ).collect()
+        z = {r["hour"]: r["z"] for r in out}
+        spike = max(z, key=lambda k: z[k])
+        assert z[spike] > 100.0
+        steady = [v for k, v in z.items() if k != spike]
+        assert steady and all(abs(v) < 3.0 for v in steady)
