@@ -2147,6 +2147,13 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "FROM e a, e b WHERE a.vec_id < b.vec_id "
         "AND ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) >= 0.42",
     )
+    # MMR diversification over the exact top-20 pool: relevance-minus-
+    # redundancy greedy, replayed step-for-step by the DuckDB recursive-CTE
+    # oracle — one mis-pick at any step hash-fails.
+    q["knn_mmr_diversified"] = _df_entry(
+        lambda spark, sf: S.mmr_diversify(spark.table("embeddings")),
+        S.mmr_oracle_sql(),
+    )
     q["knn_bruteforce_cosine"] = _df_entry(
         lambda spark, sf: S.knn_bruteforce(
             spark.table("embeddings"), query_ids=list(range(10)), k=3

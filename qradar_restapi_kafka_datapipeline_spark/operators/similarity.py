@@ -1189,3 +1189,147 @@ def ivfpq_oracle_sql(
     )
     lut = pq_lut_sql("duckdb", cb_artifact, m, dsub, query_max, source)
     return "WITH " + _ivfpq_rank_sql(codes, q_probes, lut, k)
+
+
+# ---------------------------------------------------------------------------
+# MMR result diversification (Carbonell & Goldstein 1998) — rerank a bounded
+# retrieval pool so results cover the neighborhood instead of repeating it.
+# ---------------------------------------------------------------------------
+
+def mmr_diversify(
+    emb: DataFrame,
+    query_id: int = 0,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    lam_comp: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance reranking over the exact top-``pool_k``
+    cosine pool of one query: greedily pick the candidate maximizing
+    ``lam·cos(q,d) − lam_comp·max_{s∈S} cos(d,s)`` — relevance minus
+    redundancy — the standard diversification layer over any retriever.
+
+    Scale shape: the DISTRIBUTED work is the retrieval (one broadcast-join
+    scan of the corpus, exactly :func:`knn_bruteforce` — swap in the IVF/PQ
+    serving path unchanged) plus one ``pool_k²`` pairwise-sim join; both
+    pool relations are bounded constants, localCheckpointed once so the
+    ``k``-step greedy lineage re-reads 20-row blocks instead of re-scanning
+    the corpus per step.  The greedy itself is inherently sequential (each
+    pick conditions the next) but touches only the bounded pool — the
+    ``dup_clusters`` fixpoint pattern: driver holds loop CONTROL, never data.
+
+    Cross-engine determinism: query sims and pair sims are the proven
+    ROUND(cos+1e-9, 6) values; the MMR score re-rounds the affine combination
+    at 6 dp (identical double literals ``lam``/``lam_comp`` both engines —
+    pass both explicitly, ``1 - 0.7`` in binary is NOT the literal ``0.3``);
+    ties settle by id.  The DuckDB oracle replays the whole greedy as a
+    recursive CTE (:func:`mmr_oracle_sql`), so a single mis-pick at any step
+    hash-fails the gate entry.
+    """
+    assert abs(lam + lam_comp - 1.0) < 1e-9
+    pool = (
+        knn_bruteforce(emb, query_ids=[query_id], k=pool_k, id_col=id_col,
+                       vec_col=vec_col)
+        .select("n_id", "cos")
+        .localCheckpoint(eager=True)
+    )
+    pv = pool.join(
+        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")), "n_id"
+    )
+    a = pv.select(F.col("n_id").alias("id_a"), F.col("v").alias("va"))
+    b = pv.select(F.col("n_id").alias("id_b"), F.col("v").alias("vb"))
+    pair = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr("va", "vb") + F.lit(1e-9), 6).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        pool.orderBy(F.col("cos").desc(), F.col("n_id").asc())
+        .limit(1)
+        .select(F.lit(1).alias("rk"), "n_id", "cos")
+    )
+    for step in range(2, k + 1):
+        sel_ids = selected.select(F.col("n_id").alias("id_b"))
+        maxs = pair.join(sel_ids, "id_b").groupBy("id_a").agg(
+            F.max("s").alias("__ms")
+        )
+        pick = (
+            pool.join(selected.select("n_id"), "n_id", "left_anti")
+            .join(maxs, F.col("n_id") == F.col("id_a"))
+            .withColumn(
+                "__score",
+                F.round(
+                    F.lit(lam) * F.col("cos")
+                    - F.lit(lam_comp) * F.col("__ms")
+                    + F.lit(1e-9),
+                    6,
+                ),
+            )
+            .orderBy(F.col("__score").desc(), F.col("n_id").asc())
+            .limit(1)
+            .select(F.lit(step).alias("rk"), "n_id", "cos")
+        )
+        selected = selected.unionByName(pick)
+    return selected
+
+
+def mmr_oracle_sql(
+    query_id: int = 0,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    lam_comp: float = 0.3,
+    source: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`mmr_diversify`: identical pool, identical
+    rounded sims, and the greedy replayed as a recursive CTE whose working
+    row carries the selected-id list."""
+    return f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM {source} WHERE vec_id = {query_id}),
+    pool AS (
+      SELECT n_id, cos FROM (
+        SELECT e.vec_id AS n_id,
+               ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+                     + 1e-9, 6) AS cos,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(
+                     q.qv, CAST(e.embedding AS DOUBLE[])) + 1e-9, 6)
+                   DESC, e.vec_id) AS rk
+        FROM {source} e, q WHERE e.vec_id != q.q_id
+      ) WHERE rk <= {pool_k}
+    ),
+    pv AS (SELECT p.n_id, CAST(e.embedding AS DOUBLE[]) AS v
+           FROM pool p JOIN {source} e ON p.n_id = e.vec_id),
+    pair AS (
+      SELECT a.n_id AS id_a, b.n_id AS id_b,
+             ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS s
+      FROM pv a JOIN pv b ON a.n_id != b.n_id
+    ),
+    sel(step, picked, pcos, sel_ids) AS (
+      SELECT 1, n_id, cos, [n_id] FROM (
+        SELECT n_id, cos FROM pool ORDER BY cos DESC, n_id LIMIT 1
+      )
+      UNION ALL
+      SELECT sel.step + 1, t.n_id, t.cos, list_append(sel.sel_ids, t.n_id)
+      FROM sel, LATERAL (
+        SELECT p.n_id, p.cos
+        FROM pool p
+        WHERE NOT list_contains(sel.sel_ids, p.n_id)
+        ORDER BY ROUND({lam!r} * p.cos - {lam_comp!r} * (
+            SELECT MAX(pr.s) FROM pair pr
+            WHERE pr.id_a = p.n_id AND list_contains(sel.sel_ids, pr.id_b)
+          ) + 1e-9, 6) DESC, p.n_id
+        LIMIT 1
+      ) t
+      WHERE sel.step < {k}
+    )
+    SELECT step AS rk, picked AS n_id, pcos AS cos FROM sel
+    """

@@ -1200,3 +1200,47 @@ class TestVolumeAnomalySql:
         assert z[spike] > 100.0
         steady = [v for k, v in z.items() if k != spike]
         assert steady and all(abs(v) < 3.0 for v in steady)
+
+
+class TestMmrDiversify:
+    def test_mmr_breaks_up_redundant_cluster(self, spark):
+        """Corpus: a tight near-duplicate cluster close to the query plus
+        spread-out singles. Plain top-k fills with the cluster; MMR must
+        interleave the diverse singles after one cluster pick."""
+        import numpy as np
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            knn_bruteforce,
+            mmr_diversify,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(8)
+        rows = [(0, [float(x) for x in base / np.linalg.norm(base)])]
+        # ids 1-4: one near-dup cluster hugging the query
+        for i in range(1, 5):
+            v = base + 0.01 * rng.randn(8)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        # ids 10-13: distinct directions, still positively correlated
+        for j in range(4):
+            v = base + 2.5 * rng.randn(8)
+            rows.append((10 + j, [float(x) for x in v / np.linalg.norm(v)]))
+        emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+        plain = [
+            r["n_id"]
+            for r in knn_bruteforce(emb, query_ids=[0], k=4)
+            .orderBy("rk")
+            .collect()
+        ]
+        assert set(plain) == {1, 2, 3, 4}  # redundant fill
+
+        got = (
+            mmr_diversify(emb, query_id=0, pool_k=8, k=4, lam=0.5, lam_comp=0.5)
+            .orderBy("rk")
+            .collect()
+        )
+        picks = [r["n_id"] for r in got]
+        assert picks[0] == plain[0]  # first pick is pure relevance
+        assert len([p for p in picks if p >= 10]) >= 2  # diversity enforced
+        assert [r["rk"] for r in got] == [1, 2, 3, 4]
