@@ -281,6 +281,8 @@ def _uniform_ops(spark, k: int):
     from qradar_restapi_kafka_datapipeline_spark.operators import text as T
     from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
         contamination_report,
+        decontaminate_train,
+        decontaminate_train_bloom,
     )
     from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
         sessionize,
@@ -377,6 +379,21 @@ def _uniform_ops(spark, k: int):
                     spark.table("events"),
                     gap_minutes=30,
                     agg_cols={"value": "total_value"},
+                ),
+                # round-5b: exact vs Bloom-prefiltered decontamination — the
+                # curve that justifies the broadcast bitmap: the exact path's
+                # semi-join shuffles EVERY train shingle, the bloom path only
+                # the candidates; both outputs are value-identical
+                "decontaminate_train": lambda: decontaminate_train(
+                    spark.table("documents")
+                ),
+                "decontaminate_bloom": lambda: decontaminate_train_bloom(
+                    spark.table("documents")
+                ),
+                # round-5b: CCNet terciles — bigram explode + vocab joins +
+                # one narrow global NTILE over per-doc rows
+                "curate_ccnet_buckets": lambda: spark.sql(
+                    T.ccnet_buckets_sql("spark")
                 ),
                 # round-4: BPE train (vocab extraction + bounded-collect merge
                 # learning) + relational longest-match apply, end to end
