@@ -1752,6 +1752,25 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     # The pre-ingest audit a pipeline runs before trusting a new drop: null
     # counts, ranges, and distinct cardinality, all in ONE aggregate pass
     # over the scan (never one pass per column).
+    # Z-order layout keys: Morton interleave of (user_id, epoch-hour) — the
+    # OPTIMIZE ZORDER sort key, pure integer shifts/masks hash-checked per
+    # event; the file-extent pruning claim is measured in pytest from real
+    # parquet footer stats (operators/layout.py).
+    from qradar_restapi_kafka_datapipeline_spark.operators.layout import (
+        morton_key_sql,
+    )
+
+    q["zorder_layout_keys"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            "SELECT event_id, user_id, "
+            + morton_key_sql("spark", "user_id", "unix_millis(ts) DIV 3600000")
+            + " AS zkey FROM events"
+        ),
+        "SELECT event_id, user_id, "
+        + morton_key_sql("duckdb", "user_id", "epoch_ms(ts) // 3600000")
+        + " AS zkey FROM events",
+    )
+
     q["data_profile_events"] = _table_sql_entry(
         "SELECT COUNT(*) AS n_rows, "
         "COUNT(value) AS value_nonnull, "
@@ -2709,6 +2728,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["mix_to_target_weights"] = _df_entry(
         lambda spark, sf: spark.sql(mix_to_target_sql("spark", strat_col="lang")),
         mix_to_target_sql("duckdb", strat_col="lang"),
+    )
+    # temperature (α=0.5) mixture reweighting — rate_s = √(n_min/n_s),
+    # hash-gated deterministic keep set, value-checked per row
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        mix_temperature_sql,
+    )
+
+    q["mix_temperature_weights"] = _df_entry(
+        lambda spark, sf: spark.sql(mix_temperature_sql("spark", strat_col="lang")),
+        mix_temperature_sql("duckdb", strat_col="lang"),
     )
 
     # ---- domain mixing weights ----------------------------------------------

@@ -300,6 +300,51 @@ def mix_to_target_sql(
     """
 
 
+def mix_temperature_sql(
+    dialect: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> str:
+    """Temperature-based mixture reweighting (the multilingual-LLM sampling
+    rule, α = 0.5): target share of stratum s is ``√n_s / Σ√n_t`` — big
+    strata are damped, small ones boosted relative to the natural mix, the
+    standard fix for head-language domination (mC4/XLM-R §3.1; Gopher §A2
+    generalizes).  Downsample-only: the feasible corpus budget is set by the
+    stratum whose natural share falls furthest below its target; every
+    stratum's keep-rate lands as integer basis points gating the portable id
+    hash, so the kept set is deterministic, auditable, and resumable like
+    every other sampler here.
+
+    The normalizer cancels: with target share ``p_s ∝ √n_s`` and budget
+    ``T = min_u n_u/p_u``, the keep-rate algebra collapses to ``rate_s =
+    √(n_min / n_s)`` — one exact-rounded division and one IEEE sqrt,
+    bit-identical in any engine (no Σ√n whose summation ORDER could drift a
+    ulp and flip a FLOOR at a basis-point boundary; the general-α form is
+    ``(n_min/n_s)^(1−α)``).  The smallest stratum's rate is exactly 1.
+    Plan shape: stratum counts (|strata| rows) → scalar min fold →
+    broadcast rates joined back onto the scan as a pure filter; the corpus
+    is read once, never shuffled.
+    """
+    h = portable_id_hash_sql(f"d.{id_col}", dialect)
+    return f"""
+    WITH counts AS (
+      SELECT {strat_col}, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} GROUP BY {strat_col}
+    ),
+    m AS (SELECT MIN(n) AS min_n FROM counts),
+    rates AS (
+      SELECT {strat_col},
+             CAST(FLOOR(SQRT(CAST(min_n AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 10000.0 + 1e-9) AS INT) AS rate_bp
+      FROM counts CROSS JOIN m
+    )
+    SELECT d.{id_col}, d.{strat_col}, r.rate_bp
+    FROM {table} d JOIN rates r ON d.{strat_col} = r.{strat_col}
+    WHERE ({h} % 10000) < r.rate_bp
+    """
+
+
 def length_histogram_sql(bucket_chars: int = 50, table: str = "documents") -> str:
     """Corpus length histogram (dialect-common; the standard curation
     diagnostic before choosing length cutoffs)."""

@@ -211,6 +211,41 @@ def test_mix_to_target_deterministic(spark, sf_dir):
     assert a == b and a
 
 
+def test_mix_temperature_rates_follow_sqrt_law(spark, sf_dir):
+    import math
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "mix_docs3"
+    )
+    out = spark.sql(
+        C.mix_temperature_sql("spark", table="mix_docs3", strat_col="lang")
+    )
+    orig = {
+        r["lang"]: r["count"]
+        for r in spark.table("mix_docs3").groupBy("lang").count().collect()
+    }
+    min_n = min(orig.values())
+    rates = {
+        r["lang"]: r["rate_bp"]
+        for r in out.select("lang", "rate_bp").distinct().collect()
+    }
+    kept = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    for lang, n in orig.items():
+        # rate_s = floor(√(n_min/n_s) · 1e4): the α=0.5 temperature law
+        assert rates[lang] == int(math.sqrt(min_n / n) * 10000 + 1e-9)
+        # realized keep tracks the rate within binomial noise
+        exp = n * rates[lang] / 10000.0
+        assert abs(kept.get(lang, 0) - exp) <= 4 * math.sqrt(exp) + 2
+    # smallest stratum is kept whole; damping is monotone in stratum size
+    smallest = min(orig, key=orig.get)
+    assert rates[smallest] == 10000 and kept[smallest] == orig[smallest]
+    by_size = sorted(orig, key=orig.get)
+    assert all(
+        rates[by_size[i]] >= rates[by_size[i + 1]]
+        for i in range(len(by_size) - 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-engine parity on hostile text (unicode, emoji, whitespace, case)
 # ---------------------------------------------------------------------------
