@@ -29,6 +29,11 @@ import itertools as _itertools
 
 _PERSISTED: dict[str, object] = {}
 _VIEW_SEQ = _itertools.count()
+#: materialize_view generations per key, newest last (ADVICE r5 low):
+#: keeping the last 2 lets plans returned by the PREVIOUS invocation stay
+#: valid while bounding scratch growth in long-lived driver sessions.
+_MAT_GENERATIONS: dict[str, list[str]] = {}
+_MAT_RETAIN = 2
 
 
 def unique_view(df, key: str) -> str:
@@ -139,14 +144,20 @@ def materialize_view(spark, df, key: str) -> str:
     by an earlier invocation under the same ``key`` still reference the old
     parquet path, and — unlike :func:`persist_tracked`'s "loses only its
     cache" contract — deleting it makes those plans fail with missing-file
-    errors at execute time instead of recomputing.  The per-process atexit
-    scratch cleanup reclaims every generation; scratch growth is bounded by
-    invocations-per-process, not corpus size.
+    errors at execute time instead of recomputing.  Instead generations are
+    tracked per key and generation N-2 is deleted on the Nth invocation
+    (ADVICE r5 low): plans holding N-1 stay valid, a long-lived driver
+    session running many queries holds at most ``_MAT_RETAIN`` copies per
+    key instead of one per invocation, and atexit reclaims the rest.
     """
     path = scratch_dir(f"mat_{key.strip('_')}_")
     df.write.mode("overwrite").parquet(path)
     name = f"{key}_{next(_VIEW_SEQ)}"
     spark.read.parquet(path).createOrReplaceTempView(name)
+    gens = _MAT_GENERATIONS.setdefault(key, [])
+    gens.append(path)
+    while len(gens) > _MAT_RETAIN:
+        shutil.rmtree(gens.pop(0), ignore_errors=True)
     return name
 
 

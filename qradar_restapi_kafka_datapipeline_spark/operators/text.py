@@ -1198,17 +1198,26 @@ def compact_text_index(
     )
     # norms is small and unpartitioned: Spark refuses an in-place overwrite
     # of a path it is reading, so stage to a dotted temp dir (invisible to
-    # listings) and swap with the filesystem's atomic-enough dir rename.
+    # listings) and swap with dir renames.  Swap order matters (ADVICE r5):
+    # move the LIVE dir aside first, then rename the staged copy in — every
+    # crash point leaves either the old or the new norms readable, and a
+    # rename failure restores the old dir instead of leaving the index with
+    # no norms at all.
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = f"{path}/.norms_compact_tmp"
+    old = f"{path}/.norms_compact_old"
     spark.read.parquet(f"{path}/norms").coalesce(1).write.mode(
         "overwrite"
     ).parquet(tmp)
-    fs.delete(hpath(f"{path}/norms"), True)
+    fs.delete(hpath(old), True)  # stale leftover from a prior crash
+    if not fs.rename(hpath(f"{path}/norms"), hpath(old)):
+        raise RuntimeError(f"compact_text_index: could not stage-out norms")
     if not fs.rename(hpath(tmp), hpath(f"{path}/norms")):
+        fs.rename(hpath(old), hpath(f"{path}/norms"))  # restore live index
         raise RuntimeError(f"compact_text_index: rename failed for {tmp}")
+    fs.delete(hpath(old), True)
     return n
 
 

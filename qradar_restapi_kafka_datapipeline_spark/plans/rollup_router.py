@@ -158,7 +158,16 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
     stripped = reagg.sub("", stripped)
     if re.search(r"\beventCount\b", stripped, flags=re.I):
         return None
-    if re.search(r"\bCOUNT\s*\(", stripped, flags=re.I):
+    # ANY residual aggregate call is unroutable (ADVICE r5 medium): the view
+    # collapsed rows, so e.g. SUM(domainId) over view rows != over raw events
+    # even though domainId is a covered dim.  Only the stripped forms above
+    # (SUM(eventCount), dim re-aggregations) are provably derivable.
+    if re.search(
+        r"\b(?:SUM|AVG|COUNT|MIN|MAX|STDDEV\w*|VAR\w*|FIRST|LAST|MEDIAN|"
+        r"PERCENTILE\w*|COLLECT\w*)\s*\(",
+        stripped,
+        flags=re.I,
+    ):
         return None
     conjuncts = _top_level_split_and(m.group("pred"))
     if conjuncts is None:

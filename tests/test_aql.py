@@ -510,6 +510,12 @@ class TestRollupRouter:
         # COUNT(DISTINCT sub-hour trunc): finer than the view's grain
         "SELECT COUNT(DISTINCT DATE_TRUNC('minute', ts)) AS n FROM events "
         "WHERE eventName = 'error'",
+        # SUM over a DIM column (ADVICE r5): the dim passes the identifier
+        # check but the view's row collapse makes the sum wrong — refuse
+        "SELECT userName, CAST(SUM(domainId) AS BIGINT) AS t FROM events "
+        "WHERE eventName = 'error' GROUP BY userName",
+        # AVG over a dim: same collapse hazard
+        "SELECT AVG(domainId) AS a FROM events WHERE eventName = 'error'",
     ]
 
     def test_routed_equals_raw_on_engine(self, frontend):

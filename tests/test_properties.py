@@ -719,6 +719,10 @@ class TestRollupRouterFuzz:
             ("COUNT(*) AS n_rows", False),
             ("COUNT(DISTINCT qid) AS n_qids", False),
             ("MIN(magnitude) AS min_mag", False),
+            # SUM/AVG over a covered DIM column (ADVICE r5): identifiers all
+            # pass, but view row-collapse changes the value — must not route
+            ("CAST(SUM(domainId) AS BIGINT) AS s_dom", False),
+            ("AVG(domainId) AS a_dom", False),
         ])
 
         routed_count = 0

@@ -145,3 +145,24 @@ def test_persist_view_releases_previous_relation(spark):
     assert spark.table(v2).count() == 20
     assert spark.table(v1).count() == 10  # old view still resolvable (uncached)
     engine._PERSISTED.pop("__t_pv").unpersist()
+
+def test_materialize_view_reclaims_old_generations(spark):
+    """ADVICE r5: materialize_view must bound scratch growth — generation
+    N-2 is deleted on the Nth invocation while N-1 (plans may still hold
+    it) stays readable."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark import engine
+
+    key = "__t_mat"
+    engine._MAT_GENERATIONS.pop(key, None)
+    names, paths = [], []
+    for n in (5, 6, 7):
+        names.append(engine.materialize_view(spark, spark.range(n), key))
+        paths.append(engine._MAT_GENERATIONS[key][-1])
+    assert len(engine._MAT_GENERATIONS[key]) == engine._MAT_RETAIN
+    assert not os.path.exists(paths[0])          # N-2 reclaimed
+    assert os.path.exists(paths[1]) and os.path.exists(paths[2])
+    assert spark.table(names[-1]).count() == 7   # newest serves
+    assert spark.table(names[-2]).count() == 6   # N-1 plans still valid
+    engine._MAT_GENERATIONS.pop(key, None)
