@@ -65,6 +65,35 @@ _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_MEMO: dict[tuple[int, str], str] = {}
 _QC_MEMO: dict[tuple[int, str], str] = {}
+#: (session id, sf_dir) → materialized temp-view name of the threshold-0.85
+#: MinHash-LSH pair relation (VERDICT r5 #3): four registry consumers
+#: (highsim pairs, dup clusters, cluster representatives, corpus-near) used
+#: to re-derive the shingle→minhash→band→verify pipeline independently —
+#: the most expensive repeated lineage in the bench.  Materialized parquet
+#: (not persist) because the relation is consumed repeatedly across
+#: separate actions and its lineage is expensive (engine.materialize_view
+#: contract).
+_LSH_PAIRS_MEMO: dict[tuple[int, str], str] = {}
+
+
+def _lsh_pairs_085(spark: SparkSession, sf: str):
+    """Compute-once-per-(session, sf) LSH pair relation at threshold 0.85
+    (xxhash64 production mode), shared by every cluster-family consumer."""
+    from qradar_restapi_kafka_datapipeline_spark import engine
+    from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
+
+    key = (id(spark), sf)
+    if key not in _LSH_PAIRS_MEMO:
+        # per-(session, sf) materialize key: the generation GC retains only
+        # the newest artifacts per key, and this view must outlive later
+        # invocations made for OTHER sessions/sfs in the same process
+        mat_key = f"__lsh_pairs_085_{abs(hash(key)) % 10**8}"
+        _LSH_PAIRS_MEMO[key] = engine.materialize_view(
+            spark,
+            D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85),
+            mat_key,
+        )
+    return spark.table(_LSH_PAIRS_MEMO[key])
 
 
 def _bpe_tokens_for(spark: SparkSession, sf: str) -> list[str]:
@@ -2084,9 +2113,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.85
         """
     q["dedup_minhash_lsh_highsim"] = _df_entry(
-        lambda spark, sf: D.minhash_lsh_pairs(
-            spark.table("documents"), threshold=0.85
-        ),
+        _lsh_pairs_085,  # shared compute-once pair relation (VERDICT r5 #3)
         _highsim_pairs_sql,
     )
 
@@ -2100,9 +2127,7 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "SELECT id_a, id_b FROM (" + _highsim_pairs_sql + ") p"
     )
     q["dedup_clusters"] = _df_entry(
-        lambda spark, sf: D.dup_clusters(
-            D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85)
-        ),
+        lambda spark, sf: D.dup_clusters(_lsh_pairs_085(spark, sf)),
         D.dup_clusters_oracle_sql(pairs_sql_noround),
     )
     # Quality-aware canonical selection per cluster (keep the BEST member,
@@ -2110,17 +2135,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # against the recursive-closure + shared-quality-SQL oracle.
     q["dedup_cluster_representatives"] = _df_entry(
         lambda spark, sf: D.cluster_representatives(
-            spark.table("documents"),
-            D.minhash_lsh_pairs(spark.table("documents"), threshold=0.85),
+            spark.table("documents"), _lsh_pairs_085(spark, sf)
         ),
         D.cluster_representatives_oracle_sql(pairs_sql_noround),
     )
     # The funnel's terminal relation: corpus minus non-canonical cluster
     # members. Oracle = anti-join against the recursive-closure drop list.
     q["dedup_corpus_near"] = _df_entry(
-        lambda spark, sf: D.dedup_corpus_near(spark.table("documents")).select(
-            "doc_id", "source", "lang"
-        ),
+        lambda spark, sf: D.dedup_corpus_near(
+            spark.table("documents"), pairs=_lsh_pairs_085(spark, sf)
+        ).select("doc_id", "source", "lang"),
         "SELECT doc_id, source, lang FROM documents WHERE doc_id NOT IN ("
         f"SELECT doc_id FROM ({D.dup_clusters_oracle_sql(pairs_sql_noround)}) c "
         "WHERE doc_id != cluster_id)",

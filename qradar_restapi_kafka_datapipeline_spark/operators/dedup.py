@@ -455,12 +455,21 @@ def dup_clusters(
     edges and keeps the per-node minimum, converging in O(component diameter)
     rounds — near-dup clusters are shallow (chains longer than a few hops are
     rare), so 3-4 rounds typical.  Each round is one equi-join + one groupBy,
-    both shuffle-partitioned on the node id; the driver sees only the
-    converged/changed COUNT per round (a scalar — the standard fixpoint
-    check), never the graph.  For adversarial deep-chain graphs at extreme
-    scale, swap in alternating large/small-star (same interface); the corpus
-    dedup case does not need it.
+    both shuffle-partitioned on the node id; the driver sees only one SCALAR
+    per round (the fixpoint check), never the graph.  For adversarial
+    deep-chain graphs at extreme scale, swap in alternating large/small-star
+    (same interface); the corpus dedup case does not need it.
+
+    Fixpoint check (VERDICT r5 #3 — the old new⋈old + count paid an extra
+    join per round): min-label propagation only ever DECREASES labels, so
+    for numeric ids ``SUM(label)`` is strictly decreasing until convergence
+    and an unchanged sum is an EXACT converged test — one aggregate action
+    over the (small) label relation, no join.  Sums are taken in
+    decimal(38,0) so ANSI mode can't overflow on wide graphs.  Non-numeric
+    ids keep the join-based changed-count (sum isn't defined for them).
     """
+    from pyspark.sql.types import NumericType
+
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = (
@@ -469,6 +478,14 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    numeric = isinstance(labels.schema["label"].dataType, NumericType)
+
+    def _label_sum(lbl):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels) if numeric else None
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -481,15 +498,20 @@ def dup_clusters(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        if numeric:
+            new_sum = _label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            ) == 0
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     edges.unpersist()
     # Truncate the iteration lineage and release the loop's CacheManager entry:
@@ -607,6 +629,7 @@ def dedup_corpus_near(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.85,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The end of the dedup funnel: the corpus with every non-canonical
     near-dup cluster member REMOVED (keep the min-id doc per component).
@@ -615,8 +638,14 @@ def dedup_corpus_near(
     members against the corpus.  The anti-join is keyed on ``id_col`` (the
     drop list is small — near-dup members only — so Catalyst broadcasts it);
     the full text column rides through untouched, never shuffled.
+
+    ``pairs`` lets callers inject a PRE-COMPUTED (shared/materialized) pair
+    relation (VERDICT r5 #3): the same LSH pairs feed three registry
+    consumers, and re-deriving the shingle→minhash→band→verify pipeline per
+    consumer was the single most expensive bench line.
     """
-    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
     clusters = dup_clusters(pairs, max_iter=20)
     drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
