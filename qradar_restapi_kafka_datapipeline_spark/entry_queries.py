@@ -298,6 +298,24 @@ def registry() -> dict[str, Q]:
         ),
         oracle=aql_oracle_sql(_ROUTED_TOTAL_AQL, DEFAULT_PARAMS),
     )
+    # COUNT(*)/AVG routing via the views' summed n_rows measure (round 6,
+    # VERDICT r5 #5): COUNT(*) → SUM(n_rows), AVG(eventCount) → exact-BIGINT
+    # SUM-over-SUM with one final double division.  Spark runs ROUTED against
+    # the pre-collapsed view; the oracle computes COUNT(*)/AVG from RAW
+    # events — equality proves the measure bookkeeping, not just the rewrite.
+    _ROUTED_COUNT_AQL = (
+        "SELECT domainId, COUNT(*) AS n_events, "
+        "AVG(eventCount) AS avg_event_count, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE eventName = 'error' "
+        "GROUP BY domainId"
+    )
+    q["aql_auto_rollup_count"] = Q(
+        run=lambda spark, sf: setup(spark, sf).sql(
+            _ROUTED_COUNT_AQL, DEFAULT_PARAMS, auto_route=True
+        ),
+        oracle=aql_oracle_sql(_ROUTED_COUNT_AQL, DEFAULT_PARAMS),
+    )
 
     # ---- AQL aggregation through the frontend (A3+A10+A15 in one query) ----
     q["aql_agg_by_customer"] = _aql_entry(
@@ -893,6 +911,15 @@ def registry() -> dict[str, Q]:
 #: aql_agg_functions; IN aql_TopSecurityEvents (GLOBALVIEW corpus),
 #: aql_routed_materialized, aql_auto_rollup_reagg (new), streaming_dedup_parity,
 #: text_semantic_pairs_hashed_capped (the bench config), dedup_passages.
+#: Round 6 (VERDICT r5 #1) rotated OUT revenue_by_nation,
+#: top_users_per_event_type, streaming_dedup_parity, dedup_passages,
+#: knn_ivf_persisted, dedup_ngram_jaccard, dedup_exact_substring_apply,
+#: text_tfidf_topk (each family keeps another rep or is mirror-covered);
+#: IN the round-5 families the hard gate never hashed — knn_ivfpq_persisted,
+#: curate_quality_classifier, decontaminate_bloom, text_bm25_topk,
+#: knn_mmr_diversified, zorder_layout_keys — plus this round's new
+#: aql_auto_rollup_count (n_rows navigator) and knn_mmr_ivfpq (MMR over the
+#: persisted index).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -900,6 +927,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "aql_nested_incidr_coalesce",
     "aql_auto_rollup_routed",
     "aql_auto_rollup_reagg",
+    "aql_auto_rollup_count",
     "aql_routed_materialized",
     "aql_day_pruned_scan",
     "full_network_name_domain_divergence",
@@ -908,20 +936,17 @@ GATE_WINDOW: tuple[str, ...] = (
     "summing_rollup_hourly",
     "streaming_rollup_txn_parity",
     "globalview_aggregate",
-    "revenue_by_nation",
-    "top_users_per_event_type",
     "dedup_exact_stats",
     "dedup_exact_substring",
-    "dedup_exact_substring_apply",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
-    "dedup_passages",
     "dedup_embedding_cosine",
     "knn_bruteforce_cosine",
-    "knn_ivf_persisted",
+    "knn_ivfpq_persisted",
     "knn_ivf_appended",
+    "knn_mmr_diversified",
+    "knn_mmr_ivfpq",
     "semantic_dedup_pairs",
     "embedding_quantize_report",
     "text_knn_indexed",
@@ -930,17 +955,19 @@ GATE_WINDOW: tuple[str, ...] = (
     "text_langid_distribution",
     "text_quality_scores",
     "text_fingerprint",
-    "text_tfidf_topk",
+    "text_bm25_topk",
     "text_winnow_overlap",
     "text_bpe_tokenize",
     "pii_redaction_report",
     "boilerplate_doc_coverage",
     "decontaminate_train",
+    "decontaminate_bloom",
     "curate_blocklist",
+    "curate_quality_classifier",
     "pack_sequences_bpe_contract",
     "multimodal_jpeg_decode",
     "streaming_sessionize_parity",
-    "streaming_dedup_parity",
+    "zorder_layout_keys",
     "resample_hourly_gapfill",
     "sessionize_events_bucketed",
     "event_gaps_lag_bucketed",
@@ -2270,22 +2297,37 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # probe selection, code assignment, LUT, ADC, top-k — from the two
     # emitted artifacts: a probe-selection bug hash-fails, not just a
     # scoring bug (stronger than the emitted-keys IVF contract).
-    def _ivfpq_run(spark: SparkSession, sf: str) -> DataFrame:
+    def _ivfpq_index_for(spark: SparkSession, sf: str) -> str:
         setup(spark, sf)
         key = (id(spark), sf)
         if key not in _IVFPQ_MEMO:
             import os
 
-            from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
-
             base = os.path.join(_emit_dir("ivfpq"), "index")
             S.build_ivfpq_index(spark, spark.table("embeddings"), base)
             _IVFPQ_MEMO[key] = base
-        return S.knn_ivfpq_from_index(spark, _IVFPQ_MEMO[key], dim=64)
+        return _IVFPQ_MEMO[key]
 
     q["knn_ivfpq_persisted"] = Q(
-        run=_ivfpq_run,
+        run=lambda spark, sf: S.knn_ivfpq_from_index(
+            spark, _ivfpq_index_for(spark, sf), dim=64
+        ),
         oracle=S.ivfpq_oracle_sql(
+            f"{_emit_dir('ivfpq')}/index/centroids",
+            f"{_emit_dir('ivfpq')}/index/codebooks",
+            dim=64,
+        ),
+    )
+    # MMR over the PERSISTED index (round 6, VERDICT r5 #6): proves the
+    # docstring claim that the IVF/PQ serving path swaps in under the greedy
+    # unchanged.  Pool candidates come from the file-pruned ADC serve (no
+    # corpus scan), relevance is exact-cosine-refined on the bounded pool,
+    # and the oracle recomputes pool + refine + greedy from the artifacts.
+    q["knn_mmr_ivfpq"] = Q(
+        run=lambda spark, sf: S.knn_mmr_ivfpq(
+            spark, _ivfpq_index_for(spark, sf), dim=64
+        ),
+        oracle=S.mmr_ivfpq_oracle_sql(
             f"{_emit_dir('ivfpq')}/index/centroids",
             f"{_emit_dir('ivfpq')}/index/codebooks",
             dim=64,

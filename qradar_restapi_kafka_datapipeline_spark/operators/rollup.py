@@ -21,27 +21,35 @@ DEFAULT_MEASURE = "Event_Count"  # the sole non-nullable measure (helpers.py:142
 DEFAULT_TIME_COL = "Start_Time"
 
 
+def _measures(measure: str | list[str]) -> list[str]:
+    """SummingMergeTree sums EVERY numeric non-key column; accept one or many
+    (the GLOBALVIEW maintenance path carries SUM_eventCount + n_rows)."""
+    return [measure] if isinstance(measure, str) else list(measure)
+
+
 def summing_rollup(
     df: DataFrame,
-    measure: str = DEFAULT_MEASURE,
+    measure: str | list[str] = DEFAULT_MEASURE,
     time_col: str = DEFAULT_TIME_COL,
     grain: str = "hour",
     dims: list[str] | None = None,
 ) -> DataFrame:
-    """Collapse equal-key rows at ``grain`` truncation, summing ``measure``.
+    """Collapse equal-key rows at ``grain`` truncation, summing ``measure``
+    (one column name or a list — each summed independently).
 
-    ``dims`` defaults to every column except measure and time — exactly the
+    ``dims`` defaults to every column except measures and time — exactly the
     SummingMergeTree ORDER BY tuple (reference clickhouse/clickhouse.py:76-78,
     summing-key derivation clickhouse/helpers.py:182-190). Nulls group together
     (``allow_nullable_key=1`` parity). Adds ``event_date`` (the day-partition
     column, ``PARTITION BY toYYYYMMDD`` parity).
     """
+    ms = _measures(measure)
     if dims is None:
-        dims = [c for c in df.columns if c not in (measure, time_col)]
+        dims = [c for c in df.columns if c not in (*ms, time_col)]
     bucketed = df.withColumn(time_col, F.date_trunc(grain, F.col(f"`{time_col}`")))
     out = (
         bucketed.groupBy(F.col(f"`{time_col}`"), *[F.col(f"`{d}`") for d in dims])
-        .agg(F.sum(F.col(f"`{measure}`")).alias(measure))
+        .agg(*[F.sum(F.col(f"`{m}`")).alias(m) for m in ms])
         .withColumn("event_date", F.to_date(F.col(f"`{time_col}`")))
     )
     return out
@@ -63,7 +71,8 @@ def write_rollup(
     rolled.write.mode(mode).partitionBy("event_date").parquet(path)
 
 
-def merge_rollup(spark, increment: DataFrame, path: str, measure: str = DEFAULT_MEASURE,
+def merge_rollup(spark, increment: DataFrame, path: str,
+                 measure: str | list[str] = DEFAULT_MEASURE,
                  time_col: str = DEFAULT_TIME_COL) -> None:
     """Aggregate-add upsert: fold an increment into an existing roll-up table.
 
@@ -72,17 +81,18 @@ def merge_rollup(spark, increment: DataFrame, path: str, measure: str = DEFAULT_
     read current ∪ increment → re-collapse → atomically replace affected day
     partitions. Used by the foreachBatch sink (streaming/rollup_stream.py).
     """
-    inc = summing_rollup(increment, measure=measure, time_col=time_col)
+    ms = _measures(measure)
+    inc = summing_rollup(increment, measure=ms, time_col=time_col)
     try:
         current = spark.read.parquet(path)
     except Exception:
         inc.write.mode("overwrite").partitionBy("event_date").parquet(path)
         return
-    dims = [c for c in inc.columns if c not in (measure,)]
+    dims = [c for c in inc.columns if c not in ms]
     merged = (
         current.unionByName(inc)
         .groupBy(*[F.col(f"`{d}`") for d in dims])
-        .agg(F.sum(F.col(f"`{measure}`")).alias(measure))
+        .agg(*[F.sum(F.col(f"`{m}`")).alias(m) for m in ms])
     )
     # Dynamic partition overwrite keeps untouched days in place.
     (

@@ -1233,8 +1233,22 @@ def mmr_diversify(
         knn_bruteforce(emb, query_ids=[query_id], k=pool_k, id_col=id_col,
                        vec_col=vec_col)
         .select("n_id", "cos")
-        .localCheckpoint(eager=True)
     )
+    return _mmr_greedy(emb, pool, k, lam, lam_comp, id_col, vec_col)
+
+
+def _mmr_greedy(
+    emb: DataFrame,
+    pool: DataFrame,
+    k: int,
+    lam: float,
+    lam_comp: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The MMR greedy over ANY bounded ``(n_id, cos)`` pool relation —
+    retrieval-agnostic, so the brute-force and IVF-PQ pools share it."""
+    pool = pool.localCheckpoint(eager=True)
     pv = pool.join(
         emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")), "n_id"
     )
@@ -1290,11 +1304,7 @@ def mmr_oracle_sql(
     """DuckDB twin of :func:`mmr_diversify`: identical pool, identical
     rounded sims, and the greedy replayed as a recursive CTE whose working
     row carries the selected-id list."""
-    return f"""
-    WITH RECURSIVE
-    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-          FROM {source} WHERE vec_id = {query_id}),
-    pool AS (
+    pool_sql = f"""
       SELECT n_id, cos FROM (
         SELECT e.vec_id AS n_id,
                ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
@@ -1303,9 +1313,110 @@ def mmr_oracle_sql(
                  ORDER BY ROUND(list_cosine_similarity(
                      q.qv, CAST(e.embedding AS DOUBLE[])) + 1e-9, 6)
                    DESC, e.vec_id) AS rk
-        FROM {source} e, q WHERE e.vec_id != q.q_id
+        FROM {source} e,
+             (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM {source} WHERE vec_id = {query_id}) q
+        WHERE e.vec_id != q.q_id
       ) WHERE rk <= {pool_k}
-    ),
+    """
+    return _mmr_greedy_oracle_sql(pool_sql, k, lam, lam_comp, source)
+
+
+def knn_mmr_ivfpq(
+    spark,
+    path: str,
+    dim: int,
+    m: int = 16,
+    nprobe: int = 4,
+    query_id: int = 0,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    lam_comp: float = 0.3,
+    source_view: str = "embeddings",
+) -> DataFrame:
+    """MMR composed over the PERSISTED IVF-PQ index — the claim in
+    :func:`mmr_diversify`'s docstring made executable: the pool's CANDIDATE
+    SET comes from :func:`knn_ivfpq_from_index` (file-pruned probes, 1-byte
+    codes, ADC top-``pool_k``), relevance is refined to exact rounded cosine
+    on the bounded pool (the FAISS refine step — ``pool_k`` raw-vector reads,
+    not a corpus scan), and the identical retrieval-agnostic greedy
+    (:func:`_mmr_greedy`) diversifies.  The oracle recomputes the pool from
+    the index artifacts via the full static IVF-PQ pipeline and replays the
+    greedy — a wrong probe, code, ADC rank, refine score, or pick hash-fails.
+    """
+    pool_ids = (
+        knn_ivfpq_from_index(
+            spark, path, dim, m=m, nprobe=nprobe,
+            query_max=query_id + 1, k=pool_k, source_view=source_view,
+        )
+        .where(F.col("q_id") == query_id)
+        .select("n_id")
+    )
+    emb = spark.table(source_view)
+    q = emb.where(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("qv")
+    )
+    pool = (
+        pool_ids.join(
+            emb.select(F.col("vec_id").alias("n_id"),
+                       F.col("embedding").alias("nv")),
+            "n_id",
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "n_id",
+            F.round(cosine_expr("qv", "nv") + F.lit(1e-9), 6).alias("cos"),
+        )
+    )
+    return _mmr_greedy(emb, pool, k, lam, lam_comp)
+
+
+def mmr_ivfpq_oracle_sql(
+    cent_artifact: str,
+    cb_artifact: str,
+    dim: int,
+    m: int = 16,
+    nprobe: int = 4,
+    query_id: int = 0,
+    pool_k: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    lam_comp: float = 0.3,
+    source: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`knn_mmr_ivfpq`: the pool is the static IVF-PQ
+    recomputation (:func:`ivfpq_oracle_sql`, embedded as a subquery) refined
+    to exact rounded cosine, then the shared greedy replay."""
+    ivfpq = ivfpq_oracle_sql(
+        cent_artifact, cb_artifact, dim, m=m, nprobe=nprobe,
+        query_max=query_id + 1, k=pool_k, source=source,
+    )
+    pool_sql = f"""
+      SELECT c.n_id,
+             ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   + 1e-9, 6) AS cos
+      FROM ({ivfpq}) c
+      JOIN {source} e ON e.vec_id = c.n_id,
+           (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM {source} WHERE vec_id = {query_id}) q
+      WHERE c.q_id = {query_id}
+    """
+    return _mmr_greedy_oracle_sql(pool_sql, k, lam, lam_comp, source)
+
+
+def _mmr_greedy_oracle_sql(
+    pool_sql: str,
+    k: int,
+    lam: float,
+    lam_comp: float,
+    source: str,
+) -> str:
+    """The recursive-CTE greedy replay over ANY ``(n_id, cos)`` pool SQL —
+    the oracle twin of :func:`_mmr_greedy`."""
+    return f"""
+    WITH RECURSIVE
+    pool AS ({pool_sql}),
     pv AS (SELECT p.n_id, CAST(e.embedding AS DOUBLE[]) AS v
            FROM pool p JOIN {source} e ON p.n_id = e.vec_id),
     pair AS (

@@ -29,6 +29,7 @@ _KEYWORDS = {
     "and", "or", "not", "in", "as", "sum", "cast", "bigint", "int", "count",
     "start", "stop", "events", "asc", "desc", "between", "like", "is",
     "null", "distinct", "when", "case", "then", "else", "end", "min", "max",
+    "avg", "coalesce", "double",
 }
 
 #: sub-hour time syntax in START/STOP makes hourly pre-aggregation unsafe
@@ -114,11 +115,13 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
     covers the query; ``None`` otherwise (caller runs against raw events).
 
     Preconditions checked: single ``FROM events`` aggregate; every measure
-    is ``SUM(eventCount)`` or a dim re-aggregation (``COUNT(DISTINCT d)`` /
-    ``MIN(d)`` / ``MAX(d)`` for d ∈ dims, or ``COUNT(DISTINCT
-    DATE_TRUNC('hour-or-coarser', ts))`` — the view keeps every distinct
-    dim × hour combination, so these survive roll-up; plain COUNT(*)/AVG do
-    NOT — the views keep no row count); select/group/residual-WHERE
+    is ``SUM(eventCount)``, ``COUNT(*)`` (→ the views' summed ``n_rows``
+    measure), ``AVG(eventCount)`` (→ SUM-over-SUM), or a dim re-aggregation
+    (``COUNT(DISTINCT d)`` / ``MIN(d)`` / ``MAX(d)`` for d ∈ dims, or
+    ``COUNT(DISTINCT DATE_TRUNC('hour-or-coarser', ts))`` — the view keeps
+    every distinct dim × hour combination, so these survive roll-up; any
+    other aggregate — COUNT(col), SUM/AVG over a dim — stays refused: the
+    roll-up collapsed the rows it would need); select/group/residual-WHERE
     identifiers ⊆ view dims; the view's defining filter appears verbatim
     (whitespace-normalized) as a top-level conjunct; START/STOP absent or
     hour-aligned; no top-level OR.  GROUP BY may be absent (whole-relation
@@ -152,9 +155,18 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
     sel, grp, tail = m.group("sel"), m.group("grp"), m.group("tail") or ""
     dims = set(_VIEW_DIMS)
     reagg = _dim_reagg_pattern(dims)
-    # every eventCount reference must sit inside SUM( eventCount ), and the
-    # only COUNTs allowed are the dim re-aggregations
-    stripped = re.sub(r"SUM\s*\(\s*eventCount\s*\)", "", sel + tail, flags=re.I)
+    # every eventCount reference must sit inside SUM(eventCount) /
+    # AVG(eventCount); COUNT(*) and AVG(eventCount) route through the views'
+    # summed n_rows measure (VERDICT r5 #5 — SummingMergeTree keeps a part
+    # row count implicitly, the views keep it explicitly); the only other
+    # COUNTs allowed are the dim re-aggregations
+    stripped = re.sub(
+        r"SUM\s*\(\s*eventCount\s*\)|COUNT\s*\(\s*\*\s*\)"
+        r"|AVG\s*\(\s*eventCount\s*\)",
+        "",
+        sel + tail,
+        flags=re.I,
+    )
     stripped = reagg.sub("", stripped)
     if re.search(r"\beventCount\b", stripped, flags=re.I):
         return None
@@ -187,14 +199,31 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
         if not (refs - {"eventCount"}) <= dims:
             continue
         where = (" WHERE " + " AND ".join(residual)) if residual else ""
-        new_sel = re.sub(
-            r"SUM\s*\(\s*eventCount\s*\)", "SUM(SUM_eventCount)", sel,
-            flags=re.I,
-        )
-        new_tail = re.sub(
-            r"SUM\s*\(\s*eventCount\s*\)", "SUM(SUM_eventCount)", tail,
-            flags=re.I,
-        )
+
+        def _retarget(fragment: str) -> str:
+            # COUNT(*) → summed row counts; COALESCE keeps the groupless
+            # zero-match case at 0 (raw COUNT(*) of an empty relation is 0,
+            # SUM over empty is NULL).  AVG(x) → exact-BIGINT SUM / SUM with
+            # ONE final double division — both engines' AVG over ints also
+            # divides an exact integer sum once, so values match bit-for-bit
+            # (cross-engine float discipline).
+            fragment = re.sub(
+                r"SUM\s*\(\s*eventCount\s*\)", "SUM(SUM_eventCount)",
+                fragment, flags=re.I,
+            )
+            fragment = re.sub(
+                r"COUNT\s*\(\s*\*\s*\)",
+                "CAST(COALESCE(SUM(n_rows), 0) AS BIGINT)",
+                fragment, flags=re.I,
+            )
+            return re.sub(
+                r"AVG\s*\(\s*eventCount\s*\)",
+                "(CAST(SUM(SUM_eventCount) AS DOUBLE) / SUM(n_rows))",
+                fragment, flags=re.I,
+            )
+
+        new_sel = _retarget(sel)
+        new_tail = _retarget(tail)
         time_clause = (
             f" START '{m.group('t0')}' STOP '{m.group('t1')}'"
             if m.group("t0") is not None

@@ -40,12 +40,19 @@ _VIEW_DIMS = ["domainId", "userName", "sourceip", "eventName"]
 
 
 def globalview_sql(name: str, source: str = "qevents") -> str:
-    """The view's defining aggregate, valid in both Spark SQL and DuckDB."""
+    """The view's defining aggregate, valid in both Spark SQL and DuckDB.
+
+    ``n_rows`` is the summed row count SummingMergeTree keeps implicitly
+    (every merge adds part row counts): it makes COUNT(*) routable as
+    SUM(n_rows) and AVG(x) as SUM-over-SUM in the aggregate navigator
+    (VERDICT r5 #5) at the cost of one BIGINT per collapsed row.
+    """
     where = GLOBALVIEW_SPECS[name]
     dims = ", ".join(_VIEW_DIMS)
     return (
         f"SELECT {dims}, date_trunc('hour', ts) AS ts, "
-        f"CAST(SUM(eventCount) AS BIGINT) AS SUM_eventCount "
+        f"CAST(SUM(eventCount) AS BIGINT) AS SUM_eventCount, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_rows "
         f"FROM {source} WHERE {where} "
         f"GROUP BY {dims}, date_trunc('hour', ts)"
     )
@@ -102,7 +109,7 @@ def update_globalviews_incremental(
             spark,
             inc,
             f"{base_path}/{name}",
-            measure="SUM_eventCount",
+            measure=["SUM_eventCount", "n_rows"],
             time_col="ts",
         )
 

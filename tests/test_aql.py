@@ -477,6 +477,20 @@ class TestRollupRouter:
         # COUNT(DISTINCT coarser-grain ts) composes with the hourly grain
         "SELECT COUNT(DISTINCT DATE_TRUNC('day', ts)) AS n_days FROM events "
         "WHERE eventName = 'error'",
+        # --- n_rows measure (round 6, VERDICT r5 #5) ---
+        # COUNT(*) routes to the views' summed row count
+        "SELECT domainId, COUNT(*) AS n FROM events "
+        "WHERE eventName = 'error' GROUP BY domainId",
+        # AVG(eventCount) routes to SUM(SUM_eventCount)/SUM(n_rows)
+        "SELECT userName, AVG(eventCount) AS avg_ec FROM events "
+        "WHERE magnitude >= 7 GROUP BY userName",
+        # groupless COUNT(*) total (COALESCE keeps empty-match at 0)
+        "SELECT COUNT(*) AS n FROM events WHERE eventName = 'error'",
+        # mixed: COUNT(*) + SUM + AVG + dim re-agg in one query
+        "SELECT domainId, COUNT(*) AS n, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total, AVG(eventCount) AS avg_ec, "
+        "COUNT(DISTINCT userName) AS n_users FROM events "
+        "WHERE eventName = 'error' GROUP BY domainId",
     ]
     NOT_ROUTABLE = [
         # non-dim column in select/group
@@ -486,8 +500,11 @@ class TestRollupRouter:
         "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
         "WHERE eventName = 'error' GROUP BY domainId "
         "START '2024-01-01 00:30:00' STOP '2024-02-01 00:00:00'",
-        # COUNT(*) not derivable from the partial sums
-        "SELECT domainId, COUNT(*) AS n FROM events "
+        # COUNT(col) counts non-nulls — not derivable (n_rows counts rows)
+        "SELECT domainId, COUNT(userName) AS n FROM events "
+        "WHERE eventName = 'error' GROUP BY domainId",
+        # AVG over a non-measure column: collapsed by the roll-up
+        "SELECT domainId, AVG(magnitude) AS m FROM events "
         "WHERE eventName = 'error' GROUP BY domainId",
         # top-level OR defeats filter subsumption
         "SELECT domainId, CAST(SUM(eventCount) AS BIGINT) AS t FROM events "
@@ -554,6 +571,10 @@ class TestRollupRouter:
         for aql, view in (
             (self.ROUTABLE[4], "MongoDB_AuthenticationFailure"),
             (self.ROUTABLE[6], "MongoDB_AuthenticationFailure"),
+            # round 6: COUNT(*) and AVG(eventCount) via the n_rows measure
+            (self.ROUTABLE[9], "MongoDB_AuthenticationFailure"),
+            (self.ROUTABLE[10], "MongoDB_TopSecurityEvents"),
+            (self.ROUTABLE[12], "MongoDB_AuthenticationFailure"),
         ):
             plan = (
                 frontend.sql(aql, auto_route=True)

@@ -79,12 +79,13 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     assert tuple(names[:50]) == GATE_WINDOW
     oracles = entrymod.oracle_sql()
     assert all(n in oracles for n in GATE_WINDOW)
-    # VERDICT r4 #2: the round-5 window rotated >= 5 slots vs round 4's —
-    # these were never hard-gated before and must be inside now
+    # VERDICT r5 #1: the round-6 window rotated 8 slots vs round 5's —
+    # the round-5 operator families the hard gate never hashed, plus this
+    # round's n_rows navigator and index-composed MMR
     for rotated_in in (
-        "aql_TopSecurityEvents", "aql_routed_materialized",
-        "aql_auto_rollup_reagg", "streaming_dedup_parity",
-        "text_semantic_pairs_hashed_capped", "dedup_passages",
+        "knn_ivfpq_persisted", "curate_quality_classifier",
+        "decontaminate_bloom", "text_bm25_topk", "knn_mmr_diversified",
+        "zorder_layout_keys", "aql_auto_rollup_count", "knn_mmr_ivfpq",
     ):
         assert rotated_in in GATE_WINDOW, rotated_in
     # family spot-checks: at least one of each major family inside the window

@@ -716,9 +716,13 @@ class TestRollupRouterFuzz:
             ("COUNT(DISTINCT userName) AS n_users", True),
             ("MAX(userName) AS last_user", True),
             ("MIN(sourceip) AS first_ip", True),
-            ("COUNT(*) AS n_rows", False),
+            # round 6: COUNT(*)/AVG(eventCount) route via the n_rows measure
+            ("COUNT(*) AS n_rows_q", True),
+            ("AVG(eventCount) AS avg_ec", True),
             ("COUNT(DISTINCT qid) AS n_qids", False),
+            ("COUNT(userName) AS n_nonnull", False),
             ("MIN(magnitude) AS min_mag", False),
+            ("AVG(magnitude) AS avg_mag", False),
             # SUM/AVG over a covered DIM column (ADVICE r5): identifiers all
             # pass, but view row-collapse changes the value — must not route
             ("CAST(SUM(domainId) AS BIGINT) AS s_dom", False),
