@@ -120,6 +120,13 @@ HEADLINE = [
     "curate_ccnet_buckets",
     # round 5b: quality-aware canonical per near-dup cluster
     "dedup_cluster_representatives",
+    # round 6: COUNT(*)/AVG routed through the views' summed n_rows measure
+    "aql_auto_rollup_count",
+    # round 6: MMR diversification — exact pool and IVF-PQ-served pool
+    "knn_mmr_diversified",
+    "knn_mmr_ivfpq",
+    # round 6: Z-order layout pass (Morton keys + range repartition)
+    "zorder_layout_keys",
 ]
 
 

@@ -587,7 +587,11 @@ def quality_classifier_sql(
     WITH post AS ({posts}),
     model AS ({model}),
     contrib AS (
-      SELECT p.doc_id, ROUND(p.w * m.w + 1e-9, 6) AS c
+      -- BROADCAST: the model is <= dim+1 rows; without the hint Spark
+      -- sort-merges the corpus-sized postings on bucket.  DuckDB reads
+      -- /*+ ... */ as a comment, so the dialect-shared text stays one SQL.
+      SELECT /*+ BROADCAST(m) */
+             p.doc_id, ROUND(p.w * m.w + 1e-9, 6) AS c
       FROM post p JOIN model m ON m.bucket = p.bucket
     ),
     bias AS (SELECT w AS b FROM model WHERE bucket = -1),

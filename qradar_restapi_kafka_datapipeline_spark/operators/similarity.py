@@ -888,7 +888,12 @@ def pq_adc_sql(
       WHERE sub.vec_id < {query_max}
     ),
     scores AS (
-      SELECT l.q_id, c.vec_id AS n_id, ROUND(SUM(l.lv) + 1e-9, 6) AS score
+      -- BROADCAST: the LUT is queries x m x ksub rows (a bounded constant);
+      -- the codes side is corpus-sized — without the hint Spark sort-merges
+      -- on (mi, j), shuffling the whole corpus at 100 TB.  DuckDB parses
+      -- /*+ ... */ as a plain comment, so the shared text stays one SQL.
+      SELECT /*+ BROADCAST(l) */
+             l.q_id, c.vec_id AS n_id, ROUND(SUM(l.lv) + 1e-9, 6) AS score
       FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.j
       WHERE c.vec_id != l.q_id
       GROUP BY l.q_id, c.vec_id
@@ -1063,7 +1068,10 @@ def _ivfpq_rank_sql(codes_rel: str, probes_rel: str, lut_rel: str, k: int) -> st
     query; score = exact sum of the query's LUT entries at their codes."""
     return f"""
     scores AS (
-      SELECT p.q_id, c.vec_id AS n_id, ROUND(SUM(l.lv) + 1e-9, 6) AS score
+      -- probes and LUT are bounded per-query constants; codes is the corpus.
+      -- BROADCAST both small sides (DuckDB reads the hint as a comment).
+      SELECT /*+ BROADCAST(p), BROADCAST(l) */
+             p.q_id, c.vec_id AS n_id, ROUND(SUM(l.lv) + 1e-9, 6) AS score
       FROM ({probes_rel}) p
       JOIN ({codes_rel}) c ON c.list_id = p.list_id
       JOIN ({lut_rel}) l ON l.q_id = p.q_id AND l.mi = c.mi AND l.j = c.j
@@ -1247,7 +1255,15 @@ def _mmr_greedy(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The MMR greedy over ANY bounded ``(n_id, cos)`` pool relation —
-    retrieval-agnostic, so the brute-force and IVF-PQ pools share it."""
+    retrieval-agnostic, so the brute-force and IVF-PQ pools share it.
+
+    The driver holds the k picked ``(rk, n_id, cos)`` scalars (bounded plan
+    constants, the probe-list posture): the earlier union-chain variant
+    embedded the whole prior-step plan TWICE per step (anti-join ids + the
+    redundancy max), so the physical plan grew 2^k copies — 160 joins at
+    k=5 in the plan audit, pure compile overhead over 20-row inputs.  Each
+    step here is one small query against the two checkpointed pool
+    relations with literal IN-lists; the plan stays linear in k."""
     pool = pool.localCheckpoint(eager=True)
     pv = pool.join(
         emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")), "n_id"
@@ -1263,18 +1279,17 @@ def _mmr_greedy(
         )
         .localCheckpoint(eager=True)
     )
-    selected = (
-        pool.orderBy(F.col("cos").desc(), F.col("n_id").asc())
-        .limit(1)
-        .select(F.lit(1).alias("rk"), "n_id", "cos")
-    )
+    first = pool.orderBy(F.col("cos").desc(), F.col("n_id").asc()).first()
+    picked = [(1, first["n_id"], first["cos"])]
     for step in range(2, k + 1):
-        sel_ids = selected.select(F.col("n_id").alias("id_b"))
-        maxs = pair.join(sel_ids, "id_b").groupBy("id_a").agg(
-            F.max("s").alias("__ms")
+        sel_ids = [p[1] for p in picked]
+        maxs = (
+            pair.where(F.col("id_b").isin(sel_ids))
+            .groupBy("id_a")
+            .agg(F.max("s").alias("__ms"))
         )
-        pick = (
-            pool.join(selected.select("n_id"), "n_id", "left_anti")
+        row = (
+            pool.where(~F.col("n_id").isin(sel_ids))
             .join(maxs, F.col("n_id") == F.col("id_a"))
             .withColumn(
                 "__score",
@@ -1286,11 +1301,12 @@ def _mmr_greedy(
                 ),
             )
             .orderBy(F.col("__score").desc(), F.col("n_id").asc())
-            .limit(1)
-            .select(F.lit(step).alias("rk"), "n_id", "cos")
+            .first()
         )
-        selected = selected.unionByName(pick)
-    return selected
+        picked.append((step, row["n_id"], row["cos"]))
+    return pool.sparkSession.createDataFrame(
+        picked, "rk INT, n_id BIGINT, cos DOUBLE"
+    )
 
 
 def mmr_oracle_sql(
