@@ -127,6 +127,9 @@ HEADLINE = [
     "knn_mmr_ivfpq",
     # round 6: Z-order layout pass (Morton keys + range repartition)
     "zorder_layout_keys",
+    # round 6: mergeable sketches — CM heavy hitters + HLL distinct
+    "sketch_cm_heavy_hitters",
+    "sketch_hll_distinct",
 ]
 
 

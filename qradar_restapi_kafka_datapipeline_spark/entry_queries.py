@@ -886,7 +886,41 @@ def registry() -> dict[str, Q]:
     _north_star_entries(q)
     _analytics_entries(q)
     _curation_entries(q)
+    _sketch_entries(q)
     return _gate_window_order(q)
+
+
+def _sketch_entries(q: dict[str, Q]) -> None:
+    """Mergeable sketches (operators/sketches.py, round 6): Count-Min heavy
+    hitters and HyperLogLog distinct — fixed-size summaries whose merges
+    (cells ADD, registers MAX) replace re-scans at 100 TB.  Every entry is
+    fully hash-checked: the portable md5 hash family and exact-integer
+    cell/register math make both engines derive identical sketches, and the
+    two merge-parity entries run the DISTRIBUTED build (per-half sketches,
+    merged) on Spark against an oracle that builds the whole-corpus sketch
+    directly — CM linearity / HLL max-join proven cell-for-cell."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import sketches as K
+
+    q["sketch_cm_heavy_hitters"] = _df_entry(
+        lambda spark, sf: spark.sql(K.cm_heavy_hitters_sql("spark", threshold=60)),
+        K.cm_heavy_hitters_sql("duckdb", threshold=60),
+    )
+    q["sketch_cm_merge_parity"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            K.cm_estimates_sql(
+                "spark", K.cm_merged_halves_cells_sql("spark"), threshold=60
+            )
+        ),
+        K.cm_heavy_hitters_sql("duckdb", threshold=60),
+    )
+    q["sketch_hll_distinct"] = _df_entry(
+        lambda spark, sf: spark.sql(K.hll_distinct_sql("spark")),
+        K.hll_distinct_sql("duckdb"),
+    )
+    q["sketch_hll_merge_parity"] = _df_entry(
+        lambda spark, sf: spark.sql(K.hll_merged_halves_registers_sql("spark")),
+        K.hll_registers_sql("duckdb"),
+    )
 
 
 #: The driver's hard correctness gate hashes only the FIRST 50 registry

@@ -1,0 +1,280 @@
+"""Mergeable sketches — Count-Min heavy hitters + HyperLogLog distinct
+(round 6, beyond-ref).
+
+The reference's ClickHouse tables answer top-K / uniq questions with full
+scans at its scale (reference ``clickhouse/clickhouse.py:70-81``); at
+100 TB the engine-side answer is FIXED-SIZE mergeable summaries kept per
+partition/hour and combined without re-scanning: Count-Min cells ADD
+(Cormode & Muthukrishnan 2005) and HLL registers MAX (Flajolet et al.
+2007).  Both merges are exact by construction — proven here by the
+merge-parity gate entries, whose Spark side merges per-half sketches while
+the DuckDB oracle computes the whole-corpus sketch directly, so a single
+wrong cell/register hash-fails.  The CM cell relation is literally a
+SummingMergeTree shape ((i, col) dims + an additive count measure), so the
+existing rollup/merge machinery applies to it unchanged.
+
+Cross-engine determinism: the hash family is the portable 60-bit
+md5-derived one (the ``operators/dedup.py`` ``PORTABLE_SEED_HASH``
+contract), every cell/register is an exact BIGINT, and the HLL 2^-r series
+is summed as exact integers (``2^(RMAX-r)`` — doubles would lose the
+low-order bits of mixed-magnitude partial sums and become
+order-dependent).  Doubles appear only in the final estimate expression,
+shared text both engines, rounded at 6 dp (+1e-9).
+"""
+
+from __future__ import annotations
+
+# defaults sized for the gate corpora; at 100 TB these are config knobs —
+# the sketch stays d*w (CM) / 2^p (HLL) cells regardless of data volume
+CM_D = 4
+CM_W = 256
+HLL_P = 9  # 512 registers, sigma ~ 1.04/sqrt(512) ~ 4.6 %
+
+#: 60-bit budget of the portable hash (15 hex digits); HLL splits it into
+#: p bucket bits + (60-p) rank bits, so rho in [1, 60-p+1]
+_HASH_BITS = 60
+
+
+def _h60(dialect: str, key: str, seed_expr: str) -> str:
+    """Portable per-seed 60-bit hash of a STRING expression — md5 of
+    ``key || '#' || seed``, first 15 hex digits as BIGINT (the dedup
+    portable-hash family, seed as an expression so Count-Min's d rows can
+    derive it from the exploded row index)."""
+    if dialect == "spark":
+        return (
+            f"CAST(CONV(SUBSTR(MD5(CONCAT({key}, '#', {seed_expr})), 1, 15), "
+            f"16, 10) AS BIGINT)"
+        )
+    return (
+        f"CAST(('0x' || substr(md5({key} || '#' || {seed_expr}), 1, 15)) "
+        f"AS BIGINT)"
+    )
+
+
+def _seeds(dialect: str, d: int) -> str:
+    if dialect == "spark":
+        return f"SELECT explode(sequence(0, {d - 1})) AS i"
+    return f"SELECT UNNEST(generate_series(0, {d - 1})) AS i"
+
+
+def cm_cells_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    d: int = CM_D,
+    w: int = CM_W,
+    where: str = "",
+) -> str:
+    """The Count-Min sketch as a relation: ``(i, col, c)`` — d×w additive
+    cells.  Build is one wide groupBy with map-side partial aggregation
+    (each input row lands in d cells); the shuffled keyspace is the d·w
+    constant, never the corpus.  Cells ADD: sketches built per partition /
+    per hour / per source merge by SUM — the CM linearity that makes this
+    the 100 TB topK primitive."""
+    wcl = f"WHERE {where} " if where else ""
+    h = _h60(dialect, "src.k", "CAST(s.i AS STRING)")
+    return f"""
+    SELECT s.i, {h} % {w} AS col, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT {key_expr} AS k FROM {source} {wcl}) src
+    CROSS JOIN ({_seeds(dialect, d)}) s
+    GROUP BY s.i, {h} % {w}
+    """
+
+
+def cm_estimates_sql(
+    dialect: str,
+    cells_rel: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    d: int = CM_D,
+    w: int = CM_W,
+    threshold: int = 0,
+) -> str:
+    """Point estimates from ANY cells relation: est(k) = MIN over the d
+    probed cells — never an underestimate (every probed cell holds k's
+    full count plus nonnegative collisions).  ``threshold`` keeps the
+    heavy hitters.  The candidate keys here come from the corpus (the
+    gate needs a deterministic key set); a production stream would probe
+    only its watchlist."""
+    h = _h60(dialect, "keys.k", "CAST(s.i AS STRING)")
+    return f"""
+    WITH probes AS (
+      SELECT keys.k, s.i, {h} % {w} AS col
+      FROM (SELECT DISTINCT {key_expr} AS k FROM {source}) keys
+      CROSS JOIN ({_seeds(dialect, d)}) s
+    ),
+    est AS (
+      SELECT p.k, MIN(cells.c) AS est
+      FROM probes p JOIN ({cells_rel}) cells
+        ON cells.i = p.i AND cells.col = p.col
+      GROUP BY p.k
+    )
+    SELECT k AS key, CAST(est AS BIGINT) AS est
+    FROM est WHERE est >= {threshold}
+    """
+
+
+def cm_heavy_hitters_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    d: int = CM_D,
+    w: int = CM_W,
+    threshold: int = 0,
+) -> str:
+    """Whole-corpus build + estimate in one statement (the single-engine
+    reference answer the merge-parity entry is checked against)."""
+    return cm_estimates_sql(
+        dialect,
+        cm_cells_sql(dialect, key_expr, source, d, w),
+        key_expr, source, d, w, threshold,
+    )
+
+
+def cm_merged_halves_cells_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    split_expr: str = "event_id % 2",
+    d: int = CM_D,
+    w: int = CM_W,
+) -> str:
+    """Two independent sketches (corpus halves) merged by cell SUM — the
+    distributed-build path.  Equal to the whole-corpus cells relation by
+    CM linearity; the gate entry hash-checks exactly that."""
+    h0 = cm_cells_sql(dialect, key_expr, source, d, w, where=f"({split_expr}) = 0")
+    h1 = cm_cells_sql(dialect, key_expr, source, d, w, where=f"({split_expr}) = 1")
+    return f"""
+    SELECT i, col, CAST(SUM(c) AS BIGINT) AS c
+    FROM (SELECT * FROM ({h0}) ha UNION ALL SELECT * FROM ({h1}) hb) u
+    GROUP BY i, col
+    """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_registers_sql(
+    dialect: str,
+    key_expr: str = "CAST(event_id AS STRING)",
+    source: str = "events",
+    p: int = HLL_P,
+    where: str = "",
+) -> str:
+    """The HLL register file as a relation: ``(bucket, r)`` — 2^p rows max.
+    bucket = low p hash bits; r = position of the lowest set bit of the
+    remaining ``60-p`` bits (+1), the rank whose per-bucket MAX the
+    estimator consumes.  ``(h & -h)`` isolates the lowest set bit — an
+    exact power of two, so LOG2 of it is exact in double and
+    engine-agnostic.  Registers MERGE by MAX: per-partition register files
+    combine without rescanning (the merge-parity entry proves it
+    cell-for-cell)."""
+    m = 1 << p
+    wcl = f"WHERE {where} " if where else ""
+    h = _h60(dialect, f"({key_expr})", "'0'")
+    rmax = _HASH_BITS - p + 1
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT bucket, MAX(r) AS r FROM (
+      SELECT h % {m} AS bucket,
+             CASE WHEN (h {div} {m}) = 0 THEN {rmax}
+                  ELSE CAST(ROUND(LOG2(CAST(
+                       (h {div} {m}) & (0 - (h {div} {m})) AS DOUBLE))) AS INT)
+                       + 1
+             END AS r
+      FROM (SELECT {h} AS h FROM {source} {wcl}) hashed
+    ) ranked
+    GROUP BY bucket
+    """
+
+
+def hll_estimate_sql(
+    dialect: str,
+    regs_rel: str,
+    p: int = HLL_P,
+    exact_rel: str | None = None,
+) -> str:
+    """The estimator over ANY register relation: one self-auditing row
+    ``(m, zero_registers, distinct_est[, n_exact])``.
+
+    The 2^-r series is summed as EXACT integers (2^(RMAX-r) ≤ 2^51; total
+    ≤ m·2^51 fits BIGINT) — summing doubles of mixed magnitude rounds
+    differently per partial-sum order.  Missing buckets are zero registers
+    (2^0 each → 2^RMAX integer units).  Doubles enter only in the final
+    shared-text expression; Flajolet small-range correction (linear
+    counting) applies below 2.5m when zero registers exist.  ``exact_rel``
+    (a one-column relation of the keys) rides along as the audit column."""
+    m = 1 << p
+    rmax = _HASH_BITS - p + 1
+    # integer units per 2^0 register: 2^rmax, so the deepest rank r=rmax
+    # still contributes 2^(rmax-r) = 1 exact unit; the total is bounded by
+    # m * 2^rmax = 2^(p + 61 - p) = 2^61 — BIGINT-safe at any p
+    unit = float(2 ** rmax)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    exact_cte = (
+        f", exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact "
+        f"FROM ({exact_rel}) ek)"
+        if exact_rel
+        else ""
+    )
+    exact_col = ", exact.n_exact" if exact_rel else ""
+    exact_join = ", exact" if exact_rel else ""
+    return f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CAST(POWER(2.0, {rmax} - r) AS BIGINT)) AS BIGINT)
+               AS s_int
+      FROM ({regs_rel}) regs
+    ){exact_cte},
+    scored AS (
+      SELECT nb, ({m} - nb) AS v,
+             (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+               / ((CAST(s_int AS DOUBLE) + ({m} - nb) * {unit!r})
+                  / {unit!r}) AS raw
+      FROM agg
+    )
+    SELECT CAST({m} AS BIGINT) AS m,
+           CAST(v AS BIGINT) AS zero_registers,
+           ROUND(CASE WHEN raw <= 2.5 * {m} AND v > 0
+                      THEN {m} * LN({m} * 1.0 / v)
+                      ELSE raw END + 1e-9, 6) AS distinct_est
+           {exact_col}
+    FROM scored{exact_join}
+    """
+
+
+def hll_distinct_sql(
+    dialect: str,
+    key_expr: str = "CAST(event_id AS STRING)",
+    source: str = "events",
+    p: int = HLL_P,
+) -> str:
+    """Whole-corpus register build + estimate + exact-count audit column."""
+    return hll_estimate_sql(
+        dialect,
+        hll_registers_sql(dialect, key_expr, source, p),
+        p,
+        exact_rel=f"SELECT DISTINCT {key_expr} AS k FROM {source}",
+    )
+
+
+def hll_merged_halves_registers_sql(
+    dialect: str,
+    key_expr: str = "CAST(event_id AS STRING)",
+    source: str = "events",
+    split_expr: str = "event_id % 2",
+    p: int = HLL_P,
+) -> str:
+    """Two independent register files (corpus halves) merged by register
+    MAX — equal to the whole-corpus register file because max is the join
+    of the per-key rank maxima.  The gate entry hash-checks the full
+    merged relation against the directly-built one."""
+    h0 = hll_registers_sql(dialect, key_expr, source, p, where=f"({split_expr}) = 0")
+    h1 = hll_registers_sql(dialect, key_expr, source, p, where=f"({split_expr}) = 1")
+    return f"""
+    SELECT bucket, MAX(r) AS r
+    FROM (SELECT * FROM ({h0}) ha UNION ALL SELECT * FROM ({h1}) hb) u
+    GROUP BY bucket
+    """

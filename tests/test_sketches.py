@@ -1,0 +1,64 @@
+"""Mergeable-sketch contracts (operators/sketches.py, round 6).
+
+The gate entries prove cross-engine hash equality (including the
+merge-parity pairs); these tests pin the SKETCH guarantees themselves:
+Count-Min never underestimates, HLL lands within its published error
+band, and both merges equal the whole-corpus build on Spark alone.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators import sketches as K
+
+
+@pytest.fixture(scope="module")
+def ev(spark, sf_dir):
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.table("events")
+
+
+def test_cm_estimate_never_underestimates(spark, ev):
+    exact = {
+        r["k"]: r["n"]
+        for r in ev.groupBy(
+            F.col("user_id").cast("string").alias("k")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r["key"]: r["est"]
+        for r in spark.sql(K.cm_heavy_hitters_sql("spark", threshold=0)).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), "CM underestimated a key"
+
+
+def test_cm_merged_halves_equal_whole_corpus_cells(spark, ev):
+    whole = spark.sql(K.cm_cells_sql("spark")).collect()
+    merged = spark.sql(K.cm_merged_halves_cells_sql("spark")).collect()
+    key = lambda rows: sorted((r["i"], r["col"], r["c"]) for r in rows)
+    assert key(whole) == key(merged)
+
+
+def test_hll_estimate_within_error_band(spark, ev):
+    row = spark.sql(K.hll_distinct_sql("spark")).first()
+    exact = row["n_exact"]
+    # sigma = 1.04/sqrt(m) ~ 4.6 % at p=9; assert 3 sigma
+    m = 1 << K.HLL_P
+    assert abs(row["distinct_est"] - exact) / exact <= 3 * 1.04 / m ** 0.5
+
+
+def test_hll_merged_halves_equal_whole_corpus_registers(spark, ev):
+    whole = spark.sql(K.hll_registers_sql("spark")).collect()
+    merged = spark.sql(K.hll_merged_halves_registers_sql("spark")).collect()
+    key = lambda rows: sorted((r["bucket"], r["r"]) for r in rows)
+    assert key(whole) == key(merged)
+
+
+def test_cm_cells_relation_is_bounded(spark, ev):
+    """The 100 TB contract: the sketch relation is d*w cells regardless of
+    corpus size — the groupBy shuffles a constant keyspace."""
+    n = spark.sql(K.cm_cells_sql("spark")).count()
+    assert n <= K.CM_D * K.CM_W
