@@ -127,9 +127,13 @@ HEADLINE = [
     "knn_mmr_ivfpq",
     # round 6: Z-order layout pass (Morton keys + range repartition)
     "zorder_layout_keys",
-    # round 6: mergeable sketches — CM heavy hitters + HLL distinct
+    # round 6: mergeable sketches — CM heavy hitters + HLL distinct +
+    # fixed-universe histogram quantiles
     "sketch_cm_heavy_hitters",
     "sketch_hll_distinct",
+    "sketch_histogram_quantiles",
+    # round 6: DSIR importance-resampling data selection
+    "curate_dsir_topk",
 ]
 
 

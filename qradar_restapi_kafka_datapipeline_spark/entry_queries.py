@@ -921,6 +921,32 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(K.hll_merged_halves_registers_sql("spark")),
         K.hll_registers_sql("duckdb"),
     )
+    # Fixed-universe histogram quantiles: equi-width cells ADD like CM
+    # cells; P50/P90/P99 interpolate within a bin (error <= one bin width
+    # at any volume).
+    q["sketch_histogram_quantiles"] = _df_entry(
+        lambda spark, sf: spark.sql(K.hist_quantiles_full_sql("spark")),
+        K.hist_quantiles_full_sql("duckdb"),
+    )
+    # Streaming CM maintenance: the sketch folded per micro-batch through
+    # the ledgered foreachBatch pattern (streaming_rollup_exact contract);
+    # the oracle computes the estimates from the WHOLE corpus in one shot,
+    # so a lost or double-folded batch hash-fails.  (foreachBatch + replay
+    # is not SQL-expressible; the ORACLE side is — this stays a full
+    # hash-checked entry, not rows-only.)
+    q["streaming_sketch_parity"] = _df_entry(
+        lambda spark, sf: K.cm_sketch_streaming(spark, threshold=60),
+        K.cm_heavy_hitters_sql("duckdb", threshold=60),
+    )
+    # DSIR data selection (Xie et al. 2023): importance log-ratio of hashed
+    # bigram profiles, target = the src0/src1 strata; integer-exact per-term
+    # contributions (the BM25 discipline) make the full top-k hash-checked.
+    from qradar_restapi_kafka_datapipeline_spark.operators import curation as C
+
+    q["curate_dsir_topk"] = _df_entry(
+        lambda spark, sf: spark.sql(C.dsir_scores_sql("spark")),
+        C.dsir_scores_sql("duckdb"),
+    )
 
 
 #: The driver's hard correctness gate hashes only the FIRST 50 registry

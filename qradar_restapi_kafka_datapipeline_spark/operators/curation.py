@@ -608,3 +608,87 @@ def quality_classifier_sql(
            CAST(logit >= 0 AS BOOLEAN) AS keep
     FROM logits
     """
+
+
+def dsir_scores_sql(
+    dialect: str,
+    target_where: str = "source IN ('src0', 'src1')",
+    dim: int = 1024,
+    top_k: int = 100,
+    source: str = "documents",
+) -> str:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed n-gram profile is — the importance
+    log-ratio Σ_b cnt(d,b) · ln(p_target(b) / p_raw(b)) over hashed bigram
+    buckets with add-one smoothing — and keep the top-``top_k``.
+
+    One dialect-shared statement: hashed bigram COUNTS (nonnegative — the
+    sign trick of the cosine postings would break the probability reading),
+    per-bucket target/raw totals, the smoothed per-bucket log-ratio rounded
+    to an exact 1e-6 multiple (BM25's integer-exact per-term discipline:
+    each doc's score is then a sum of BIGINT·1e-6-multiples — order-free),
+    and a (score DESC, doc_id) top-k.  Scale shape: counts are one token
+    explode + narrow aggregates; the bucket-ratio relation is ≤ ``dim``
+    rows and BROADCASTs into the per-doc contribution join; the only
+    corpus-wide shuffle keys are doc_id and bucket.
+    """
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        portable_hash60_sql,
+        token_positions_sql,
+    )
+
+    tok = token_positions_sql(dialect, source)
+    h = portable_hash60_sql(dialect, "CONCAT(a.word, ' ', b.word)")
+    return f"""
+    WITH tok AS ({tok}),
+    cnts AS (
+      SELECT a.doc_id, {h} % {dim} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.doc_id, {h} % {dim}
+    ),
+    tgt AS (
+      SELECT c.bucket, CAST(SUM(c.cnt) AS BIGINT) AS tc
+      FROM cnts c JOIN {source} s ON s.doc_id = c.doc_id
+      WHERE {target_where}
+      GROUP BY c.bucket
+    ),
+    raw AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS rc FROM cnts GROUP BY bucket
+    ),
+    tots AS (
+      SELECT CAST(COALESCE((SELECT SUM(tc) FROM tgt), 0) AS BIGINT) AS tt,
+             CAST(COALESCE((SELECT SUM(rc) FROM raw), 0) AS BIGINT) AS rt
+    ),
+    lam AS (
+      -- per-bucket log-ratio in INTEGER MICRO-UNITS: a 6dp-rounded DOUBLE
+      -- is not exactly representable in binary, so summing cnt*double is
+      -- order-dependent (observed 2e-6 drift); BIGINT micro-units sum
+      -- exactly in any order and scale back once at the end
+      -- every LN-argument operand is CAST to DOUBLE: DuckDB types the
+      -- bare 1.0 literal as DECIMAL and its limited-scale DECIMAL division
+      -- truncated the ratio at ~1e-6 (observed 1e-7-level divergence)
+      SELECT r.bucket,
+             CAST(ROUND((LN(((CAST(COALESCE(t.tc, 0) AS DOUBLE) + 1.0)
+                             * CAST(tots.rt + {dim} AS DOUBLE))
+                      / ((CAST(r.rc AS DOUBLE) + 1.0)
+                             * CAST(tots.tt + {dim} AS DOUBLE))) + 1e-9)
+                  * 1000000) AS BIGINT) AS l6
+      FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
+      CROSS JOIN tots
+    ),
+    scored AS (
+      SELECT /*+ BROADCAST(l) */
+             c.doc_id,
+             ROUND(CAST(SUM(c.cnt * l.l6) AS DOUBLE) / 1000000 + 1e-9, 6)
+               AS dsir_score
+      FROM cnts c JOIN lam l ON l.bucket = c.bucket
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, dsir_score, rk FROM (
+      SELECT doc_id, dsir_score, CAST(ROW_NUMBER() OVER (
+        ORDER BY dsir_score DESC, doc_id ASC) AS INT) AS rk
+      FROM scored
+    ) ranked WHERE rk <= {top_k}
+    """

@@ -278,3 +278,187 @@ def hll_merged_halves_registers_sql(
     FROM (SELECT * FROM ({h0}) ha UNION ALL SELECT * FROM ({h1}) hb) u
     GROUP BY bucket
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-universe histogram quantiles — the third classic mergeable summary
+# (equi-width cells ADD like CM cells; quantiles interpolate within a bin,
+# so the estimate error is bounded by one bin width regardless of volume)
+# ---------------------------------------------------------------------------
+
+HIST_LO = 0.0
+HIST_HI = 512.0
+HIST_BINS = 128
+
+
+def hist_cells_sql(
+    dialect: str,
+    value_expr: str = "value",
+    source: str = "events",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+    where: str = "",
+) -> str:
+    """``(bin, c)`` — fixed-universe equi-width histogram cells.  Out-of-
+    range values clamp to the edge bins (documented lossy edge, like any
+    fixed-universe sketch); bin assignment is FLOOR of one shared double
+    expression, identical both engines."""
+    wcl = f"WHERE {where} " if where else ""
+    width = (hi - lo) / bins
+    b = (
+        f"CAST(LEAST({bins - 1}, GREATEST(0, "
+        f"FLOOR(({value_expr} - {lo!r}) / {width!r}))) AS INT)"
+    )
+    return f"""
+    SELECT {b} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {source} {wcl}
+    GROUP BY {b}
+    """
+
+
+def hist_quantiles_sql(
+    dialect: str,
+    cells_rel: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+) -> str:
+    """Quantile estimates from ANY cells relation: for each q, the first
+    bin whose running count reaches ``ceil(q*n)``, linearly interpolated
+    inside the bin.  Ranks are exact BIGINTs (CEIL of a shared double);
+    the single interpolation division is the only estimate-side float."""
+    width = (hi - lo) / bins
+    qrows = " UNION ALL ".join(
+        f"SELECT CAST({q!r} AS DOUBLE) AS q" for q in qs
+    )
+    return f"""
+    WITH cells AS ({cells_rel}),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    cum AS (
+      SELECT bin, c, SUM(c) OVER (ORDER BY bin) AS cum FROM cells
+    ),
+    qrel AS ({qrows}),
+    ranked AS (
+      SELECT q.q, CAST(CEIL(q.q * tot.n) AS BIGINT) AS tq FROM qrel q, tot
+    ),
+    picked AS (
+      SELECT r.q, r.tq, MIN(c.bin) AS bin
+      FROM ranked r JOIN cum c ON c.cum >= r.tq
+      GROUP BY r.q, r.tq
+    )
+    SELECT p.q,
+           ROUND({lo!r} + {width!r} * (p.bin
+                 + (p.tq - (c.cum - c.c)) * 1.0 / c.c) + 1e-9, 6) AS est
+    FROM picked p JOIN cum c ON c.bin = p.bin
+    """
+
+
+def hist_quantiles_full_sql(
+    dialect: str,
+    value_expr: str = "value",
+    source: str = "events",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    return hist_quantiles_sql(
+        dialect, hist_cells_sql(dialect, value_expr, source), qs
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min maintenance — the sketch folded per micro-batch by
+# the same ledgered foreachBatch pattern as the streaming roll-up (CM cells
+# ARE a summing-rollup shape), proving the batch ≡ incremental parity the
+# 100 TB deployment relies on (hourly partition sketches folded as they land)
+# ---------------------------------------------------------------------------
+
+
+def cm_sketch_streaming(
+    spark,
+    key_expr: str = "CAST(user_id AS STRING)",
+    d: int = CM_D,
+    w: int = CM_W,
+    n_batches: int = 3,
+    threshold: int = 0,
+):
+    """Replay the events relation as an ``n_batches`` file stream and fold
+    each micro-batch's CM cells into a running cells table by (i, col) SUM
+    — exactly-once via the committed-epoch ledger (the
+    ``streaming_rollup_exact`` contract: an aggregate-ADD sink
+    double-counts on epoch replay, so replayed epochs are skipped).
+    Returns the heavy-hitter estimates from the streamed sketch; the gate
+    oracle computes them from the whole corpus in one shot, so a lost or
+    double-folded batch hash-fails."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    src_rel = spark.table("events").select(
+        F.col("event_id"), F.expr(key_expr).alias("k")
+    )
+    base = scratch_dir("cm_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    split = F.pmod(F.xxhash64("event_id"), F.lit(n_batches))
+    keyed = src_rel.withColumn("__b", split)
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    cells_path = os.path.join(base, "cells")
+    ckpt = os.path.join(base, "ckpt")
+
+    def fold(batch, epoch: int) -> None:
+        spark_ = batch.sparkSession
+        jvm = spark_._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{ckpt}/_committed_epochs/{epoch}"
+        )
+        fs = marker.getFileSystem(spark_._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
+        if batch.isEmpty():
+            return
+        batch.createOrReplaceTempView("__cm_batch")
+        inc = spark_.sql(cm_cells_sql("spark", "k", "__cm_batch", d, w))
+        try:
+            current = spark_.read.parquet(cells_path)
+            merged = (
+                current.unionByName(inc)
+                .groupBy("i", "col")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        except Exception:
+            merged = inc
+        # the cells relation is a d*w bounded constant: pin it before the
+        # overwrite so the write never reads the path it replaces
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            cells_path
+        )
+        fs.create(marker, True).close()
+
+    stream = (
+        spark.readStream.schema(src_rel.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    cells_rel = f"SELECT i, col, c FROM parquet.`{cells_path}`"
+    return spark.sql(
+        cm_estimates_sql("spark", cells_rel, threshold=threshold)
+    )
