@@ -63,6 +63,15 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "percentile_values": None,
     "text_bpe_tokenize": None,
     "aql_auto_rollup_routed": None,  # navigator vs raw-events oracle at volume
+    # round 6: sketch saturation regimes only volume can reach — CM cell
+    # collisions at k× the user population, HLL leaving linear counting
+    # for the raw-estimate branch, histogram cumulative ranks at k× counts;
+    # merge parities re-prove distributed-build ≡ whole at volume
+    "sketch_cm_heavy_hitters": None,
+    "sketch_cm_merge_parity": None,
+    "sketch_hll_distinct": None,
+    "sketch_hll_merge_parity": None,
+    "sketch_histogram_quantiles": None,
     "dedup_minhash_lsh": 4,
     "text_semantic_pairs_hashed_prefix": 4,
 }
