@@ -132,6 +132,8 @@ HEADLINE = [
     "sketch_cm_heavy_hitters",
     "sketch_hll_distinct",
     "sketch_histogram_quantiles",
+    # round 6: uniqState/uniqMerge — per-day distinct from the hourly cube
+    "sketch_hll_daily_cube",
     # round 6: DSIR importance-resampling data selection
     "curate_dsir_topk",
 ]

@@ -938,6 +938,16 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.cm_sketch_streaming(spark, threshold=60),
         K.cm_heavy_hitters_sql("duckdb", threshold=60),
     )
+    # HLL time cube (ClickHouse uniqState/uniqMerge): Spark answers
+    # distinct-users-per-DAY by MAX-merging the HOURLY register cube —
+    # never re-touching raw events — while the oracle builds per-day
+    # registers directly from events.  The non-additive-measure analog of
+    # the GLOBALVIEW re-aggregation rewrites: COUNT(DISTINCT x) cannot
+    # sum, but its sketch state merges at any coarser grain.
+    q["sketch_hll_daily_cube"] = _df_entry(
+        lambda spark, sf: spark.sql(K.hll_daily_from_hourly_sql("spark")),
+        K.hll_daily_direct_sql("duckdb"),
+    )
     # DSIR data selection (Xie et al. 2023): importance log-ratio of hashed
     # bigram profiles, target = the src0/src1 strata; integer-exact per-term
     # contributions (the BM25 discipline) make the full top-k hash-checked.

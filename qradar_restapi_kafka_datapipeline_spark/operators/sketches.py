@@ -462,3 +462,134 @@ def cm_sketch_streaming(
     return spark.sql(
         cm_estimates_sql("spark", cells_rel, threshold=threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL time cube — ClickHouse AggregatingMergeTree uniqState/uniqMerge as
+# plain relations: per-HOUR register files are the materialized state, and
+# ANY coarser grain (day, week) is answered by register MAX over the hours
+# it covers — the non-additive-measure analog of the GLOBALVIEW
+# re-aggregation rewrites (COUNT(DISTINCT x) cannot sum, but its sketch
+# state merges).  Time keys are integer hour/day ids from the shared
+# epoch-ms truncation (unix_millis / epoch_ms), the generation-stable form
+# (raw-ts grouping diverges between NANOS testdata readers; CLAUDE.md).
+# ---------------------------------------------------------------------------
+
+
+def _epoch_ms(dialect: str) -> str:
+    return "unix_millis(ts)" if dialect == "spark" else "epoch_ms(ts)"
+
+
+def hll_hourly_registers_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    p: int = HLL_P,
+) -> str:
+    """``(hour_id, bucket, r)`` — the continuously-maintainable uniqState:
+    one register file per hour, each ≤ 2^p rows regardless of traffic."""
+    m = 1 << p
+    h = _h60(dialect, f"({key_expr})", "'0'")
+    rmax = _HASH_BITS - p + 1
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    SELECT hour_id, bucket, MAX(r) AS r FROM (
+      SELECT ({_epoch_ms(dialect)}) {div} 3600000 AS hour_id,
+             h % {m} AS bucket,
+             CASE WHEN (h {div} {m}) = 0 THEN {rmax}
+                  ELSE CAST(ROUND(LOG2(CAST(
+                       (h {div} {m}) & (0 - (h {div} {m})) AS DOUBLE))) AS INT)
+                       + 1
+             END AS r
+      FROM (SELECT ts, {h} AS h FROM {source}) hashed
+    ) ranked
+    GROUP BY hour_id, bucket
+    """
+
+
+def hll_grouped_estimate_sql(
+    dialect: str,
+    regs_rel: str,
+    group_col: str = "day_id",
+    p: int = HLL_P,
+) -> str:
+    """The estimator per GROUP over any ``({group_col}, bucket, r)``
+    relation — same exact-integer series and shared-text doubles as
+    :func:`hll_estimate_sql`, one output row per group."""
+    m = 1 << p
+    rmax = _HASH_BITS - p + 1
+    unit = float(2 ** rmax)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+    WITH agg AS (
+      SELECT {group_col},
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CAST(POWER(2.0, {rmax} - r) AS BIGINT)) AS BIGINT)
+               AS s_int
+      FROM ({regs_rel}) regs
+      GROUP BY {group_col}
+    ),
+    scored AS (
+      SELECT {group_col}, ({m} - nb) AS v,
+             (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+               / ((CAST(s_int AS DOUBLE) + ({m} - nb) * {unit!r})
+                  / {unit!r}) AS raw
+      FROM agg
+    )
+    SELECT {group_col},
+           CAST(v AS BIGINT) AS zero_registers,
+           ROUND(CASE WHEN raw <= 2.5 * {m} AND v > 0
+                      THEN {m} * LN({m} * 1.0 / v)
+                      ELSE raw END + 1e-9, 6) AS distinct_est
+    FROM scored
+    """
+
+
+def hll_daily_from_hourly_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    p: int = HLL_P,
+) -> str:
+    """Distinct-per-DAY answered from the HOURLY register cube: MAX-merge
+    each day's 24 hourly register files, then estimate — never re-touching
+    the raw events (uniqMerge over uniqState).  The gate oracle computes
+    per-day registers DIRECTLY from events, so a wrong merge grain, a
+    dropped hour, or a register mixup hash-fails."""
+    div = "DIV" if dialect == "spark" else "//"
+    hourly = hll_hourly_registers_sql(dialect, key_expr, source, p)
+    daily_regs = f"""
+      SELECT hour_id {div} 24 AS day_id, bucket, MAX(r) AS r
+      FROM ({hourly}) h
+      GROUP BY hour_id {div} 24, bucket
+    """
+    return hll_grouped_estimate_sql(dialect, daily_regs, "day_id", p)
+
+
+def hll_daily_direct_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    p: int = HLL_P,
+) -> str:
+    """Per-day registers built straight from events (the oracle's one-shot
+    answer; ms DIV 86400000 == (ms DIV 3600000) DIV 24 for the positive
+    epoch, so the day key is identical to the cube's)."""
+    m = 1 << p
+    h = _h60(dialect, f"({key_expr})", "'0'")
+    rmax = _HASH_BITS - p + 1
+    div = "DIV" if dialect == "spark" else "//"
+    daily_regs = f"""
+      SELECT day_id, bucket, MAX(r) AS r FROM (
+        SELECT ({_epoch_ms(dialect)}) {div} 86400000 AS day_id,
+               h % {m} AS bucket,
+               CASE WHEN (h {div} {m}) = 0 THEN {rmax}
+                    ELSE CAST(ROUND(LOG2(CAST(
+                         (h {div} {m}) & (0 - (h {div} {m})) AS DOUBLE)))
+                         AS INT) + 1
+               END AS r
+        FROM (SELECT ts, {h} AS h FROM {source}) hashed
+      ) ranked
+      GROUP BY day_id, bucket
+    """
+    return hll_grouped_estimate_sql(dialect, daily_regs, "day_id", p)

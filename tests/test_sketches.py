@@ -62,3 +62,30 @@ def test_cm_cells_relation_is_bounded(spark, ev):
     corpus size — the groupBy shuffles a constant keyspace."""
     n = spark.sql(K.cm_cells_sql("spark")).count()
     assert n <= K.CM_D * K.CM_W
+
+
+def test_hll_daily_cube_tracks_exact_per_day(spark, ev):
+    """uniqMerge-from-hourly must track the exact per-day distinct within
+    the HLL error band for EVERY day, and agree with the direct per-day
+    build exactly."""
+    from pyspark.sql import functions as F
+
+    cube = {
+        r["day_id"]: r["distinct_est"]
+        for r in spark.sql(K.hll_daily_from_hourly_sql("spark")).collect()
+    }
+    direct = {
+        r["day_id"]: r["distinct_est"]
+        for r in spark.sql(K.hll_daily_direct_sql("spark")).collect()
+    }
+    assert cube == direct  # merge grain is lossless
+    exact = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(
+            (F.unix_millis("ts") / F.lit(86400000)).cast("long").alias("d")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(cube) == set(exact)
+    m = 1 << K.HLL_P
+    for d, n in exact.items():
+        assert abs(cube[d] - n) / n <= 3 * 1.04 / m ** 0.5, (d, cube[d], n)

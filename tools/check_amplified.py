@@ -71,6 +71,7 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sketch_cm_merge_parity": None,
     "sketch_hll_distinct": None,
     "sketch_hll_merge_parity": None,
+    "sketch_hll_daily_cube": None,
     "sketch_histogram_quantiles": None,
     "dedup_minhash_lsh": 4,
     "text_semantic_pairs_hashed_prefix": 4,
