@@ -278,6 +278,7 @@ def _uniform_ops(spark, k: int):
     from qradar_restapi_kafka_datapipeline_spark.operators import asof as A
     from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
     from qradar_restapi_kafka_datapipeline_spark.operators import similarity as Sim
+    from qradar_restapi_kafka_datapipeline_spark.operators import sketches as K_sk
     from qradar_restapi_kafka_datapipeline_spark.operators import text as T
     from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
         contamination_report,
@@ -357,6 +358,22 @@ def _uniform_ops(spark, k: int):
                 # distinct populations so runs (and candidates) stay linear
                 "dedup_exact_substring": lambda: D.exact_substring_pairs(
                     spark, n=8, min_run=12
+                ),
+                # round-6 sketches: the INPUT scan grows linearly in K but
+                # the shuffled keyspace is the fixed d*w / 2^p cell set —
+                # wall time should track the scan, never the key cardinality
+                # (the curve that justifies sketches at 100 TB)
+                "sketch_cm_cells": lambda: spark.sql(
+                    K_sk.cm_cells_sql("spark")
+                ),
+                "sketch_hll_registers": lambda: spark.sql(
+                    K_sk.hll_registers_sql("spark")
+                ),
+                # the exact competitor at the same K: full distinct keyspace
+                # shuffle (what the sketch replaces)
+                "exact_distinct_event_ids": lambda: spark.sql(
+                    "SELECT COUNT(DISTINCT CAST(event_id AS STRING)) AS n "
+                    "FROM events"
                 ),
                 # round-3: prefix-filtered hashed-embedding cosine — the
                 # AllPairs scale path (rarest-df prefixes, postings built
