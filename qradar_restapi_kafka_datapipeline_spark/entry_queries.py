@@ -948,6 +948,14 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(K.hll_daily_from_hourly_sql("spark")),
         K.hll_daily_direct_sql("duckdb"),
     )
+    # Continuously-maintained uniqState: the hourly cube folded per
+    # micro-batch by register MAX (naturally replay-idempotent — no epoch
+    # ledger needed, unlike the additive CM/rollup sinks), then served at
+    # day grain; oracle = whole-corpus per-day registers from raw events.
+    q["streaming_hll_cube_parity"] = _df_entry(
+        lambda spark, sf: K.hll_cube_streaming(spark),
+        K.hll_daily_direct_sql("duckdb"),
+    )
     # DSIR data selection (Xie et al. 2023): importance log-ratio of hashed
     # bigram profiles, target = the src0/src1 strata; integer-exact per-term
     # contributions (the BM25 discipline) make the full top-k hash-checked.

@@ -593,3 +593,87 @@ def hll_daily_direct_sql(
       GROUP BY day_id, bucket
     """
     return hll_grouped_estimate_sql(dialect, daily_regs, "day_id", p)
+
+
+def hll_cube_streaming(
+    spark,
+    key_expr: str = "CAST(user_id AS STRING)",
+    p: int = HLL_P,
+    n_batches: int = 3,
+):
+    """Continuously-maintained uniqState: replay events as a micro-batch
+    stream and fold each batch's HOURLY register file into the running cube
+    by (hour_id, bucket) register MAX.  Unlike the additive sinks, a
+    MAX-merge is naturally replay-idempotent (max(a, max(a, b)) = max(a,
+    b)), so no committed-epoch ledger is needed — the checkpoint alone
+    gives exactly-once OUTPUT because re-folding a replayed epoch cannot
+    change any register.  Returns the per-day estimates served from the
+    streamed cube; the gate oracle computes them from the whole corpus
+    directly, so a dropped batch or a wrong merge grain hash-fails."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    src_rel = spark.table("events").select(
+        "event_id", "ts", F.expr(key_expr).alias("k")
+    )
+    base = scratch_dir("hll_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    split = F.pmod(F.xxhash64("event_id"), F.lit(n_batches))
+    keyed = src_rel.withColumn("__b", split)
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    cube_path = os.path.join(base, "cube")
+    ckpt = os.path.join(base, "ckpt")
+
+    def fold(batch, epoch: int) -> None:
+        spark_ = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch.createOrReplaceTempView("__hll_batch")
+        inc = spark_.sql(
+            hll_hourly_registers_sql("spark", "k", "__hll_batch", p)
+        )
+        try:
+            current = spark_.read.parquet(cube_path)
+            merged = (
+                current.unionByName(inc)
+                .groupBy("hour_id", "bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        except Exception:
+            merged = inc
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            cube_path
+        )
+
+    stream = (
+        spark.readStream.schema(src_rel.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    div = "DIV"
+    daily = f"""
+      SELECT hour_id {div} 24 AS day_id, bucket, MAX(r) AS r
+      FROM parquet.`{cube_path}`
+      GROUP BY hour_id {div} 24, bucket
+    """
+    return spark.sql(hll_grouped_estimate_sql("spark", daily, "day_id", p))

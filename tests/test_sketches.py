@@ -89,3 +89,28 @@ def test_hll_daily_cube_tracks_exact_per_day(spark, ev):
     m = 1 << K.HLL_P
     for d, n in exact.items():
         assert abs(cube[d] - n) / n <= 3 * 1.04 / m ** 0.5, (d, cube[d], n)
+
+
+def test_hll_streaming_cube_matches_batch_cube(spark, ev, sf_dir):
+    """The streamed cube must equal the batch cube row-for-row, and
+    re-folding a batch (epoch replay) must be a no-op — register MAX is
+    naturally idempotent, which is why this sink needs no epoch ledger."""
+    from pyspark.sql import functions as F
+
+    streamed = {
+        (r["day_id"], r["zero_registers"], r["distinct_est"])
+        for r in K.hll_cube_streaming(spark).collect()
+    }
+    batch = {
+        (r["day_id"], r["zero_registers"], r["distinct_est"])
+        for r in spark.sql(K.hll_daily_from_hourly_sql("spark")).collect()
+    }
+    assert streamed == batch
+    # replay idempotence at the register level: folding the SAME increment
+    # into a register file twice changes nothing
+    regs = spark.sql(K.hll_hourly_registers_sql("spark"))
+    once = regs.unionByName(regs).groupBy("hour_id", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    key = lambda df: sorted((r["hour_id"], r["bucket"], r["r"]) for r in df.collect())
+    assert key(once) == key(regs)
