@@ -74,6 +74,10 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sketch_hll_daily_cube": None,
     "sketch_histogram_quantiles": None,
     "dedup_minhash_lsh": 4,
+    # round 6: the sum-compare fixpoint rewrite (labels only decrease →
+    # unchanged SUM(label) == converged) value-checked on a 4× pair graph
+    # against the recursive-closure oracle
+    "dedup_clusters": 4,
     "text_semantic_pairs_hashed_prefix": 4,
 }
 
