@@ -74,6 +74,10 @@ _QC_MEMO: dict[tuple[int, str], str] = {}
 #: separate actions and its lineage is expensive (engine.materialize_view
 #: contract).
 _LSH_PAIRS_MEMO: dict[tuple[int, str], str] = {}
+#: (session id, sf_dir) → materialized DSIR hashed-count relation (the
+#: one-statement form references it 3× and Spark re-executes CTEs per
+#: reference — three token-explode passes without this)
+_DSIR_CNTS_MEMO: dict[tuple[int, str], str] = {}
 
 
 def _lsh_pairs_085(spark: SparkSession, sf: str):
@@ -925,7 +929,7 @@ def _sketch_entries(q: dict[str, Q]) -> None:
     # cells; P50/P90/P99 interpolate within a bin (error <= one bin width
     # at any volume).
     q["sketch_histogram_quantiles"] = _df_entry(
-        lambda spark, sf: spark.sql(K.hist_quantiles_full_sql("spark")),
+        lambda spark, sf: K.hist_quantiles(spark),
         K.hist_quantiles_full_sql("duckdb"),
     )
     # Streaming CM maintenance: the sketch folded per micro-batch through
@@ -961,10 +965,19 @@ def _sketch_entries(q: dict[str, Q]) -> None:
     # contributions (the BM25 discipline) make the full top-k hash-checked.
     from qradar_restapi_kafka_datapipeline_spark.operators import curation as C
 
-    q["curate_dsir_topk"] = _df_entry(
-        lambda spark, sf: spark.sql(C.dsir_scores_sql("spark")),
-        C.dsir_scores_sql("duckdb"),
-    )
+    def _dsir_run(spark, sf):
+        from qradar_restapi_kafka_datapipeline_spark import engine
+
+        key = (id(spark), sf)
+        if key not in _DSIR_CNTS_MEMO:
+            _DSIR_CNTS_MEMO[key] = engine.materialize_view(
+                spark,
+                spark.sql(C.dsir_cnts_sql("spark")),
+                f"__dsir_cnts_{abs(hash(key)) % 10**8}",
+            )
+        return spark.sql(C.dsir_rank_sql("spark", _DSIR_CNTS_MEMO[key]))
+
+    q["curate_dsir_topk"] = _df_entry(_dsir_run, C.dsir_scores_sql("duckdb"))
 
 
 #: The driver's hard correctness gate hashes only the FIRST 50 registry

@@ -610,6 +610,26 @@ def quality_classifier_sql(
     """
 
 
+def dsir_cnts_sql(dialect: str, dim: int = 1024, source: str = "documents") -> str:
+    """``(doc_id, bucket, cnt)`` — the hashed bigram COUNT relation DSIR
+    scores against (nonnegative: the sign trick of the cosine postings
+    would break the probability reading)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        portable_hash60_sql,
+        token_positions_sql,
+    )
+
+    tok = token_positions_sql(dialect, source)
+    h = portable_hash60_sql(dialect, "CONCAT(a.word, ' ', b.word)")
+    return f"""
+    WITH tok AS ({tok})
+    SELECT a.doc_id, {h} % {dim} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id, {h} % {dim}
+    """
+
+
 def dsir_scores_sql(
     dialect: str,
     target_where: str = "source IN ('src0', 'src1')",
@@ -623,31 +643,37 @@ def dsir_scores_sql(
     log-ratio Σ_b cnt(d,b) · ln(p_target(b) / p_raw(b)) over hashed bigram
     buckets with add-one smoothing — and keep the top-``top_k``.
 
-    One dialect-shared statement: hashed bigram COUNTS (nonnegative — the
-    sign trick of the cosine postings would break the probability reading),
-    per-bucket target/raw totals, the smoothed per-bucket log-ratio rounded
-    to an exact 1e-6 multiple (BM25's integer-exact per-term discipline:
-    each doc's score is then a sum of BIGINT·1e-6-multiples — order-free),
-    and a (score DESC, doc_id) top-k.  Scale shape: counts are one token
-    explode + narrow aggregates; the bucket-ratio relation is ≤ ``dim``
-    rows and BROADCASTs into the per-doc contribution join; the only
-    corpus-wide shuffle keys are doc_id and bucket.
+    One dialect-shared statement (the ORACLE form; the Spark entry runs
+    :func:`dsir_scores`, which materializes the counts relation first —
+    this statement references ``cnts`` three times and Spark re-executes a
+    CTE per reference): per-bucket target/raw totals, the smoothed
+    per-bucket log-ratio rounded to an exact 1e-6 multiple (BM25's
+    integer-exact per-term discipline: each doc's score is then a sum of
+    BIGINT·1e-6-multiples — order-free), and a (score DESC, doc_id) top-k.
+    Scale shape: counts are one token explode + narrow aggregates; the
+    bucket-ratio relation is ≤ ``dim`` rows and BROADCASTs into the
+    per-doc contribution join; the only corpus-wide shuffle keys are
+    doc_id and bucket.
     """
-    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
-        portable_hash60_sql,
-        token_positions_sql,
+    return dsir_rank_sql(
+        dialect, f"({dsir_cnts_sql(dialect, dim, source)})",
+        target_where, dim, top_k, source,
     )
 
-    tok = token_positions_sql(dialect, source)
-    h = portable_hash60_sql(dialect, "CONCAT(a.word, ' ', b.word)")
+
+def dsir_rank_sql(
+    dialect: str,
+    cnts_rel: str,
+    target_where: str = "source IN ('src0', 'src1')",
+    dim: int = 1024,
+    top_k: int = 100,
+    source: str = "documents",
+) -> str:
+    """The scoring/ranking stages over ANY ``(doc_id, bucket, cnt)``
+    relation — shared by the one-statement oracle and the Spark path that
+    scans a materialized counts relation."""
     return f"""
-    WITH tok AS ({tok}),
-    cnts AS (
-      SELECT a.doc_id, {h} % {dim} AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      GROUP BY a.doc_id, {h} % {dim}
-    ),
+    WITH cnts AS (SELECT * FROM {cnts_rel}),
     tgt AS (
       SELECT c.bucket, CAST(SUM(c.cnt) AS BIGINT) AS tc
       FROM cnts c JOIN {source} s ON s.doc_id = c.doc_id
@@ -692,3 +718,27 @@ def dsir_scores_sql(
       FROM scored
     ) ranked WHERE rk <= {top_k}
     """
+
+
+def dsir_scores(
+    spark,
+    target_where: str = "source IN ('src0', 'src1')",
+    dim: int = 1024,
+    top_k: int = 100,
+    source: str = "documents",
+) -> DataFrame:
+    """Spark-path DSIR: materialize the hashed-count relation once, then
+    rank.  The one-statement form references ``cnts`` three times (target
+    totals, raw totals, per-doc contributions) and Spark re-executes a CTE
+    per reference — three token-explode passes over the corpus per query.
+    Materialized parquet (the CLAUDE.md expensive-lineage contract) makes
+    each reference a bounded columnar scan; value-identical to the oracle
+    statement by construction."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
+
+    cnts = materialize_view(
+        spark, spark.sql(dsir_cnts_sql("spark", dim, source)), "__dsir_cnts"
+    )
+    return spark.sql(
+        dsir_rank_sql("spark", cnts, target_where, dim, top_k, source)
+    )

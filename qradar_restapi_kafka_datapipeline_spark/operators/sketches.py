@@ -677,3 +677,32 @@ def hll_cube_streaming(
       GROUP BY hour_id {div} 24, bucket
     """
     return spark.sql(hll_grouped_estimate_sql("spark", daily, "day_id", p))
+
+
+def hist_quantiles(
+    spark,
+    value_expr: str = "value",
+    source: str = "events",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+):
+    """Spark-path histogram quantiles: build the cells ONCE, pin the ≤
+    ``bins``-row result as a literal relation (the probe-list bounded-
+    constant posture), and rank over it — the one-statement form
+    (:func:`hist_quantiles_full_sql`, kept as the oracle) references the
+    cells three times and Spark re-executes a CTE per reference, re-scanning
+    the corpus for each."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    cells = spark.sql(hist_cells_sql("spark", value_expr, source, lo, hi, bins))
+    lit = spark.createDataFrame(
+        [(r["bin"], r["c"]) for r in cells.collect()], "bin INT, c BIGINT"
+    )
+    name = unique_view(lit, "__hist_cells")
+    return spark.sql(
+        hist_quantiles_sql(
+            "spark", f"SELECT bin, c FROM {name}", qs, lo, hi, bins
+        )
+    )
