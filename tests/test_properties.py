@@ -863,3 +863,61 @@ class TestJpegRoundTripFuzz:
             assert chk == exp % BMP_CHECKSUM_MOD
 
         check()
+
+
+class TestSketchDifferentialFuzz:
+    """Differential fuzz over the sketch PARAMETER space: the gate pins one
+    (d, w, p, bins) configuration — these assert Spark ≡ DuckDB for random
+    configurations, so a parity break hiding in the modular/bit/rounding
+    arithmetic at other sizes cannot ship."""
+
+    def test_random_sketch_params_agree_across_engines(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.operators import (
+            sketches as K,
+        )
+
+        spark, con = engines
+
+        def rows_of(df_pandas):
+            cols = sorted(df_pandas.columns)
+            return sorted(
+                "|".join(str(v) for v in rec)
+                for rec in df_pandas[cols].itertuples(index=False, name=None)
+            )
+
+        @settings(max_examples=12, deadline=None, database=None)
+        @given(
+            st.sampled_from([2, 3, 4, 5]),            # CM depth d
+            st.sampled_from([64, 128, 256, 1000]),    # CM width w (incl. non-power)
+            st.sampled_from([4, 6, 9, 11]),           # HLL precision p
+            st.sampled_from([16, 100, 128]),          # histogram bins
+            st.sampled_from(["CAST(user_id AS STRING)",
+                             "event_type",
+                             "CAST(event_id AS STRING)"]),
+        )
+        def check(d, w, p, bins, key):
+            s = rows_of(spark.sql(
+                K.cm_heavy_hitters_sql("spark", key, d=d, w=w)).toPandas())
+            o = rows_of(con.execute(
+                K.cm_heavy_hitters_sql("duckdb", key, d=d, w=w)).df())
+            assert s == o, f"CM diverged at d={d} w={w} key={key}"
+            s = rows_of(spark.sql(
+                K.hll_distinct_sql("spark", key, p=p)).toPandas())
+            o = rows_of(con.execute(
+                K.hll_distinct_sql("duckdb", key, p=p)).df())
+            assert s == o, f"HLL diverged at p={p} key={key}"
+            def hist_sql(dialect):
+                return K.hist_quantiles_sql(
+                    dialect,
+                    K.hist_cells_sql(dialect, bins=bins),
+                    qs=(0.25, 0.5, 0.99),
+                    bins=bins,
+                )
+
+            s = rows_of(spark.sql(hist_sql("spark")).toPandas())
+            o = rows_of(con.execute(hist_sql("duckdb")).df())
+            assert s == o, f"histogram diverged at bins={bins}"
+
+        check()
