@@ -978,6 +978,15 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         return spark.sql(C.dsir_rank_sql("spark", _DSIR_CNTS_MEMO[key]))
 
     q["curate_dsir_topk"] = _df_entry(_dsir_run, C.dsir_scores_sql("duckdb"))
+    # The WHOLE funnel composed: decontaminate → curate → DSIR-select →
+    # temperature-mix, per-stage per-source counts; each stage is the
+    # registry's own operator handing off through materialized relations,
+    # and the oracle replays all four stages as one nested statement — a
+    # column-contract break between any two stages hash-fails.
+    q["pipeline_corpus_funnel"] = _df_entry(
+        lambda spark, sf: C.corpus_funnel(spark),
+        C.corpus_funnel_oracle_sql(),
+    )
 
 
 #: The driver's hard correctness gate hashes only the FIRST 50 registry

@@ -742,3 +742,105 @@ def dsir_scores(
     return spark.sql(
         dsir_rank_sql("spark", cnts, target_where, dim, top_k, source)
     )
+
+
+def corpus_funnel(spark, top_k: int = 200) -> DataFrame:
+    """The WHOLE training-data funnel composed end-to-end (round 6):
+    decontaminate (GPT-3 direction, eval split = ``doc_id % 5 = 0``) →
+    curate (lang × quality × length × exact-dedup) → DSIR-select the
+    ``top_k`` most target-like survivors → temperature-mix (α = 0.5) the
+    selection.  Returns one ``(stage, source, n)`` row per stage × source —
+    the funnel report a pipeline owner audits before training.
+
+    The point of the entry is COMPOSITION: each stage is the registry's own
+    operator, the stages hand off through materialized relations (every
+    stage's output is consumed twice — by the next stage and by its report
+    row — and Spark re-executes CTE references), and the oracle replays the
+    same four stages as ONE nested DuckDB statement, so a column-contract
+    break or an ordering assumption between any two stages hash-fails.
+    """
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
+    from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+        decontaminate_train,
+    )
+
+    decon_v = materialize_view(
+        spark, decontaminate_train(spark.table("documents")), "__funnel_decon"
+    )
+    curated_v = materialize_view(
+        spark, spark.sql(curate_corpus_sql("spark", table=decon_v)),
+        "__funnel_curated",
+    )
+    # DSIR scores need text; curated output is the audit projection
+    sel_src = materialize_view(
+        spark,
+        spark.sql(
+            f"SELECT c.doc_id, d.source, d.text "
+            f"FROM {curated_v} c JOIN {decon_v} d ON d.doc_id = c.doc_id"
+        ),
+        "__funnel_selsrc",
+    )
+    cnts_v = materialize_view(
+        spark, spark.sql(dsir_cnts_sql("spark", source=sel_src)),
+        "__funnel_cnts",
+    )
+    selected_v = materialize_view(
+        spark,
+        spark.sql(
+            f"SELECT r.doc_id, s.source FROM ("
+            + dsir_rank_sql("spark", cnts_v, top_k=top_k, source=sel_src)
+            + f") r JOIN {sel_src} s ON s.doc_id = r.doc_id"
+        ),
+        "__funnel_selected",
+    )
+    mixed_v = materialize_view(
+        spark,
+        spark.sql(mix_temperature_sql("spark", table=selected_v)),
+        "__funnel_mixed",
+    )
+    report = " UNION ALL ".join(
+        f"SELECT '{stage}' AS stage, source, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {view} GROUP BY source"
+        for stage, view in (
+            ("decontaminated", decon_v),
+            ("curated", curated_v),
+            ("selected", selected_v),
+            ("mixed", mixed_v),
+        )
+    )
+    return spark.sql(report)
+
+
+def corpus_funnel_oracle_sql(top_k: int = 200) -> str:
+    """DuckDB twin of :func:`corpus_funnel`: the identical four stages as
+    one nested statement (each stage's oracle SQL embedded as a subquery)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
+        decontaminate_oracle_sql,
+    )
+
+    decon = (
+        "(SELECT d2.doc_id, d2.source, d2.lang, d2.text FROM documents d2 "
+        f"JOIN ({decontaminate_oracle_sql(out_cols='doc_id')}) di "
+        "ON di.doc_id = d2.doc_id)"
+    )
+    curated = f"({curate_corpus_sql('duckdb', table=decon)})"
+    sel_src = (
+        f"(SELECT c.doc_id, dd.source, dd.text FROM {curated} c "
+        "JOIN documents dd ON dd.doc_id = c.doc_id)"
+    )
+    selected = (
+        f"(SELECT r.doc_id, s.source FROM "
+        f"({dsir_scores_sql('duckdb', top_k=top_k, source=sel_src)}) r "
+        f"JOIN {sel_src} s ON s.doc_id = r.doc_id)"
+    )
+    mixed = f"({mix_temperature_sql('duckdb', table=selected)})"
+    return " UNION ALL ".join(
+        f"SELECT '{stage}' AS stage, source, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {rel} x GROUP BY source"
+        for stage, rel in (
+            ("decontaminated", decon),
+            ("curated", curated),
+            ("selected", selected),
+            ("mixed", mixed),
+        )
+    )
