@@ -78,6 +78,7 @@ _LSH_PAIRS_MEMO: dict[tuple[int, str], str] = {}
 #: one-statement form references it 3× and Spark re-executes CTEs per
 #: reference — three token-explode passes without this)
 _DSIR_CNTS_MEMO: dict[tuple[int, str], str] = {}
+_DSIR_LAM_MEMO: dict[tuple[int, str], str] = {}
 
 
 def _lsh_pairs_085(spark: SparkSession, sf: str):
@@ -978,6 +979,33 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         return spark.sql(C.dsir_rank_sql("spark", _DSIR_CNTS_MEMO[key]))
 
     q["curate_dsir_topk"] = _df_entry(_dsir_run, C.dsir_scores_sql("duckdb"))
+    # Frozen-selector incremental apply (the IVF/PQ/BPE/classifier artifact
+    # contract): the (bucket, l6) selector is trained once on the base
+    # corpus and persisted; a simulated new crawl batch (re-id'd subset) is
+    # scored against the FROZEN statistics in one linear pass.  The oracle
+    # reads the same emitted artifact and recomputes featurize → join →
+    # score — the selector build itself is value-checked by
+    # curate_dsir_topk's end-to-end oracle.
+    _DSIR_NEW_BATCH = (
+        "(SELECT doc_id + 100000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 7 = 0)"
+    )
+
+    def _dsir_apply_run(spark, sf):
+        setup(spark, sf)
+        key = (id(spark), sf)
+        art = _emit_dir("dsir_lam")
+        if key not in _DSIR_LAM_MEMO:
+            C.build_dsir_selector(spark, art)
+            _DSIR_LAM_MEMO[key] = art
+        return spark.sql(
+            C.dsir_apply_sql("spark", _DSIR_LAM_MEMO[key], _DSIR_NEW_BATCH)
+        )
+
+    q["curate_dsir_apply"] = Q(
+        run=_dsir_apply_run,
+        oracle=C.dsir_apply_sql("duckdb", _emit_dir("dsir_lam"), _DSIR_NEW_BATCH),
+    )
     # The WHOLE funnel composed: decontaminate → curate → DSIR-select →
     # temperature-mix, per-stage per-source counts; each stage is the
     # registry's own operator handing off through materialized relations,

@@ -661,6 +661,62 @@ def dsir_scores_sql(
     )
 
 
+def dsir_lambda_sql(
+    dialect: str,
+    cnts_rel: str,
+    target_where: str = "source IN ('src0', 'src1')",
+    dim: int = 1024,
+    source: str = "documents",
+) -> str:
+    """``(bucket, l6)`` — the per-bucket importance log-ratio over ANY
+    ``(doc_id, bucket, cnt)`` relation, in INTEGER MICRO-UNITS: a
+    6dp-rounded DOUBLE is not exactly representable in binary, so summing
+    cnt·double is order-dependent (observed 2e-6 drift); BIGINT micro-units
+    sum exactly in any order and scale back once at the end.  Every
+    LN-argument operand is CAST to DOUBLE: DuckDB types the bare 1.0
+    literal as DECIMAL and its limited-scale DECIMAL division truncated the
+    ratio at ~1e-6.  ONE definition feeds the topk path, the frozen-selector
+    artifact, and the funnel — per CLAUDE.md, per-call copies of this math
+    are how parity breaks."""
+    return f"""
+    WITH lcnts AS (SELECT * FROM {cnts_rel}),
+    tgt AS (
+      SELECT c.bucket, CAST(SUM(c.cnt) AS BIGINT) AS tc
+      FROM lcnts c JOIN {source} s ON s.doc_id = c.doc_id
+      WHERE {target_where}
+      GROUP BY c.bucket
+    ),
+    raw AS (
+      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS rc FROM lcnts GROUP BY bucket
+    ),
+    tots AS (
+      SELECT CAST(COALESCE((SELECT SUM(tc) FROM tgt), 0) AS BIGINT) AS tt,
+             CAST(COALESCE((SELECT SUM(rc) FROM raw), 0) AS BIGINT) AS rt
+    )
+    SELECT r.bucket,
+           CAST(ROUND((LN(((CAST(COALESCE(t.tc, 0) AS DOUBLE) + 1.0)
+                           * CAST(tots.rt + {dim} AS DOUBLE))
+                    / ((CAST(r.rc AS DOUBLE) + 1.0)
+                           * CAST(tots.tt + {dim} AS DOUBLE))) + 1e-9)
+                * 1000000) AS BIGINT) AS l6
+    FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
+    CROSS JOIN tots
+    """
+
+
+def dsir_score_sql(dialect: str, cnts_rel: str, lam_rel: str) -> str:
+    """Per-doc DSIR score from ANY counts × lambda pair — the shared
+    scoring kernel (exact BIGINT micro-unit sums, one final scale)."""
+    return f"""
+      SELECT /*+ BROADCAST(l) */
+             c.doc_id,
+             ROUND(CAST(SUM(c.cnt * l.l6) AS DOUBLE) / 1000000 + 1e-9, 6)
+               AS dsir_score
+      FROM ({cnts_rel}) c JOIN ({lam_rel}) l ON l.bucket = c.bucket
+      GROUP BY c.doc_id
+    """
+
+
 def dsir_rank_sql(
     dialect: str,
     cnts_rel: str,
@@ -672,46 +728,14 @@ def dsir_rank_sql(
     """The scoring/ranking stages over ANY ``(doc_id, bucket, cnt)``
     relation — shared by the one-statement oracle and the Spark path that
     scans a materialized counts relation."""
+    lam = dsir_lambda_sql(
+        dialect, "(SELECT * FROM cnts)", target_where, dim, source
+    )
+    scored = dsir_score_sql(dialect, "SELECT * FROM cnts", "SELECT * FROM lam")
     return f"""
     WITH cnts AS (SELECT * FROM {cnts_rel}),
-    tgt AS (
-      SELECT c.bucket, CAST(SUM(c.cnt) AS BIGINT) AS tc
-      FROM cnts c JOIN {source} s ON s.doc_id = c.doc_id
-      WHERE {target_where}
-      GROUP BY c.bucket
-    ),
-    raw AS (
-      SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS rc FROM cnts GROUP BY bucket
-    ),
-    tots AS (
-      SELECT CAST(COALESCE((SELECT SUM(tc) FROM tgt), 0) AS BIGINT) AS tt,
-             CAST(COALESCE((SELECT SUM(rc) FROM raw), 0) AS BIGINT) AS rt
-    ),
-    lam AS (
-      -- per-bucket log-ratio in INTEGER MICRO-UNITS: a 6dp-rounded DOUBLE
-      -- is not exactly representable in binary, so summing cnt*double is
-      -- order-dependent (observed 2e-6 drift); BIGINT micro-units sum
-      -- exactly in any order and scale back once at the end
-      -- every LN-argument operand is CAST to DOUBLE: DuckDB types the
-      -- bare 1.0 literal as DECIMAL and its limited-scale DECIMAL division
-      -- truncated the ratio at ~1e-6 (observed 1e-7-level divergence)
-      SELECT r.bucket,
-             CAST(ROUND((LN(((CAST(COALESCE(t.tc, 0) AS DOUBLE) + 1.0)
-                             * CAST(tots.rt + {dim} AS DOUBLE))
-                      / ((CAST(r.rc AS DOUBLE) + 1.0)
-                             * CAST(tots.tt + {dim} AS DOUBLE))) + 1e-9)
-                  * 1000000) AS BIGINT) AS l6
-      FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
-      CROSS JOIN tots
-    ),
-    scored AS (
-      SELECT /*+ BROADCAST(l) */
-             c.doc_id,
-             ROUND(CAST(SUM(c.cnt * l.l6) AS DOUBLE) / 1000000 + 1e-9, 6)
-               AS dsir_score
-      FROM cnts c JOIN lam l ON l.bucket = c.bucket
-      GROUP BY c.doc_id
-    )
+    lam AS ({lam}),
+    scored AS ({scored})
     SELECT doc_id, dsir_score, rk FROM (
       SELECT doc_id, dsir_score, CAST(ROW_NUMBER() OVER (
         ORDER BY dsir_score DESC, doc_id ASC) AS INT) AS rk
@@ -844,3 +868,48 @@ def corpus_funnel_oracle_sql(top_k: int = 200) -> str:
             ("mixed", mixed),
         )
     )
+
+
+def build_dsir_selector(
+    spark,
+    path: str,
+    target_where: str = "source IN ('src0', 'src1')",
+    dim: int = 1024,
+    source: str = "documents",
+) -> None:
+    """Persist the DSIR selector — the ``(bucket, l6)`` importance
+    log-ratio relation — as an oracle-readable artifact (the frozen-
+    quantizer posture of the IVF/PQ/BPE/classifier artifacts): incoming
+    crawl batches are scored against FROZEN corpus statistics, never by
+    recomputing them."""
+    lam = dsir_lambda_sql(
+        "spark", f"({dsir_cnts_sql('spark', dim, source)})",
+        target_where, dim, source,
+    )
+    spark.sql(lam).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def dsir_apply_sql(
+    dialect: str,
+    artifact: str,
+    new_source: str,
+    dim: int = 1024,
+    keep_threshold: float = 0.0,
+) -> str:
+    """Score NEW documents with a frozen selector artifact: featurize with
+    the SAME hashed-bigram counts the trainer used, join the broadcast
+    ``(bucket, l6)`` relation, exact micro-unit sums, verdict at
+    ``keep_threshold`` (0 = more target-like than raw).  Incremental-apply
+    is one linear pass over the batch — corpus statistics are never
+    touched, exactly like IVF append reusing the persisted quantizer."""
+    if dialect == "spark":
+        lam = f"SELECT bucket, l6 FROM parquet.`{artifact}`"
+    else:
+        lam = f"SELECT bucket, l6 FROM '{artifact}/*.parquet'"
+    cnts = dsir_cnts_sql(dialect, dim, new_source)
+    scored = dsir_score_sql(dialect, cnts, lam)
+    return f"""
+    SELECT doc_id, dsir_score,
+           CAST(dsir_score >= {keep_threshold!r} AS BOOLEAN) AS keep
+    FROM ({scored}) s
+    """

@@ -634,3 +634,32 @@ class TestQualityClassifier:
 
         assert acc([r for r in qs if r["doc_id"] < 400]) >= 0.9   # training
         assert acc([r for r in qs if r["doc_id"] >= 400]) >= 0.7  # holdout
+
+
+def test_dsir_frozen_apply_reproduces_corpus_scores(spark, tables):
+    """Scoring the BASE corpus with the frozen selector must reproduce the
+    end-to-end dsir_scores values doc-for-doc — the artifact carries
+    exactly the statistics the one-shot path derives."""
+    import tempfile
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        build_dsir_selector,
+        dsir_apply_sql,
+        dsir_scores_sql,
+    )
+
+    art = tempfile.mkdtemp(prefix="dsir_lam_")
+    build_dsir_selector(spark, art)
+    applied = {
+        r["doc_id"]: r["dsir_score"]
+        for r in spark.sql(
+            dsir_apply_sql("spark", art, "(SELECT doc_id, text FROM documents)")
+        ).collect()
+    }
+    end_to_end = {
+        r["doc_id"]: r["dsir_score"]
+        for r in spark.sql(dsir_scores_sql("spark", top_k=10**9)).collect()
+    }
+    assert end_to_end  # every ranked doc's score matches the frozen-apply
+    for d, s in end_to_end.items():
+        assert applied[d] == s, d
