@@ -1047,11 +1047,15 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: curate_quality_classifier, decontaminate_bloom, text_bm25_topk,
 #: knn_mmr_diversified, zorder_layout_keys — plus this round's new
 #: aql_auto_rollup_count (n_rows navigator) and knn_mmr_ivfpq (MMR over the
-#: persisted index).
+#: persisted index).  A second r6 pass swapped aql_TopSecurityEvents (the
+#: corpus family keeps 3 reps), globalview_aggregate (GLOBALVIEW covered by
+#: the routed/materialized entries), and text_langid_distribution (text
+#: analysis keeps quality/fingerprint) for the round's newest families:
+#: sketch_cm_heavy_hitters, sketch_hll_daily_cube, curate_dsir_topk.
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
-    "aql_TopSecurityEvents",
+    "sketch_cm_heavy_hitters",
     "aql_nested_incidr_coalesce",
     "aql_auto_rollup_routed",
     "aql_auto_rollup_reagg",
@@ -1063,7 +1067,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "normalize_dates",
     "summing_rollup_hourly",
     "streaming_rollup_txn_parity",
-    "globalview_aggregate",
+    "sketch_hll_daily_cube",
     "dedup_exact_stats",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
@@ -1080,7 +1084,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "text_knn_indexed",
     "text_semantic_pairs_hashed_prefix",
     "text_semantic_pairs_hashed_capped",
-    "text_langid_distribution",
+    "curate_dsir_topk",
     "text_quality_scores",
     "text_fingerprint",
     "text_bm25_topk",

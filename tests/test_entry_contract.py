@@ -86,6 +86,9 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "knn_ivfpq_persisted", "curate_quality_classifier",
         "decontaminate_bloom", "text_bm25_topk", "knn_mmr_diversified",
         "zorder_layout_keys", "aql_auto_rollup_count", "knn_mmr_ivfpq",
+        # second r6 pass: the round's own new families
+        "sketch_cm_heavy_hitters", "sketch_hll_daily_cube",
+        "curate_dsir_topk",
     ):
         assert rotated_in in GATE_WINDOW, rotated_in
     # family spot-checks: at least one of each major family inside the window
