@@ -132,6 +132,26 @@ def main() -> None:
             ).mode("overwrite").save()
             times.append(time.time() - t0)
         report("curation_scoring_docs_per_sec", times, rows=nd)
+
+        # Sketch-build throughput (rows/s): the fixed-size summaries a
+        # telemetry deployment maintains continuously — CM cells (d hash
+        # probes per row into a d*w constant keyspace) and HLL registers
+        # (1 hash per row into 2^p buckets).  Both are pure groupBy with
+        # map-side partials; the rate here is the per-row hashing cost.
+        from qradar_restapi_kafka_datapipeline_spark.operators import (
+            sketches as K,
+        )
+
+        for name, sql in (
+            ("sketch_cm_build_rows_per_sec", K.cm_cells_sql("spark")),
+            ("sketch_hll_build_rows_per_sec", K.hll_registers_sql("spark")),
+        ):
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                spark.sql(sql).write.format("noop").mode("overwrite").save()
+                times.append(time.time() - t0)
+            report(name, times)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
