@@ -98,5 +98,8 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "boilerplate_", "curate_", "multimodal_", "streaming_",
         "sessionize_events_bucketed", "event_gaps_lag_bucketed",
         "resample_", "pack_sequences",
+        # round 6 families
+        "sketch_cm", "sketch_hll", "curate_dsir", "zorder_",
+        "decontaminate_",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
