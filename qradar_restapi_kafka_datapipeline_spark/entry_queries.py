@@ -933,12 +933,14 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.hist_quantiles(spark),
         K.hist_quantiles_full_sql("duckdb"),
     )
-    # Streaming CM maintenance: the sketch folded per micro-batch through
-    # the ledgered foreachBatch pattern (streaming_rollup_exact contract);
-    # the oracle computes the estimates from the WHOLE corpus in one shot,
-    # so a lost or double-folded batch hash-fails.  (foreachBatch + replay
-    # is not SQL-expressible; the ORACLE side is — this stays a full
-    # hash-checked entry, not rows-only.)
+    # Streaming CM maintenance: each micro-batch lands as an immutable
+    # per-epoch increment part SUM-merged at read (replay overwrites its
+    # own part — idempotent, no commit window; crash-injection proven in
+    # tests/test_sketches.py); the oracle computes the estimates from the
+    # WHOLE corpus in one shot, so a lost or double-folded batch
+    # hash-fails.  (foreachBatch + replay is not SQL-expressible; the
+    # ORACLE side is — this stays a full hash-checked entry, not
+    # rows-only.)
     q["streaming_sketch_parity"] = _df_entry(
         lambda spark, sf: K.cm_sketch_streaming(spark, threshold=60),
         K.cm_heavy_hitters_sql("duckdb", threshold=60),
@@ -953,10 +955,10 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(K.hll_daily_from_hourly_sql("spark")),
         K.hll_daily_direct_sql("duckdb"),
     )
-    # Continuously-maintained uniqState: the hourly cube folded per
-    # micro-batch by register MAX (naturally replay-idempotent — no epoch
-    # ledger needed, unlike the additive CM/rollup sinks), then served at
-    # day grain; oracle = whole-corpus per-day registers from raw events.
+    # Continuously-maintained uniqState: each micro-batch lands hourly
+    # registers as a per-epoch part MAX-merged at read (replay-idempotent
+    # twice over: MAX itself, and the part overwrite), then served at day
+    # grain; oracle = whole-corpus per-day registers from raw events.
     q["streaming_hll_cube_parity"] = _df_entry(
         lambda spark, sf: K.hll_cube_streaming(spark),
         K.hll_daily_direct_sql("duckdb"),

@@ -1280,6 +1280,12 @@ def _mmr_greedy(
         .localCheckpoint(eager=True)
     )
     first = pool.orderBy(F.col("cos").desc(), F.col("n_id").asc()).first()
+    if first is None:
+        # empty pool (tiny corpus / sparse probes): degrade to 0 picks, the
+        # union-chain variant's behavior — never crash the greedy
+        return pool.sparkSession.createDataFrame(
+            [], "rk INT, n_id BIGINT, cos DOUBLE"
+        )
     picked = [(1, first["n_id"], first["cos"])]
     for step in range(2, k + 1):
         sel_ids = [p[1] for p in picked]
@@ -1303,6 +1309,9 @@ def _mmr_greedy(
             .orderBy(F.col("__score").desc(), F.col("n_id").asc())
             .first()
         )
+        if row is None:
+            # pool exhausted before k picks: return what we have
+            break
         picked.append((step, row["n_id"], row["cos"]))
     return pool.sparkSession.createDataFrame(
         picked, "rk INT, n_id BIGINT, cos DOUBLE"

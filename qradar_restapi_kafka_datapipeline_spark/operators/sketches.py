@@ -381,15 +381,24 @@ def cm_sketch_streaming(
     w: int = CM_W,
     n_batches: int = 3,
     threshold: int = 0,
+    _crash_after_write_epoch: int | None = None,
 ):
     """Replay the events relation as an ``n_batches`` file stream and fold
-    each micro-batch's CM cells into a running cells table by (i, col) SUM
-    — exactly-once via the committed-epoch ledger (the
-    ``streaming_rollup_exact`` contract: an aggregate-ADD sink
-    double-counts on epoch replay, so replayed epochs are skipped).
-    Returns the heavy-hitter estimates from the streamed sketch; the gate
-    oracle computes them from the whole corpus in one shot, so a lost or
-    double-folded batch hash-fails."""
+    each micro-batch's CM cells as a PER-EPOCH increment part
+    (``cells/epoch=N``) — exactly-once by idempotence, not by a ledger: a
+    replayed epoch overwrites ITS OWN part and can never re-add into an
+    accumulated table, so there is no commit window at all (the round-6
+    read-merge-overwrite committed its marker after a non-atomic overwrite
+    and double-folded on a crash between the two; this is the ClickHouse
+    parts motif instead — immutable increments, SUM-merge at read).  The
+    merged cells stay a bounded constant (≤ n_batches · d·w rows; a real
+    deployment compacts old parts with the same SUM, which is the
+    ``summing_rollup`` shape).  ``_crash_after_write_epoch`` is the
+    crash-injection hook for the replay test: raise once AFTER the part
+    write (the widest failure window) and restart the stream from the same
+    checkpoint.  Returns the heavy-hitter estimates from the streamed
+    sketch; the gate oracle computes them from the whole corpus in one
+    shot, so a lost or double-folded batch hash-fails."""
     import os
 
     from pyspark.sql import functions as F
@@ -415,50 +424,52 @@ def cm_sketch_streaming(
 
     cells_path = os.path.join(base, "cells")
     ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
 
     def fold(batch, epoch: int) -> None:
         spark_ = batch.sparkSession
-        jvm = spark_._jvm
-        marker = jvm.org.apache.hadoop.fs.Path(
-            f"{ckpt}/_committed_epochs/{epoch}"
-        )
-        fs = marker.getFileSystem(spark_._jsc.hadoopConfiguration())
-        if fs.exists(marker):
-            return
         if batch.isEmpty():
             return
         batch.createOrReplaceTempView("__cm_batch")
         inc = spark_.sql(cm_cells_sql("spark", "k", "__cm_batch", d, w))
-        try:
-            current = spark_.read.parquet(cells_path)
-            merged = (
-                current.unionByName(inc)
-                .groupBy("i", "col")
-                .agg(F.sum("c").cast("bigint").alias("c"))
-            )
-        except Exception:
-            merged = inc
-        # the cells relation is a d*w bounded constant: pin it before the
-        # overwrite so the write never reads the path it replaces
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            cells_path
+        # overwrite of the epoch-keyed part is the whole commit protocol:
+        # replay rewrites the same path with the same deterministic batch
+        inc.write.mode("overwrite").parquet(
+            os.path.join(cells_path, f"epoch={epoch}")
         )
-        fs.create(marker, True).close()
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after increment write (replay test)"
+            )
 
-    stream = (
-        spark.readStream.schema(src_rel.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(src_rel.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        # restart from the same checkpoint: the failed epoch replays with
+        # the same batch id and overwrites its own part — idempotent
+        run()
+    cells_rel = (
+        "SELECT i, col, CAST(SUM(c) AS BIGINT) AS c "
+        f"FROM parquet.`{cells_path}` GROUP BY i, col"
     )
-    (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    cells_rel = f"SELECT i, col, c FROM parquet.`{cells_path}`"
     return spark.sql(
         cm_estimates_sql("spark", cells_rel, threshold=threshold)
     )
@@ -600,16 +611,20 @@ def hll_cube_streaming(
     key_expr: str = "CAST(user_id AS STRING)",
     p: int = HLL_P,
     n_batches: int = 3,
+    _crash_after_write_epoch: int | None = None,
 ):
     """Continuously-maintained uniqState: replay events as a micro-batch
-    stream and fold each batch's HOURLY register file into the running cube
-    by (hour_id, bucket) register MAX.  Unlike the additive sinks, a
-    MAX-merge is naturally replay-idempotent (max(a, max(a, b)) = max(a,
-    b)), so no committed-epoch ledger is needed — the checkpoint alone
-    gives exactly-once OUTPUT because re-folding a replayed epoch cannot
-    change any register.  Returns the per-day estimates served from the
-    streamed cube; the gate oracle computes them from the whole corpus
-    directly, so a dropped batch or a wrong merge grain hash-fails."""
+    stream and land each batch's HOURLY register file as a PER-EPOCH part
+    (``cube/epoch=N``), MAX-merged by (hour_id, bucket) at read.  MAX is
+    replay-idempotent even under the old read-merge-overwrite, but the
+    per-epoch-part protocol (shared with :func:`cm_sketch_streaming`)
+    additionally removes the transient-read-error hazard: there is no read
+    of accumulated state inside the fold at all, so a flaky read can never
+    silently reset the cube to the current batch.  ``_crash_after_write_
+    epoch`` injects a crash after a part write for the replay test.
+    Returns the per-day estimates served from the streamed cube; the gate
+    oracle computes them from the whole corpus directly, so a dropped
+    batch or a wrong merge grain hash-fails."""
     import os
 
     from pyspark.sql import functions as F
@@ -635,6 +650,7 @@ def hll_cube_streaming(
 
     cube_path = os.path.join(base, "cube")
     ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
 
     def fold(batch, epoch: int) -> None:
         spark_ = batch.sparkSession
@@ -644,32 +660,36 @@ def hll_cube_streaming(
         inc = spark_.sql(
             hll_hourly_registers_sql("spark", "k", "__hll_batch", p)
         )
-        try:
-            current = spark_.read.parquet(cube_path)
-            merged = (
-                current.unionByName(inc)
-                .groupBy("hour_id", "bucket")
-                .agg(F.max("r").alias("r"))
+        inc.write.mode("overwrite").parquet(
+            os.path.join(cube_path, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after register-part write (replay test)"
             )
-        except Exception:
-            merged = inc
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            cube_path
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(src_rel.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
         )
 
-    stream = (
-        spark.readStream.schema(src_rel.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-    )
-    (
-        stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()
     div = "DIV"
     daily = f"""
       SELECT hour_id {div} 24 AS day_id, bucket, MAX(r) AS r

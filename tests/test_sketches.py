@@ -91,6 +91,44 @@ def test_hll_daily_cube_tracks_exact_per_day(spark, ev):
         assert abs(cube[d] - n) / n <= 3 * 1.04 / m ** 0.5, (d, cube[d], n)
 
 
+def test_cm_streaming_survives_crash_between_write_and_commit(spark, ev):
+    """Crash-injection for the replay double-count window (round-6 verdict
+    #1): kill the fold AFTER the increment write — the widest failure
+    window the old read-merge-overwrite-then-marker protocol had — restart
+    the stream from the same checkpoint so the epoch replays, and require
+    the streamed estimates to still equal the whole-corpus one-shot build
+    value-for-value.  Under the old protocol the replayed epoch re-added
+    into a cells table that already contained it (SUM double-fold); under
+    per-epoch parts the replay overwrites its own part and nothing
+    changes."""
+    crashed = {
+        (r["key"], r["est"])
+        for r in K.cm_sketch_streaming(
+            spark, threshold=0, _crash_after_write_epoch=1
+        ).collect()
+    }
+    oneshot = {
+        (r["key"], r["est"])
+        for r in spark.sql(K.cm_heavy_hitters_sql("spark", threshold=0)).collect()
+    }
+    assert crashed == oneshot
+
+
+def test_hll_streaming_cube_survives_crash_between_write_and_commit(spark, ev):
+    """Same injection for the HLL cube fold: crash after the register-part
+    write, replay the epoch, and the served per-day estimates must equal
+    the batch cube exactly."""
+    crashed = {
+        (r["day_id"], r["zero_registers"], r["distinct_est"])
+        for r in K.hll_cube_streaming(spark, _crash_after_write_epoch=1).collect()
+    }
+    batch = {
+        (r["day_id"], r["zero_registers"], r["distinct_est"])
+        for r in spark.sql(K.hll_daily_from_hourly_sql("spark")).collect()
+    }
+    assert crashed == batch
+
+
 def test_hll_streaming_cube_matches_batch_cube(spark, ev, sf_dir):
     """The streamed cube must equal the batch cube row-for-row, and
     re-folding a batch (epoch replay) must be a no-op — register MAX is
