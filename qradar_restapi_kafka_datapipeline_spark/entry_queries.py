@@ -321,6 +321,26 @@ def registry() -> dict[str, Q]:
         ),
         oracle=aql_oracle_sql(_ROUTED_COUNT_AQL, DEFAULT_PARAMS),
     )
+    # MIN/MAX routing via the views' min/max states (round 7, VERDICT r6
+    # #7): MIN(eventCount) → MIN(MIN_eventCount), MAX(eventCount) →
+    # MAX(MAX_eventCount) — AggregatingMergeTree minState/maxState as plain
+    # BIGINT columns; lossless at any coarser grain because min-of-mins IS
+    # the min.  Oracle computes from RAW events, so a wrong state merge
+    # hash-fails.
+    _ROUTED_MINMAX_AQL = (
+        "SELECT domainId, "
+        "CAST(MIN(eventCount) AS BIGINT) AS min_event_count, "
+        "CAST(MAX(eventCount) AS BIGINT) AS max_event_count, "
+        "CAST(SUM(eventCount) AS BIGINT) AS total_events "
+        "FROM events WHERE eventName = 'error' "
+        "GROUP BY domainId"
+    )
+    q["aql_auto_rollup_minmax"] = Q(
+        run=lambda spark, sf: setup(spark, sf).sql(
+            _ROUTED_MINMAX_AQL, DEFAULT_PARAMS, auto_route=True
+        ),
+        oracle=aql_oracle_sql(_ROUTED_MINMAX_AQL, DEFAULT_PARAMS),
+    )
 
     # ---- AQL aggregation through the frontend (A3+A10+A15 in one query) ----
     q["aql_agg_by_customer"] = _aql_entry(

@@ -21,21 +21,34 @@ DEFAULT_MEASURE = "Event_Count"  # the sole non-nullable measure (helpers.py:142
 DEFAULT_TIME_COL = "Start_Time"
 
 
-def _measures(measure: str | list[str]) -> list[str]:
-    """SummingMergeTree sums EVERY numeric non-key column; accept one or many
-    (the GLOBALVIEW maintenance path carries SUM_eventCount + n_rows)."""
-    return [measure] if isinstance(measure, str) else list(measure)
+#: merge functions for measure STATES — SummingMergeTree is the "sum" case;
+#: "min"/"max" are the AggregatingMergeTree minState/maxState analogs (both
+#: idempotent and associative, so they re-merge at any grain), used by the
+#: GLOBALVIEW maintenance path for MIN_eventCount/MAX_eventCount
+_AGG = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _measures(measure: str | list[str] | dict[str, str]) -> dict[str, str]:
+    """SummingMergeTree sums EVERY numeric non-key column; accept one name,
+    a list (all summed — the GLOBALVIEW path carries SUM_eventCount +
+    n_rows), or a ``{col: "sum"|"min"|"max"}`` dict for mixed-state views."""
+    if isinstance(measure, str):
+        return {measure: "sum"}
+    if isinstance(measure, dict):
+        return {m: fn for m, fn in measure.items()}
+    return {m: "sum" for m in measure}
 
 
 def summing_rollup(
     df: DataFrame,
-    measure: str | list[str] = DEFAULT_MEASURE,
+    measure: str | list[str] | dict[str, str] = DEFAULT_MEASURE,
     time_col: str = DEFAULT_TIME_COL,
     grain: str = "hour",
     dims: list[str] | None = None,
 ) -> DataFrame:
-    """Collapse equal-key rows at ``grain`` truncation, summing ``measure``
-    (one column name or a list — each summed independently).
+    """Collapse equal-key rows at ``grain`` truncation, merging ``measure``
+    (one column name, a list — each summed — or a ``{col: fn}`` dict with
+    fn ∈ sum/min/max, each merged by its own state function).
 
     ``dims`` defaults to every column except measures and time — exactly the
     SummingMergeTree ORDER BY tuple (reference clickhouse/clickhouse.py:76-78,
@@ -49,7 +62,7 @@ def summing_rollup(
     bucketed = df.withColumn(time_col, F.date_trunc(grain, F.col(f"`{time_col}`")))
     out = (
         bucketed.groupBy(F.col(f"`{time_col}`"), *[F.col(f"`{d}`") for d in dims])
-        .agg(*[F.sum(F.col(f"`{m}`")).alias(m) for m in ms])
+        .agg(*[_AGG[fn](F.col(f"`{m}`")).alias(m) for m, fn in ms.items()])
         .withColumn("event_date", F.to_date(F.col(f"`{time_col}`")))
     )
     return out
@@ -72,7 +85,7 @@ def write_rollup(
 
 
 def merge_rollup(spark, increment: DataFrame, path: str,
-                 measure: str | list[str] = DEFAULT_MEASURE,
+                 measure: str | list[str] | dict[str, str] = DEFAULT_MEASURE,
                  time_col: str = DEFAULT_TIME_COL) -> None:
     """Aggregate-add upsert: fold an increment into an existing roll-up table.
 
@@ -92,7 +105,7 @@ def merge_rollup(spark, increment: DataFrame, path: str,
     merged = (
         current.unionByName(inc)
         .groupBy(*[F.col(f"`{d}`") for d in dims])
-        .agg(*[F.sum(F.col(f"`{m}`")).alias(m) for m in ms])
+        .agg(*[_AGG[fn](F.col(f"`{m}`")).alias(m) for m, fn in ms.items()])
     )
     # Dynamic partition overwrite keeps untouched days in place.
     (

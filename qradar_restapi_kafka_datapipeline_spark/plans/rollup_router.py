@@ -116,7 +116,8 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
 
     Preconditions checked: single ``FROM events`` aggregate; every measure
     is ``SUM(eventCount)``, ``COUNT(*)`` (→ the views' summed ``n_rows``
-    measure), ``AVG(eventCount)`` (→ SUM-over-SUM), or a dim re-aggregation
+    measure), ``AVG(eventCount)`` (→ SUM-over-SUM), ``MIN(eventCount)`` /
+    ``MAX(eventCount)`` (→ the views' min/max states), or a dim re-aggregation
     (``COUNT(DISTINCT d)`` / ``MIN(d)`` / ``MAX(d)`` for d ∈ dims, or
     ``COUNT(DISTINCT DATE_TRUNC('hour-or-coarser', ts))`` — the view keeps
     every distinct dim × hour combination, so these survive roll-up; any
@@ -155,14 +156,16 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
     sel, grp, tail = m.group("sel"), m.group("grp"), m.group("tail") or ""
     dims = set(_VIEW_DIMS)
     reagg = _dim_reagg_pattern(dims)
-    # every eventCount reference must sit inside SUM(eventCount) /
-    # AVG(eventCount); COUNT(*) and AVG(eventCount) route through the views'
-    # summed n_rows measure (VERDICT r5 #5 — SummingMergeTree keeps a part
-    # row count implicitly, the views keep it explicitly); the only other
-    # COUNTs allowed are the dim re-aggregations
+    # every eventCount reference must sit inside SUM/AVG/MIN/MAX(eventCount);
+    # COUNT(*) and AVG(eventCount) route through the views' summed n_rows
+    # measure (VERDICT r5 #5 — SummingMergeTree keeps a part row count
+    # implicitly, the views keep it explicitly); MIN/MAX(eventCount) route
+    # through the min/max states (VERDICT r6 #7); the only other COUNTs
+    # allowed are the dim re-aggregations
     stripped = re.sub(
         r"SUM\s*\(\s*eventCount\s*\)|COUNT\s*\(\s*\*\s*\)"
-        r"|AVG\s*\(\s*eventCount\s*\)",
+        r"|AVG\s*\(\s*eventCount\s*\)"
+        r"|(?:MIN|MAX)\s*\(\s*eventCount\s*\)",
         "",
         sel + tail,
         flags=re.I,
@@ -214,6 +217,16 @@ def try_route_to_globalview(aql: str) -> tuple[str, str] | None:
             fragment = re.sub(
                 r"COUNT\s*\(\s*\*\s*\)",
                 "CAST(COALESCE(SUM(n_rows), 0) AS BIGINT)",
+                fragment, flags=re.I,
+            )
+            # min-of-mins / max-of-maxes: the states merge losslessly at
+            # any coarser grain (AggregatingMergeTree minState/maxState)
+            fragment = re.sub(
+                r"MIN\s*\(\s*eventCount\s*\)", "MIN(MIN_eventCount)",
+                fragment, flags=re.I,
+            )
+            fragment = re.sub(
+                r"MAX\s*\(\s*eventCount\s*\)", "MAX(MAX_eventCount)",
                 fragment, flags=re.I,
             )
             return re.sub(

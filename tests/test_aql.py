@@ -491,6 +491,15 @@ class TestRollupRouter:
         "CAST(SUM(eventCount) AS BIGINT) AS total, AVG(eventCount) AS avg_ec, "
         "COUNT(DISTINCT userName) AS n_users FROM events "
         "WHERE eventName = 'error' GROUP BY domainId",
+        # --- min/max states (round 7, VERDICT r6 #7) ---
+        # MIN/MAX(eventCount) route to the views' min/max state columns
+        "SELECT domainId, CAST(MIN(eventCount) AS BIGINT) AS mn, "
+        "CAST(MAX(eventCount) AS BIGINT) AS mx FROM events "
+        "WHERE eventName = 'error' GROUP BY domainId",
+        # groupless + coarser-grain re-merge of the states
+        "SELECT DATE_TRUNC('day', ts) AS day, "
+        "CAST(MAX(eventCount) AS BIGINT) AS mx FROM events "
+        "WHERE magnitude >= 7 GROUP BY DATE_TRUNC('day', ts)",
     ]
     NOT_ROUTABLE = [
         # non-dim column in select/group
@@ -575,6 +584,9 @@ class TestRollupRouter:
             (self.ROUTABLE[9], "MongoDB_AuthenticationFailure"),
             (self.ROUTABLE[10], "MongoDB_TopSecurityEvents"),
             (self.ROUTABLE[12], "MongoDB_AuthenticationFailure"),
+            # round 7: MIN/MAX(eventCount) via the min/max states
+            (self.ROUTABLE[13], "MongoDB_AuthenticationFailure"),
+            (self.ROUTABLE[14], "MongoDB_TopSecurityEvents"),
         ):
             plan = (
                 frontend.sql(aql, auto_route=True)
