@@ -953,6 +953,23 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.hist_quantiles(spark),
         K.hist_quantiles_full_sql("duckdb"),
     )
+    # HDR rank quantiles (round 7, VERDICT r6 #3): the UNBOUNDED-domain
+    # quantile sketch — integer bitlen/shift bucketing (no KLL randomness,
+    # no float boundary), cells ADD like CM, keys monotonic in value so
+    # ranking is one cumulative SUM.  Estimates are exact bucket bounds →
+    # fully hash-checked cross-engine.
+    q["sketch_rank_quantiles"] = _df_entry(
+        lambda spark, sf: K.hdr_quantiles(spark),
+        K.hdr_quantiles_full_sql("duckdb"),
+    )
+    # Distributed-build parity: per-half sketches merged by cell SUM must
+    # answer every rank identically to the whole-corpus build (oracle).
+    q["sketch_rank_merge_parity"] = _df_entry(
+        lambda spark, sf: K.hdr_quantiles(
+            spark, cells_rel=K.hdr_merged_halves_cells_sql("spark")
+        ),
+        K.hdr_quantiles_full_sql("duckdb"),
+    )
     # Streaming CM maintenance: each micro-batch lands as an immutable
     # per-epoch increment part SUM-merged at read (replay overwrites its
     # own part — idempotent, no commit window; crash-injection proven in

@@ -367,6 +367,189 @@ def hist_quantiles_full_sql(
 
 
 # ---------------------------------------------------------------------------
+# HDR rank/quantile sketch — UNBOUNDED domains (round 7, VERDICT r6 #3)
+# ---------------------------------------------------------------------------
+# The fixed-universe histogram above needs a known [lo, hi]; latency/size
+# columns at 100 TB don't have one.  This is the HdrHistogram bucketing
+# (Gil Tene's public design; log2 bucket + linear sub-bucket) expressed as
+# a relation: any BIGINT value maps to key
+#
+#     sign(v) * (shift * 2^(M+1) + (|v| >> shift)),
+#     shift = max(bitlen(|v|) - (M+1), 0)
+#
+# — computed ENTIRELY in integer ops (bitlen via LENGTH(BIN(x)), proven
+# byte-identical Spark/DuckDB), so unlike KLL/GK there is no randomness
+# and no float boundary to diverge per engine: the cells are exactly
+# hash-checkable.  Keys are monotonic in v (larger shift ⇔ strictly larger
+# magnitude; within a shift, ordered by the top bits), so rank queries are
+# one cumulative SUM over key order.  Cells are bounded by construction
+# (≤ ~2·62·2^M + 2^(M+1) keys for all of ±2^62) and ADD like CM cells —
+# per-partition/per-hour sketches merge by SUM, the same
+# SummingMergeTree shape.  Relative error ≤ 2^-M per estimate (bucket
+# lower bound at ratio 1+2^-M).
+
+HDR_M = 7  # sub-bucket bits: relative error <= 2^-7 ~ 0.8 %
+
+#: default integer-unit mapping for the events ``value`` column: 2-decimal
+#: inputs → exact centi-units (one shared double multiply + ROUND, no
+#: half-way values reachable at integer rounding of 2dp inputs)
+HDR_CENTI = "CAST(ROUND(value * CAST(100 AS DOUBLE)) AS BIGINT)"
+
+
+def _shr(dialect: str, x: str, s: str) -> str:
+    if dialect == "spark":
+        return f"SHIFTRIGHT({x}, CAST({s} AS INT))"
+    return f"(({x}) >> ({s}))"
+
+
+def _shl(dialect: str, x: str, s: str) -> str:
+    if dialect == "spark":
+        return f"SHIFTLEFT({x}, CAST({s} AS INT))"
+    return f"(({x}) << ({s}))"
+
+
+def hdr_cells_sql(
+    dialect: str,
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    m: int = HDR_M,
+    where: str = "",
+) -> str:
+    """``(hk, c)`` — HDR histogram cells over an unbounded BIGINT domain.
+    ``hk`` is the signed monotonic bucket key above; NULL inputs are
+    dropped (the SQL-aggregate convention).  One narrow groupBy with
+    map-side partial aggregation; the shuffled keyspace is the bounded
+    bucket set, never the corpus."""
+    wcl = f"WHERE ({int_expr}) IS NOT NULL " if not where else (
+        f"WHERE ({where}) AND ({int_expr}) IS NOT NULL "
+    )
+    m2 = 1 << (m + 1)
+    sgn = "(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END)"
+    top = _shr(dialect, "ABS(v)", "sh")
+    return f"""
+    SELECT hk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      SELECT {sgn} * (CAST(sh AS BIGINT) * {m2} + {top}) AS hk
+      FROM (
+        SELECT v, GREATEST(LENGTH(BIN(ABS(v))) - {m + 1}, 0) AS sh
+        FROM (SELECT {int_expr} AS v FROM {source} {wcl}) s0
+      ) s1
+    ) s2
+    GROUP BY hk
+    """
+
+
+def hdr_quantiles_sql(
+    dialect: str,
+    cells_rel: str,
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+) -> str:
+    """Quantile estimates from ANY hdr cells relation: for each q (given
+    as EXACT per-mille integers — ``ceil(q·n)`` computed as
+    ``(n·qm + 999) DIV 1000``, no float rank), the first bucket whose
+    running count reaches the rank; the estimate is the bucket's exact
+    integer lower bound scaled back by ``scale`` (the ONLY float op, one
+    shared division + 6dp round)."""
+    m2 = 1 << (m + 1)
+    div = "DIV" if dialect == "spark" else "//"
+    qrows = " UNION ALL ".join(
+        f"SELECT CAST({qm} AS BIGINT) AS qm" for qm in qs_permille
+    )
+    bound = _shl(dialect, f"(ABS(p.hk) % {m2})", f"(ABS(p.hk) {div} {m2})")
+    return f"""
+    WITH cells AS ({cells_rel}),
+    cum AS (
+      SELECT hk, c, CAST(SUM(c) OVER (ORDER BY hk) AS BIGINT) AS cum
+      FROM cells
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    ranked AS (
+      SELECT q.qm, (tot.n * q.qm + 999) {div} 1000 AS tq
+      FROM ({qrows}) q, tot
+    ),
+    picked AS (
+      SELECT r.qm, MIN(c.hk) AS hk
+      FROM ranked r JOIN cum c ON c.cum >= r.tq
+      GROUP BY r.qm
+    )
+    SELECT CAST(p.qm AS DOUBLE) / CAST(1000 AS DOUBLE) AS q,
+           ROUND(
+             CAST((CASE WHEN p.hk < 0 THEN -1 WHEN p.hk > 0 THEN 1 ELSE 0 END)
+                  * {bound} AS DOUBLE)
+             / CAST({scale} AS DOUBLE) + 1e-9, 6) AS est
+    FROM picked p
+    """
+
+
+def hdr_quantiles_full_sql(
+    dialect: str,
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+) -> str:
+    """Whole-corpus build + rank in one statement (the oracle's answer)."""
+    return hdr_quantiles_sql(
+        dialect, hdr_cells_sql(dialect, int_expr, source, m), qs_permille,
+        m, scale,
+    )
+
+
+def hdr_merged_halves_cells_sql(
+    dialect: str,
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    split_expr: str = "event_id % 2",
+    m: int = HDR_M,
+) -> str:
+    """Two independent sketches (corpus halves) merged by cell SUM — the
+    distributed-build path, equal to the whole-corpus cells by
+    additivity; the merge-parity gate entry hash-checks the full rank
+    answer derived from it."""
+    h0 = hdr_cells_sql(dialect, int_expr, source, m, where=f"({split_expr}) = 0")
+    h1 = hdr_cells_sql(dialect, int_expr, source, m, where=f"({split_expr}) = 1")
+    return f"""
+    SELECT hk, CAST(SUM(c) AS BIGINT) AS c
+    FROM (SELECT * FROM ({h0}) ha UNION ALL SELECT * FROM ({h1}) hb) u
+    GROUP BY hk
+    """
+
+
+def hdr_quantiles(
+    spark,
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+    cells_rel: str | None = None,
+):
+    """Spark-path HDR quantiles: build the cells ONCE, pin the bounded
+    result as a literal relation (the probe-list posture — the one-
+    statement form references the cells CTE twice and Spark re-executes a
+    CTE per reference, re-scanning the corpus each time; CLAUDE.md), and
+    rank over it."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    cells = spark.sql(
+        cells_rel
+        if cells_rel is not None
+        else hdr_cells_sql("spark", int_expr, source, m)
+    )
+    lit = spark.createDataFrame(
+        [(r["hk"], r["c"]) for r in cells.collect()], "hk BIGINT, c BIGINT"
+    )
+    name = unique_view(lit, "__hdr_cells")
+    return spark.sql(
+        hdr_quantiles_sql(
+            "spark", f"SELECT hk, c FROM {name}", qs_permille, m, scale
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming Count-Min maintenance — the sketch folded per micro-batch by
 # the same ledgered foreachBatch pattern as the streaming roll-up (CM cells
 # ARE a summing-rollup shape), proving the batch ≡ incremental parity the

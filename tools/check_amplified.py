@@ -73,6 +73,10 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sketch_hll_merge_parity": None,
     "sketch_hll_daily_cube": None,
     "sketch_histogram_quantiles": None,
+    # round 7: HDR rank sketch — cumulative ranks and shift-bucket
+    # occupancy at k× counts; merge parity re-proven at volume
+    "sketch_rank_quantiles": None,
+    "sketch_rank_merge_parity": None,
     "dedup_minhash_lsh": 4,
     # round 6: the sum-compare fixpoint rewrite (labels only decrease →
     # unchanged SUM(label) == converged) value-checked on a 4× pair graph
