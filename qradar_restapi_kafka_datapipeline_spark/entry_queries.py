@@ -1045,6 +1045,29 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         run=_dsir_apply_run,
         oracle=C.dsir_apply_sql("duckdb", _emit_dir("dsir_lam"), _DSIR_NEW_BATCH),
     )
+
+    # Streaming twin of the frozen apply (round 7, VERDICT r6 #4): the new
+    # crawl batch replayed as a micro-batch stream, each batch scored
+    # against the SAME frozen (bucket, l6) artifact by the SAME kernel,
+    # landing per-epoch replay-safe parts; oracle = the one-shot apply —
+    # a lost/duplicated batch or kernel drift hash-fails.
+    def _dsir_apply_stream_run(spark, sf):
+        from qradar_restapi_kafka_datapipeline_spark.streaming.curation_stream import (
+            dsir_apply_streaming,
+        )
+
+        setup(spark, sf)
+        key = (id(spark), sf)
+        art = _emit_dir("dsir_lam")
+        if key not in _DSIR_LAM_MEMO:
+            C.build_dsir_selector(spark, art)
+            _DSIR_LAM_MEMO[key] = art
+        return dsir_apply_streaming(spark, _DSIR_LAM_MEMO[key], _DSIR_NEW_BATCH)
+
+    q["streaming_dsir_apply_parity"] = Q(
+        run=_dsir_apply_stream_run,
+        oracle=C.dsir_apply_sql("duckdb", _emit_dir("dsir_lam"), _DSIR_NEW_BATCH),
+    )
     # The WHOLE funnel composed: decontaminate → curate → DSIR-select →
     # temperature-mix, per-stage per-source counts; each stage is the
     # registry's own operator handing off through materialized relations,

@@ -88,3 +88,94 @@ def curate_documents_streaming(spark, sf_dir: str, n_batches: int = 3) -> DataFr
         .awaitTermination()
     )
     return spark.read.parquet(out)
+
+
+def dsir_apply_streaming(
+    spark,
+    artifact: str,
+    new_batch_sql: str,
+    n_batches: int = 3,
+    _crash_after_write_epoch: int | None = None,
+) -> DataFrame:
+    """Score a replayed NEW-document stream against a FROZEN DSIR selector
+    (round 7, VERDICT r6 #4): the frozen-apply shape
+    (:func:`~qradar_restapi_kafka_datapipeline_spark.operators.curation.dsir_apply_sql`)
+    is exactly the stream-scoring posture — corpus statistics frozen in the
+    ``(bucket, l6)`` artifact, one linear pass per batch — so the streaming
+    twin is the batch kernel run per micro-batch via foreachBatch (the
+    per-doc bigram self-join and score aggregate are intra-batch: each
+    document lands whole in its hash split, so the union over batches
+    equals the one-shot apply row-for-row).
+
+    Output lands as per-epoch immutable parts (the round-7 replay-safe
+    protocol shared with the sketch folds: a replayed epoch overwrites its
+    own part, no commit window); ``_crash_after_write_epoch`` injects a
+    crash for the replay test.  The gate oracle recomputes the whole apply
+    from the artifact in DuckDB, so a lost/duplicated batch or any drift
+    from the batch kernel hash-fails.
+    """
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        dsir_apply_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    docs = spark.sql(f"SELECT doc_id, text FROM {new_batch_sql} nb")
+    base = scratch_dir("dsir_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(n_batches)) == i),
+            path,
+        )
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    out = os.path.join(base, "scored")
+    ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.createOrReplaceTempView("__dsir_stream_batch")
+        scored = batch.sparkSession.sql(
+            dsir_apply_sql("spark", artifact, "__dsir_stream_batch")
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after scored-part write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()
+    return spark.read.parquet(out).select("doc_id", "dsir_score", "keep")
