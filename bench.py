@@ -136,6 +136,13 @@ HEADLINE = [
     "sketch_hll_daily_cube",
     # round 6: DSIR importance-resampling data selection
     "curate_dsir_topk",
+    # round 7: MIN/MAX(eventCount) routed through the min/max view states
+    "aql_auto_rollup_minmax",
+    # round 7: HDR rank quantiles — the unbounded-domain sketch
+    "sketch_rank_quantiles",
+    # round 7: frozen-DSIR incremental apply (cold pays the selector build,
+    # memoized — the stream-scoring shape timed as a batch pass)
+    "curate_dsir_apply",
 ]
 
 

@@ -1114,13 +1114,27 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: the routed/materialized entries), and text_langid_distribution (text
 #: analysis keeps quality/fingerprint) for the round's newest families:
 #: sketch_cm_heavy_hitters, sketch_hll_daily_cube, curate_dsir_topk.
+#: Round 7 (VERDICT r6 #2) rotated OUT aql_auto_rollup_reagg (family keeps
+#: routed/count/minmax), dedup_simhash, dedup_embedding_cosine,
+#: knn_mmr_diversified (knn_mmr_ivfpq composes it), text_semantic_pairs_
+#: hashed_prefix (capped stays), text_fingerprint (winnow stays),
+#: decontaminate_train (bloom stays), resample_hourly_gapfill,
+#: sessionize_events_bucketed (streaming_sessionize_parity stays),
+#: event_gaps_lag_bucketed — all mirror-covered; IN the 8 round-6
+#: mirror-only entries the hard gate never hashed (sketch_hll_distinct,
+#: sketch_cm_merge_parity, sketch_histogram_quantiles,
+#: streaming_sketch_parity — now replay-safe per-epoch parts,
+#: curate_dsir_apply, pipeline_corpus_funnel) plus this round's new
+#: aql_auto_rollup_minmax (min/max view states), sketch_rank_quantiles +
+#: sketch_rank_merge_parity (unbounded-domain HDR rank sketch), and
+#: streaming_dsir_apply_parity (frozen-selector stream scoring).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
     "sketch_cm_heavy_hitters",
     "aql_nested_incidr_coalesce",
     "aql_auto_rollup_routed",
-    "aql_auto_rollup_reagg",
+    "aql_auto_rollup_minmax",
     "aql_auto_rollup_count",
     "aql_routed_materialized",
     "aql_day_pruned_scan",
@@ -1130,31 +1144,34 @@ GATE_WINDOW: tuple[str, ...] = (
     "summing_rollup_hourly",
     "streaming_rollup_txn_parity",
     "sketch_hll_daily_cube",
+    "sketch_hll_distinct",
+    "sketch_cm_merge_parity",
+    "sketch_histogram_quantiles",
+    "sketch_rank_quantiles",
+    "sketch_rank_merge_parity",
+    "streaming_sketch_parity",
     "dedup_exact_stats",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
-    "dedup_embedding_cosine",
     "knn_bruteforce_cosine",
     "knn_ivfpq_persisted",
     "knn_ivf_appended",
-    "knn_mmr_diversified",
     "knn_mmr_ivfpq",
     "semantic_dedup_pairs",
     "embedding_quantize_report",
     "text_knn_indexed",
-    "text_semantic_pairs_hashed_prefix",
     "text_semantic_pairs_hashed_capped",
     "curate_dsir_topk",
+    "curate_dsir_apply",
+    "streaming_dsir_apply_parity",
+    "pipeline_corpus_funnel",
     "text_quality_scores",
-    "text_fingerprint",
     "text_bm25_topk",
     "text_winnow_overlap",
     "text_bpe_tokenize",
     "pii_redaction_report",
     "boilerplate_doc_coverage",
-    "decontaminate_train",
     "decontaminate_bloom",
     "curate_blocklist",
     "curate_quality_classifier",
@@ -1162,9 +1179,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "multimodal_jpeg_decode",
     "streaming_sessionize_parity",
     "zorder_layout_keys",
-    "resample_hourly_gapfill",
-    "sessionize_events_bucketed",
-    "event_gaps_lag_bucketed",
 )
 
 

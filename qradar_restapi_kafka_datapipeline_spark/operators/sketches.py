@@ -549,6 +549,92 @@ def hdr_quantiles(
     )
 
 
+def hdr_sketch_streaming(
+    spark,
+    int_expr: str = HDR_CENTI,
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+    n_batches: int = 3,
+    _crash_after_write_epoch: int | None = None,
+):
+    """Continuously-maintained rank sketch: replay events as a micro-batch
+    stream, land each batch's HDR cells as a per-epoch immutable part
+    (``cells/epoch=N``, the round-7 replay-safe protocol shared with the
+    CM/HLL folds — replay overwrites its own part, no commit window), and
+    serve quantiles from the SUM-merge at read.  Completes the streaming
+    symmetry of the sketch family: every mergeable summary (CM topK, HLL
+    distinct, HDR ranks) now has a maintained form whose served answers
+    are hash-checked against the whole-corpus oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    src_rel = spark.table("events").select("event_id", "value")
+    base = scratch_dir("hdr_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    split = F.pmod(F.xxhash64("event_id"), F.lit(n_batches))
+    keyed = src_rel.withColumn("__b", split)
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    cells_path = os.path.join(base, "cells")
+    ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        spark_ = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch.createOrReplaceTempView("__hdr_batch")
+        inc = spark_.sql(hdr_cells_sql("spark", int_expr, "__hdr_batch", m))
+        inc.write.mode("overwrite").parquet(
+            os.path.join(cells_path, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after cells-part write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(src_rel.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()
+    merged = (
+        "SELECT hk, CAST(SUM(c) AS BIGINT) AS c "
+        f"FROM parquet.`{cells_path}` GROUP BY hk"
+    )
+    return hdr_quantiles(spark, qs_permille=qs_permille, m=m, scale=scale,
+                         cells_rel=merged)
+
+
 # ---------------------------------------------------------------------------
 # Streaming Count-Min maintenance — the sketch folded per micro-batch by
 # the same ledgered foreachBatch pattern as the streaming roll-up (CM cells

@@ -79,27 +79,35 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     assert tuple(names[:50]) == GATE_WINDOW
     oracles = entrymod.oracle_sql()
     assert all(n in oracles for n in GATE_WINDOW)
-    # VERDICT r5 #1: the round-6 window rotated 8 slots vs round 5's —
-    # the round-5 operator families the hard gate never hashed, plus this
-    # round's n_rows navigator and index-composed MMR
+    # VERDICT r6 #2: the round-7 window rotated 10 slots vs round 6's —
+    # the 8 round-6 mirror-only entries the hard gate never hashed, plus
+    # this round's new families (min/max view states, HDR rank sketch,
+    # streaming frozen-DSIR apply)
     for rotated_in in (
+        "sketch_hll_distinct", "sketch_cm_merge_parity",
+        "sketch_histogram_quantiles", "streaming_sketch_parity",
+        "curate_dsir_apply", "pipeline_corpus_funnel",
+        "aql_auto_rollup_minmax", "sketch_rank_quantiles",
+        "sketch_rank_merge_parity", "streaming_dsir_apply_parity",
+        # carried round-6 rotations stay pinned
         "knn_ivfpq_persisted", "curate_quality_classifier",
-        "decontaminate_bloom", "text_bm25_topk", "knn_mmr_diversified",
+        "decontaminate_bloom", "text_bm25_topk",
         "zorder_layout_keys", "aql_auto_rollup_count", "knn_mmr_ivfpq",
-        # second r6 pass: the round's own new families
         "sketch_cm_heavy_hitters", "sketch_hll_daily_cube",
         "curate_dsir_topk",
     ):
         assert rotated_in in GATE_WINDOW, rotated_in
     # family spot-checks: at least one of each major family inside the window
     for prefix in (
-        "aql_", "dedup_minhash", "dedup_simhash", "dedup_exact_substring",
+        "aql_", "dedup_minhash", "dedup_exact_substring",
         "knn_", "semantic_dedup", "text_bpe", "text_semantic", "pii_",
         "boilerplate_", "curate_", "multimodal_", "streaming_",
-        "sessionize_events_bucketed", "event_gaps_lag_bucketed",
-        "resample_", "pack_sequences",
+        "pack_sequences",
         # round 6 families
         "sketch_cm", "sketch_hll", "curate_dsir", "zorder_",
         "decontaminate_",
+        # round 7 families
+        "sketch_rank", "pipeline_corpus", "aql_auto_rollup_minmax",
+        "streaming_dsir",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix

@@ -77,6 +77,15 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # occupancy at k× counts; merge parity re-proven at volume
     "sketch_rank_quantiles": None,
     "sketch_rank_merge_parity": None,
+    # round 7 (VERDICT r6 #5): DSIR's BIGINT micro-unit log-ratio sums and
+    # the composed funnel's stage handoffs at k× the document volume; the
+    # funnel's DuckDB oracle replays all four stages as ONE nested
+    # statement with no persisted intermediates, so it gets the bounded
+    # amplification of its document-similarity peers
+    "curate_dsir_topk": None,
+    "curate_dsir_apply": None,
+    "streaming_dsir_apply_parity": None,
+    "pipeline_corpus_funnel": 4,
     "dedup_minhash_lsh": 4,
     # round 6: the sum-compare fixpoint rewrite (labels only decrease →
     # unchanged SUM(label) == converged) value-checked on a 4× pair graph

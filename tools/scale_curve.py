@@ -279,6 +279,7 @@ def _uniform_ops(spark, k: int):
     from qradar_restapi_kafka_datapipeline_spark.operators import dedup as D
     from qradar_restapi_kafka_datapipeline_spark.operators import similarity as Sim
     from qradar_restapi_kafka_datapipeline_spark.operators import sketches as K_sk
+    from qradar_restapi_kafka_datapipeline_spark.operators import curation as Cur
     from qradar_restapi_kafka_datapipeline_spark.operators import text as T
     from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
         contamination_report,
@@ -417,6 +418,22 @@ def _uniform_ops(spark, k: int):
                 "text_bpe_tokenize": lambda: _bpe(spark),
                 # round-4: Arrow-batched encode + full baseline JPEG decode
                 "multimodal_jpeg_decode": lambda: _jpeg(spark),
+                # round-7 (VERDICT r6 #5): DSIR selection — bigram explode +
+                # two narrow aggregates + a broadcast (bucket, λ) join; the
+                # only corpus-wide shuffle keys are doc_id/bucket, so wall
+                # time should track corpus tokens linearly
+                "curate_dsir_topk": lambda: Cur.dsir_scores(spark),
+                # round-7: the composed funnel — four stages handing off
+                # through materialized relations; its curve is the SUM of
+                # its stages' curves (decontaminate dominates), no
+                # cross-stage quadratic term
+                "pipeline_corpus_funnel": lambda: Cur.corpus_funnel(spark),
+                # round-7: HDR rank sketch — fixed bucket keyspace like
+                # CM/HLL; the curve that extends the sketch family's
+                # constant-keyspace argument to unbounded domains
+                "sketch_hdr_cells": lambda: spark.sql(
+                    K_sk.hdr_cells_sql("spark")
+                ),
             }
 
 
