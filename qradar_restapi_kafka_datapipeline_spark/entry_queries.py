@@ -970,6 +970,14 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         ),
         K.hdr_quantiles_full_sql("duckdb"),
     )
+    # Continuously-maintained rank sketch: per-epoch HDR cell parts folded
+    # from a replayed stream (the replay-safe protocol of the CM/HLL
+    # folds), quantiles served from the SUM-merge; oracle = whole-corpus
+    # one-shot ranks, so a lost/double-folded batch hash-fails.
+    q["streaming_rank_sketch_parity"] = _df_entry(
+        lambda spark, sf: K.hdr_sketch_streaming(spark),
+        K.hdr_quantiles_full_sql("duckdb"),
+    )
     # Streaming CM maintenance: each micro-batch lands as an immutable
     # per-epoch increment part SUM-merged at read (replay overwrites its
     # own part — idempotent, no commit window; crash-injection proven in

@@ -185,6 +185,23 @@ def test_hll_streaming_cube_survives_crash_between_write_and_commit(spark, ev):
     assert crashed == batch
 
 
+def test_hdr_streaming_survives_crash_between_write_and_commit(spark, ev):
+    """The HDR fold shares the per-epoch part protocol: crash after a part
+    write, replay from the checkpoint, served quantiles still equal the
+    whole-corpus one-shot ranks."""
+    crashed = {
+        (r["q"], r["est"])
+        for r in K.hdr_sketch_streaming(
+            spark, _crash_after_write_epoch=1
+        ).collect()
+    }
+    oneshot = {
+        (r["q"], r["est"])
+        for r in spark.sql(K.hdr_quantiles_full_sql("spark")).collect()
+    }
+    assert crashed == oneshot and len(oneshot) == 3
+
+
 def test_hll_streaming_cube_matches_batch_cube(spark, ev, sf_dir):
     """The streamed cube must equal the batch cube row-for-row, and
     re-folding a batch (epoch replay) must be a no-op — register MAX is
