@@ -978,6 +978,28 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.hdr_sketch_streaming(spark),
         K.hdr_quantiles_full_sql("duckdb"),
     )
+    # KMV bottom-k distinct sketch (round 7): a deterministic order
+    # statistic, so the whole summary AND its estimates hash-check; the
+    # merge-parity entry re-derives the estimate from two per-half
+    # summaries (equal row-for-row to the whole-corpus sketch).
+    q["sketch_kmv_distinct"] = _df_entry(
+        lambda spark, sf: spark.sql(K.kmv_distinct_sql("spark")),
+        K.kmv_distinct_sql("duckdb"),
+    )
+    q["sketch_kmv_merge_parity"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            K.kmv_estimate_sql("spark", K.kmv_merged_halves_sketch_sql("spark"))
+        ),
+        K.kmv_distinct_sql("duckdb"),
+    )
+    # Set algebra on sketches — the KMV capability HLL lacks: audience
+    # overlap (Jaccard + intersection cardinality) of the click/view user
+    # populations from two 256-row summaries; corpus is scanned once per
+    # set, the estimator runs on <= 3k rows.
+    q["sketch_kmv_jaccard"] = _df_entry(
+        lambda spark, sf: spark.sql(K.kmv_jaccard_sql("spark")),
+        K.kmv_jaccard_sql("duckdb"),
+    )
     # Streaming CM maintenance: each micro-batch lands as an immutable
     # per-epoch increment part SUM-merged at read (replay overwrites its
     # own part — idempotent, no commit window; crash-injection proven in

@@ -281,6 +281,142 @@ def hll_merged_halves_registers_sql(
 
 
 # ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch — Bar-Yossef et al. 2002
+# ---------------------------------------------------------------------------
+# The k smallest DISTINCT portable-hash values of a key set.  Unlike HLL it
+# supports SET OPERATIONS directly (the union sketch is the bottom-k of the
+# merged summaries; Jaccard estimates from the union sketch's overlap —
+# Beyer et al. 2007), and unlike a random sample it is fully DETERMINISTIC
+# given the hash family: the sketch relation itself is an order statistic,
+# so Spark and DuckDB build byte-identical summaries and every entry is
+# hash-checked, not quality-gated.  Merge is exact by construction:
+# bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — per-partition
+# summaries combine without rescanning, the same contract as CM/HLL/HDR.
+# Estimator: (k-1) · 2^60 / h_(k) (the k-th order statistic of a uniform
+# [0, 2^60) hash), σ ≈ 1/√(k−2); below k distinct keys the sketch IS the
+# exact key set.
+
+KMV_K = 256
+
+
+def kmv_sketch_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+    where: str = "",
+) -> str:
+    """``(h)`` — the k smallest distinct 60-bit hashes.  Build is a
+    DISTINCT on a 60-bit key + a global top-k (Spark plans
+    TakeOrderedAndProject: per-partition heaps of k, then a k-row driver
+    merge — the shuffled volume is k·n_partitions, never the corpus)."""
+    wcl = f"WHERE {where} " if where else ""
+    h = _h60(dialect, "src.k", "'kmv'")
+    return f"""
+    SELECT h FROM (
+      SELECT DISTINCT {h} AS h
+      FROM (SELECT {key_expr} AS k FROM {source} {wcl}) src
+    ) d
+    ORDER BY h ASC LIMIT {k}
+    """
+
+
+def kmv_estimate_sql(dialect: str, sketch_rel: str, k: int = KMV_K) -> str:
+    """``(n_kept, h_max, distinct_est)`` from ANY sketch relation: exact
+    count below saturation, the order-statistic estimator at or above it.
+    2^60 is a power of two (exact in double); h_max is the same BIGINT in
+    both engines, so the single division is bit-identical."""
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(h) AS BIGINT) AS h_max,
+           ROUND(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE (CAST({k - 1} AS DOUBLE)
+                            * CAST({2 ** _HASH_BITS} AS DOUBLE))
+                           / CAST(MAX(h) AS DOUBLE)
+                 END + 1e-9, 6) AS distinct_est
+    FROM ({sketch_rel}) sk
+    """
+
+
+def kmv_distinct_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+) -> str:
+    """Whole-corpus build + estimate in one statement."""
+    return kmv_estimate_sql(
+        dialect, kmv_sketch_sql(dialect, key_expr, source, k), k
+    )
+
+
+def kmv_merged_halves_sketch_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    split_expr: str = "event_id % 2",
+    k: int = KMV_K,
+) -> str:
+    """Bottom-k of two per-half bottom-k summaries — EQUAL to the
+    whole-corpus sketch relation row-for-row (every true bottom-k hash
+    survives into its half's summary); the gate entry hash-checks the full
+    256-row order statistic, the strongest merge proof in the family."""
+    h0 = kmv_sketch_sql(dialect, key_expr, source, k, where=f"({split_expr}) = 0")
+    h1 = kmv_sketch_sql(dialect, key_expr, source, k, where=f"({split_expr}) = 1")
+    return f"""
+    SELECT h FROM (
+      SELECT DISTINCT h
+      FROM (SELECT h FROM ({h0}) ha UNION ALL SELECT h FROM ({h1}) hb) u
+    ) d
+    ORDER BY h ASC LIMIT {k}
+    """
+
+
+def kmv_jaccard_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    where_a: str = "event_type = 'click'",
+    where_b: str = "event_type = 'view'",
+    source: str = "events",
+    k: int = KMV_K,
+) -> str:
+    """Audience-overlap from two KMV summaries (Beyer et al. 2007): build
+    the union sketch U = bottom-k(A-sketch ∪ B-sketch), count how many of
+    U's hashes sit in BOTH summaries, J ≈ overlap / |U|; the intersection
+    estimate is J · distinct_est(U).  Everything is arithmetic on shared
+    order statistics — deterministic both engines, so the estimates
+    hash-check.  At 100 TB the two set scans are the only corpus passes;
+    the set algebra runs on ≤ 3k rows."""
+    sa = kmv_sketch_sql(dialect, key_expr, source, k, where=where_a)
+    sb = kmv_sketch_sql(dialect, key_expr, source, k, where=where_b)
+    est_u = kmv_estimate_sql(dialect, "SELECT h FROM u", k)
+    return f"""
+    WITH sa AS ({sa}), sb AS ({sb}),
+    u AS (
+      SELECT h FROM (
+        SELECT DISTINCT h
+        FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb) uu
+      ) d ORDER BY h ASC LIMIT {k}
+    ),
+    ov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(SUM(CASE WHEN ina.h IS NOT NULL AND inb.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM u
+      LEFT JOIN sa ina ON ina.h = u.h
+      LEFT JOIN sb inb ON inb.h = u.h
+    ),
+    eu AS ({est_u})
+    SELECT ov.n_union, ov.n_both,
+           ROUND(CAST(ov.n_both AS DOUBLE) / CAST(ov.n_union AS DOUBLE)
+                 + 1e-9, 6) AS jaccard_est,
+           ROUND((CAST(ov.n_both AS DOUBLE) / CAST(ov.n_union AS DOUBLE))
+                 * eu.distinct_est + 1e-9, 6) AS intersection_est
+    FROM ov, eu
+    """
+
+
+# ---------------------------------------------------------------------------
 # Fixed-universe histogram quantiles — the third classic mergeable summary
 # (equi-width cells ADD like CM cells; quantiles interpolate within a bin,
 # so the estimate error is bounded by one bin width regardless of volume)

@@ -147,6 +147,55 @@ class TestHdrRankQuantiles:
             assert (n * qm + 999) // 1000 == -(-n * qm // 1000)
 
 
+class TestKmvSketch:
+    """Bottom-k distinct sketch: deterministic order statistics, exact
+    merge, set algebra (Jaccard/intersection) the HLL family can't do."""
+
+    def test_estimate_within_error_band(self, spark, ev):
+        exact = ev.selectExpr(
+            "COUNT(DISTINCT CAST(user_id AS STRING)) AS n"
+        ).first()["n"]
+        row = spark.sql(K.kmv_distinct_sql("spark")).first()
+        if row["n_kept"] < K.KMV_K:
+            assert row["distinct_est"] == exact  # below saturation: exact
+        else:
+            sigma = 1.0 / (K.KMV_K - 2) ** 0.5
+            assert abs(row["distinct_est"] - exact) / exact <= 3 * sigma
+
+    def test_merged_halves_equal_whole_corpus_sketch(self, spark, ev):
+        whole = [r["h"] for r in spark.sql(K.kmv_sketch_sql("spark")).collect()]
+        merged = [
+            r["h"]
+            for r in spark.sql(K.kmv_merged_halves_sketch_sql("spark")).collect()
+        ]
+        assert sorted(whole) == sorted(merged) and len(whole) > 0
+
+    def test_sketch_is_bounded(self, spark, ev):
+        assert spark.sql(K.kmv_sketch_sql("spark")).count() <= K.KMV_K
+
+    def test_jaccard_tracks_exact_overlap(self, spark, ev):
+        from pyspark.sql import functions as F
+
+        a = set(
+            r["user_id"]
+            for r in ev.where("event_type = 'click'").select("user_id").distinct().collect()
+        )
+        b = set(
+            r["user_id"]
+            for r in ev.where("event_type = 'view'").select("user_id").distinct().collect()
+        )
+        exact_j = len(a & b) / len(a | b)
+        row = spark.sql(K.kmv_jaccard_sql("spark")).first()
+        # union-sketch overlap estimator: sigma ~ sqrt(J(1-J)/k); 4 sigma +
+        # a small-k floor keeps the band honest at tiny corpora
+        sigma = max((exact_j * (1 - exact_j) / K.KMV_K) ** 0.5, 0.02)
+        assert abs(row["jaccard_est"] - exact_j) <= 4 * sigma, (
+            row["jaccard_est"], exact_j,
+        )
+        exact_i = len(a & b)
+        assert abs(row["intersection_est"] - exact_i) / max(exact_i, 1) <= 0.35
+
+
 def test_cm_streaming_survives_crash_between_write_and_commit(spark, ev):
     """Crash-injection for the replay double-count window (round-6 verdict
     #1): kill the fold AFTER the increment write — the widest failure

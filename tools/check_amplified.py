@@ -77,6 +77,10 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # occupancy at k× counts; merge parity re-proven at volume
     "sketch_rank_quantiles": None,
     "sketch_rank_merge_parity": None,
+    # round 7: KMV saturation (distinct keys >> k) and union-sketch overlap
+    "sketch_kmv_distinct": None,
+    "sketch_kmv_merge_parity": None,
+    "sketch_kmv_jaccard": None,
     # round 7 (VERDICT r6 #5): DSIR's BIGINT micro-unit log-ratio sums and
     # the composed funnel's stage handoffs at k× the document volume; the
     # funnel's DuckDB oracle replays all four stages as ONE nested
