@@ -301,7 +301,7 @@ KMV_K = 256
 
 def kmv_sketch_sql(
     dialect: str,
-    key_expr: str = "CAST(user_id AS STRING)",
+    key_expr: str = "CAST(event_id AS STRING)",
     source: str = "events",
     k: int = KMV_K,
     where: str = "",
@@ -340,7 +340,7 @@ def kmv_estimate_sql(dialect: str, sketch_rel: str, k: int = KMV_K) -> str:
 
 def kmv_distinct_sql(
     dialect: str,
-    key_expr: str = "CAST(user_id AS STRING)",
+    key_expr: str = "CAST(event_id AS STRING)",
     source: str = "events",
     k: int = KMV_K,
 ) -> str:
@@ -352,7 +352,7 @@ def kmv_distinct_sql(
 
 def kmv_merged_halves_sketch_sql(
     dialect: str,
-    key_expr: str = "CAST(user_id AS STRING)",
+    key_expr: str = "CAST(event_id AS STRING)",
     source: str = "events",
     split_expr: str = "event_id % 2",
     k: int = KMV_K,
@@ -372,9 +372,21 @@ def kmv_merged_halves_sketch_sql(
     """
 
 
+def kmv_user_day_key(dialect: str) -> str:
+    """(user, day) engagement key — the populations whose click/view
+    overlap is PARTIAL on the synthetic corpus (user_id alone fully
+    overlaps, a degenerate Jaccard of 1.0); day id from the shared
+    epoch-ms truncation (generation-stable, CLAUDE.md)."""
+    div = "DIV" if dialect == "spark" else "//"
+    return (
+        f"CONCAT(CAST(user_id AS STRING), '#', "
+        f"CAST(({_epoch_ms(dialect)}) {div} 86400000 AS STRING))"
+    )
+
+
 def kmv_jaccard_sql(
     dialect: str,
-    key_expr: str = "CAST(user_id AS STRING)",
+    key_expr: str | None = None,
     where_a: str = "event_type = 'click'",
     where_b: str = "event_type = 'view'",
     source: str = "events",
@@ -387,6 +399,8 @@ def kmv_jaccard_sql(
     order statistics — deterministic both engines, so the estimates
     hash-check.  At 100 TB the two set scans are the only corpus passes;
     the set algebra runs on ≤ 3k rows."""
+    if key_expr is None:
+        key_expr = kmv_user_day_key(dialect)
     sa = kmv_sketch_sql(dialect, key_expr, source, k, where=where_a)
     sb = kmv_sketch_sql(dialect, key_expr, source, k, where=where_b)
     est_u = kmv_estimate_sql(dialect, "SELECT h FROM u", k)

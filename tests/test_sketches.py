@@ -153,7 +153,7 @@ class TestKmvSketch:
 
     def test_estimate_within_error_band(self, spark, ev):
         exact = ev.selectExpr(
-            "COUNT(DISTINCT CAST(user_id AS STRING)) AS n"
+            "COUNT(DISTINCT CAST(event_id AS STRING)) AS n"
         ).first()["n"]
         row = spark.sql(K.kmv_distinct_sql("spark")).first()
         if row["n_kept"] < K.KMV_K:
@@ -176,13 +176,14 @@ class TestKmvSketch:
     def test_jaccard_tracks_exact_overlap(self, spark, ev):
         from pyspark.sql import functions as F
 
+        key = F.expr(K.kmv_user_day_key("spark"))
         a = set(
-            r["user_id"]
-            for r in ev.where("event_type = 'click'").select("user_id").distinct().collect()
+            r["k"]
+            for r in ev.where("event_type = 'click'").select(key.alias("k")).distinct().collect()
         )
         b = set(
-            r["user_id"]
-            for r in ev.where("event_type = 'view'").select("user_id").distinct().collect()
+            r["k"]
+            for r in ev.where("event_type = 'view'").select(key.alias("k")).distinct().collect()
         )
         exact_j = len(a & b) / len(a | b)
         row = spark.sql(K.kmv_jaccard_sql("spark")).first()
