@@ -978,6 +978,14 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.hdr_sketch_streaming(spark),
         K.hdr_quantiles_full_sql("duckdb"),
     )
+    # Per-group HDR ranks (the per-endpoint-latency shape): one sketch per
+    # event_type, cells bounded at groups × bucket geometry, every
+    # window/aggregate partitioned by group — same integer rank targets
+    # and exact bucket-bound estimates as the global entry.
+    q["sketch_rank_grouped"] = _df_entry(
+        lambda spark, sf: K.hdr_grouped_quantiles(spark),
+        K.hdr_grouped_quantiles_full_sql("duckdb"),
+    )
     # KMV bottom-k distinct sketch (round 7): a deterministic order
     # statistic, so the whole summary AND its estimates hash-check; the
     # merge-parity entry re-derives the estimate from two per-half

@@ -647,6 +647,119 @@ def hdr_quantiles_full_sql(
     )
 
 
+def hdr_grouped_cells_sql(
+    dialect: str,
+    group_expr: str = "event_type",
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    m: int = HDR_M,
+) -> str:
+    """``(g, hk, c)`` — one HDR sketch per group (the per-endpoint-latency
+    shape): cells stay bounded at groups × bucket-geometry and still ADD,
+    so per-partition grouped sketches merge by (g, hk) SUM."""
+    m2 = 1 << (m + 1)
+    sgn = "(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END)"
+    top = _shr(dialect, "ABS(v)", "sh")
+    return f"""
+    SELECT g, hk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      SELECT g, {sgn} * (CAST(sh AS BIGINT) * {m2} + {top}) AS hk
+      FROM (
+        SELECT g, v, GREATEST(LENGTH(BIN(ABS(v))) - {m + 1}, 0) AS sh
+        FROM (SELECT {group_expr} AS g, {int_expr} AS v FROM {source}
+              WHERE ({int_expr}) IS NOT NULL) s0
+      ) s1
+    ) s2
+    GROUP BY g, hk
+    """
+
+
+def hdr_grouped_quantiles_sql(
+    dialect: str,
+    cells_rel: str,
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+) -> str:
+    """Per-group quantiles from ANY grouped cells relation: the rank query
+    of :func:`hdr_quantiles_sql` with every window/aggregate partitioned
+    by ``g`` — same integer rank targets, same exact bucket-bound
+    estimates."""
+    m2 = 1 << (m + 1)
+    div = "DIV" if dialect == "spark" else "//"
+    qrows = " UNION ALL ".join(
+        f"SELECT CAST({qm} AS BIGINT) AS qm" for qm in qs_permille
+    )
+    bound = _shl(dialect, f"(ABS(p.hk) % {m2})", f"(ABS(p.hk) {div} {m2})")
+    return f"""
+    WITH cells AS ({cells_rel}),
+    cum AS (
+      SELECT g, hk, c,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY hk) AS BIGINT) AS cum
+      FROM cells
+    ),
+    tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY g),
+    ranked AS (
+      SELECT tot.g, q.qm, (tot.n * q.qm + 999) {div} 1000 AS tq
+      FROM ({qrows}) q, tot
+    ),
+    picked AS (
+      SELECT r.g, r.qm, MIN(c.hk) AS hk
+      FROM ranked r JOIN cum c ON c.g = r.g AND c.cum >= r.tq
+      GROUP BY r.g, r.qm
+    )
+    SELECT p.g, CAST(p.qm AS DOUBLE) / CAST(1000 AS DOUBLE) AS q,
+           ROUND(
+             CAST((CASE WHEN p.hk < 0 THEN -1 WHEN p.hk > 0 THEN 1 ELSE 0 END)
+                  * {bound} AS DOUBLE)
+             / CAST({scale} AS DOUBLE) + 1e-9, 6) AS est
+    FROM picked p
+    """
+
+
+def hdr_grouped_quantiles_full_sql(
+    dialect: str,
+    group_expr: str = "event_type",
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+) -> str:
+    return hdr_grouped_quantiles_sql(
+        dialect,
+        hdr_grouped_cells_sql(dialect, group_expr, int_expr, source, m),
+        qs_permille, m, scale,
+    )
+
+
+def hdr_grouped_quantiles(
+    spark,
+    group_expr: str = "event_type",
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+):
+    """Spark path: pin the bounded grouped cells as a literal relation
+    (two CTE references otherwise re-scan the corpus) and rank over it."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    cells = spark.sql(
+        hdr_grouped_cells_sql("spark", group_expr, int_expr, source, m)
+    )
+    lit = spark.createDataFrame(
+        [(r["g"], r["hk"], r["c"]) for r in cells.collect()],
+        "g STRING, hk BIGINT, c BIGINT",
+    )
+    name = unique_view(lit, "__hdr_gcells")
+    return spark.sql(
+        hdr_grouped_quantiles_sql(
+            "spark", f"SELECT g, hk, c FROM {name}", qs_permille, m, scale
+        )
+    )
+
+
 def hdr_merged_halves_cells_sql(
     dialect: str,
     int_expr: str = HDR_CENTI,

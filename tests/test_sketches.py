@@ -138,6 +138,32 @@ class TestHdrRankQuantiles:
             keys.append(k)
         assert keys == sorted(keys), keys
 
+    def test_grouped_estimates_track_per_group_exact(self, spark, ev):
+        """Compare against the VALUE-AT-RANK exact (the sketch's rank
+        definition, `ceil(q·n)`): interpolating percentiles diverge
+        arbitrarily on sparse tails (at sf0.001 one group's 186th→187th
+        values jump 228→285), which is a definition difference, not sketch
+        error."""
+        import math
+
+        groups = {}
+        for r in ev.select(
+            F.col("event_type").alias("g"), "value"
+        ).collect():
+            groups.setdefault(r["g"], []).append(r["value"])
+        est = {
+            (r["g"], r["q"]): r["est"]
+            for r in K.hdr_grouped_quantiles(spark).collect()
+        }
+        tol = 2.0 ** -K.HDR_M
+        for g, vals in groups.items():
+            vals.sort()
+            n = len(vals)
+            for qm in (500, 900, 990):
+                ex = vals[(n * qm + 999) // 1000 - 1]
+                got = est[(g, qm / 1000.0)]
+                assert math.isclose(got, ex, rel_tol=2 * tol), (g, qm, got, ex)
+
     def test_rank_is_integer_exact(self, spark, ev):
         """ceil(q*n) must be the integer (n*qm + 999) DIV 1000 — no float
         rank (a 0.5*even-n halfway in float is the classic cross-engine

@@ -77,6 +77,7 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # occupancy at k× counts; merge parity re-proven at volume
     "sketch_rank_quantiles": None,
     "sketch_rank_merge_parity": None,
+    "sketch_rank_grouped": None,
     # round 7: KMV saturation (distinct keys >> k) and union-sketch overlap
     "sketch_kmv_distinct": None,
     "sketch_kmv_merge_parity": None,
