@@ -372,3 +372,40 @@ def test_quality_classifier_broadcasts_model(spark, reg, sf_dir):
     assert "BroadcastHashJoin" in plan
     for m in re.finditer(r"\(\d+\) SortMergeJoin[^(]*(?:\n.*){0,4}", plan):
         assert "bucket" not in m.group(0), m.group(0)
+
+
+def test_kmv_build_plans_bounded_topk_not_global_sort(spark, reg, sf_dir):
+    """The KMV build contract (round 7): bottom-k of the distinct hashes
+    must plan as TakeOrderedAndProject (per-partition heaps of k + a k-row
+    driver merge) — a global Sort+Limit would shuffle-sort every distinct
+    key at 100 TB."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import sketches as K
+
+    plan = _formatted_plan(spark.sql(K.kmv_sketch_sql("spark")))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, (
+        "bottom-k fell back to a global range sort"
+    )
+
+
+def test_hdr_cells_aggregate_partially_before_shuffle(spark, reg, sf_dir):
+    """The HDR build contract (round 7): the cells groupBy must carry a
+    map-side partial aggregate, so the shuffle moves the bounded bucket
+    keyspace, never the corpus."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import sketches as K
+
+    plan = _formatted_plan(spark.sql(K.hdr_cells_sql("spark")))
+    assert "partial_count" in plan or "Partial" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_apply_broadcasts_frozen_selector(spark, reg, sf_dir):
+    """The frozen-apply contract (round 7): the batch's counts join the
+    <= dim-row (bucket, l6) artifact — the selector side must broadcast;
+    a SortMergeJoin on bucket shuffles the whole batch's postings."""
+    import re as _re
+
+    plan = _formatted_plan(reg["curate_dsir_apply"].run(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for m in _re.finditer(r"\(\d+\) SortMergeJoin[^(]*(?:\n.*){0,4}", plan):
+        assert "bucket" not in m.group(0), m.group(0)
