@@ -921,3 +921,72 @@ class TestSketchDifferentialFuzz:
             assert s == o, f"histogram diverged at bins={bins}"
 
         check()
+
+
+class TestRankAndKmvDifferentialFuzz:
+    """Round-7 sketches over their parameter spaces: HDR sub-bucket bits M
+    and integer-unit scale (the bitlen/shift arithmetic must agree at
+    every geometry), KMV k (order statistics and the saturation boundary),
+    and the per-mille rank targets."""
+
+    def test_random_hdr_kmv_params_agree_across_engines(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.operators import (
+            sketches as K,
+        )
+
+        spark, con = engines
+
+        def rows_of(df_pandas):
+            cols = sorted(df_pandas.columns)
+            return sorted(
+                "|".join(str(v) for v in rec)
+                for rec in df_pandas[cols].itertuples(index=False, name=None)
+            )
+
+        @settings(max_examples=10, deadline=None, database=None)
+        @given(
+            st.sampled_from([3, 5, 7, 10]),             # HDR sub-bucket bits M
+            st.sampled_from([1, 100, 1000000]),         # integer-unit scale
+            st.sampled_from([(500,), (10, 990), (250, 500, 750, 999)]),
+            st.sampled_from([16, 64, 257, 1024]),       # KMV k (incl. non-power)
+            st.sampled_from(["CAST(user_id AS STRING)",
+                             "event_type",
+                             "CAST(event_id AS STRING)"]),
+        )
+        def check(m, scale, qs, k, key):
+            int_expr = (
+                f"CAST(ROUND(value * CAST({scale} AS DOUBLE)) AS BIGINT)"
+            )
+
+            def hdr(dialect):
+                return K.hdr_quantiles_full_sql(
+                    dialect, int_expr, qs_permille=qs, m=m, scale=scale
+                )
+
+            s = rows_of(spark.sql(hdr("spark")).toPandas())
+            o = rows_of(con.execute(hdr("duckdb")).df())
+            assert s == o, f"HDR diverged at m={m} scale={scale} qs={qs}"
+
+            def kmv(dialect):
+                return K.kmv_distinct_sql(dialect, key, k=k)
+
+            s = rows_of(spark.sql(kmv("spark")).toPandas())
+            o = rows_of(con.execute(kmv("duckdb")).df())
+            assert s == o, f"KMV diverged at k={k} key={key}"
+
+            # merged halves must stay row-identical to the whole sketch at
+            # every k (exact merge is the family's load-bearing claim)
+            def kmv_m(dialect):
+                return K.kmv_estimate_sql(
+                    dialect,
+                    K.kmv_merged_halves_sketch_sql(dialect, key, k=k),
+                    k=k,
+                )
+
+            s = rows_of(spark.sql(kmv_m("spark")).toPandas())
+            o = rows_of(con.execute(kmv("duckdb")).df())
+            assert s == o, f"KMV merge diverged at k={k} key={key}"
+
+        check()

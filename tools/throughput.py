@@ -145,6 +145,10 @@ def main() -> None:
         for name, sql in (
             ("sketch_cm_build_rows_per_sec", K.cm_cells_sql("spark")),
             ("sketch_hll_build_rows_per_sec", K.hll_registers_sql("spark")),
+            # round 7: HDR ranks (integer bitlen/shift, no hash at all) and
+            # KMV bottom-k (1 hash per row + per-partition heaps of k)
+            ("sketch_hdr_build_rows_per_sec", K.hdr_cells_sql("spark")),
+            ("sketch_kmv_build_rows_per_sec", K.kmv_sketch_sql("spark")),
         ):
             times = []
             for _ in range(2):
