@@ -3022,6 +3022,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         T.winnow_overlap_sql("duckdb"),
     )
 
+    # ---- sliding-window chunking (round 7): the RAG/embedding-prep op ----
+    # size-64 windows at stride 48 (16-token overlap); constant-fan-out
+    # candidate join (each token joins <= ceil(size/stride) seed rows), one
+    # (doc_id, start) groupBy reassembles; chunk TEXT is hash-checked, both
+    # engines producing position-ordered reassembly deterministically.
+    q["text_chunk_windows"] = _df_entry(
+        lambda spark, sf: spark.sql(T.chunk_documents_sql("spark")),
+        T.chunk_documents_sql("duckdb"),
+    )
+
     # ---- source/term blocklist screen (C4 badwords + URL-blocklist shape) ---
     from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
         blocklist_verdict_sql,

@@ -1288,3 +1288,64 @@ def bm25_topk_sql(
       FROM scores
     ) ranked WHERE rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (round 7) — the RAG/embedding-prep op:
+# fixed-size token windows with stride/overlap, the preprocessing every
+# retrieval corpus and long-context training mix runs before embedding.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents_sql(
+    dialect: str,
+    size: int = 64,
+    stride: int = 48,
+    source: str = "documents",
+) -> str:
+    """``(doc_id, chunk_start, n_tokens, chunk_text)`` — token windows of
+    ``size`` starting at every multiple of ``stride`` below the doc
+    length (the standard sliding window; consecutive chunks overlap by
+    ``size - stride`` tokens).
+
+    Scale shape: NO range join and NO per-doc sequence generation (the
+    correlated generate_series trap, CLAUDE.md).  Each token at position
+    p belongs to at most ``ceil(size/stride)`` windows, so membership is
+    a CONSTANT-fan-out cross join with the K-row seeds relation:
+    start = (p DIV stride − i)·stride for i < K, kept when start ≥ 0 and
+    p − start < size.  One groupBy on (doc_id, start) reassembles chunks;
+    the shuffle carries corpus tokens × K, linear at any scale.  Chunk
+    text is deterministic in both engines (Spark: sort_array of (pos,
+    word) structs; DuckDB: string_agg ORDER BY pos), so the entry
+    hash-checks the exact chunk contents, not just counts."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    from qradar_restapi_kafka_datapipeline_spark.operators.sketches import (
+        _seeds,
+    )
+
+    k = -(-size // stride)  # ceil: max windows containing one token
+    tok = token_positions_sql(dialect, source)
+    div = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        text_agg = (
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "named_struct('pos', pos, 'word', word))), x -> x.word))"
+        )
+    else:
+        text_agg = "string_agg(word, ' ' ORDER BY pos)"
+    return f"""
+    WITH tok AS ({tok}),
+    cand AS (
+      SELECT t.doc_id, t.pos, t.word,
+             ((t.pos {div} {stride}) - s.i) * {stride} AS cs
+      FROM tok t CROSS JOIN ({_seeds(dialect, k)}) s
+      WHERE ((t.pos {div} {stride}) - s.i) >= 0
+        AND t.pos - ((t.pos {div} {stride}) - s.i) * {stride} < {size}
+    )
+    SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {text_agg} AS chunk_text
+    FROM cand
+    GROUP BY doc_id, cs
+    """

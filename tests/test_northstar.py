@@ -1244,3 +1244,53 @@ class TestMmrDiversify:
         assert picks[0] == plain[0]  # first pick is pure relevance
         assert len([p for p in picks if p >= 10]) >= 2  # diversity enforced
         assert [r["rk"] for r in got] == [1, 2, 3, 4]
+
+
+class TestChunkDocuments:
+    """Sliding-window chunking invariants (round 7): full coverage, exact
+    overlap, correct window count, text reassembly in position order."""
+
+    def test_window_structure(self, spark, docs):
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            chunk_documents_sql,
+        )
+
+        docs.createOrReplaceTempView("__chunk_docs")
+        size, stride = 6, 4  # small windows so the tiny fixture multi-chunks
+        chunks = {}
+        for r in spark.sql(
+            chunk_documents_sql("spark", size, stride, source="__chunk_docs")
+        ).collect():
+            chunks.setdefault(r["doc_id"], []).append(
+                (r["chunk_start"], r["n_tokens"], r["chunk_text"])
+            )
+        texts = {
+            r["doc_id"]: r["text"].strip().split() for r in docs.collect()
+        }
+        assert set(chunks) == set(texts)
+        for did, toks in texts.items():
+            n = len(toks)
+            got = sorted(chunks[did])
+            # one window at every stride multiple below n
+            assert [s for s, _, _ in got] == list(range(0, n, stride))
+            for s, ntok, text in got:
+                want = toks[s:s + size]
+                assert ntok == len(want)
+                assert text.split(" ") == want  # exact ordered reassembly
+            # consecutive full windows overlap by exactly size - stride
+            for (s1, n1, _), (s2, _, _) in zip(got, got[1:]):
+                assert s2 - s1 == stride
+                if n1 == size:
+                    assert (s1 + n1) - s2 == size - stride
+
+    def test_degenerate_params_rejected(self, spark):
+        import pytest as _pytest
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            chunk_documents_sql,
+        )
+
+        with _pytest.raises(ValueError):
+            chunk_documents_sql("spark", size=0, stride=4)
+        with _pytest.raises(ValueError):
+            chunk_documents_sql("spark", size=8, stride=0)
