@@ -1258,3 +1258,50 @@ def hist_quantiles(
             "spark", f"SELECT bin, c FROM {name}", qs, lo, hi, bins
         )
     )
+
+
+def compact_sketch_parts(
+    spark,
+    path: str,
+    key_cols: tuple[str, ...],
+    measures: dict[str, str],
+) -> int:
+    """Fold a per-epoch part tree (``path/epoch=N``) into ONE compacted
+    part — the background-merge half of the parts motif (the streaming
+    folds write immutable increments; at 100 TB a compactor bounds the
+    part count the read-side merge touches).  ``measures`` maps each
+    measure column to its state function (``sum``/``max`` — the same
+    lattice as :func:`~...operators.rollup.summing_rollup`).
+
+    Value-neutral by construction (the read-side merge is the SAME
+    aggregate), and crash-safe by the stage-out/stage-in rename swap
+    (``compact_text_index``'s pattern, ADVICE r5): every crash point
+    leaves either the old part tree or the compacted one fully readable.
+    Run only AFTER the stream's trigger completes (committed epochs never
+    replay; compacting an uncommitted epoch away would lose its marker
+    contract).  Returns the number of epoch parts folded."""
+    from pyspark.sql import functions as F
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.rollup import _AGG
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    cur = spark.read.parquet(path)  # partition discovery yields `epoch`
+    n_parts = cur.select("epoch").distinct().count()
+    merged = (
+        cur.groupBy(*[F.col(c) for c in key_cols])
+        .agg(*[_AGG[fn](F.col(m)).alias(m) for m, fn in measures.items()])
+        .withColumn("epoch", F.lit(0))
+    )
+    tmp, old = f"{path}.__compact_tmp", f"{path}.__compact_old"
+    fs.delete(hpath(tmp), True)
+    merged.coalesce(1).write.partitionBy("epoch").parquet(tmp)
+    fs.delete(hpath(old), True)
+    if not fs.rename(hpath(path), hpath(old)):
+        raise RuntimeError(f"compact_sketch_parts: could not stage out {path}")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        fs.rename(hpath(old), hpath(path))  # restore the live tree
+        raise RuntimeError(f"compact_sketch_parts: rename failed for {tmp}")
+    fs.delete(hpath(old), True)
+    return n_parts

@@ -301,3 +301,39 @@ def test_hll_streaming_cube_matches_batch_cube(spark, ev, sf_dir):
     )
     key = lambda df: sorted((r["hour_id"], r["bucket"], r["r"]) for r in df.collect())
     assert key(once) == key(regs)
+
+
+def test_compact_sketch_parts_value_neutral_and_idempotent(spark, ev, tmp_path):
+    """The background-merge half of the parts motif: folding N epoch parts
+    into one must not change any served estimate (same aggregate as the
+    read-side merge), must leave exactly one part, and re-compacting is a
+    no-op."""
+    base = str(tmp_path / "cells")
+    for i in range(3):
+        spark.sql(
+            K.cm_cells_sql("spark", where=f"event_id % 3 = {i}")
+        ).write.parquet(f"{base}/epoch={i}")
+
+    def estimates():
+        rel = (
+            "SELECT i, col, CAST(SUM(c) AS BIGINT) AS c "
+            f"FROM parquet.`{base}` GROUP BY i, col"
+        )
+        return {
+            (r["key"], r["est"])
+            for r in spark.sql(
+                K.cm_estimates_sql("spark", rel, threshold=0)
+            ).collect()
+        }
+
+    before = estimates()
+    oneshot = {
+        (r["key"], r["est"])
+        for r in spark.sql(K.cm_heavy_hitters_sql("spark", threshold=0)).collect()
+    }
+    assert before == oneshot  # the 3-part tree already serves exactly
+    assert K.compact_sketch_parts(spark, base, ("i", "col"), {"c": "sum"}) == 3
+    assert estimates() == before
+    assert spark.read.parquet(base).select("epoch").distinct().count() == 1
+    assert K.compact_sketch_parts(spark, base, ("i", "col"), {"c": "sum"}) == 1
+    assert estimates() == before
