@@ -986,6 +986,19 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.hdr_grouped_quantiles(spark),
         K.hdr_grouped_quantiles_full_sql("duckdb"),
     )
+    # CM inner product (round 7): join-cardinality estimation from two d·w
+    # summaries — the optimizer's use of CM; self-auditing exact column.
+    q["sketch_cm_join_cardinality"] = _df_entry(
+        lambda spark, sf: spark.sql(K.cm_inner_product_sql("spark")),
+        K.cm_inner_product_sql("duckdb"),
+    )
+    # Rolling 7-day distinct served from the register cube (round 7): the
+    # uniqMerge answer to rolling DAU — overlapping windows re-merge the
+    # bounded (days × 2^p) cube instead of rescanning each day 7 times.
+    q["sketch_hll_rolling_distinct"] = _df_entry(
+        lambda spark, sf: K.hll_rolling_distinct(spark),
+        K.hll_rolling_distinct_sql("duckdb"),
+    )
     # KMV bottom-k distinct sketch (round 7): a deterministic order
     # statistic, so the whole summary AND its estimates hash-check; the
     # merge-parity entry re-derives the estimate from two per-half

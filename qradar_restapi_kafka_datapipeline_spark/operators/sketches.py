@@ -1305,3 +1305,110 @@ def compact_sketch_parts(
         raise RuntimeError(f"compact_sketch_parts: rename failed for {tmp}")
     fs.delete(hpath(old), True)
     return n_parts
+
+
+def cm_inner_product_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    where_a: str = "event_type = 'click'",
+    where_b: str = "event_type = 'view'",
+    source: str = "events",
+    d: int = CM_D,
+    w: int = CM_W,
+) -> str:
+    """Join-cardinality estimation from two CM sketches (Cormode &
+    Muthukrishnan 2005 §4.2): |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is estimated
+    by MIN over rows i of Σ_col a[i,col]·b[i,col] — never an
+    underestimate (collisions add nonnegative cross terms).  The
+    optimizer's classic use: size a join from two d·w summaries without
+    touching either input.  Self-auditing: ``join_size_exact`` rides
+    along from the per-key frequency join so the gate checks both the
+    estimate arithmetic AND the ground truth."""
+    ca = cm_cells_sql(dialect, key_expr, source, d, w, where=where_a)
+    cb = cm_cells_sql(dialect, key_expr, source, d, w, where=where_b)
+    return f"""
+    WITH ca AS ({ca}), cb AS ({cb}),
+    ip AS (
+      SELECT ca.i, CAST(SUM(ca.c * cb.c) AS BIGINT) AS s
+      FROM ca JOIN cb ON cb.i = ca.i AND cb.col = ca.col
+      GROUP BY ca.i
+    ),
+    ex AS (
+      SELECT CAST(COALESCE(SUM(fa.n * fb.n), 0) AS BIGINT) AS x
+      FROM (SELECT {key_expr} AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {source} WHERE {where_a} GROUP BY {key_expr}) fa
+      JOIN (SELECT {key_expr} AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {source} WHERE {where_b} GROUP BY {key_expr}) fb
+        ON fb.k = fa.k
+    )
+    SELECT CAST(MIN(ip.s) AS BIGINT) AS join_size_est,
+           ex.x AS join_size_exact
+    FROM ip, ex
+    GROUP BY ex.x
+    """
+
+
+def hll_rolling_distinct_sql(
+    dialect: str,
+    window_days: int = 7,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    p: int = HLL_P,
+) -> str:
+    """Trailing ``window_days``-day distinct count PER DAY served entirely
+    from the maintained register cube — the uniqMerge answer to the
+    rolling-DAU question the exact entry computes from raw (day, user)
+    pairs.  Sliding windows are where non-additive distinct hurts most
+    (windows overlap, so raw recompute scans each day ``window_days``
+    times); register MAX over the window's days touches only the bounded
+    (days × 2^p) cube."""
+    div = "DIV" if dialect == "spark" else "//"
+    hourly = hll_hourly_registers_sql(dialect, key_expr, source, p)
+    day_regs = f"""
+      SELECT hour_id {div} 24 AS day_id, bucket, MAX(r) AS r
+      FROM ({hourly}) h
+      GROUP BY hour_id {div} 24, bucket
+    """
+    win = f"""
+      SELECT dd.day_id, dr.bucket, MAX(dr.r) AS r
+      FROM (SELECT DISTINCT day_id FROM ({day_regs}) dx) dd
+      JOIN ({day_regs}) dr
+        ON dr.day_id BETWEEN dd.day_id - {window_days - 1} AND dd.day_id
+      GROUP BY dd.day_id, dr.bucket
+    """
+    return hll_grouped_estimate_sql(dialect, win, "day_id", p)
+
+
+def hll_rolling_distinct(
+    spark,
+    window_days: int = 7,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    p: int = HLL_P,
+):
+    """Spark path: build the day-grain registers ONCE, pin the bounded
+    (days × 2^p) relation as a literal (the one-statement form embeds it
+    twice — distinct-days and window sides — and Spark re-executes inline
+    subqueries per reference), then window + estimate over the pin."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    div = "DIV"
+    hourly = hll_hourly_registers_sql("spark", key_expr, source, p)
+    day_regs = spark.sql(f"""
+      SELECT hour_id {div} 24 AS day_id, bucket, MAX(r) AS r
+      FROM ({hourly}) h
+      GROUP BY hour_id {div} 24, bucket
+    """)
+    lit = spark.createDataFrame(
+        [(r["day_id"], r["bucket"], r["r"]) for r in day_regs.collect()],
+        "day_id BIGINT, bucket BIGINT, r INT",
+    )
+    name = unique_view(lit, "__hll_dayregs")
+    win = f"""
+      SELECT dd.day_id, dr.bucket, MAX(dr.r) AS r
+      FROM (SELECT DISTINCT day_id FROM {name}) dd
+      JOIN {name} dr
+        ON dr.day_id BETWEEN dd.day_id - {window_days - 1} AND dd.day_id
+      GROUP BY dd.day_id, dr.bucket
+    """
+    return spark.sql(hll_grouped_estimate_sql("spark", win, "day_id", p))

@@ -337,3 +337,36 @@ def test_compact_sketch_parts_value_neutral_and_idempotent(spark, ev, tmp_path):
     assert spark.read.parquet(base).select("epoch").distinct().count() == 1
     assert K.compact_sketch_parts(spark, base, ("i", "col"), {"c": "sum"}) == 1
     assert estimates() == before
+
+
+def test_cm_inner_product_never_underestimates_join_size(spark, ev):
+    """The inner-product estimator shares CM's one-sided error: collisions
+    only ADD cross terms, so est >= exact always."""
+    row = spark.sql(K.cm_inner_product_sql("spark")).first()
+    assert row["join_size_est"] >= row["join_size_exact"] > 0
+
+
+def test_hll_rolling_distinct_tracks_exact_windows(spark, ev):
+    """The cube-served trailing-7-day distinct must sit inside the HLL
+    error band of the EXACT rolling distinct for every day."""
+    from pyspark.sql import functions as F
+
+    pairs = ev.select(
+        (F.expr("unix_millis(ts)") / F.lit(86400000)).cast("long").alias("d"),
+        "user_id",
+    ).distinct().collect()
+    by_day = {}
+    for r in pairs:
+        by_day.setdefault(r["d"], set()).add(r["user_id"])
+    est = {
+        r["day_id"]: r["distinct_est"]
+        for r in K.hll_rolling_distinct(spark).collect()
+    }
+    assert set(est) == set(by_day)
+    m = 1 << K.HLL_P
+    for d in by_day:
+        exact = len(set().union(*(by_day.get(x, set())
+                                  for x in range(d - 6, d + 1))))
+        assert abs(est[d] - exact) / exact <= 3 * 1.04 / m ** 0.5, (
+            d, est[d], exact,
+        )

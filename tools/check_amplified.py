@@ -82,6 +82,10 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sketch_kmv_distinct": None,
     "sketch_kmv_merge_parity": None,
     "sketch_kmv_jaccard": None,
+    # round 7: CM inner product (collision cross-terms need volume) and the
+    # cube-served rolling distinct at k× the register occupancy
+    "sketch_cm_join_cardinality": None,
+    "sketch_hll_rolling_distinct": None,
     # round 7 (VERDICT r6 #5): DSIR's BIGINT micro-unit log-ratio sums and
     # the composed funnel's stage handoffs at k× the document volume; the
     # funnel's DuckDB oracle replays all four stages as ONE nested
@@ -97,6 +101,8 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # against the recursive-closure oracle
     "dedup_clusters": 4,
     "text_semantic_pairs_hashed_prefix": 4,
+    # round 7: chunk reassembly at volume (string_agg vs sort_array paths)
+    "text_chunk_windows": 4,
 }
 
 
