@@ -143,6 +143,10 @@ HEADLINE = [
     # round 7: frozen-DSIR incremental apply (cold pays the selector build,
     # memoized — the stream-scoring shape timed as a batch pass)
     "curate_dsir_apply",
+    # round 7: KMV set algebra, cube-served rolling distinct, chunking
+    "sketch_kmv_jaccard",
+    "sketch_hll_rolling_distinct",
+    "text_chunk_windows",
 ]
 
 
