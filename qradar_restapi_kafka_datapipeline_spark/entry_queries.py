@@ -986,6 +986,23 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.hdr_grouped_quantiles(spark),
         K.hdr_grouped_quantiles_full_sql("duckdb"),
     )
+    # HDR time cube (round 7): quantileState/quantileMerge — per-day P50/
+    # P90/P99 answered by SUM-merging the maintained HOURLY cells, never
+    # re-touching raw events; oracle builds per-day cells directly.  The
+    # Spark side pins the bounded merged day cells (the probe-list
+    # posture); a wrong merge grain or a lost hour hash-fails.
+    q["sketch_rank_daily_cube"] = _df_entry(
+        lambda spark, sf: K.hdr_grouped_quantiles(
+            spark,
+            cells_rel=(
+                "SELECT hour_id DIV 24 AS g, hk, CAST(SUM(c) AS BIGINT) AS c"
+                f" FROM ({K.hdr_hourly_cells_sql('spark')}) h"
+                " GROUP BY hour_id DIV 24, hk"
+            ),
+            g_type="BIGINT",
+        ),
+        K.hdr_daily_direct_sql("duckdb"),
+    )
     # CM inner product (round 7): join-cardinality estimation from two d·w
     # summaries — the optimizer's use of CM; self-auditing exact column.
     q["sketch_cm_join_cardinality"] = _df_entry(

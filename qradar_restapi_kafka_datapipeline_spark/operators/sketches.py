@@ -740,17 +740,21 @@ def hdr_grouped_quantiles(
     qs_permille: tuple[int, ...] = (500, 900, 990),
     m: int = HDR_M,
     scale: int = 100,
+    cells_rel: str | None = None,
+    g_type: str = "STRING",
 ):
     """Spark path: pin the bounded grouped cells as a literal relation
     (two CTE references otherwise re-scan the corpus) and rank over it."""
     from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
 
     cells = spark.sql(
-        hdr_grouped_cells_sql("spark", group_expr, int_expr, source, m)
+        cells_rel
+        if cells_rel is not None
+        else hdr_grouped_cells_sql("spark", group_expr, int_expr, source, m)
     )
     lit = spark.createDataFrame(
         [(r["g"], r["hk"], r["c"]) for r in cells.collect()],
-        "g STRING, hk BIGINT, c BIGINT",
+        f"g {g_type}, hk BIGINT, c BIGINT",
     )
     name = unique_view(lit, "__hdr_gcells")
     return spark.sql(
@@ -758,6 +762,81 @@ def hdr_grouped_quantiles(
             "spark", f"SELECT g, hk, c FROM {name}", qs_permille, m, scale
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR time cube — per-HOUR rank cells as the maintained state; any coarser
+# grain (day, week) is answered by (hk) SUM over the hours it covers — the
+# quantileState/quantileMerge analog of the HLL uniqState cube: quantiles
+# cannot re-aggregate from collapsed rows, but their sketch state merges.
+# ---------------------------------------------------------------------------
+
+
+def hdr_hourly_cells_sql(
+    dialect: str,
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    m: int = HDR_M,
+) -> str:
+    """``(hour_id, hk, c)`` — the continuously-maintainable quantileState:
+    bounded cells per hour, additive, so hourly files fold into any
+    coarser grain by SUM without touching raw events."""
+    div = "DIV" if dialect == "spark" else "//"
+    m2 = 1 << (m + 1)
+    sgn = "(CASE WHEN v < 0 THEN -1 WHEN v > 0 THEN 1 ELSE 0 END)"
+    top = _shr(dialect, "ABS(v)", "sh")
+    return f"""
+    SELECT hour_id, hk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      SELECT hour_id, {sgn} * (CAST(sh AS BIGINT) * {m2} + {top}) AS hk
+      FROM (
+        SELECT hour_id, v, GREATEST(LENGTH(BIN(ABS(v))) - {m + 1}, 0) AS sh
+        FROM (SELECT ({_epoch_ms(dialect)}) {div} 3600000 AS hour_id,
+                     {int_expr} AS v
+              FROM {source} WHERE ({int_expr}) IS NOT NULL) s0
+      ) s1
+    ) s2
+    GROUP BY hour_id, hk
+    """
+
+
+def hdr_daily_from_hourly_sql(
+    dialect: str,
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+) -> str:
+    """Per-day quantiles by SUM-merging the HOURLY cells to day grain —
+    never re-touching raw events (ms DIV 86400000 == (ms DIV 3600000) DIV
+    24 for the positive epoch, so the day key matches the direct build)."""
+    div = "DIV" if dialect == "spark" else "//"
+    hourly = hdr_hourly_cells_sql(dialect, int_expr, source, m)
+    daily = f"""
+      SELECT hour_id {div} 24 AS g, hk, CAST(SUM(c) AS BIGINT) AS c
+      FROM ({hourly}) h
+      GROUP BY hour_id {div} 24, hk
+    """
+    return hdr_grouped_quantiles_sql(dialect, daily, qs_permille, m, scale)
+
+
+def hdr_daily_direct_sql(
+    dialect: str,
+    int_expr: str = HDR_CENTI,
+    source: str = "events",
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+    m: int = HDR_M,
+    scale: int = 100,
+) -> str:
+    """Per-day cells built straight from events (the oracle's one-shot
+    answer; equal to the cube's day grain by additivity)."""
+    div = "DIV" if dialect == "spark" else "//"
+    grouped = hdr_grouped_cells_sql(
+        dialect,
+        f"({_epoch_ms(dialect)}) {div} 86400000",
+        int_expr, source, m,
+    )
+    return hdr_grouped_quantiles_sql(dialect, grouped, qs_permille, m, scale)
 
 
 def hdr_merged_halves_cells_sql(

@@ -370,3 +370,33 @@ def test_hll_rolling_distinct_tracks_exact_windows(spark, ev):
         assert abs(est[d] - exact) / exact <= 3 * 1.04 / m ** 0.5, (
             d, est[d], exact,
         )
+
+
+def test_hdr_daily_cube_merge_is_lossless(spark, ev):
+    """quantileMerge: day-grain quantiles from SUM-merged hourly cells
+    must equal the direct per-day build EXACTLY (additivity), and track
+    the per-day value-at-rank exact within 2^-M."""
+    import math
+
+    cube = {
+        (r["g"], r["q"]): r["est"]
+        for r in spark.sql(K.hdr_daily_from_hourly_sql("spark")).collect()
+    }
+    direct = {
+        (r["g"], r["q"]): r["est"]
+        for r in spark.sql(K.hdr_daily_direct_sql("spark")).collect()
+    }
+    assert cube == direct and len(cube) > 0
+    by_day = {}
+    for r in ev.selectExpr(
+        "unix_millis(ts) DIV 86400000 AS d", "value"
+    ).collect():
+        by_day.setdefault(r["d"], []).append(r["value"])
+    tol = 2.0 ** -K.HDR_M
+    for d, vals in by_day.items():
+        vals.sort()
+        n = len(vals)
+        for qm in (500, 900, 990):
+            ex = vals[(n * qm + 999) // 1000 - 1]
+            got = cube[(d, qm / 1000.0)]
+            assert math.isclose(got, ex, rel_tol=2 * tol), (d, qm, got, ex)
