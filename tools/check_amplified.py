@@ -78,6 +78,7 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sketch_rank_quantiles": None,
     "sketch_rank_merge_parity": None,
     "sketch_rank_grouped": None,
+    "sketch_rank_daily_cube": None,
     # round 7: KMV saturation (distinct keys >> k) and union-sketch overlap
     "sketch_kmv_distinct": None,
     "sketch_kmv_merge_parity": None,
