@@ -1035,7 +1035,7 @@ def _sketch_entries(q: dict[str, Q]) -> None:
     # populations from two 256-row summaries; corpus is scanned once per
     # set, the estimator runs on <= 3k rows.
     q["sketch_kmv_jaccard"] = _df_entry(
-        lambda spark, sf: spark.sql(K.kmv_jaccard_sql("spark")),
+        lambda spark, sf: K.kmv_jaccard(spark),
         K.kmv_jaccard_sql("duckdb"),
     )
     # Streaming CM maintenance: each micro-batch lands as an immutable

@@ -398,7 +398,12 @@ def kmv_jaccard_sql(
     estimate is J · distinct_est(U).  Everything is arithmetic on shared
     order statistics — deterministic both engines, so the estimates
     hash-check.  At 100 TB the two set scans are the only corpus passes;
-    the set algebra runs on ≤ 3k rows."""
+    the set algebra runs on ≤ 3k rows.
+
+    NOTE (Spark path): ``sa``/``sb`` are each referenced twice below (the
+    union sketch and the overlap probe) and Spark re-executes a CTE per
+    reference — 4 corpus scans.  :func:`kmv_jaccard` pins the two ≤k-row
+    summaries as literals first; this one-statement form is the oracle."""
     if key_expr is None:
         key_expr = kmv_user_day_key(dialect)
     sa = kmv_sketch_sql(dialect, key_expr, source, k, where=where_a)
@@ -428,6 +433,56 @@ def kmv_jaccard_sql(
                  * eu.distinct_est + 1e-9, 6) AS intersection_est
     FROM ov, eu
     """
+
+
+def kmv_jaccard(
+    spark,
+    key_expr: str | None = None,
+    where_a: str = "event_type = 'click'",
+    where_b: str = "event_type = 'view'",
+    source: str = "events",
+    k: int = KMV_K,
+):
+    """Spark path: build each summary ONCE (one corpus scan per set),
+    pin the two <= k-row order statistics as literals, and run the union/
+    overlap algebra over the pins — the one-statement oracle form scans
+    each set twice (CTE re-execution)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    if key_expr is None:
+        key_expr = kmv_user_day_key("spark")
+    views = []
+    for where in (where_a, where_b):
+        rows = spark.sql(
+            kmv_sketch_sql("spark", key_expr, source, k, where=where)
+        ).collect()
+        lit = spark.createDataFrame([(r["h"],) for r in rows], "h BIGINT")
+        views.append(unique_view(lit, "__kmv_sk"))
+    va, vb = views
+    est_u = kmv_estimate_sql("spark", "SELECT h FROM u", k)
+    return spark.sql(f"""
+    WITH u AS (
+      SELECT h FROM (
+        SELECT DISTINCT h
+        FROM (SELECT h FROM {va} UNION ALL SELECT h FROM {vb}) uu
+      ) d ORDER BY h ASC LIMIT {k}
+    ),
+    ov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(SUM(CASE WHEN ina.h IS NOT NULL AND inb.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM u
+      LEFT JOIN {va} ina ON ina.h = u.h
+      LEFT JOIN {vb} inb ON inb.h = u.h
+    ),
+    eu AS ({est_u})
+    SELECT ov.n_union, ov.n_both,
+           ROUND(CAST(ov.n_both AS DOUBLE) / CAST(ov.n_union AS DOUBLE)
+                 + 1e-9, 6) AS jaccard_est,
+           ROUND((CAST(ov.n_both AS DOUBLE) / CAST(ov.n_union AS DOUBLE))
+                 * eu.distinct_est + 1e-9, 6) AS intersection_est
+    FROM ov, eu
+    """)
 
 
 # ---------------------------------------------------------------------------

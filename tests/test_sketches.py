@@ -212,7 +212,7 @@ class TestKmvSketch:
             for r in ev.where("event_type = 'view'").select(key.alias("k")).distinct().collect()
         )
         exact_j = len(a & b) / len(a | b)
-        row = spark.sql(K.kmv_jaccard_sql("spark")).first()
+        row = K.kmv_jaccard(spark).first()
         # union-sketch overlap estimator: sigma ~ sqrt(J(1-J)/k); 4 sigma +
         # a small-k floor keeps the band honest at tiny corpora
         sigma = max((exact_j * (1 - exact_j) / K.KMV_K) ** 0.5, 0.02)
