@@ -3091,6 +3091,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(mix_temperature_sql("spark", strat_col="lang")),
         mix_temperature_sql("duckdb", strat_col="lang"),
     )
+    # per-stratum TOKEN budget for the α=0.5 mix (round 7): docs/tokens
+    # per lang, assigned keep-rate, and the docs/tokens the gated mix
+    # actually delivers — the pre-launch planning report, integer-exact.
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        mix_token_budget_sql,
+    )
+
+    q["mix_token_budget"] = _df_entry(
+        lambda spark, sf: spark.sql(mix_token_budget_sql("spark")),
+        mix_token_budget_sql("duckdb"),
+    )
 
     # ---- domain mixing weights ----------------------------------------------
     q["domain_mix_weights"] = _df_entry(

@@ -913,3 +913,50 @@ def dsir_apply_sql(
            CAST(dsir_score >= {keep_threshold!r} AS BOOLEAN) AS keep
     FROM ({scored}) s
     """
+
+
+def mix_token_budget_sql(
+    dialect: str, table: str = "documents", strat_col: str = "lang"
+) -> str:
+    """Per-STRATUM token budget report for the temperature mixture (round
+    7) — the planning question a pretraining run asks before launch: for
+    each stratum, how many docs/tokens exist, what keep-rate the α=0.5
+    rule assigns, and how many docs/tokens the gated mix actually
+    delivers.  Default stratum = ``lang``, the canonical multilingual
+    context (and the one skewed axis of the synthetic corpus: en 218 vs
+    fr 64 at sf0.01 — the sources are uniform, which would make the rule
+    an identity).  Pure composition of the shared mixture and token-count
+    definitions (one scan for the counts, one for the gate — both
+    corpus-linear, no shuffle wider than |strata|); everything integer
+    (token sums as BIGINT, rates as basis points), so the report
+    hash-checks."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        word_count_sql,
+    )
+
+    wc = word_count_sql("t.text", dialect)
+    kept = mix_temperature_sql(dialect, table=table, strat_col=strat_col)
+    return f"""
+    WITH tok AS (
+      SELECT t.doc_id, t.{strat_col} AS stratum, CAST({wc} AS BIGINT) AS n_tok
+      FROM {table} t
+    ),
+    kept AS ({kept}),
+    totals AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY stratum
+    ),
+    kept_agg AS (
+      SELECT k.{strat_col} AS stratum, CAST(MAX(k.rate_bp) AS INT) AS rate_bp,
+             CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(t2.n_tok) AS BIGINT) AS kept_tokens
+      FROM kept k JOIN tok t2 ON t2.doc_id = k.doc_id
+      GROUP BY k.{strat_col}
+    )
+    SELECT t.stratum, t.n_docs, t.n_tokens,
+           COALESCE(ka.rate_bp, 0) AS rate_bp,
+           CAST(COALESCE(ka.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM totals t LEFT JOIN kept_agg ka ON ka.stratum = t.stratum
+    """

@@ -663,3 +663,26 @@ def test_dsir_frozen_apply_reproduces_corpus_scores(spark, tables):
     assert end_to_end  # every ranked doc's score matches the frozen-apply
     for d, s in end_to_end.items():
         assert applied[d] == s, d
+
+
+def test_mix_token_budget_invariants(spark, sf_dir):
+    """The budget report's arithmetic: kept <= total per stratum, the
+    smallest stratum keeps everything (rate 10000), and kept_docs tracks
+    rate_bp/10000 of n_docs within the hash-gate's basis-point tolerance."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        mix_token_budget_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    rows = spark.sql(mix_token_budget_sql("spark")).collect()
+    assert len(rows) > 1
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    assert smallest["rate_bp"] == 10000
+    for r in rows:
+        assert 0 < r["rate_bp"] <= 10000
+        assert r["kept_docs"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["n_tokens"]
+        # hash gating is uniform: observed keep fraction within ±15pp of
+        # the assigned rate even on small strata
+        assert abs(r["kept_docs"] / r["n_docs"] - r["rate_bp"] / 10000) < 0.15
