@@ -409,3 +409,18 @@ def test_dsir_apply_broadcasts_frozen_selector(spark, reg, sf_dir):
     assert "BroadcastHashJoin" in plan
     for m in _re.finditer(r"\(\d+\) SortMergeJoin[^(]*(?:\n.*){0,4}", plan):
         assert "bucket" not in m.group(0), m.group(0)
+
+
+def test_pinned_sketch_serving_plans_never_rescan_the_corpus(spark, reg, sf_dir):
+    """The literal-pin contract (CLAUDE.md CTE-re-execution trap): the
+    returned rank/rolling/jaccard relations must be served entirely from
+    the bounded pinned summaries — any parquet scan in the serving plan
+    means a CTE reference is re-reading the corpus."""
+    for name in (
+        "sketch_rank_quantiles",
+        "sketch_rank_grouped",
+        "sketch_hll_rolling_distinct",
+        "sketch_kmv_jaccard",
+    ):
+        plan = _formatted_plan(reg[name].run(spark, sf_dir))
+        assert "Scan parquet" not in plan and "FileScan" not in plan, name
