@@ -468,7 +468,8 @@ def kmv_jaccard(
       ) d ORDER BY h ASC LIMIT {k}
     ),
     ov AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+      SELECT /*+ BROADCAST(ina, inb) */
+             CAST(COUNT(*) AS BIGINT) AS n_union,
              CAST(SUM(CASE WHEN ina.h IS NOT NULL AND inb.h IS NOT NULL
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both
       FROM u
@@ -1503,12 +1504,20 @@ def hll_rolling_distinct_sql(
       FROM ({hourly}) h
       GROUP BY hour_id {div} 24, bucket
     """
+    # windowing as a CONSTANT-fan-out contribution join, not a range join
+    # (a BETWEEN-only join plans as CartesianProduct): each day's registers
+    # contribute to the window_days target days day_id + i, equi-joined to
+    # the days actually present
     win = f"""
-      SELECT dd.day_id, dr.bucket, MAX(dr.r) AS r
-      FROM (SELECT DISTINCT day_id FROM ({day_regs}) dx) dd
-      JOIN ({day_regs}) dr
-        ON dr.day_id BETWEEN dd.day_id - {window_days - 1} AND dd.day_id
-      GROUP BY dd.day_id, dr.bucket
+      SELECT dd.day_id, c.bucket, MAX(c.r) AS r
+      FROM (
+        SELECT dr.day_id + s.i AS t_day, dr.bucket, dr.r
+        FROM ({day_regs}) dr
+        CROSS JOIN ({_seeds(dialect, window_days)}) s
+      ) c
+      JOIN (SELECT DISTINCT day_id FROM ({day_regs}) dx) dd
+        ON dd.day_id = c.t_day
+      GROUP BY dd.day_id, c.bucket
     """
     return hll_grouped_estimate_sql(dialect, win, "day_id", p)
 
@@ -1539,10 +1548,14 @@ def hll_rolling_distinct(
     )
     name = unique_view(lit, "__hll_dayregs")
     win = f"""
-      SELECT dd.day_id, dr.bucket, MAX(dr.r) AS r
-      FROM (SELECT DISTINCT day_id FROM {name}) dd
-      JOIN {name} dr
-        ON dr.day_id BETWEEN dd.day_id - {window_days - 1} AND dd.day_id
-      GROUP BY dd.day_id, dr.bucket
+      SELECT /*+ BROADCAST(dd) */ dd.day_id, c.bucket, MAX(c.r) AS r
+      FROM (
+        SELECT dr.day_id + s.i AS t_day, dr.bucket, dr.r
+        FROM {name} dr
+        CROSS JOIN ({_seeds("spark", window_days)}) s
+      ) c
+      JOIN (SELECT DISTINCT day_id FROM {name}) dd
+        ON dd.day_id = c.t_day
+      GROUP BY dd.day_id, c.bucket
     """
     return spark.sql(hll_grouped_estimate_sql("spark", win, "day_id", p))
