@@ -500,6 +500,10 @@ class TestRollupRouter:
         "SELECT DATE_TRUNC('day', ts) AS day, "
         "CAST(MAX(eventCount) AS BIGINT) AS mx FROM events "
         "WHERE magnitude >= 7 GROUP BY DATE_TRUNC('day', ts)",
+        # HAVING over a routable measure retargets inside the tail
+        "SELECT userName, CAST(SUM(eventCount) AS BIGINT) AS total "
+        "FROM events WHERE eventName = 'error' GROUP BY userName "
+        "HAVING SUM(eventCount) > 10 AND MIN(eventCount) >= 1",
     ]
     NOT_ROUTABLE = [
         # non-dim column in select/group

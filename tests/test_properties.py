@@ -719,6 +719,9 @@ class TestRollupRouterFuzz:
             # round 6: COUNT(*)/AVG(eventCount) route via the n_rows measure
             ("COUNT(*) AS n_rows_q", True),
             ("AVG(eventCount) AS avg_ec", True),
+            # round 7: MIN/MAX(eventCount) route via the min/max states
+            ("CAST(MIN(eventCount) AS BIGINT) AS min_ec", True),
+            ("CAST(MAX(eventCount) AS BIGINT) AS max_ec", True),
             ("COUNT(DISTINCT qid) AS n_qids", False),
             ("COUNT(userName) AS n_nonnull", False),
             ("MIN(magnitude) AS min_mag", False),
