@@ -1422,6 +1422,7 @@ def compact_sketch_parts(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    recover_sketch_parts(spark, path)  # self-heal a prior killed compactor
     cur = spark.read.parquet(path)  # partition discovery yields `epoch`
     n_parts = cur.select("epoch").distinct().count()
     merged = (
@@ -1559,3 +1560,25 @@ def hll_rolling_distinct(
       GROUP BY dd.day_id, c.bucket
     """
     return spark.sql(hll_grouped_estimate_sql("spark", win, "day_id", p))
+
+
+def recover_sketch_parts(spark, path: str) -> str:
+    """Startup repair for a compactor killed BETWEEN its two renames — the
+    one crash point where the live path is briefly absent (the staged-out
+    tree sits at ``path.__compact_old``, fully intact).  Rename it back
+    and drop any staged temp; idempotent, called automatically by
+    :func:`compact_sketch_parts`.  Returns what it did ("ok" /
+    "restored_old" / "dropped_tmp")."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, old = f"{path}.__compact_tmp", f"{path}.__compact_old"
+    did = "ok"
+    if not fs.exists(hpath(path)) and fs.exists(hpath(old)):
+        if not fs.rename(hpath(old), hpath(path)):
+            raise RuntimeError(f"recover_sketch_parts: cannot restore {old}")
+        did = "restored_old"
+    if fs.exists(hpath(tmp)):
+        fs.delete(hpath(tmp), True)
+        did = "dropped_tmp" if did == "ok" else did
+    return did

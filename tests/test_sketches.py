@@ -400,3 +400,40 @@ def test_hdr_daily_cube_merge_is_lossless(spark, ev):
             ex = vals[(n * qm + 999) // 1000 - 1]
             got = cube[(d, qm / 1000.0)]
             assert math.isclose(got, ex, rel_tol=2 * tol), (d, qm, got, ex)
+
+
+def test_compactor_recovers_from_kill_between_renames(spark, ev, tmp_path):
+    """Simulate the compactor dying after stage-out (live tree moved to
+    .__compact_old, nothing at the live path): recovery must restore the
+    tree and serving must resume with identical estimates."""
+    import os
+
+    base = str(tmp_path / "cells")
+    for i in range(2):
+        spark.sql(
+            K.cm_cells_sql("spark", where=f"event_id % 2 = {i}")
+        ).write.parquet(f"{base}/epoch={i}")
+
+    def estimates():
+        rel = (
+            "SELECT i, col, CAST(SUM(c) AS BIGINT) AS c "
+            f"FROM parquet.`{base}` GROUP BY i, col"
+        )
+        return {
+            (r["key"], r["est"])
+            for r in spark.sql(
+                K.cm_estimates_sql("spark", rel, threshold=0)
+            ).collect()
+        }
+
+    before = estimates()
+    os.rename(base, base + ".__compact_old")  # the mid-swap crash state
+    os.makedirs(base + ".__compact_tmp")      # plus a stale staging dir
+    assert K.recover_sketch_parts(spark, base) == "restored_old"
+    assert not os.path.exists(base + ".__compact_tmp")
+    assert estimates() == before
+    assert K.recover_sketch_parts(spark, base) == "ok"  # idempotent
+    # and the compactor itself self-heals: kill-state again, then compact
+    os.rename(base, base + ".__compact_old")
+    assert K.compact_sketch_parts(spark, base, ("i", "col"), {"c": "sum"}) == 2
+    assert estimates() == before
