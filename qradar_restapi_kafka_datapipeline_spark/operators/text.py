@@ -1172,6 +1172,29 @@ def append_to_text_index(
     ).write.mode("append").parquet(f"{path}/norms")
 
 
+def recover_text_index_norms(spark, path: str) -> str:
+    """Startup repair for a norms swap killed BETWEEN its two renames (the
+    round-7 `recover_sketch_parts` contract applied to the text index):
+    if ``norms/`` is absent but the staged-out copy exists, rename it
+    back; drop any stale staging dir.  Idempotent; called automatically
+    by :func:`compact_text_index`."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live = f"{path}/norms"
+    tmp = f"{path}/.norms_compact_tmp"
+    old = f"{path}/.norms_compact_old"
+    did = "ok"
+    if not fs.exists(hpath(live)) and fs.exists(hpath(old)):
+        if not fs.rename(hpath(old), hpath(live)):
+            raise RuntimeError(f"recover_text_index_norms: cannot restore {old}")
+        did = "restored_old"
+    if fs.exists(hpath(tmp)):
+        fs.delete(hpath(tmp), True)
+        did = "dropped_tmp" if did == "ok" else did
+    return did
+
+
 def compact_text_index(
     spark, path: str, target_files_per_partition: int = 1
 ) -> int:
@@ -1190,6 +1213,7 @@ def compact_text_index(
         compact_rollup,
     )
 
+    recover_text_index_norms(spark, path)  # self-heal a prior mid-swap kill
     n = compact_rollup(
         spark,
         f"{path}/postings",

@@ -590,6 +590,23 @@ def test_text_index_compaction_is_value_neutral(spark, tables, tmp_path):
     ]
     assert after == before
 
+    # round 7: a compactor killed BETWEEN its two renames leaves norms/
+    # staged out — recovery (run automatically on the next compaction)
+    # must restore it and serving must resume unchanged
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        recover_text_index_norms,
+    )
+
+    os.rename(os.path.join(path, "norms"),
+              os.path.join(path, ".norms_compact_old"))
+    assert recover_text_index_norms(spark, path) == "restored_old"
+    assert recover_text_index_norms(spark, path) == "ok"
+    healed = [
+        sorted(map(tuple, text_knn_from_index(spark, path, t, k=5).collect()))
+        for t in probes
+    ]
+    assert healed == before
+
 
 class TestQualityClassifier:
     """Train-then-apply quality classifier (round 5): determinism, fidelity
