@@ -1016,6 +1016,16 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.hll_rolling_distinct(spark),
         K.hll_rolling_distinct_sql("duckdb"),
     )
+    # KMV time cube → cohort retention (round 7): per-day bottom-k
+    # summaries (days × k rows), day-pair set algebra answers who-returned
+    # without re-touching raw events — the set-operation analog of the HLL
+    # cube's uniqMerge; an exact recompute scans the corpus once per day
+    # PAIR.  Spark pins the cube literal (the oracle statement references
+    # it three times).
+    q["sketch_kmv_retention"] = _df_entry(
+        lambda spark, sf: K.kmv_retention(spark),
+        K.kmv_retention_sql("duckdb"),
+    )
     # KMV bottom-k distinct sketch (round 7): a deterministic order
     # statistic, so the whole summary AND its estimates hash-check; the
     # merge-parity entry re-derives the estimate from two per-half

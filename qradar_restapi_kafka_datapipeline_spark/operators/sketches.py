@@ -1582,3 +1582,135 @@ def recover_sketch_parts(spark, path: str) -> str:
         fs.delete(hpath(tmp), True)
         did = "dropped_tmp" if did == "ok" else did
     return did
+
+
+def kmv_daily_sketches_sql(
+    dialect: str,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+) -> str:
+    """``(day_id, h)`` — one bottom-k summary per day (the KMV time cube):
+    windowed top-k per day over the distinct day-key hashes, bounded at
+    days × k rows.  The per-day summaries support the same set algebra as
+    the global sketch — day-pair intersections, unions, retention — over
+    the cube alone."""
+    div = "DIV" if dialect == "spark" else "//"
+    h = _h60(dialect, "src.k", "'kmv'")
+    return f"""
+    SELECT day_id, h FROM (
+      SELECT day_id, h,
+             ROW_NUMBER() OVER (PARTITION BY day_id ORDER BY h ASC) AS rk
+      FROM (
+        SELECT DISTINCT ({_epoch_ms(dialect)}) {div} 86400000 AS day_id,
+               {h} AS h
+        FROM (SELECT ts, {key_expr} AS k FROM {source}) src
+      ) dh
+    ) ranked WHERE rk <= {k}
+    """
+
+
+def kmv_retention_sql(
+    dialect: str,
+    daily_rel: str | None = None,
+    max_offset: int = 7,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+) -> str:
+    """Cohort retention from the KMV time cube (round 7): for every
+    (cohort day d, later day d+i, i ≤ ``max_offset``) pair present in the
+    data, estimate how many of day d's distinct users returned on day
+    d+i — entirely from the bounded per-day summaries, never re-touching
+    raw events (the set-algebra analog of the HLL cube's uniqMerge; an
+    exact recompute scans the corpus once per day PAIR).
+
+    Per pair: union sketch U = bottom-k(s_d ∪ s_{d+i}) (windowed top-k
+    again), overlap = |{h ∈ U : h in both}|, J = overlap/|U|;
+    ``retained_est`` = J · est(|A ∪ B|) and ``retention_rate`` =
+    retained_est / est(|A|).  Every term is arithmetic on shared order
+    statistics — deterministic both engines, fully hash-checked.  Pair
+    relation is bounded: days × ``max_offset`` × 2k rows."""
+    div = "DIV" if dialect == "spark" else "//"
+    daily = daily_rel or kmv_daily_sketches_sql(dialect, key_expr, source, k)
+    two60 = f"CAST({2 ** _HASH_BITS} AS DOUBLE)"
+
+    def est(n_col, hmax_col):
+        return (
+            f"CASE WHEN {n_col} < {k} THEN CAST({n_col} AS DOUBLE) "
+            f"ELSE (CAST({k - 1} AS DOUBLE) * {two60}) "
+            f"/ CAST({hmax_col} AS DOUBLE) END"
+        )
+
+    return f"""
+    WITH daily AS ({daily}),
+    days AS (SELECT DISTINCT day_id FROM daily),
+    prs AS (
+      SELECT a.day_id AS d1, b.day_id AS d2
+      FROM days a
+      CROSS JOIN ({_seeds(dialect, max_offset)}) s
+      JOIN days b ON b.day_id = a.day_id + s.i + 1
+    ),
+    uni AS (
+      SELECT d1, d2, h, in_a, in_b FROM (
+        SELECT p.d1, p.d2, u.h,
+               MAX(CASE WHEN u.day_id = p.d1 THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN u.day_id = p.d2 THEN 1 ELSE 0 END) AS in_b,
+               ROW_NUMBER() OVER (PARTITION BY p.d1, p.d2 ORDER BY u.h ASC)
+                 AS rk
+        FROM prs p
+        JOIN daily u ON u.day_id = p.d1 OR u.day_id = p.d2
+        GROUP BY p.d1, p.d2, u.h
+      ) g WHERE rk <= {k}
+    ),
+    ov AS (
+      SELECT d1, d2,
+             CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(MAX(h) AS BIGINT) AS h_union,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both
+      FROM uni GROUP BY d1, d2
+    ),
+    sizes AS (
+      SELECT day_id, CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(MAX(h) AS BIGINT) AS h_a
+      FROM daily GROUP BY day_id
+    )
+    SELECT ov.d1 AS cohort_day, ov.d2 AS later_day,
+           ROUND((CAST(ov.n_both AS DOUBLE) / CAST(ov.n_union AS DOUBLE))
+                 * ({est("ov.n_union", "ov.h_union")}) + 1e-9, 6)
+             AS retained_est,
+           ROUND(((CAST(ov.n_both AS DOUBLE) / CAST(ov.n_union AS DOUBLE))
+                 * ({est("ov.n_union", "ov.h_union")}))
+                 / ({est("sz.n_a", "sz.h_a")}) + 1e-9, 6)
+             AS retention_rate
+    FROM ov JOIN sizes sz ON sz.day_id = ov.d1
+    """
+
+
+def kmv_retention(
+    spark,
+    max_offset: int = 7,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+):
+    """Spark path: pin the bounded daily-sketch cube (days × k rows) as a
+    literal — the one-statement form references ``daily`` three times
+    (pairs, union build, sizes) and Spark re-executes a CTE per
+    reference — then run the pair algebra over the pin."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    rows = spark.sql(
+        kmv_daily_sketches_sql("spark", key_expr, source, k)
+    ).collect()
+    lit = spark.createDataFrame(
+        [(r["day_id"], r["h"]) for r in rows], "day_id BIGINT, h BIGINT"
+    )
+    name = unique_view(lit, "__kmv_daily")
+    return spark.sql(
+        kmv_retention_sql(
+            "spark", daily_rel=f"SELECT day_id, h FROM {name}",
+            max_offset=max_offset, k=k,
+        )
+    )

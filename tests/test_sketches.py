@@ -437,3 +437,37 @@ def test_compactor_recovers_from_kill_between_renames(spark, ev, tmp_path):
     os.rename(base, base + ".__compact_old")
     assert K.compact_sketch_parts(spark, base, ("i", "col"), {"c": "sum"}) == 2
     assert estimates() == before
+
+
+def test_kmv_retention_tracks_exact_cohorts(spark, ev):
+    """The cube-served retention must track the exact day-pair retention:
+    below saturation the per-day summaries are the full key sets and only
+    the (possibly saturated) union estimator adds error — assert every
+    pair within a 3-sigma KMV band plus a small-count floor."""
+    from pyspark.sql import functions as F
+
+    by_day = {}
+    for r in ev.select(
+        F.expr("unix_millis(ts) DIV 86400000").alias("d"), "user_id"
+    ).distinct().collect():
+        by_day.setdefault(r["d"], set()).add(r["user_id"])
+    got = {
+        (r["cohort_day"], r["later_day"]): (r["retained_est"], r["retention_rate"])
+        for r in K.kmv_retention(spark).collect()
+    }
+    assert len(got) > 10
+    sigma = 1.0 / (K.KMV_K - 2) ** 0.5
+    for (d1, d2), (est, rate) in got.items():
+        a, b = by_day[d1], by_day[d2]
+        exact = len(a & b)
+        tol = 3 * sigma * max(exact, 20) + 3
+        assert abs(est - exact) <= tol, (d1, d2, est, exact)
+        assert abs(rate - exact / len(a)) <= 3 * sigma + 0.1, (d1, d2)
+    # every in-window pair present in the data is reported
+    days = sorted(by_day)
+    expect = {
+        (d1, d2)
+        for d1 in days for d2 in days
+        if 1 <= d2 - d1 <= 7
+    }
+    assert set(got) == expect

@@ -87,6 +87,7 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # cube-served rolling distinct at k× the register occupancy
     "sketch_cm_join_cardinality": None,
     "sketch_hll_rolling_distinct": None,
+    "sketch_kmv_retention": None,
     # round 7 (VERDICT r6 #5): DSIR's BIGINT micro-unit log-ratio sums and
     # the composed funnel's stage handoffs at k× the document volume; the
     # funnel's DuckDB oracle replays all four stages as ONE nested
