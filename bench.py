@@ -147,6 +147,8 @@ HEADLINE = [
     "sketch_kmv_jaccard",
     "sketch_hll_rolling_distinct",
     "text_chunk_windows",
+    # round 7: cohort retention from the KMV time cube
+    "sketch_kmv_retention",
 ]
 
 
