@@ -3112,6 +3112,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(mix_token_budget_sql("spark")),
         mix_token_budget_sql("duckdb"),
     )
+    # Efraimidis-Spirakis weighted k-sample (round 7): token-proportional
+    # document sampling from hash-derived priorities — deterministic,
+    # auditable, engine-portable like every sampler here.
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        weighted_sample_sql,
+    )
+
+    q["sample_weighted_tokens"] = _df_entry(
+        lambda spark, sf: spark.sql(weighted_sample_sql("spark")),
+        weighted_sample_sql("duckdb"),
+    )
 
     # ---- domain mixing weights ----------------------------------------------
     q["domain_mix_weights"] = _df_entry(

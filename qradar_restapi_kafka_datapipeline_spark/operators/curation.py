@@ -960,3 +960,45 @@ def mix_token_budget_sql(
            CAST(COALESCE(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens
     FROM totals t LEFT JOIN kept_agg ka ON ka.stratum = t.stratum
     """
+
+
+def weighted_sample_sql(
+    dialect: str,
+    k: int = 100,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """Weighted k-sample WITHOUT replacement, deterministic (round 7):
+    Efraimidis–Spirakis (2006) priorities ``u^(1/w)`` — equivalently
+    ``ln(u)/w`` ranked descending — with ``u`` derived from the portable
+    id hash instead of a RNG, so the sample is reproducible, auditable,
+    and engine-portable like every sampler here.  Weight = the shared
+    whitespace token count: sampling documents proportional to their
+    TOKEN mass, the budget-correct way to draw a training subset (doc-
+    uniform sampling over-represents short docs per token).
+
+    Cross-engine determinism: ``u = (h + 1) / 2^60`` is one exact double
+    division; the only libm call is LN, whose last-ulp spread (~1e-16 at
+    these magnitudes) is absorbed by ROUND(priority, 9) — a rank flip
+    would need two rounded priorities equal, which the 60-bit hash makes
+    measure-zero (ties settle by id anyway).  Plan: one scan, constant
+    per-row math, global top-k (TakeOrderedAndProject — per-partition
+    heaps, k·n_partitions merge)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        word_count_sql,
+    )
+
+    h = portable_id_hash_sql(f"t.{id_col}", dialect)
+    wc = word_count_sql("t.text", dialect)
+    two60 = f"CAST({2 ** 60} AS DOUBLE)"
+    return f"""
+    SELECT {id_col}, n_tok, pri FROM (
+      SELECT t.{id_col} AS {id_col},
+             CAST({wc} AS BIGINT) AS n_tok,
+             ROUND(LN((CAST({h} AS DOUBLE) + CAST(1 AS DOUBLE)) / {two60})
+                   / CAST({wc} AS DOUBLE), 9) AS pri
+      FROM {table} t
+    ) scored
+    ORDER BY pri DESC, {id_col} ASC
+    LIMIT {k}
+    """

@@ -703,3 +703,31 @@ def test_mix_token_budget_invariants(spark, sf_dir):
         # hash gating is uniform: observed keep fraction within ±15pp of
         # the assigned rate even on small strata
         assert abs(r["kept_docs"] / r["n_docs"] - r["rate_bp"] / 10000) < 0.15
+
+
+def test_weighted_sample_invariants(spark, sf_dir):
+    """E-S weighted sampling: deterministic across runs, exactly k rows,
+    and token-proportional — the sampled mean token count must exceed the
+    corpus mean (long docs are over-drawn per E-S), and the plan must be
+    a bounded top-k."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        weighted_sample_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    a = spark.sql(weighted_sample_sql("spark")).collect()
+    b = spark.sql(weighted_sample_sql("spark")).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
+    n_docs = spark.table("documents").count()
+    assert len(a) == min(100, n_docs)
+    sample_mean = sum(r["n_tok"] for r in a) / len(a)
+    corpus_mean = (
+        spark.sql(
+            "SELECT AVG(size(split(trim(text), '\\\\s+'))) AS m FROM documents"
+        ).first()["m"]
+    )
+    assert sample_mean > corpus_mean * 0.98
+    plan = spark.sql(weighted_sample_sql("spark"))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
