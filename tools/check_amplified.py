@@ -88,6 +88,9 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sketch_cm_join_cardinality": None,
     "sketch_hll_rolling_distinct": None,
     "sketch_kmv_retention": None,
+    # round 7: E-S priorities at k× the candidate population (rank
+    # boundaries shift with volume; ulp-rounding must hold at any k)
+    "sample_weighted_tokens": None,
     # round 7 (VERDICT r6 #5): DSIR's BIGINT micro-unit log-ratio sums and
     # the composed funnel's stage handoffs at k× the document volume; the
     # funnel's DuckDB oracle replays all four stages as ONE nested
