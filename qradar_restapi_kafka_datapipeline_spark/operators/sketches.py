@@ -1646,21 +1646,28 @@ def kmv_retention_sql(
     WITH daily AS ({daily}),
     days AS (SELECT DISTINCT day_id FROM daily),
     prs AS (
-      SELECT a.day_id AS d1, b.day_id AS d2
+      SELECT /*+ BROADCAST(b) */ a.day_id AS d1, b.day_id AS d2
       FROM days a
       CROSS JOIN ({_seeds(dialect, max_offset)}) s
       JOIN days b ON b.day_id = a.day_id + s.i + 1
     ),
+    contrib AS (
+      SELECT /*+ BROADCAST(p) */ p.d1, p.d2, u.h,
+             1 AS ia, 0 AS ib
+      FROM prs p JOIN daily u ON u.day_id = p.d1
+      UNION ALL
+      SELECT /*+ BROADCAST(p2) */ p2.d1, p2.d2, u2.h,
+             0 AS ia, 1 AS ib
+      FROM prs p2 JOIN daily u2 ON u2.day_id = p2.d2
+    ),
     uni AS (
       SELECT d1, d2, h, in_a, in_b FROM (
-        SELECT p.d1, p.d2, u.h,
-               MAX(CASE WHEN u.day_id = p.d1 THEN 1 ELSE 0 END) AS in_a,
-               MAX(CASE WHEN u.day_id = p.d2 THEN 1 ELSE 0 END) AS in_b,
-               ROW_NUMBER() OVER (PARTITION BY p.d1, p.d2 ORDER BY u.h ASC)
+        SELECT d1, d2, h,
+               MAX(ia) AS in_a, MAX(ib) AS in_b,
+               ROW_NUMBER() OVER (PARTITION BY d1, d2 ORDER BY h ASC)
                  AS rk
-        FROM prs p
-        JOIN daily u ON u.day_id = p.d1 OR u.day_id = p.d2
-        GROUP BY p.d1, p.d2, u.h
+        FROM contrib
+        GROUP BY d1, d2, h
       ) g WHERE rk <= {k}
     ),
     ov AS (
@@ -1676,7 +1683,8 @@ def kmv_retention_sql(
              CAST(MAX(h) AS BIGINT) AS h_a
       FROM daily GROUP BY day_id
     )
-    SELECT ov.d1 AS cohort_day, ov.d2 AS later_day,
+    SELECT /*+ BROADCAST(sz) */
+           ov.d1 AS cohort_day, ov.d2 AS later_day,
            ROUND((CAST(ov.n_both AS DOUBLE) / CAST(ov.n_union AS DOUBLE))
                  * ({est("ov.n_union", "ov.h_union")}) + 1e-9, 6)
              AS retained_est,
