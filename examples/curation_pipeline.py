@@ -129,6 +129,20 @@ def main() -> None:
     balanced = spark.sql(mix_to_target_sql("spark", strat_col="lang"))
     print(f"    lang-balanced (uniform target): {balanced.count()} docs")
 
+    # 6b. round 7: the pre-launch planning pair — what the α=0.5 mixture
+    # DELIVERS per lang (docs/tokens in vs kept), and a token-proportional
+    # deterministic sample (long docs over-drawn per token mass)
+    from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+        mix_token_budget_sql,
+        weighted_sample_sql,
+    )
+
+    print("[6b] per-lang token budget under the temperature mix:")
+    spark.sql(mix_token_budget_sql("spark")).orderBy("stratum").show()
+    ws = spark.sql(weighted_sample_sql("spark", k=20))
+    print(f"     weighted (token-proportional) sample: {ws.count()} docs, "
+          f"mean tokens {ws.agg(F.avg('n_tok')).first()[0]:.1f}")
+
     # 7. pack into token-budget training sequences
     packed = pack_sequences(docs, budget=512, shard_size=100)
     n_bins = packed.select("source", "shard", "bin_id").distinct().count()
