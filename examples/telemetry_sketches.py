@@ -52,7 +52,10 @@ def main() -> None:
 
     print("== KMV: distinct estimate + click/view audience overlap ==")
     spark.sql(K.kmv_distinct_sql("spark")).show()
-    spark.sql(K.kmv_jaccard_sql("spark")).show()
+    K.kmv_jaccard(spark).show()
+
+    print("== KMV time cube: day-over-day cohort retention ==")
+    K.kmv_retention(spark).orderBy("cohort_day", "later_day").show(5)
 
     spark.stop()
 
