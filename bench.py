@@ -149,6 +149,8 @@ HEADLINE = [
     "text_chunk_windows",
     # round 7: cohort retention from the KMV time cube
     "sketch_kmv_retention",
+    # round 7: chunk-level retrieval (the RAG serving composition)
+    "text_chunk_knn",
 ]
 
 

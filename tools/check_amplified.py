@@ -108,6 +108,8 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "text_semantic_pairs_hashed_prefix": 4,
     # round 7: chunk reassembly at volume (string_agg vs sort_array paths)
     "text_chunk_windows": 4,
+    # round 7: chunk retrieval — BIGINT dot growth over 4x chunk postings
+    "text_chunk_knn": 4,
 }
 
 
