@@ -1453,10 +1453,77 @@ def chunk_knn(
     stride: int = 48,
     dim: int = 1024,
     source: str = "documents",
+    chunk_postings_view: str | None = None,
+    doc_postings_view: str | None = None,
 ):
     """Spark path: materialize the chunk postings once (tokenize + chunk +
     hash lineage, referenced twice downstream — the expensive-lineage
-    contract), then rank against the query vector."""
+    contract; pass ``chunk_postings_view`` to reuse a memoized one across
+    queries, the serving posture), and PIN the ≤ dim-row query vector as a
+    literal — the one-statement form re-derives the corpus-wide query
+    postings per CTE reference (two extra tokenize passes).  With BOTH
+    memoized views supplied (``doc_postings_view`` for the query side), a
+    repeated query pays only a pruned postings scan + the bounded rank."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import (
+        materialize_view,
+        unique_view,
+    )
+
+    cp_view = chunk_postings_view or build_chunk_postings(
+        spark, size, stride, dim, source
+    )
+    q_src = (
+        f"SELECT bucket, w FROM {doc_postings_view} "
+        f"WHERE doc_id = {query_doc}"
+        if doc_postings_view
+        else (
+            f"SELECT bucket, w FROM "
+            f"({hashed_embedding_postings_sql('spark', dim, source)}) qsrc "
+            f"WHERE doc_id = {query_doc}"
+        )
+    )
+    q_rows = spark.sql(q_src).collect()
+    qlit = spark.createDataFrame(
+        [(query_doc, r["bucket"], r["w"]) for r in q_rows],
+        "doc_id BIGINT, bucket BIGINT, w BIGINT",
+    )
+    qname = unique_view(qlit, "__chunk_qvec")
+    sql = chunk_knn_sql(
+        "spark", query_doc, k, size, stride, dim, source,
+        chunk_postings_rel=f"SELECT doc_id, bucket, w FROM {cp_view}",
+    )
+    # swap the inline query-postings derivation for the pinned vector
+    return spark.sql(_swap_qp(sql, qname))
+
+
+def _swap_qp(sql: str, qname: str) -> str:
+    """Replace the ``qp AS (...)`` derivation in :func:`chunk_knn_sql`'s
+    output with a scan of the pinned query-vector view (same columns)."""
+    head, _, rest = sql.partition("qp AS (")
+    depth, i = 1, 0
+    while depth and i < len(rest):
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+        i += 1
+    return (
+        head
+        + f"qp AS (SELECT doc_id, bucket, w FROM {qname})"
+        + rest[i:]
+    )
+
+
+def build_chunk_postings(
+    spark,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 1024,
+    source: str = "documents",
+) -> str:
+    """Materialize the chunk postings relation (the index-build half of
+    chunk retrieval) and return its view name — callers memoize it per
+    (session, corpus) so repeated queries pay only the bounded rank."""
     from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
 
     chunks_rel = (
@@ -1464,14 +1531,8 @@ def chunk_knn(
         f"chunk_text AS text "
         f"FROM ({chunk_documents_sql('spark', size, stride, source)}) ch)"
     )
-    cp = materialize_view(
+    return materialize_view(
         spark,
         spark.sql(hashed_embedding_postings_sql("spark", dim, chunks_rel)),
         "__chunk_postings",
-    )
-    return spark.sql(
-        chunk_knn_sql(
-            "spark", query_doc, k, size, stride, dim, source,
-            chunk_postings_rel=f"SELECT doc_id, bucket, w FROM {cp}",
-        )
     )
