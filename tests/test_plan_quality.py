@@ -424,3 +424,15 @@ def test_pinned_sketch_serving_plans_never_rescan_the_corpus(spark, reg, sf_dir)
     ):
         plan = _formatted_plan(reg[name].run(spark, sf_dir))
         assert "Scan parquet" not in plan and "FileScan" not in plan, name
+
+
+def test_chunk_knn_serving_broadcasts_query_vector(spark, reg, sf_dir):
+    """Chunk retrieval's serving contract: the dot join is corpus-sized
+    chunk postings against a <= dim-row pinned query vector — the query
+    side must broadcast (no SortMergeJoin on bucket anywhere)."""
+    import re as _re
+
+    plan = _formatted_plan(reg["text_chunk_knn"].run(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for m in _re.finditer(r"\(\d+\) SortMergeJoin[^(]*(?:\n.*){0,4}", plan):
+        assert "bucket" not in m.group(0), m.group(0)

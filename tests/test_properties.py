@@ -1033,3 +1033,49 @@ class TestChunkWindowsDifferentialFuzz:
             assert s == o, f"chunking diverged at size={size} stride={stride}"
 
         check()
+
+
+class TestCubeServingDifferentialFuzz:
+    """The cube-served answers over THEIR parameter spaces: rolling-window
+    width, retention offset span, and per-day summary size must agree
+    cross-engine at every geometry (window arithmetic + per-pair top-k
+    are where an off-by-one would hide)."""
+
+    def test_random_cube_params_agree(self, engines):
+        from hypothesis import given, settings, strategies as st
+
+        from qradar_restapi_kafka_datapipeline_spark.operators import (
+            sketches as K,
+        )
+
+        spark, con = engines
+
+        def rows_of(df_pandas):
+            cols = sorted(df_pandas.columns)
+            return sorted(
+                "|".join(str(v) for v in rec)
+                for rec in df_pandas[cols].itertuples(index=False, name=None)
+            )
+
+        @settings(max_examples=6, deadline=None, database=None)
+        @given(
+            st.sampled_from([1, 3, 7, 14]),    # rolling window days
+            st.sampled_from([1, 2, 7, 11]),    # retention offset span
+            st.sampled_from([16, 64, 300]),    # per-day KMV k
+        )
+        def check(win, span, k):
+            def roll(dialect):
+                return K.hll_rolling_distinct_sql(dialect, window_days=win)
+
+            s = rows_of(spark.sql(roll("spark")).toPandas())
+            o = rows_of(con.execute(roll("duckdb")).df())
+            assert s == o, f"rolling diverged at window={win}"
+
+            def ret(dialect):
+                return K.kmv_retention_sql(dialect, max_offset=span, k=k)
+
+            s = rows_of(spark.sql(ret("spark")).toPandas())
+            o = rows_of(con.execute(ret("duckdb")).df())
+            assert s == o, f"retention diverged at span={span} k={k}"
+
+        check()
