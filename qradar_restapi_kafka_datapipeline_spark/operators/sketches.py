@@ -1395,11 +1395,28 @@ def hist_quantiles(
     )
 
 
+def last_committed_epoch(checkpoint_dir: str) -> int:
+    """The highest batch id the stream has durably committed — read from
+    the checkpoint's ``commits/`` log (one numerically-named file per
+    committed micro-batch, Spark's own exactly-once frontier).  Returns
+    -1 when nothing has committed yet (so a compactor folds nothing)."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    try:
+        ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    except OSError:
+        return -1
+    return max(ids, default=-1)
+
+
 def compact_sketch_parts(
     spark,
     path: str,
     key_cols: tuple[str, ...],
     measures: dict[str, str],
+    max_epoch: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> int:
     """Fold a per-epoch part tree (``path/epoch=N``) into ONE compacted
     part — the background-merge half of the parts motif (the streaming
@@ -1412,24 +1429,45 @@ def compact_sketch_parts(
     aggregate), and crash-safe by the stage-out/stage-in rename swap
     (``compact_text_index``'s pattern, ADVICE r5): every crash point
     leaves either the old part tree or the compacted one fully readable.
-    Run only AFTER the stream's trigger completes (committed epochs never
-    replay; compacting an uncommitted epoch away would lose its marker
-    contract).  Returns the number of epoch parts folded."""
+
+    Replay safety is ENFORCED, not documented (ADVICE r7): an epoch the
+    stream has not committed yet may replay and overwrite its own part —
+    compacting it into ``epoch=0`` first would double-count additive
+    measures when the rewrite lands.  Pass ``checkpoint_dir`` (the
+    stream's checkpoint location; its ``commits/`` log names every
+    durably-committed batch id) or an explicit ``max_epoch``: only epochs
+    ≤ the committed frontier are folded, later parts are carried through
+    VERBATIM so a replay still overwrites exactly its own epoch.  With
+    neither given, ALL epochs fold (the caller asserts quiescence — e.g.
+    the trigger=availableNow stream has terminated).  Returns the number
+    of epoch parts folded."""
     from pyspark.sql import functions as F
 
     from qradar_restapi_kafka_datapipeline_spark.operators.rollup import _AGG
 
+    if checkpoint_dir is not None:
+        committed = last_committed_epoch(checkpoint_dir)
+        max_epoch = committed if max_epoch is None else min(
+            max_epoch, committed
+        )
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     recover_sketch_parts(spark, path)  # self-heal a prior killed compactor
     cur = spark.read.parquet(path)  # partition discovery yields `epoch`
-    n_parts = cur.select("epoch").distinct().count()
+    if max_epoch is not None:
+        eligible = cur.where(F.col("epoch") <= max_epoch)
+        carry = cur.where(F.col("epoch") > max_epoch)
+    else:
+        eligible, carry = cur, None
+    n_parts = eligible.select("epoch").distinct().count()
     merged = (
-        cur.groupBy(*[F.col(c) for c in key_cols])
+        eligible.groupBy(*[F.col(c) for c in key_cols])
         .agg(*[_AGG[fn](F.col(m)).alias(m) for m, fn in measures.items()])
         .withColumn("epoch", F.lit(0))
     )
+    if carry is not None:
+        merged = merged.unionByName(carry.select(*merged.columns))
     tmp, old = f"{path}.__compact_tmp", f"{path}.__compact_old"
     fs.delete(hpath(tmp), True)
     merged.coalesce(1).write.partitionBy("epoch").parquet(tmp)
@@ -1459,15 +1497,23 @@ def cm_inner_product_sql(
     optimizer's classic use: size a join from two d·w summaries without
     touching either input.  Self-auditing: ``join_size_exact`` rides
     along from the per-key frequency join so the gate checks both the
-    estimate arithmetic AND the ground truth."""
+    estimate arithmetic AND the ground truth.
+
+    Every row i contributes via a generated d-row spine (ADVICE r7): an
+    inner join alone drops rows with ZERO colliding cells, loosening the
+    min (and with no overlap at all returns an empty relation instead of
+    the correct ``join_size_est = 0``); the spine left-join coalesces
+    such rows to 0, which the MIN then correctly selects."""
     ca = cm_cells_sql(dialect, key_expr, source, d, w, where=where_a)
     cb = cm_cells_sql(dialect, key_expr, source, d, w, where=where_b)
     return f"""
     WITH ca AS ({ca}), cb AS ({cb}),
     ip AS (
-      SELECT ca.i, CAST(SUM(ca.c * cb.c) AS BIGINT) AS s
-      FROM ca JOIN cb ON cb.i = ca.i AND cb.col = ca.col
-      GROUP BY ca.i
+      SELECT sp.i, CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS s
+      FROM ({_seeds(dialect, d)}) sp
+      LEFT JOIN ca ON ca.i = sp.i
+      LEFT JOIN cb ON cb.i = ca.i AND cb.col = ca.col
+      GROUP BY sp.i
     ),
     ex AS (
       SELECT CAST(COALESCE(SUM(fa.n * fb.n), 0) AS BIGINT) AS x

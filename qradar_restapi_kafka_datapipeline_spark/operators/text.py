@@ -1375,6 +1375,46 @@ def chunk_documents_sql(
     """
 
 
+#: Composite chunk-id radix: ``doc_id · CHUNK_ID_MULT + chunk_start``.
+#: 1e9 leaves room for ~9.2e9 documents AND a 1-billion-token chunk_start
+#: (no real document approaches either).  The composite is internal — the
+#: serving SQL decomposes it back — so the radix never shows in results.
+CHUNK_ID_MULT = 1_000_000_000
+
+
+def _chunk_composite_rel(
+    dialect: str,
+    size: int,
+    stride: int,
+    source: str,
+    chunks_rel: str | None = None,
+) -> str:
+    """The chunked corpus re-keyed by the composite id, with an in-plan
+    overflow guard (ADVICE r7): a chunk_start at or beyond the radix
+    would silently collide with another document's chunks, so the guard
+    RAISES (Spark ``assert_true``, DuckDB ``error``) instead of producing
+    a wrong-but-plausible id.  The guard term adds 0 on every legal row
+    and lives inside the doc_id expression so no optimizer prunes it."""
+    if dialect == "spark":
+        guard = (
+            f"COALESCE(CAST(assert_true(chunk_start < {CHUNK_ID_MULT}, "
+            f"'chunk_start overflows composite chunk id radix') "
+            f"AS BIGINT), 0)"
+        )
+    else:
+        guard = (
+            f"CASE WHEN chunk_start < {CHUNK_ID_MULT} THEN 0 ELSE "
+            f"CAST(error('chunk_start overflows composite chunk id radix')"
+            f" AS BIGINT) END"
+        )
+    inner = chunks_rel or f"({chunk_documents_sql(dialect, size, stride, source)})"
+    return (
+        f"(SELECT doc_id * {CHUNK_ID_MULT} + chunk_start + {guard} "
+        f"AS doc_id, chunk_text AS text "
+        f"FROM {inner} ch)"
+    )
+
+
 def chunk_knn_sql(
     dialect: str,
     query_doc: int = 0,
@@ -1392,19 +1432,16 @@ def chunk_knn_sql(
     (BIGINT dot and squared norms, ONE final sqrt/divide — the discipline
     that keeps even approximate pipelines hash-checkable).
 
-    Chunk identity rides a composite BIGINT id (``doc_id·100000 +
-    chunk_start``) through the unchanged postings machinery and is
-    decomposed back in the output.  Plan: postings build is linear in
+    Chunk identity rides a composite BIGINT id (``doc_id·CHUNK_ID_MULT +
+    chunk_start``, overflow-guarded in-plan — see
+    :func:`_chunk_composite_rel`) through the unchanged postings
+    machinery and is decomposed back in the output.  Plan: postings build is linear in
     corpus tokens; the query vector is ≤ dim rows and broadcasts into the
     dot join; ranking is a global top-k.  ``chunk_postings_rel`` lets the
     Spark path inject a materialized postings relation (the one-statement
     form references it twice — dot and norms — and Spark re-executes a
     CTE per reference)."""
-    chunks_rel = (
-        f"(SELECT doc_id * 100000 + chunk_start AS doc_id, "
-        f"chunk_text AS text "
-        f"FROM ({chunk_documents_sql(dialect, size, stride, source)}) ch)"
-    )
+    chunks_rel = _chunk_composite_rel(dialect, size, stride, source)
     cp = chunk_postings_rel or hashed_embedding_postings_sql(
         dialect, dim, chunks_rel
     )
@@ -1431,8 +1468,8 @@ def chunk_knn_sql(
       FROM cp c JOIN qp q ON q.bucket = c.bucket
       GROUP BY c.doc_id
     )
-    SELECT CAST(d.doc_id {div} 100000 AS BIGINT) AS chunk_doc_id,
-           CAST(d.doc_id % 100000 AS BIGINT) AS chunk_start,
+    SELECT CAST(d.doc_id {div} {CHUNK_ID_MULT} AS BIGINT) AS chunk_doc_id,
+           CAST(d.doc_id % {CHUNK_ID_MULT} AS BIGINT) AS chunk_start,
            ROUND(CAST(d.dot AS DOUBLE)
                  / SQRT(CAST(cn.n2 AS DOUBLE) * CAST(qn.n2 AS DOUBLE))
                  + 1e-9, 6) AS cos
@@ -1526,11 +1563,7 @@ def build_chunk_postings(
     (session, corpus) so repeated queries pay only the bounded rank."""
     from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
 
-    chunks_rel = (
-        f"(SELECT doc_id * 100000 + chunk_start AS doc_id, "
-        f"chunk_text AS text "
-        f"FROM ({chunk_documents_sql('spark', size, stride, source)}) ch)"
-    )
+    chunks_rel = _chunk_composite_rel("spark", size, stride, source)
     return materialize_view(
         spark,
         spark.sql(hashed_embedding_postings_sql("spark", dim, chunks_rel)),

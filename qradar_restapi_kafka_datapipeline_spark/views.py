@@ -94,16 +94,61 @@ def materialize_globalviews(
         )
 
 
+#: State columns every on-disk view must carry for merge_rollup to fold
+#: increments losslessly.  Grew over time (n_rows in r5, MIN/MAX in r7) —
+#: see :func:`_migrate_view_schema` for what happens to older trees.
+_VIEW_STATE_COLS = frozenset(
+    {"SUM_eventCount", "n_rows", "MIN_eventCount", "MAX_eventCount"}
+)
+
+
+def _migrate_view_schema(
+    spark: SparkSession, base_path: str, name: str, rebuild_source: str | None
+) -> bool:
+    """Detect an on-disk view written under an OLDER schema (missing state
+    columns) and rebuild it from the full event relation (ADVICE r7: a
+    pre-round-7 tree lacks MIN/MAX states, and unionByName in merge_rollup
+    fails on the mismatch; neutral fills are NOT an option — the min/max
+    of an already-collapsed group is unrecoverable from SUM + n_rows).
+    Rebuild is lossless here because materialized views are derived
+    caches of the event relation, never the system of record.  Returns
+    True if a rebuild ran; raises with guidance when no rebuild source is
+    available."""
+    try:
+        cur_cols = set(spark.read.parquet(f"{base_path}/{name}").columns)
+    except Exception:
+        return False  # no existing tree — merge_rollup creates it
+    if _VIEW_STATE_COLS <= cur_cols:
+        return False
+    if rebuild_source is None:
+        raise RuntimeError(
+            f"materialized view {name!r} at {base_path} predates state "
+            f"columns {sorted(_VIEW_STATE_COLS - cur_cols)}; rebuild it "
+            "with materialize_globalviews(...) before folding increments"
+        )
+    materialize_globalviews(spark, base_path, rebuild_source, [name])
+    return True
+
+
 def update_globalviews_incremental(
     spark: SparkSession,
     base_path: str,
     new_events: DataFrame,
     names: list[str] | None = None,
+    rebuild_source: str | None = "qevents",
 ) -> None:
     """Fold a batch of NEW events into each materialized view — the
     continuously-maintained form (QRadar maintains GLOBALVIEWs incrementally;
     SummingMergeTree merges on arrival).  Aggregate-add semantics via
     merge_rollup, so late events of any age fold into their hour bucket.
+
+    A view persisted under an older schema (missing MIN/MAX states) is
+    rebuilt from ``rebuild_source`` first — see :func:`_migrate_view_schema`.
+    ``rebuild_source`` must be the event relation as of BEFORE this
+    increment (the usual arrangement — the view updater runs in the same
+    foreachBatch that lands the batch, before the append): a source that
+    already contains the increment would double-count it after the fold.
+    Pass ``rebuild_source=None`` to fail fast instead of rebuilding.
 
     Use from a streaming foreachBatch:
         lambda batch, _: update_globalviews_incremental(spark, path, batch)
@@ -112,6 +157,7 @@ def update_globalviews_incremental(
 
     new_events.createOrReplaceTempView("__gv_increment")
     for name in GLOBALVIEW_SPECS if names is None else names:
+        _migrate_view_schema(spark, base_path, name, rebuild_source)
         inc = spark.sql(globalview_sql(name, "__gv_increment"))
         merge_rollup(
             spark,

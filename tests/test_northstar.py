@@ -1296,6 +1296,55 @@ class TestChunkDocuments:
             chunk_documents_sql("spark", size=8, stride=0)
 
 
+def test_chunk_composite_id_guard_raises_on_radix_overflow(spark):
+    """ADVICE r8: the composite chunk id (doc_id·CHUNK_ID_MULT +
+    chunk_start) must RAISE on a chunk_start at/over the radix instead of
+    silently colliding with another document's chunks — in BOTH engines.
+    A legal chunk_start must still compose and decompose exactly."""
+    import duckdb
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        CHUNK_ID_MULT,
+        _chunk_composite_rel,
+    )
+
+    def lit_rel(start: int) -> str:
+        return (
+            f"(SELECT CAST(7 AS BIGINT) AS doc_id, "
+            f"CAST({start} AS BIGINT) AS chunk_start, 'a b' AS chunk_text)"
+        )
+
+    # legal path: guard adds 0, id composes exactly
+    ok = spark.sql(
+        "SELECT doc_id FROM "
+        + _chunk_composite_rel("spark", 64, 48, "x", chunks_rel=lit_rel(42))
+        + " t"
+    ).first()
+    assert ok["doc_id"] == 7 * CHUNK_ID_MULT + 42
+    assert duckdb.sql(
+        "SELECT doc_id FROM "
+        + _chunk_composite_rel("duckdb", 64, 48, "x", chunks_rel=lit_rel(42))
+        + " t"
+    ).fetchone()[0] == 7 * CHUNK_ID_MULT + 42
+
+    # overflow path: both engines raise, neither emits a colliding id
+    with pytest.raises(Exception, match="(?i)overflow"):
+        spark.sql(
+            "SELECT doc_id FROM "
+            + _chunk_composite_rel(
+                "spark", 64, 48, "x", chunks_rel=lit_rel(CHUNK_ID_MULT)
+            )
+            + " t"
+        ).collect()
+    with pytest.raises(Exception, match="(?i)overflow"):
+        duckdb.sql(
+            "SELECT doc_id FROM "
+            + _chunk_composite_rel(
+                "duckdb", 64, 48, "x", chunks_rel=lit_rel(CHUNK_ID_MULT)
+            )
+            + " t"
+        ).fetchall()
+
+
 def test_chunk_knn_retrieves_own_and_near_dup_chunks(spark, sf_dir):
     """RAG composition sanity on the real corpus: the query doc's own
     chunk ranks first at cosine ~1, near-dup docs' chunks rank above the

@@ -346,6 +346,93 @@ def test_cm_inner_product_never_underestimates_join_size(spark, ev):
     assert row["join_size_est"] >= row["join_size_exact"] > 0
 
 
+def test_cm_inner_product_zero_overlap_returns_zero(spark, ev):
+    """ADVICE r8: a sketch row with no colliding cells contributes 0 via
+    the d-row spine left-join — with a fully EMPTY side the estimator must
+    return the one correct row (est=0, exact=0), never an empty relation
+    or a loosened (inner-join-only) minimum."""
+    row = spark.sql(
+        K.cm_inner_product_sql("spark", where_b="1 = 0")
+    ).first()
+    assert row is not None
+    assert row["join_size_est"] == 0 and row["join_size_exact"] == 0
+    # disjoint key populations: exact is 0; one-sided error still holds
+    # and the spine guarantees a non-empty result
+    row2 = spark.sql(
+        K.cm_inner_product_sql(
+            "spark",
+            where_a="event_type = 'click' AND user_id % 2 = 0",
+            where_b="event_type = 'view' AND user_id % 2 = 1",
+        )
+    ).first()
+    assert row2 is not None and row2["join_size_exact"] == 0
+    assert row2["join_size_est"] >= 0
+
+
+def test_compact_respects_committed_frontier(spark, ev, tmp_path):
+    """ADVICE r8: the compactor folds only epochs at/below the stream's
+    committed frontier (checkpoint commits/ log or explicit max_epoch);
+    an uncommitted epoch's part is carried through VERBATIM so a replayed
+    micro-batch still overwrites exactly its own part — no double-count
+    window exists."""
+    import os
+
+    base = str(tmp_path / "cells")
+    for i in range(3):
+        spark.sql(
+            K.cm_cells_sql("spark", where=f"event_id % 3 = {i}")
+        ).write.parquet(f"{base}/epoch={i}")
+
+    def estimates():
+        rel = (
+            "SELECT i, col, CAST(SUM(c) AS BIGINT) AS c "
+            f"FROM parquet.`{base}` GROUP BY i, col"
+        )
+        return {
+            (r["key"], r["est"])
+            for r in spark.sql(
+                K.cm_estimates_sql("spark", rel, threshold=0)
+            ).collect()
+        }
+
+    before = estimates()
+    # checkpoint with epochs 0 and 1 committed; epoch 2 still in flight
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"))
+    for b in (0, 1):
+        open(os.path.join(ckpt, "commits", str(b)), "w").close()
+    assert K.last_committed_epoch(ckpt) == 1
+    assert K.last_committed_epoch(str(tmp_path / "nope")) == -1
+
+    folded = K.compact_sketch_parts(
+        spark, base, ("i", "col"), {"c": "sum"}, checkpoint_dir=ckpt
+    )
+    assert folded == 2
+    epochs = {
+        r["epoch"]
+        for r in spark.read.parquet(base).select("epoch").distinct().collect()
+    }
+    assert epochs == {0, 2}
+    assert estimates() == before
+
+    # the in-flight epoch replays: overwriting its own part stays correct
+    spark.sql(
+        K.cm_cells_sql("spark", where="event_id % 3 = 2")
+    ).write.mode("overwrite").parquet(f"{base}/epoch=2")
+    assert estimates() == before
+
+    # nothing committed yet → nothing folds, tree untouched
+    assert K.compact_sketch_parts(
+        spark, base, ("i", "col"), {"c": "sum"}, max_epoch=-1
+    ) == 0
+    assert estimates() == before
+    # quiescent full fold still collapses everything to one part
+    assert K.compact_sketch_parts(
+        spark, base, ("i", "col"), {"c": "sum"}
+    ) == 2
+    assert estimates() == before
+
+
 def test_hll_rolling_distinct_tracks_exact_windows(spark, ev):
     """The cube-served trailing-7-day distinct must sit inside the HLL
     error band of the EXACT rolling distinct for every day."""
