@@ -1214,7 +1214,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "aql_nested_incidr_coalesce",
     "aql_auto_rollup_routed",
     "aql_auto_rollup_minmax",
-    "aql_auto_rollup_count",
+    "mix_token_budget",
     "aql_routed_materialized",
     "aql_day_pruned_scan",
     "full_network_name_domain_divergence",
@@ -1223,11 +1223,11 @@ GATE_WINDOW: tuple[str, ...] = (
     "summing_rollup_hourly",
     "streaming_rollup_txn_parity",
     "sketch_hll_daily_cube",
-    "sketch_hll_distinct",
-    "sketch_cm_merge_parity",
+    "sketch_kmv_retention",
+    "sketch_rank_daily_cube",
     "sketch_histogram_quantiles",
     "sketch_rank_quantiles",
-    "sketch_rank_merge_parity",
+    "text_chunk_knn",
     "streaming_sketch_parity",
     "dedup_exact_stats",
     "dedup_exact_substring",
@@ -1242,7 +1242,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "text_knn_indexed",
     "text_semantic_pairs_hashed_capped",
     "curate_dsir_topk",
-    "curate_dsir_apply",
+    "sample_weighted_tokens",
     "streaming_dsir_apply_parity",
     "pipeline_corpus_funnel",
     "text_quality_scores",

@@ -79,20 +79,24 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     assert tuple(names[:50]) == GATE_WINDOW
     oracles = entrymod.oracle_sql()
     assert all(n in oracles for n in GATE_WINDOW)
-    # VERDICT r6 #2: the round-7 window rotated 10 slots vs round 6's —
-    # the 8 round-6 mirror-only entries the hard gate never hashed, plus
-    # this round's new families (min/max view states, HDR rank sketch,
-    # streaming frozen-DSIR apply)
+    # VERDICT r7 #2: the round-8 window rotated 5 slots — one rep per
+    # round-7 family (KMV cube, HDR daily cube, chunk-level RAG, token
+    # budget, weighted sampling) swapped in for redundant family twins
+    # that stay mirror-checked (hll_distinct ⊂ hll_daily_cube,
+    # cm_merge_parity ⊂ heavy_hitters + streaming parity,
+    # rank_merge_parity ⊂ rank_quantiles, auto_rollup_count ⊂ minmax +
+    # routed, dsir_apply ⊂ streaming_dsir_apply_parity)
     for rotated_in in (
-        "sketch_hll_distinct", "sketch_cm_merge_parity",
+        "sketch_kmv_retention", "sketch_rank_daily_cube",
+        "text_chunk_knn", "mix_token_budget", "sample_weighted_tokens",
+        # carried r6/r7 rotations stay pinned
         "sketch_histogram_quantiles", "streaming_sketch_parity",
-        "curate_dsir_apply", "pipeline_corpus_funnel",
+        "pipeline_corpus_funnel",
         "aql_auto_rollup_minmax", "sketch_rank_quantiles",
-        "sketch_rank_merge_parity", "streaming_dsir_apply_parity",
-        # carried round-6 rotations stay pinned
+        "streaming_dsir_apply_parity",
         "knn_ivfpq_persisted", "curate_quality_classifier",
         "decontaminate_bloom", "text_bm25_topk",
-        "zorder_layout_keys", "aql_auto_rollup_count", "knn_mmr_ivfpq",
+        "zorder_layout_keys", "knn_mmr_ivfpq",
         "sketch_cm_heavy_hitters", "sketch_hll_daily_cube",
         "curate_dsir_topk",
     ):
@@ -109,5 +113,7 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # round 7 families
         "sketch_rank", "pipeline_corpus", "aql_auto_rollup_minmax",
         "streaming_dsir",
+        # round 8 rotation (the r7 additions, now hard-gated)
+        "sketch_kmv", "text_chunk", "mix_token", "sample_weighted",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
