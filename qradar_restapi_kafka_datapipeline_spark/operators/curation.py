@@ -595,13 +595,22 @@ def quality_classifier_sql(
       FROM post p JOIN model m ON m.bucket = p.bucket
     ),
     bias AS (SELECT w AS b FROM model WHERE bucket = -1),
+    -- bias-only rows for featureless docs come from a 0.0 SEED per doc
+    -- unioned under the same aggregate, not a docs LEFT JOIN sums (that
+    -- shape sort-merged two doc-count relations — VERDICT r7 #3; the
+    -- union folds in one map-side-combined shuffle on doc_id, and adding
+    -- an exact 0.0 term never changes a double sum)
+    sums AS (
+      SELECT doc_id, SUM(c) AS sc FROM (
+        SELECT doc_id, CAST(0.0 AS DOUBLE) AS c
+        FROM (SELECT DISTINCT doc_id FROM {source}) d0
+        UNION ALL
+        SELECT doc_id, c FROM contrib
+      ) u GROUP BY doc_id
+    ),
     logits AS (
-      SELECT d.doc_id,
-             ROUND(COALESCE(s.sc, 0.0) + bias.b + 1e-9, 6) AS logit
-      FROM (SELECT DISTINCT doc_id FROM {source}) d
-      LEFT JOIN (SELECT doc_id, SUM(c) AS sc FROM contrib GROUP BY doc_id) s
-        ON s.doc_id = d.doc_id
-      CROSS JOIN bias
+      SELECT s.doc_id, ROUND(s.sc + bias.b + 1e-9, 6) AS logit
+      FROM sums s CROSS JOIN bias
     )
     SELECT doc_id, logit,
            ROUND(1.0 / (1.0 + EXP(-logit)) + 1e-9, 6) AS score,

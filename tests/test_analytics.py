@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import sessionize
 from qradar_restapi_kafka_datapipeline_spark.operators.skew import salted_sum
 from qradar_restapi_kafka_datapipeline_spark.sinks.http_push import (
+    FileTransport,
     HttpPushSink,
     PushClientError,
     PushServerError,
@@ -104,6 +105,68 @@ def test_http_push_streaming_writer(spark, tmp_path):
     q.awaitTermination(60)
     got = [r for _, p, _ in http.posts for r in parse_jsonl_gzip(p)]
     assert sorted(r["id"] for r in got) == [0, 1, 2, 3, 4]
+
+
+def _posted_rows(outdir):
+    import os
+
+    out = []
+    for fn in os.listdir(outdir):
+        with open(os.path.join(outdir, fn), "rb") as f:
+            out.extend(parse_jsonl_gzip(f.read()))
+    return out
+
+
+def test_http_push_distributed_posts_from_partitions(spark, tmp_path):
+    """VERDICT r7 #5: the executor-side twin must deliver every row with
+    the same wire format and chunk cap, one-or-more POSTs per partition —
+    never routing bytes through the driver."""
+    outdir = str(tmp_path / "posts")
+    import os
+
+    os.makedirs(outdir)
+    df = spark.range(0, 100).repartition(4).select(
+        F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("s")
+    )
+    sink = HttpPushSink("https://x/e", FileTransport(outdir),
+                        max_rows_per_post=10)
+    pushed = sink.push_batch_distributed(df)
+    assert pushed == 100
+    rows = _posted_rows(outdir)
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    # 4 partitions × 25 rows at cap 10 → 3 posts each
+    assert len(os.listdir(outdir)) == 12
+
+
+def test_http_push_distributed_error_taxonomy(spark, tmp_path):
+    """A 4xx on an executor fails the job loudly (at-least-once, never
+    silent loss); the typed error name survives into the driver error."""
+    import pytest
+
+    outdir = str(tmp_path / "posts_err")
+    import os
+
+    os.makedirs(outdir)
+    df = spark.createDataFrame([(1,)], ["id"])
+    sink = HttpPushSink("https://x", FileTransport(outdir, fail_code=403))
+    with pytest.raises(Exception, match="PushClientError"):
+        sink.push_batch_distributed(df)
+
+
+def test_http_push_streaming_writer_distributed(spark, tmp_path):
+    import json, os
+    src = str(tmp_path / "in")
+    outdir = str(tmp_path / "posts_stream")
+    os.makedirs(src)
+    os.makedirs(outdir)
+    with open(f"{src}/a.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": i}) + "\n")
+    stream = spark.readStream.schema("id BIGINT").json(src)
+    sink = HttpPushSink("https://x/e", FileTransport(outdir))
+    q = sink.writer(stream, str(tmp_path / "ckpt"), distributed=True).start()
+    q.awaitTermination(60)
+    assert sorted(r["id"] for r in _posted_rows(outdir)) == [0, 1, 2, 3, 4]
 
 
 def test_approx_distinct_within_hll_error_bound(spark, tables):
