@@ -650,7 +650,17 @@ def hashed_embedding_postings_sql(
     hashing-trick trick) and a bucket in [0, dim); ``w`` = Σ sign·tf as an
     exact BIGINT.  Zero-sum buckets are dropped (a sparse vector's implicit
     zeros).  Linear: one token explode + two narrow aggregates keyed by
-    (doc, token) then (doc, bucket)."""
+    (doc, token) then (doc, bucket).
+
+    The DuckDB form pins ``tok``/``tf`` ``AS MATERIALIZED``: DuckDB
+    INLINES a multi-referenced CTE by default, so ``tf``'s three
+    consumers each re-expanded the whole tokenize→bigram pipeline (six
+    simultaneous window-heavy subplans over a chunked source OOM'd the
+    16x amplified oracle at a 100 GiB limit; materialized it runs in
+    12 s).  Spark re-executes CTEs per reference too — its side is
+    handled by the callers' materialize_view/persist posture, since
+    Spark SQL has no MATERIALIZED keyword."""
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     tok = token_positions_sql(dialect, source)
     h = portable_hash60_sql(dialect, "feat")
     div = "DIV" if dialect == "spark" else "//"
@@ -664,12 +674,13 @@ def hashed_embedding_postings_sql(
     # ln() could diverge between engines), and tf saturates at 3
     # (sublinear weighting, LEAST is exact).
     return f"""
-    WITH tok AS ({tok}),
+    WITH tok AS {mat}({tok}),
     feats AS (
       SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     ),
-    tf AS (SELECT doc_id, feat, COUNT(*) AS c FROM feats GROUP BY doc_id, feat),
+    tf AS {mat}(SELECT doc_id, feat, COUNT(*) AS c
+                FROM feats GROUP BY doc_id, feat),
     ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
     keep AS (
       SELECT feat FROM tf GROUP BY feat

@@ -106,10 +106,13 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # against the recursive-closure oracle
     "dedup_clusters": 4,
     "text_semantic_pairs_hashed_prefix": 4,
-    # round 7: chunk reassembly at volume (string_agg vs sort_array paths)
-    "text_chunk_windows": 4,
-    # round 7: chunk retrieval — BIGINT dot growth over 4x chunk postings
-    "text_chunk_knn": 4,
+    # round 7: chunk reassembly at volume (string_agg vs sort_array paths);
+    # r8 (VERDICT r7 #4): raised 4x -> 16x to match the sketch family's
+    # evidence bar — both oracles are LINEAR in corpus tokens (windowing +
+    # postings; no all-pairs term), unlike the capped similarity peers
+    "text_chunk_windows": 16,
+    # round 7: chunk retrieval — BIGINT dot growth over 16x chunk postings
+    "text_chunk_knn": 16,
 }
 
 
@@ -144,6 +147,12 @@ def main() -> int:
             flush=True,
         )
         con = duckdb.connect()
+        # an in-memory connection has NO temp_directory → zero spill
+        # capacity: the 16x chunk-postings oracle OOMs even with RAM to
+        # spare.  Point it at disk so big oracles go out-of-core instead.
+        spill = tempfile.mkdtemp(prefix="amp_duck_spill_")
+        con.execute(f"SET temp_directory='{spill}'")
+        con.execute("SET max_temp_directory_size='60GiB'")
         for t in TABLES:
             path = f"{base}/{t}.parquet"
             if os.path.isdir(path):
@@ -189,6 +198,7 @@ def main() -> int:
                         break
         con.close()
         shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(spill, ignore_errors=True)
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'} "
           f"({n_entries} amplified entries, k={k})", flush=True)
