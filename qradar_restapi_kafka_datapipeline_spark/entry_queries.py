@@ -3036,6 +3036,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(T.bm25_topk_sql("spark")),
         T.bm25_topk_sql("duckdb"),
     )
+    # Incremental index maintenance (round 8): the corpus replayed as a
+    # 3-batch document stream folding per-epoch (doc, word, tf) parts —
+    # the ClickHouse-parts commit protocol — then BM25 served from the
+    # MERGED parts.  tf is per-doc local and df/N/avgdl are aggregates
+    # over the merged relation, so the streamed index is value-identical
+    # to the one-shot build the oracle computes: a lost or double-folded
+    # batch shifts df/avgdl and hash-fails.
+    q["streaming_text_index_parity"] = _df_entry(
+        lambda spark, sf: T.bm25_index_streaming(spark),
+        T.bm25_topk_sql("duckdb"),
+    )
 
     # ---- corpus Zipf/vocab profile + second-order LM score ------------------
     q["corpus_vocab_stats"] = _df_entry(

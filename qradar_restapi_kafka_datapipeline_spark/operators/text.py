@@ -1263,6 +1263,7 @@ def bm25_topk_sql(
     k1: float = 1.2,
     b: float = 0.75,
     source: str = "documents",
+    tf_rel: str | None = None,
 ) -> str:
     """Top-``k`` documents by Okapi BM25 for the query "the distinct words
     of document ``query_doc``" — the classic ranked-retrieval scorer
@@ -1283,25 +1284,46 @@ def bm25_topk_sql(
     flip it), so the per-doc SUM is exact BIGINT arithmetic — order-free —
     and ranking ties break on doc_id.  The emitted ``score`` is the integer
     sum scaled back once.
+
+    ``tf_rel``: serve from a MAINTAINED ``(doc_id, word, tf)`` relation
+    instead of re-tokenizing the corpus — the incremental-index hook
+    (:func:`bm25_index_streaming` folds per-epoch tf parts; tf is per-doc
+    LOCAL, and every corpus-wide statistic BM25 needs — doc length
+    Σtf, N, avgdl, df — is an aggregate OVER that relation, so serving
+    from merged parts is value-IDENTICAL to the one-shot build).
     """
-    tok = token_positions_sql(dialect, source)
     x = (
         f"LN((ns.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
         f"(tf.tf * ({k1} + 1)) / "
         f"(tf.tf + {k1} * (1 - {b} + {b} * dl.len / ns.avgdl))"
     )
-    return f"""
+    if tf_rel is not None:
+        head = f"""
+    WITH tf AS (SELECT doc_id, word, CAST(tf AS BIGINT) AS tf
+                FROM {tf_rel} tfr),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len
+           FROM tf GROUP BY doc_id),
+    """
+        q_src = f"SELECT DISTINCT word FROM tf WHERE doc_id = {query_doc}"
+    else:
+        tok = token_positions_sql(dialect, source)
+        head = f"""
     WITH tok AS ({tok}),
     tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
            FROM tok WHERE word != '' GROUP BY doc_id, word),
     dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
            FROM tok WHERE word != '' GROUP BY doc_id),
+    """
+        q_src = (
+            f"SELECT DISTINCT word FROM tok "
+            f"WHERE doc_id = {query_doc} AND word != ''"
+        )
+    return f"""{head}
     ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
            FROM dl),
     df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
-    q AS (SELECT DISTINCT word FROM tok
-          WHERE doc_id = {query_doc} AND word != ''),
+    q AS ({q_src}),
     contrib AS (
       SELECT tf.doc_id,
              CAST(FLOOR(({x}) * 1000000 + 0.5) AS BIGINT) AS ci
@@ -1323,6 +1345,114 @@ def bm25_topk_sql(
       FROM scores
     ) ranked WHERE rk <= {k}
     """
+
+
+def bm25_index_streaming(
+    spark,
+    query_doc: int = 0,
+    k: int = 10,
+    n_batches: int = 3,
+    source: str = "documents",
+    _crash_after_write_epoch: int | None = None,
+    _parts_out: list | None = None,
+):
+    """Incremental full-text index maintenance (round 8): replay the
+    corpus as an ``n_batches`` document stream and fold each micro-batch's
+    ``(doc_id, word, tf)`` term relation as a PER-EPOCH immutable part
+    (``tf_parts/epoch=N``) — the ClickHouse-parts commit protocol the
+    sketch folds use (CLAUDE.md r7: replay overwrites exactly its own
+    part; no read-merge-overwrite window exists).  tf is per-doc LOCAL,
+    so disjoint-doc epochs never collide on a (doc, word) key, and every
+    global BM25 statistic (df, N, avgdl) is an aggregate over the merged
+    parts — serving from them is value-IDENTICAL to a one-shot build,
+    which is exactly what the gate oracle checks (a lost or double-folded
+    batch shifts df/avgdl and hash-fails).
+
+    At 100 TB this is how the text index stays FRESH: each arriving
+    partition lands one bounded tf part (tokenize + one narrow aggregate,
+    no corpus rescan), reads merge per query, and
+    :func:`...sketches.compact_sketch_parts` bounds the part count in the
+    background ((doc_id, word) keys, ``{"tf": "sum"}`` — additive-safe
+    even mid-stream because epochs partition documents).
+
+    ``_crash_after_write_epoch``: crash-injection hook (raise once AFTER
+    the part write, restart from the same checkpoint — the replay test).
+    ``_parts_out``: appends the parts/checkpoint dirs for tests that
+    compact or inspect the tree."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    src = spark.table(source).select("doc_id", "text")
+    base = scratch_dir("bm25_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    keyed = src.withColumn(
+        "__b", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
+    )
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    parts = os.path.join(base, "tf_parts")
+    ckpt = os.path.join(base, "ckpt")
+    if _parts_out is not None:
+        _parts_out.extend([parts, ckpt])
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        spark_ = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch.createOrReplaceTempView("__bm25_batch")
+        inc = spark_.sql(
+            "SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM "
+            f"({token_positions_sql('spark', '__bm25_batch')}) t "
+            "WHERE word != '' GROUP BY doc_id, word"
+        )
+        # the epoch-keyed overwrite IS the commit protocol: a replayed
+        # batch rewrites the same path with the same deterministic rows
+        inc.write.mode("overwrite").parquet(
+            os.path.join(parts, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after increment write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        # restart from the same checkpoint: the failed epoch replays with
+        # the same batch id and overwrites its own part — idempotent
+        run()
+    merged = f"(SELECT doc_id, word, tf FROM parquet.`{parts}`)"
+    return spark.sql(bm25_topk_sql("spark", query_doc, k, tf_rel=merged))
 
 
 # ---------------------------------------------------------------------------

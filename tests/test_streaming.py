@@ -177,3 +177,43 @@ def test_streaming_dsir_apply_crash_replay_matches_batch(spark, sf_dir, tmp_path
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_bm25_streaming_index_crash_replay_and_compaction(spark, sf_dir):
+    """Round 8: the incrementally-maintained BM25 index must serve the
+    EXACT one-shot ranking — through an injected crash after a part write
+    (the replay window: per-epoch parts make the replayed batch overwrite
+    its own tf part), and again after the committed-frontier compactor
+    folds the part tree (tf sums over disjoint-doc epochs are
+    merge-neutral)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.sketches import (
+        compact_sketch_parts,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        bm25_index_streaming,
+        bm25_topk_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    key = lambda rows: [(r["doc_id"], r["score"], r["rk"]) for r in rows]
+    oneshot = key(spark.sql(bm25_topk_sql("spark")).collect())
+    assert len(oneshot) == 10
+
+    parts_info = []
+    streamed = key(
+        bm25_index_streaming(
+            spark, _crash_after_write_epoch=1, _parts_out=parts_info
+        ).collect()
+    )
+    assert streamed == oneshot
+
+    parts, ckpt = parts_info
+    folded = compact_sketch_parts(
+        spark, parts, ("doc_id", "word"), {"tf": "sum"}, checkpoint_dir=ckpt
+    )
+    assert folded == 3  # all three epochs committed → all fold
+    merged = f"(SELECT doc_id, word, tf FROM parquet.`{parts}`)"
+    assert key(
+        spark.sql(bm25_topk_sql("spark", tf_rel=merged)).collect()
+    ) == oneshot
