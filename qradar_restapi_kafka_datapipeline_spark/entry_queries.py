@@ -3200,6 +3200,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         M.bmp_decode_oracle_sql(),
     )
+    # Resize (round 8): the remaining multimodal verb — real stride-aware
+    # pixel walk → nearest-neighbor resample → re-encode → re-DECODE; the
+    # oracle recomputes resized dims/stride/checksum from the encoder
+    # spec, so index math that strays into row padding hash-fails.
+    q["multimodal_bmp_resize"] = _df_entry(
+        lambda spark, sf: M.resize_bmp(
+            M.attach_bmp_payload(spark.table("documents"))
+        ),
+        M.bmp_resize_oracle_sql(),
+    )
 
     # ---- real binary decode #2: WAV encode → RIFF chunk-walk decode ---------
     # The audio twin of the BMP entry: rate/length/PCM checksum parsed from

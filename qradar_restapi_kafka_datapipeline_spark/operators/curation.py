@@ -845,8 +845,15 @@ def corpus_funnel(spark, top_k: int = 200) -> DataFrame:
 
 
 def corpus_funnel_oracle_sql(top_k: int = 200) -> str:
-    """DuckDB twin of :func:`corpus_funnel`: the identical four stages as
-    one nested statement (each stage's oracle SQL embedded as a subquery)."""
+    """DuckDB twin of :func:`corpus_funnel`: the identical four stages in
+    one statement, each stage a MATERIALIZED CTE the next builds on.
+
+    The pre-round-8 form embedded every stage TEXTUALLY in the next and
+    again in each UNION branch, so DuckDB (which inlines CTEs and
+    re-executes repeated subqueries) re-ran the decontamination pipeline
+    ~10x and the 16x-amplified run ground past 75 GiB; stage-per-
+    materialized-CTE runs each stage exactly once — the relational
+    equivalent of the Spark side's materialize_view posture."""
     from qradar_restapi_kafka_datapipeline_spark.operators.contamination import (
         decontaminate_oracle_sql,
     )
@@ -856,27 +863,31 @@ def corpus_funnel_oracle_sql(top_k: int = 200) -> str:
         f"JOIN ({decontaminate_oracle_sql(out_cols='doc_id')}) di "
         "ON di.doc_id = d2.doc_id)"
     )
-    curated = f"({curate_corpus_sql('duckdb', table=decon)})"
-    sel_src = (
-        f"(SELECT c.doc_id, dd.source, dd.text FROM {curated} c "
-        "JOIN documents dd ON dd.doc_id = c.doc_id)"
-    )
-    selected = (
-        f"(SELECT r.doc_id, s.source FROM "
-        f"({dsir_scores_sql('duckdb', top_k=top_k, source=sel_src)}) r "
-        f"JOIN {sel_src} s ON s.doc_id = r.doc_id)"
-    )
-    mixed = f"({mix_temperature_sql('duckdb', table=selected)})"
-    return " UNION ALL ".join(
+    union = " UNION ALL ".join(
         f"SELECT '{stage}' AS stage, source, CAST(COUNT(*) AS BIGINT) AS n "
         f"FROM {rel} x GROUP BY source"
         for stage, rel in (
-            ("decontaminated", decon),
-            ("curated", curated),
-            ("selected", selected),
-            ("mixed", mixed),
+            ("decontaminated", "decon"),
+            ("curated", "curated"),
+            ("selected", "selected"),
+            ("mixed", "mixed"),
         )
     )
+    return f"""
+    WITH decon AS MATERIALIZED {decon},
+    curated AS MATERIALIZED ({curate_corpus_sql('duckdb', table='decon')}),
+    sel_src AS MATERIALIZED (
+      SELECT c.doc_id, dd.source, dd.text FROM curated c
+      JOIN documents dd ON dd.doc_id = c.doc_id
+    ),
+    selected AS MATERIALIZED (
+      SELECT r.doc_id, s.source FROM
+      ({dsir_scores_sql('duckdb', top_k=top_k, source='sel_src')}) r
+      JOIN sel_src s ON s.doc_id = r.doc_id
+    ),
+    mixed AS MATERIALIZED ({mix_temperature_sql('duckdb', table='selected')})
+    {union}
+    """
 
 
 def build_dsir_selector(

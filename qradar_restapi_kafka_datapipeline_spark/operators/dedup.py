@@ -356,31 +356,37 @@ def minhash_lsh_duckdb_sql(
     — the SAME pipeline (shingles → per-seed md5 minhash → tuple band keys →
     bucket join → exact-Jaccard verify) recomputed from first principles, so
     the production algorithm SHAPE (banding and all) is value-checked, not
-    just its verify stage."""
+    just its verify stage.
+
+    The hot CTEs are pinned AS MATERIALIZED (round 8): DuckDB inlines
+    multi-referenced CTEs, so ``sh``'s four consumers each re-ran the
+    shingle explode (and ``bands`` both sides of its self-join) —
+    materialized, the 16x-amplified oracle runs in ~170 s where the
+    inlined form forced a 4x cap."""
     rows_per_band = num_hashes // bands
     return f"""
     WITH docs AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
       FROM {source}
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(shingle_k))}) AS shingle
       FROM docs, UNNEST(generate_series(1, greatest(len(w) - {shingle_k - 1}, 1))) AS t(i)
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    mh AS (
+    mh AS MATERIALIZED (
       SELECT doc_id, seed,
              MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS mh
       FROM sh CROSS JOIN range({num_hashes}) AS s(seed)
       GROUP BY doc_id, seed
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, CAST(seed // {rows_per_band} AS INT) AS band_id,
              string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS band_key
       FROM mh GROUP BY doc_id, seed // {rows_per_band}
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -1099,25 +1105,25 @@ def incremental_minhash_duckdb_sql(
              regexp_split_to_array(trim(text), '\\s+') AS w
       FROM {table}
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, is_new,
              concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(shingle_k))}) AS shingle
       FROM docs, UNNEST(generate_series(1, greatest(len(w) - {shingle_k - 1}, 1))) AS t(i)
     ),
     counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    mh AS (
+    mh AS MATERIALIZED (
       SELECT doc_id, MAX(is_new) AS is_new, seed,
              MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS mh
       FROM sh CROSS JOIN range({num_hashes}) AS s(seed)
       GROUP BY doc_id, seed
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, MAX(is_new) AS is_new,
              CAST(seed // {rows_per_band} AS INT) AS band_id,
              string_agg(CAST(mh AS VARCHAR), ':' ORDER BY seed) AS band_key
       FROM mh GROUP BY doc_id, seed // {rows_per_band}
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key

@@ -188,6 +188,104 @@ def extract_bmp_features(
     )
 
 
+def resize_bmp(
+    media: DataFrame,
+    scale_den: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor downsample to ``(max(1, w//scale_den),
+    max(1, h//scale_den))`` — the resize member of the
+    decode/extract/resize/frame-sample verb set, and REAL work end to
+    end: the kernel walks the source pixels stride-aware into an array,
+    index-maps ``src = (dst · old) // new`` per axis, re-encodes a valid
+    padded BMP, and re-decodes THAT to produce the emitted features — so
+    the gate oracle (which recomputes dims/stride/checksum from the
+    encoder spec) fails on any indexing slip that touches a padding byte
+    or mis-sizes the output header.  Arrow-batched mapInPandas, no
+    driver involvement; at 100 TB this is the shape every image-pipeline
+    map stage takes (decode → transform → re-encode per partition)."""
+    import struct
+
+    def _resize_one(payload: bytes) -> tuple[int, int, int, int, int]:
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        w = struct.unpack_from("<i", payload, 18)[0]
+        h = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        row = w * bpp // 8
+        stride = (row + 3) // 4 * 4
+        px = [payload[offset + r * stride: offset + r * stride + row]
+              for r in range(h)]
+        nw, nh = max(1, w // scale_den), max(1, h // scale_den)
+        nrow = 3 * nw
+        npad = (4 - nrow % 4) % 4
+        out_rows = []
+        for r in range(nh):
+            src_r = px[(r * h) // nh]
+            buf = bytearray()
+            for c in range(nw):
+                sc = (c * w) // nw
+                buf += src_r[3 * sc: 3 * sc + 3]
+            out_rows.append(bytes(buf) + b"\x00" * npad)
+        data = b"".join(out_rows)
+        size = 54 + len(data)
+        header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+            "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+        rw, rh, _, rsize, rsum = decode_bmp(header + data)
+        return rw, rh, rsize, rsum, w * h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *_resize_one(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes",
+                         "pixel_checksum", "src_pixels"],
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id LONG, width INT, height INT, n_bytes LONG, "
+        "pixel_checksum LONG, src_pixels LONG",
+    )
+
+
+def bmp_resize_oracle_sql(
+    scale_den: int = 2, source: str = "documents"
+) -> str:
+    """DuckDB recomputation of the resized-BMP properties from the encoder
+    spec (constant-fill pixels make every resampled byte predictable —
+    but only if the kernel's index math never strays into row padding,
+    which is exactly what the checksum pins)."""
+    return f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + length(text) % 8 AS INT) AS w,
+             CAST(2 + doc_id % 5 AS INT) AS h
+      FROM {source}
+    ),
+    nd AS (
+      SELECT doc_id, w, h,
+             CAST(GREATEST(1, w // {scale_den}) AS INT) AS nw,
+             CAST(GREATEST(1, h // {scale_den}) AS INT) AS nh
+      FROM dims
+    )
+    SELECT doc_id, nw AS width, nh AS height,
+           CAST(54 + (3 * nw + (4 - (3 * nw) % 4) % 4) * nh
+                AS BIGINT) AS n_bytes,
+           CAST(((doc_id % 256) * 3 * nw * nh) % {BMP_CHECKSUM_MOD}
+                AS BIGINT) AS pixel_checksum,
+           CAST(w * h AS BIGINT) AS src_pixels
+    FROM nd
+    """
+
+
 def bmp_decode_oracle_sql(source: str = "documents") -> str:
     """DuckDB recomputation of every decoded property from the encoder spec."""
     return f"""

@@ -749,7 +749,8 @@ def hashed_semantic_pairs_sql(
     path (:func:`hashed_semantic_pairs`): Spark has no common-subplan reuse
     for inlined CTEs, so the inlined form re-tokenizes + re-hashes the
     corpus once per reference (measured 48.7 s vs seconds at 5 k docs);
-    DuckDB shares CTEs natively, so the oracle keeps the inlined shape.
+    the DuckDB oracle pins its hot CTEs ``AS MATERIALIZED`` (round 8 —
+    DuckDB 1.0 inlines them too, re-executing postings per consumer).
     ``max_bucket_docs`` excludes DENSE buckets (more than that many docs in
     the top-m relation) from candidate generation only — the AllPairs
     analogue of a stopword list; deterministic, so the gate still
@@ -763,6 +764,12 @@ def hashed_semantic_pairs_sql(
     engines, so the auto-capped pair set stays fully hash-checked."""
     posts = posts_rel and f"SELECT doc_id, bucket, w FROM {posts_rel}"
     posts = posts or hashed_embedding_postings_sql(dialect, dim, source)
+    # DuckDB inlines multi-referenced CTEs: `post` feeds n/cand/dots (and
+    # the prefix chain re-reads `ranked` three times via topm), so without
+    # MATERIALIZED the postings derivation re-executes per consumer — the
+    # trap the funnel and postings-builder oracles hit at 16x (round 8).
+    # Spark has no MATERIALIZED keyword; its side injects posts_rel.
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     if prefix_m is None:
         cand = (
             "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
@@ -809,17 +816,18 @@ def hashed_semantic_pairs_sql(
           ON a.bucket = b.bucket AND a.doc_id < b.doc_id"""
         ranked = (
             ", bdf AS (SELECT bucket, COUNT(*) AS df FROM post GROUP BY bucket)"
-            ", ranked AS (SELECT post.doc_id, post.bucket, ROW_NUMBER() OVER ("
+            f", ranked AS {mat}(SELECT post.doc_id, post.bucket, "
+            "ROW_NUMBER() OVER ("
             "PARTITION BY post.doc_id ORDER BY bdf.df ASC, post.bucket ASC) "
             "AS rk FROM post JOIN bdf ON post.bucket = bdf.bucket)"
             + cap_ctes
         )
     return f"""
-    WITH posts_base AS ({posts}),
-    post AS (SELECT doc_id, bucket, w FROM posts_base){ranked},
+    WITH posts_base AS {mat}({posts}),
+    post AS {mat}(SELECT doc_id, bucket, w FROM posts_base){ranked},
     n AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
           FROM post GROUP BY doc_id),
-    cand AS ({cand}),
+    cand AS {mat}({cand}),
     dots AS (
       SELECT c.id_a, c.id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS d
       FROM cand c

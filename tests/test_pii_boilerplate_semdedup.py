@@ -428,3 +428,57 @@ def test_ivf_appended_assignments_equal_single_shot_build(spark, tmp_path, sf_di
         .collect()
     }
     assert appended == single_shot and len(appended) == emb.count()
+
+
+def test_bmp_resize_samples_exact_pixels():
+    """Round 8: nearest-neighbor resize must pick EXACTLY src[(d·old)//new]
+    per axis — proven on a hand-built BMP with DISTINCT pixel bytes (the
+    corpus's constant fill can't catch wrong-pixel sampling), including a
+    padded-stride source (w=5) and the min-1 height clamp."""
+    import struct
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+        BMP_CHECKSUM_MOD,
+        decode_bmp,
+    )
+
+    # hand-built 5x2 BMP, pixel (r, c) = bytes (10r+c, 10r+c, 10r+c)
+    w, h = 5, 2
+    row = 3 * w
+    pad = (4 - row % 4) % 4
+    data = b"".join(
+        bytes(b for c in range(w) for b in [10 * r + c] * 3) + b"\x00" * pad
+        for r in range(h)
+    )
+    size = 54 + len(data)
+    payload = (
+        struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+        + data
+    )
+    assert decode_bmp(payload)[:2] == (w, h)
+
+    # scale_den=2 → 2x1; src cols for dst 0,1 = (0*5)//2=0, (1*5)//2=2;
+    # src row for dst 0 = (0*2)//1 = 0 → pixels 0 and 2 → sum 3*(0+2)=6
+    import pandas as pd
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    # drive the pandas kernel directly (no Spark needed for the math)
+    media = pd.DataFrame({"doc_id": [7], "payload": [payload]})
+
+    captured = []
+
+    class _FakeDF:
+        def mapInPandas(self, kernel, schema):
+            captured.extend(kernel(iter([media])))
+            return None
+
+    M.resize_bmp(_FakeDF(), scale_den=2)
+    got = captured[0].iloc[0]
+    assert (got["width"], got["height"]) == (2, 1)
+    assert got["pixel_checksum"] == (3 * (0 + 2)) % BMP_CHECKSUM_MOD
+    assert got["src_pixels"] == 10
+    # n_bytes: new row 6 → stride 8 (2 pad bytes) for 1 row
+    assert got["n_bytes"] == 54 + 8

@@ -41,14 +41,12 @@ from tools.check_correctness import value_hash  # noqa: E402
 from tools.scale_curve import amplify  # noqa: E402
 
 #: Accumulation-sensitive entries — families where more volume changes the
-#: numeric regime, not just the row count.  Value is the entry's K CAP: the
-#: DuckDB oracle re-derives each pipeline from scratch with no persisted
-#: intermediates, so the two document-similarity oracles (64 md5 minhashes
-#: per shingle / a bigram-postings self-join) are O(docs²)-ish in the
-#: SINGLE-process oracle even though the Spark side scales — they get a
-#: bounded amplification (the accumulation regime they test, sketch
-#: saturation and BIGINT dot growth, is already ×4 there); everything
-#: events-shaped runs at the full requested K.
+#: numeric regime, not just the row count.  Value is the entry's K CAP.
+#: Round 8 removed every sub-16 cap: the old 4x limits were DuckDB's CTE
+#: INLINING re-running each oracle's upstream pipeline once per consumer
+#: (not true quadratic cost) — with the hot CTEs pinned AS MATERIALIZED
+#: the whole document-similarity family passes at 16x (funnel 27 s,
+#: minhash 179 s, clusters 251 s, prefix pairs 875 s).
 AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "summing_rollup_hourly": None,
     "event_rate_anomaly": None,
@@ -99,13 +97,13 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "curate_dsir_topk": None,
     "curate_dsir_apply": None,
     "streaming_dsir_apply_parity": None,
-    "pipeline_corpus_funnel": 4,
-    "dedup_minhash_lsh": 4,
+    "pipeline_corpus_funnel": 16,  # was OOM pre-materialization
+    "dedup_minhash_lsh": 16,
     # round 6: the sum-compare fixpoint rewrite (labels only decrease →
     # unchanged SUM(label) == converged) value-checked on a 4× pair graph
     # against the recursive-closure oracle
-    "dedup_clusters": 4,
-    "text_semantic_pairs_hashed_prefix": 4,
+    "dedup_clusters": 16,
+    "text_semantic_pairs_hashed_prefix": 16,
     # round 7: chunk reassembly at volume (string_agg vs sort_array paths);
     # r8 (VERDICT r7 #4): raised 4x -> 16x to match the sketch family's
     # evidence bar — both oracles are LINEAR in corpus tokens (windowing +
