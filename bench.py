@@ -90,6 +90,7 @@ HEADLINE = [
     "sessionize_events_bucketed",
     "text_bpe_tokenize",
     "multimodal_jpeg_decode",
+    "multimodal_bmp_resize",
     "knn_ivf_appended",
     "aql_parameterized",
     # the dense-bucket-capped AllPairs config — the bounded-candidate regime
