@@ -1125,6 +1125,16 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         oracle=C.dsir_apply_sql("duckdb", _emit_dir("dsir_lam"), _DSIR_NEW_BATCH),
     )
 
+    # Cross-snapshot drift monitor (round 8): JS divergence between the
+    # old and new snapshots' hashed-bigram distributions — the
+    # recurring-crawl health check that tells you when frozen selectors
+    # need retraining.  Exact-integer ln-ratio micro-units (the DSIR
+    # discipline) + a dim-row spine so never-seen buckets contribute.
+    q["corpus_drift_js"] = _df_entry(
+        lambda spark, sf: spark.sql(C.corpus_drift_js_sql("spark")),
+        C.corpus_drift_js_sql("duckdb"),
+    )
+
     # Streaming twin of the frozen apply (round 7, VERDICT r6 #4): the new
     # crawl batch replayed as a micro-batch stream, each batch scored
     # against the SAME frozen (bucket, l6) artifact by the SAME kernel,

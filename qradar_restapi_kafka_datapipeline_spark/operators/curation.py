@@ -890,6 +890,97 @@ def corpus_funnel_oracle_sql(top_k: int = 200) -> str:
     """
 
 
+def corpus_drift_js_sql(
+    dialect: str,
+    old_pred: str = "source IN ('src0', 'src1')",
+    dim: int = 1024,
+    source: str = "documents",
+) -> str:
+    """Cross-snapshot DRIFT monitor (round 8): Jensen–Shannon divergence
+    between the OLD (``old_pred``) and NEW snapshots' hashed-bigram
+    distributions — the recurring-crawl health check run before folding a
+    delivery in (a JS spike means the crawler's content mix moved and the
+    frozen DSIR/classifier selectors need retraining).
+
+    Exact-integer discipline end to end (the DSIR lesson): with add-one
+    smoothing over ``dim`` buckets, p_b, q_b, and the mixture m are
+    RATIONALS with BIGINT numerators/denominators, so each per-bucket
+    ln(p/m) takes ONE ln of an exact integer ratio → 1e-6-unit BIGINT;
+    KL sums are Σ (c+1)·l6 — pure BIGINT, order-free — and doubles
+    appear only in the two terminal divides.  A ``dim``-row spine makes
+    NEVER-SEEN buckets contribute too (their smoothed masses differ
+    whenever the snapshot totals differ — the cm-spine lesson, ADVICE
+    r7).  Plan: one token explode + one (bucket × side) aggregate; the
+    bounded dim-row term relation does driver-free scalar math.  At
+    extreme scale the BIGINT products (c+1)·(tot+dim) overflow past
+    ~3e9 total bigrams per side — ANSI Spark and DuckDB both raise
+    loudly there; pre-scale counts if a corpus ever reaches it."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.sketches import (
+        _seeds,
+    )
+
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    cnts = dsir_cnts_sql(dialect, dim, source)
+    mix = "(b.cp + 1) * (tots.tq + {d}) + (b.cq + 1) * (tots.tp + {d})".format(
+        d=dim
+    )
+    return f"""
+    WITH cnts AS {mat}({cnts}),
+    flag AS (
+      SELECT doc_id, CASE WHEN {old_pred} THEN 0 ELSE 1 END AS is_new
+      FROM {source}
+    ),
+    seen AS (
+      SELECT c.bucket,
+             CAST(SUM(CASE WHEN f.is_new = 0 THEN c.cnt ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN f.is_new = 1 THEN c.cnt ELSE 0 END)
+                  AS BIGINT) AS cq
+      FROM cnts c JOIN flag f ON f.doc_id = c.doc_id
+      GROUP BY c.bucket
+    ),
+    byb AS (
+      SELECT sp.i AS bucket, CAST(COALESCE(s.cp, 0) AS BIGINT) AS cp,
+             CAST(COALESCE(s.cq, 0) AS BIGINT) AS cq
+      FROM ({_seeds(dialect, dim)}) sp LEFT JOIN seen s ON s.bucket = sp.i
+    ),
+    tots AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cq) AS BIGINT) AS tq
+      FROM byb
+    ),
+    terms AS (
+      SELECT b.cp + 1 AS ap, b.cq + 1 AS aq,
+             CAST(ROUND((LN(CAST(2 * (b.cp + 1) * (tots.tq + {dim})
+                                 AS DOUBLE)
+                            / CAST({mix} AS DOUBLE)) + 1e-9) * 1000000)
+                  AS BIGINT) AS lp6,
+             CAST(ROUND((LN(CAST(2 * (b.cq + 1) * (tots.tp + {dim})
+                                 AS DOUBLE)
+                            / CAST({mix} AS DOUBLE)) + 1e-9) * 1000000)
+                  AS BIGINT) AS lq6
+      FROM byb b CROSS JOIN tots
+    ),
+    kls AS (
+      SELECT CAST(SUM(ap * lp6) AS BIGINT) AS sp6,
+             CAST(SUM(aq * lq6) AS BIGINT) AS sq6
+      FROM terms
+    ),
+    docs AS (
+      SELECT CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+             CAST(SUM(is_new) AS BIGINT) AS n_new
+      FROM flag
+    )
+    SELECT docs.n_old, docs.n_new, tots.tp AS bigrams_old,
+           tots.tq AS bigrams_new,
+           ROUND(0.5 * (CAST(kls.sp6 AS DOUBLE) / 1000000
+                        / CAST(tots.tp + {dim} AS DOUBLE)
+                        + CAST(kls.sq6 AS DOUBLE) / 1000000
+                        / CAST(tots.tq + {dim} AS DOUBLE)) + 1e-9, 6)
+               AS js_nats
+    FROM kls CROSS JOIN tots CROSS JOIN docs
+    """
+
+
 def build_dsir_selector(
     spark,
     path: str,

@@ -1603,9 +1603,14 @@ def chunk_knn_sql(
         f"WHERE doc_id = {query_doc}"
     )
     div = "DIV" if dialect == "spark" else "//"
+    # cp feeds both the norm aggregate and the dot join (and qp both qn
+    # and dots): pin them MATERIALIZED for duckdb — inlined, the chunk
+    # postings pipeline re-ran per consumer and the 64x-amplified oracle
+    # OOM'd (round 8; the Spark path injects a materialized view instead).
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     return f"""
-    WITH cp AS ({cp}),
-    qp AS ({qp}),
+    WITH cp AS {mat}({cp}),
+    qp AS {mat}({qp}),
     qn AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM qp),
     cn AS (
       SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2

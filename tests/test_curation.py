@@ -731,3 +731,35 @@ def test_weighted_sample_invariants(spark, sf_dir):
     plan = spark.sql(weighted_sample_sql("spark"))._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_drift_js_properties(spark, tables):
+    """Round 8: JS divergence invariants — bounded in [0, ln 2], SYMMETRIC
+    in the snapshot split, and exactly 0 when the two snapshots have
+    identical bigram distributions (a duplicated corpus split by the
+    duplicate flag)."""
+    import math
+
+    row = spark.sql(C.corpus_drift_js_sql("spark")).first()
+    assert row["n_old"] > 0 and row["n_new"] > 0
+    assert 0.0 <= row["js_nats"] <= math.log(2) + 1e-6
+
+    flipped = spark.sql(
+        C.corpus_drift_js_sql("spark", old_pred="source NOT IN ('src0', 'src1')")
+    ).first()
+    assert flipped["js_nats"] == row["js_nats"]
+    assert (flipped["n_old"], flipped["bigrams_old"]) == (
+        row["n_new"], row["bigrams_new"]
+    )
+
+    spark.sql(
+        "SELECT doc_id, text, source FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text, source FROM documents"
+    ).createOrReplaceTempView("__drift_twin")
+    same = spark.sql(
+        C.corpus_drift_js_sql(
+            "spark", old_pred="doc_id < 1000000", source="__drift_twin"
+        )
+    ).first()
+    assert same["js_nats"] == 0.0
+    assert same["bigrams_old"] == same["bigrams_new"]

@@ -95,6 +95,9 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # statement with no persisted intermediates, so it gets the bounded
     # amplification of its document-similarity peers
     "curate_dsir_topk": None,
+    # round 8: JS drift — integer ln-ratio micro-units at k× the bigram
+    # totals (the products inside LN args grow k²; exactness must hold)
+    "corpus_drift_js": None,
     "curate_dsir_apply": None,
     "streaming_dsir_apply_parity": None,
     "pipeline_corpus_funnel": 16,  # was OOM pre-materialization
@@ -108,8 +111,12 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # r8 (VERDICT r7 #4): raised 4x -> 16x to match the sketch family's
     # evidence bar — both oracles are LINEAR in corpus tokens (windowing +
     # postings; no all-pairs term), unlike the capped similarity peers
-    "text_chunk_windows": 16,
-    # round 7: chunk retrieval — BIGINT dot growth over 16x chunk postings
+    "text_chunk_windows": None,  # 64x green (36 s)
+    # chunk retrieval: BIGINT dot growth over amplified chunk postings.
+    # 16x green (69 s, cp/qp MATERIALIZED); at 64x the single-process
+    # oracle exceeds 100 GiB RAM + the 60 GiB spill budget this host can
+    # spare — the Spark side scales (memoized postings), the ORACLE is
+    # the bound, same reasoning as the old similarity caps
     "text_chunk_knn": 16,
 }
 
