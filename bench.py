@@ -91,6 +91,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "multimodal_jpeg_decode",
     "multimodal_bmp_resize",
+    "corpus_drift_js",
     "knn_ivf_appended",
     "aql_parameterized",
     # the dense-bucket-capped AllPairs config — the bounded-candidate regime

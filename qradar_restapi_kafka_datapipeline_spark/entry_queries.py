@@ -1245,7 +1245,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "dedup_clusters",
     "knn_bruteforce_cosine",
     "knn_ivfpq_persisted",
-    "knn_ivf_appended",
+    "streaming_text_index_parity",
     "knn_mmr_ivfpq",
     "semantic_dedup_pairs",
     "embedding_quantize_report",

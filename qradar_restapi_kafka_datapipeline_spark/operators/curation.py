@@ -911,7 +911,12 @@ def corpus_drift_js_sql(
     NEVER-SEEN buckets contribute too (their smoothed masses differ
     whenever the snapshot totals differ — the cm-spine lesson, ADVICE
     r7).  Plan: one token explode + one (bucket × side) aggregate; the
-    bounded dim-row term relation does driver-free scalar math.  At
+    bounded dim-row term relation does driver-free scalar math.  The
+    snapshot side rides INSIDE the count pass as doc_id parity
+    (``doc_id·2 + is_new``): the first draft joined a doc-level flag
+    relation onto the counts and planned three SortMergeJoins — caught
+    by the plan-report assertion at generation; side-in-the-key costs
+    nothing and leaves the spine as the only join.  At
     extreme scale the BIGINT products (c+1)·(tot+dim) overflow past
     ~3e9 total bigrams per side — ANSI Spark and DuckDB both raise
     loudly there; pre-scale counts if a corpus ever reaches it."""
@@ -920,7 +925,11 @@ def corpus_drift_js_sql(
     )
 
     mat = "MATERIALIZED " if dialect == "duckdb" else ""
-    cnts = dsir_cnts_sql(dialect, dim, source)
+    sided = (
+        f"(SELECT doc_id * 2 + (CASE WHEN {old_pred} THEN 0 ELSE 1 END) "
+        f"AS doc_id, text FROM {source})"
+    )
+    cnts = dsir_cnts_sql(dialect, dim, sided)
     mix = "(b.cp + 1) * (tots.tq + {d}) + (b.cq + 1) * (tots.tp + {d})".format(
         d=dim
     )
@@ -932,15 +941,16 @@ def corpus_drift_js_sql(
     ),
     seen AS (
       SELECT c.bucket,
-             CAST(SUM(CASE WHEN f.is_new = 0 THEN c.cnt ELSE 0 END)
+             CAST(SUM(CASE WHEN c.doc_id % 2 = 0 THEN c.cnt ELSE 0 END)
                   AS BIGINT) AS cp,
-             CAST(SUM(CASE WHEN f.is_new = 1 THEN c.cnt ELSE 0 END)
+             CAST(SUM(CASE WHEN c.doc_id % 2 = 1 THEN c.cnt ELSE 0 END)
                   AS BIGINT) AS cq
-      FROM cnts c JOIN flag f ON f.doc_id = c.doc_id
+      FROM cnts c
       GROUP BY c.bucket
     ),
     byb AS (
-      SELECT sp.i AS bucket, CAST(COALESCE(s.cp, 0) AS BIGINT) AS cp,
+      SELECT /*+ BROADCAST(s) */ sp.i AS bucket,
+             CAST(COALESCE(s.cp, 0) AS BIGINT) AS cp,
              CAST(COALESCE(s.cq, 0) AS BIGINT) AS cq
       FROM ({_seeds(dialect, dim)}) sp LEFT JOIN seen s ON s.bucket = sp.i
     ),

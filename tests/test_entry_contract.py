@@ -89,6 +89,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     for rotated_in in (
         "sketch_kmv_retention", "sketch_rank_daily_cube",
         "text_chunk_knn", "mix_token_budget", "sample_weighted_tokens",
+        # round-8 family: incremental index maintenance (displaced
+        # knn_ivf_appended — the knn family keeps bruteforce + ivfpq +
+        # mmr reps; appended stays mirror-checked)
+        "streaming_text_index_parity",
         # carried r6/r7 rotations stay pinned
         "sketch_histogram_quantiles", "streaming_sketch_parity",
         "pipeline_corpus_funnel",
