@@ -3057,6 +3057,14 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: T.bm25_index_streaming(spark),
         T.bm25_topk_sql("duckdb"),
     )
+    # Same motif for the RAG chunk index (round 8): per-epoch chunk
+    # bigram-tf parts (chunking is per-doc local, so batch chunking ==
+    # corpus chunking restricted to the batch), postings + df-damping
+    # rebuilt over the merged parts at serving — one-shot parity.
+    q["streaming_chunk_index_parity"] = _df_entry(
+        lambda spark, sf: T.chunk_index_streaming(spark),
+        T.chunk_knn_sql("duckdb"),
+    )
 
     # ---- corpus Zipf/vocab profile + second-order LM score ------------------
     q["corpus_vocab_stats"] = _df_entry(

@@ -642,8 +642,29 @@ def ccnet_buckets_sql(dialect: str, source: str = "documents") -> str:
 # value-checkable cross-engine, including the approximate path.
 # ---------------------------------------------------------------------------
 
+def bigram_tf_sql(dialect: str, source: str = "documents") -> str:
+    """``(doc_id, feat, c)`` — the per-doc bigram term-frequency relation
+    the hashed-postings builder aggregates first.  Factored out (round 8)
+    because it is per-doc LOCAL: it is the maintainable unit of an
+    incremental embedding index (:func:`chunk_index_streaming` lands it
+    as per-epoch parts; every global statistic downstream — df, N — is
+    an aggregate OVER it, so postings from merged parts are
+    value-identical to a one-shot build)."""
+    tok = token_positions_sql(dialect, source)
+    return f"""
+    SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM ({tok}) a JOIN ({tok}) b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id, CONCAT(a.word, ' ', b.word)
+    """
+
+
 def hashed_embedding_postings_sql(
-    dialect: str, dim: int = 256, source: str = "documents"
+    dialect: str,
+    dim: int = 256,
+    source: str = "documents",
+    tf_rel: str | None = None,
 ) -> str:
     """``(doc_id, bucket, w)`` — signed-hash feature postings: each token's
     60-bit portable hash supplies a sign bit (unbiases collisions, the
@@ -659,11 +680,30 @@ def hashed_embedding_postings_sql(
     16x amplified oracle at a 100 GiB limit; materialized it runs in
     12 s).  Spark re-executes CTEs per reference too — its side is
     handled by the callers' materialize_view/persist posture, since
-    Spark SQL has no MATERIALIZED keyword."""
+    Spark SQL has no MATERIALIZED keyword.
+
+    ``tf_rel``: build postings from a MAINTAINED ``(doc_id, feat, c)``
+    relation (merged per-epoch parts) instead of re-tokenizing — the
+    incremental-index hook; df-damping and tf-saturation apply over the
+    injected relation, so the result is value-identical to the one-shot
+    form whenever the relation equals :func:`bigram_tf_sql` output."""
     mat = "MATERIALIZED " if dialect == "duckdb" else ""
-    tok = token_positions_sql(dialect, source)
     h = portable_hash60_sql(dialect, "feat")
     div = "DIV" if dialect == "spark" else "//"
+    if tf_rel is not None:
+        head = (
+            f"WITH tf AS {mat}(SELECT doc_id, feat, CAST(c AS BIGINT) AS c "
+            f"FROM {tf_rel} tfr),"
+        )
+    else:
+        tok = token_positions_sql(dialect, source)
+        head = f"""WITH tok AS {mat}({tok}),
+    feats AS (
+      SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    tf AS {mat}(SELECT doc_id, feat, COUNT(*) AS c
+                FROM feats GROUP BY doc_id, feat),"""
     # Features are word BIGRAMS, not unigrams: unigram bag-of-words
     # degenerates on small shared vocabularies (every pair looks similar —
     # measured 83% of random pairs ≥ 0.5 on the synthetic corpus), while
@@ -674,13 +714,7 @@ def hashed_embedding_postings_sql(
     # ln() could diverge between engines), and tf saturates at 3
     # (sublinear weighting, LEAST is exact).
     return f"""
-    WITH tok AS {mat}({tok}),
-    feats AS (
-      SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-    ),
-    tf AS {mat}(SELECT doc_id, feat, COUNT(*) AS c
-                FROM feats GROUP BY doc_id, feat),
+    {head}
     ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
     keep AS (
       SELECT feat FROM tf GROUP BY feat
@@ -1461,6 +1495,105 @@ def bm25_index_streaming(
         run()
     merged = f"(SELECT doc_id, word, tf FROM parquet.`{parts}`)"
     return spark.sql(bm25_topk_sql("spark", query_doc, k, tf_rel=merged))
+
+
+def chunk_index_streaming(
+    spark,
+    query_doc: int = 0,
+    k: int = 10,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 1024,
+    n_batches: int = 3,
+    source: str = "documents",
+    _crash_after_write_epoch: int | None = None,
+    _parts_out: list | None = None,
+):
+    """Incrementally-maintained RAG chunk index (round 8) — the
+    :func:`bm25_index_streaming` motif applied to chunk retrieval: each
+    document micro-batch lands its chunks' ``(composite_id, bigram, c)``
+    term relation as an immutable per-epoch part (chunking is per-doc
+    LOCAL, so batch-wise chunking equals corpus chunking restricted to
+    the batch; replay overwrites exactly its own part).  Serving builds
+    the hashed postings FROM the merged parts — df-damping and N are
+    aggregates over that relation, so the streamed index answers
+    :func:`chunk_knn_sql` value-identically to a one-shot build, which
+    is what the gate oracle (static one-shot DuckDB) checks.  At 100 TB
+    this is RAG index FRESHNESS: new documents contribute chunks with
+    one bounded tokenize+chunk pass, no corpus rescan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    src = spark.table(source).select("doc_id", "text")
+    base = scratch_dir("chunk_ix_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    keyed = src.withColumn(
+        "__b", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
+    )
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    parts = os.path.join(base, "tf_parts")
+    ckpt = os.path.join(base, "ckpt")
+    if _parts_out is not None:
+        _parts_out.extend([parts, ckpt])
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        spark_ = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch.createOrReplaceTempView("__chunk_ix_batch")
+        inc = spark_.sql(bigram_tf_sql(
+            "spark",
+            _chunk_composite_rel("spark", size, stride, "__chunk_ix_batch"),
+        ))
+        inc.write.mode("overwrite").parquet(
+            os.path.join(parts, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after increment write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()  # replay overwrites its own epoch part — idempotent
+    merged = f"(SELECT doc_id, feat, c FROM parquet.`{parts}`)"
+    cp_sql = hashed_embedding_postings_sql("spark", dim, tf_rel=merged)
+    return spark.sql(chunk_knn_sql(
+        "spark", query_doc, k, size, stride, dim, source,
+        chunk_postings_rel=cp_sql,
+    ))
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,26 @@ def test_bm25_streaming_index_crash_replay_and_compaction(spark, sf_dir):
     assert key(
         spark.sql(bm25_topk_sql("spark", tf_rel=merged)).collect()
     ) == oneshot
+
+
+def test_chunk_streaming_index_crash_replay(spark, sf_dir):
+    """Round 8: the incrementally-maintained chunk index serves the exact
+    one-shot chunk retrieval through an injected crash + replay (per-epoch
+    parts; chunking is per-doc local so a replayed batch rewrites exactly
+    its own chunks' tf part)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        chunk_index_streaming,
+        chunk_knn_sql,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    key = lambda rows: [
+        (r["chunk_doc_id"], r["chunk_start"], r["cos"]) for r in rows
+    ]
+    oneshot = key(spark.sql(chunk_knn_sql("spark")).collect())
+    assert len(oneshot) == 10
+    streamed = key(
+        chunk_index_streaming(spark, _crash_after_write_epoch=1).collect()
+    )
+    assert streamed == oneshot
