@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "multimodal_bmp_resize",
     "corpus_drift_js",
+    "snapshot_diff_report",
     "knn_ivf_appended",
     "aql_parameterized",
     # the dense-bucket-capped AllPairs config — the bounded-candidate regime

@@ -2989,6 +2989,16 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         D.incremental_dedup_oracle_sql("doc_id % 7 = 0", prefix_words=20),
     )
+    # Dataset-versioning diff (round 8): added/removed/modified/unchanged
+    # per source across two snapshots — the row-level promotion audit
+    # (corpus_drift_js is its distribution-level twin).  Only 16-byte
+    # fingerprints cross the full-outer keyed shuffle.
+    q["snapshot_diff_report"] = _df_entry(
+        lambda spark, sf: spark.sql(D.snapshot_diff_sql(
+            "spark", "documents", D.SNAPSHOT_DIFF_NEW_REL
+        )),
+        D.snapshot_diff_sql("duckdb", "documents", D.SNAPSHOT_DIFF_NEW_REL),
+    )
 
     # ---- incremental NEAR-dup: new snapshot vs corpus, MinHash-banded -------
     # Candidates only form across snapshots (delivery-sized, not corpus-

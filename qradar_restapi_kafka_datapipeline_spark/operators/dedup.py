@@ -951,6 +951,52 @@ def _snapshot_fingerprint(text_col: str, prefix_words: int | None):
     return F.md5(F.concat_ws(" ", words))
 
 
+def snapshot_diff_sql(dialect: str, old_rel: str, new_rel: str) -> str:
+    """Dataset-versioning diff (round 8): classify every document across
+    two snapshot relations as added / removed / modified / unchanged and
+    count per (source, status) — the audit a recurring-crawl platform
+    prints before promoting a delivery (pairs with the distribution-level
+    :func:`...curation.corpus_drift_js_sql`: this is the ROW-level diff).
+
+    Identity is ``doc_id``; change detection is the shared normalized-md5
+    fingerprint (:func:`...text.normalized_md5_sql`), so the 16-byte
+    digest — never text — crosses the shuffle.  The FULL OUTER equi-join
+    on doc_id is the honest shape of a diff (both sides corpus-sized; no
+    broadcast exists for full-outer in Spark) — one keyed shuffle,
+    named in the plan-report SMJ allowlist."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        normalized_md5_sql,
+    )
+
+    fp = normalized_md5_sql("text", dialect)
+    return f"""
+    WITH o AS (SELECT doc_id, source, {fp} AS fp FROM {old_rel} od),
+    n AS (SELECT doc_id, source, {fp} AS fp FROM {new_rel} nd),
+    j AS (
+      SELECT COALESCE(n.source, o.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp = n.fp THEN 'unchanged'
+                  ELSE 'modified' END AS status
+      FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY source, status
+    """
+
+
+#: The gate's synthetic second snapshot, shared verbatim by both engines:
+#: every 7th doc removed, every 11th edited (normalization-surviving token
+#: append), every 13th re-added under a shifted id (pure adds).
+SNAPSHOT_DIFF_NEW_REL = (
+    "(SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 "
+    "THEN CONCAT(text, ' editmark') ELSE text END AS text "
+    "FROM documents WHERE doc_id % 7 != 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, source, text "
+    "FROM documents WHERE doc_id % 13 = 0)"
+)
+
+
 def incremental_dedup(
     new_df: DataFrame,
     corpus_df: DataFrame,

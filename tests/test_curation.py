@@ -763,3 +763,28 @@ def test_corpus_drift_js_properties(spark, tables):
     ).first()
     assert same["js_nats"] == 0.0
     assert same["bigrams_old"] == same["bigrams_new"]
+
+
+def test_snapshot_diff_exact_counts(spark, tables):
+    """Round 8: the versioning diff must classify exactly — the synthetic
+    second snapshot removes every 7th doc, edits every (surviving) 11th,
+    and re-adds every 13th under a shifted id, so the per-status totals
+    are computable from the split predicates alone."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+        SNAPSHOT_DIFF_NEW_REL,
+        snapshot_diff_sql,
+    )
+
+    ids = [r["doc_id"] for r in spark.table("documents").collect()]
+    want = {
+        "added": sum(1 for i in ids if i % 13 == 0),
+        "removed": sum(1 for i in ids if i % 7 == 0),
+        "modified": sum(1 for i in ids if i % 7 != 0 and i % 11 == 0),
+        "unchanged": sum(1 for i in ids if i % 7 != 0 and i % 11 != 0),
+    }
+    got = {}
+    for r in spark.sql(
+        snapshot_diff_sql("spark", "documents", SNAPSHOT_DIFF_NEW_REL)
+    ).collect():
+        got[r["status"]] = got.get(r["status"], 0) + r["n_docs"]
+    assert got == {k: v for k, v in want.items() if v > 0}

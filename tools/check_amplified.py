@@ -98,6 +98,8 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # round 8: JS drift — integer ln-ratio micro-units at k× the bigram
     # totals (the products inside LN args grow k²; exactness must hold)
     "corpus_drift_js": None,
+    # round 8: versioning diff — full-outer classification at k× rows
+    "snapshot_diff_report": None,
     "curate_dsir_apply": None,
     "streaming_dsir_apply_parity": None,
     "pipeline_corpus_funnel": 16,  # was OOM pre-materialization
