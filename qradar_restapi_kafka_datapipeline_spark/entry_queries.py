@@ -1235,7 +1235,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "sketch_hll_daily_cube",
     "sketch_kmv_retention",
     "sketch_rank_daily_cube",
-    "sketch_histogram_quantiles",
+    "corpus_drift_js",
     "sketch_rank_quantiles",
     "text_chunk_knn",
     "streaming_sketch_parity",
@@ -1248,7 +1248,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "streaming_text_index_parity",
     "knn_mmr_ivfpq",
     "semantic_dedup_pairs",
-    "embedding_quantize_report",
+    "snapshot_diff_report",
     "text_knn_indexed",
     "text_semantic_pairs_hashed_capped",
     "curate_dsir_topk",

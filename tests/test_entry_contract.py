@@ -89,12 +89,16 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     for rotated_in in (
         "sketch_kmv_retention", "sketch_rank_daily_cube",
         "text_chunk_knn", "mix_token_budget", "sample_weighted_tokens",
-        # round-8 family: incremental index maintenance (displaced
+        # round-8 families: incremental index maintenance (displaced
         # knn_ivf_appended — the knn family keeps bruteforce + ivfpq +
-        # mmr reps; appended stays mirror-checked)
+        # mmr reps), distribution drift (displaced histogram quantiles —
+        # rank/hll/cm/kmv still rep sketches), and versioning diff
+        # (displaced embedding_quantize_report — PQ serving reps
+        # quantization); all displaced entries stay mirror-checked
         "streaming_text_index_parity",
+        "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
-        "sketch_histogram_quantiles", "streaming_sketch_parity",
+        "streaming_sketch_parity",
         "pipeline_corpus_funnel",
         "aql_auto_rollup_minmax", "sketch_rank_quantiles",
         "streaming_dsir_apply_parity",

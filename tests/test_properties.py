@@ -1079,3 +1079,83 @@ class TestCubeServingDifferentialFuzz:
             assert s == o, f"retention diverged at span={span} k={k}"
 
         check()
+
+
+def _ref_corpus_drift_js(texts, old_of, dim):
+    """From-scratch Python mirror of corpus_drift_js_sql's spec: bigram
+    counts per side via the portable md5 hash, add-one smoothing, one ln
+    per bucket per side rounded half-away to 1e-6 units, BIGINT sums,
+    two terminal divides."""
+    import hashlib
+    import math
+
+    def half_away(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    cp = [0] * dim
+    cq = [0] * dim
+    n_old = n_new = 0
+    for d, text in enumerate(texts):
+        old = old_of(d)
+        n_old += old
+        n_new += not old
+        w = text.strip().split()
+        for a, b in zip(w, w[1:]):
+            h = int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16)
+            if old:
+                cp[h % dim] += 1
+            else:
+                cq[h % dim] += 1
+    tp, tq = sum(cp), sum(cq)
+    sp6 = sq6 = 0
+    for bkt in range(dim):
+        ap, aq = cp[bkt] + 1, cq[bkt] + 1
+        mix = ap * (tq + dim) + aq * (tp + dim)
+        sp6 += ap * half_away(
+            (math.log(2 * ap * (tq + dim) / mix) + 1e-9) * 1000000
+        )
+        sq6 += aq * half_away(
+            (math.log(2 * aq * (tp + dim) / mix) + 1e-9) * 1000000
+        )
+    js = 0.5 * (sp6 / 1000000 / (tp + dim) + sq6 / 1000000 / (tq + dim))
+    return (
+        n_old, n_new, tp, tq,
+        half_away((js + 1e-9) * 1000000) / 1000000,
+    )
+
+
+class TestCorpusDriftDifferential:
+    """Random small-vocab corpora with random snapshot splits vs a
+    from-scratch Python JS implementation — catches smoothing, spine
+    (never-seen buckets), rounding, and side-assignment edge cases
+    including a fully-empty side."""
+
+    @settings(max_examples=4, deadline=None, database=None)
+    @given(_doc_texts, st.integers(min_value=1, max_value=3))
+    def test_matches_reference(self, spark, texts, mod):
+        from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+            corpus_drift_js_sql,
+        )
+
+        dim = 64
+        spark.createDataFrame(
+            [(i, t, "s") for i, t in enumerate(texts)],
+            ["doc_id", "text", "source"],
+        ).createOrReplaceTempView("prop_drift_docs")
+        row = spark.sql(
+            corpus_drift_js_sql(
+                "spark",
+                old_pred=f"doc_id % {mod + 1} = 0",
+                dim=dim,
+                source="prop_drift_docs",
+            )
+        ).first()
+        want = _ref_corpus_drift_js(
+            texts, lambda d: d % (mod + 1) == 0, dim
+        )
+        got = (
+            row["n_old"], row["n_new"], row["bigrams_old"],
+            row["bigrams_new"], row["js_nats"],
+        )
+        assert got[:4] == want[:4]
+        assert abs(got[4] - want[4]) < 2e-6, (got[4], want[4])
