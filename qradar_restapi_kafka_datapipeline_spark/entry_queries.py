@@ -1217,6 +1217,18 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: aql_auto_rollup_minmax (min/max view states), sketch_rank_quantiles +
 #: sketch_rank_merge_parity (unbounded-domain HDR rank sketch), and
 #: streaming_dsir_apply_parity (frozen-selector stream scoring).
+#: Round 8 (VERDICT r7 #2) rotated OUT sketch_hll_distinct (⊂ daily cube),
+#: sketch_cm_merge_parity (⊂ heavy hitters + streaming parity),
+#: sketch_rank_merge_parity (⊂ rank_quantiles), aql_auto_rollup_count
+#: (⊂ minmax + routed), curate_dsir_apply (⊂ its streaming parity),
+#: knn_ivf_appended (knn keeps bruteforce/ivfpq/mmr),
+#: sketch_histogram_quantiles (sketches keep rank/hll/cm/kmv reps), and
+#: embedding_quantize_report (⊂ PQ serving) — all mirror-covered; IN one
+#: rep per round-7/8 family the hard gate never hashed:
+#: sketch_kmv_retention (KMV cube), sketch_rank_daily_cube (HDR cube),
+#: text_chunk_knn (chunk RAG), mix_token_budget, sample_weighted_tokens,
+#: streaming_text_index_parity (incremental index maintenance),
+#: corpus_drift_js (distribution drift), snapshot_diff_report (versioning).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
