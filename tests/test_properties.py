@@ -1159,3 +1159,96 @@ class TestCorpusDriftDifferential:
         )
         assert got[:4] == want[:4]
         assert abs(got[4] - want[4]) < 2e-6, (got[4], want[4])
+
+
+def _ref_snapshot_diff(texts, removed_of, edited_of, added_of):
+    """From-scratch Python mirror of snapshot_diff_sql's synthetic-split
+    spec: normalized-md5 fingerprints, doc_id identity."""
+    import hashlib
+    import re as _re
+
+    def fp(t):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.strip().lower()).encode()
+        ).hexdigest()
+
+    out = {"added": 0, "removed": 0, "modified": 0, "unchanged": 0}
+    for d, text in enumerate(texts):
+        if added_of(d):
+            out["added"] += 1  # re-added under a shifted id
+        if removed_of(d):
+            out["removed"] += 1
+        elif edited_of(d) and fp(text + " editmark") != fp(text):
+            out["modified"] += 1
+        else:
+            out["unchanged"] += 1
+    return {k: v for k, v in out.items() if v}
+
+
+class TestSnapshotDiffDifferential:
+    """Random corpora vs a from-scratch Python diff over the same
+    removed/edited/re-added split — catches fingerprint-normalization and
+    full-outer classification edges (empty docs, whitespace-only edits)."""
+
+    @settings(max_examples=4, deadline=None, database=None)
+    @given(_doc_texts, st.integers(min_value=2, max_value=4))
+    def test_matches_reference(self, spark, texts, m):
+        from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+            snapshot_diff_sql,
+        )
+
+        spark.createDataFrame(
+            [(i, t, "s") for i, t in enumerate(texts)],
+            ["doc_id", "text", "source"],
+        ).createOrReplaceTempView("prop_diff_docs")
+        new_rel = (
+            f"(SELECT doc_id, source, CASE WHEN doc_id % {m + 1} = 0 "
+            "THEN CONCAT(text, ' editmark') ELSE text END AS text "
+            f"FROM prop_diff_docs WHERE doc_id % {m} != 0 "
+            "UNION ALL SELECT doc_id + 1000000 AS doc_id, source, text "
+            f"FROM prop_diff_docs WHERE doc_id % {m + 2} = 0)"
+        )
+        got = {}
+        for r in spark.sql(
+            snapshot_diff_sql("spark", "prop_diff_docs", new_rel)
+        ).collect():
+            got[r["status"]] = got.get(r["status"], 0) + r["n_docs"]
+        want = _ref_snapshot_diff(
+            texts,
+            removed_of=lambda d: d % m == 0,
+            edited_of=lambda d: d % (m + 1) == 0,
+            added_of=lambda d: d % (m + 2) == 0,
+        )
+        assert got == want
+
+
+class TestBm25TfRelEquivalence:
+    """The incremental-index serving hook must be a pure refactor: BM25
+    served from an injected (doc, word, tf) relation equals the
+    re-tokenizing form on random corpora (empty docs, single tokens,
+    all-identical docs included)."""
+
+    @settings(max_examples=4, deadline=None, database=None)
+    @given(_doc_texts)
+    def test_matches_default_path(self, spark, texts):
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            bm25_topk_sql,
+            token_positions_sql,
+        )
+
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).createOrReplaceTempView("prop_bm25_docs")
+        base = spark.sql(
+            bm25_topk_sql("spark", source="prop_bm25_docs")
+        ).collect()
+        tf_rel = (
+            "(SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM ("
+            + token_positions_sql("spark", "prop_bm25_docs")
+            + ") t WHERE word != '' GROUP BY doc_id, word)"
+        )
+        via_rel = spark.sql(
+            bm25_topk_sql("spark", source="prop_bm25_docs", tf_rel=tf_rel)
+        ).collect()
+        key = lambda rows: [(r["doc_id"], r["score"], r["rk"]) for r in rows]
+        assert key(via_rel) == key(base)
