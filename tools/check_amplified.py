@@ -100,6 +100,11 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "corpus_drift_js": None,
     # round 8: versioning diff — full-outer classification at k× rows
     "snapshot_diff_report": None,
+    # round 8: incrementally-maintained indexes replayed at k× volume —
+    # per-epoch tf parts fold 16x the terms, serving must still equal the
+    # one-shot oracle (df/N/avgdl shift with volume)
+    "streaming_text_index_parity": None,
+    "streaming_chunk_index_parity": 16,  # chunk oracle is the 64x bound
     "curate_dsir_apply": None,
     "streaming_dsir_apply_parity": None,
     "pipeline_corpus_funnel": 16,  # was OOM pre-materialization
