@@ -60,6 +60,7 @@ _DAY_PART_MEMO: dict[tuple[int, str], str] = {}
 #: (session id, sf_dir) → persisted IVF index path (same memo contract).
 _IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
+_IVF_REBAL_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
@@ -2698,6 +2699,36 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["knn_ivf_appended"] = _emitting_entry(
         "knn_ivf_appended",
         _ivf_appended_run,
+        S.knn_emitted_oracle_sql(query_max=10, k=3),
+    )
+
+    # Index-lifecycle closure (round 8): after frozen-quantizer appends,
+    # RETRAIN-and-rebuild from the index's own vectors (rebalance_ivf_index
+    # — crash-safe rename swap) and serve from the rebalanced tree; every
+    # emitted row value-verified by the same emitted-keys oracle.
+    def _ivf_rebalanced_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        key = (id(spark), sf)
+        if key not in _IVF_REBAL_MEMO:
+            base = os.path.join(scratch_dir("ivf_rebal_"), "index")
+            emb = spark.table("embeddings")
+            S.build_ivf_index(spark, emb.where("vec_id % 7 != 0"), base)
+            S.append_to_ivf_index(spark, base, emb.where("vec_id % 7 = 0"))
+            S.rebalance_ivf_index(spark, base)
+            _IVF_REBAL_MEMO[key] = base
+        return S.knn_ivf_from_index(
+            spark,
+            _IVF_REBAL_MEMO[key],
+            spark.table("embeddings").where("vec_id < 10"),
+            k=3,
+        )
+
+    q["knn_ivf_rebalanced"] = _emitting_entry(
+        "knn_ivf_rebalanced",
+        _ivf_rebalanced_run,
         S.knn_emitted_oracle_sql(query_max=10, k=3),
     )
 

@@ -725,6 +725,83 @@ def append_to_ivf_index(
     ).parquet(f"{path}/assignments")
 
 
+def recover_ivf_index(spark, path: str) -> str:
+    """Self-heal a rebalance killed between its two renames (the one crash
+    point where the live index is briefly absent — the staged-out tree
+    sits intact at ``path.__rebal_old``).  Same protocol as
+    :func:`...sketches.recover_sketch_parts`; idempotent, called
+    automatically by :func:`rebalance_ivf_index`."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, old = f"{path}.__rebal_tmp", f"{path}.__rebal_old"
+    did = "ok"
+    if not fs.exists(hpath(path)) and fs.exists(hpath(old)):
+        if not fs.rename(hpath(old), hpath(path)):
+            raise RuntimeError(f"recover_ivf_index: cannot restore {old}")
+        did = "restored_old"
+    if fs.exists(hpath(tmp)):
+        fs.delete(hpath(tmp), True)
+        did = "dropped_tmp" if did == "ok" else did
+    return did
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1024,
+    iters: int = 4,
+) -> int:
+    """Retrain-and-rebuild the persisted IVF index from ITS OWN vectors —
+    the maintenance step :func:`append_to_ivf_index`'s contract defers to
+    ("re-train + rebuild only when drift degrades the recall contract"):
+    appends keep the quantizer frozen, so after enough distribution drift
+    (detectable with the corpus_drift_js monitor on the source side, or a
+    falling :func:`knn_ivf_recall_report`) lists skew and recall decays.
+
+    The whole indexed corpus is read back from the assignments tree
+    (vectors live in the index — no source rescan), centroids retrain on
+    a bounded deterministic sample, every vector reassigns via the same
+    broadcast-join path as the builder, and the new tree swaps in by
+    stage-out/stage-in rename (every crash point leaves the OLD or the
+    NEW index fully readable; :func:`recover_ivf_index` self-heals the
+    one mid-swap window).  Serving code needs no change: the layout
+    contract (centroids/ + assignments/ partitioned by list_id) is
+    preserved.  Returns the number of vectors re-indexed."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    recover_ivf_index(spark, path)
+    emb = (
+        spark.read.option("basePath", f"{path}/assignments")
+        .parquet(f"{path}/assignments")
+        .select(id_col, vec_col)
+    )
+    n = emb.count()
+    cents = _train_ivf_centroids(
+        emb, n_centroids, id_col, vec_col, sample_n, iters
+    )
+    tmp, old = f"{path}.__rebal_tmp", f"{path}.__rebal_old"
+    fs.delete(hpath(tmp), True)
+    spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in enumerate(cents)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).coalesce(1).write.parquet(f"{tmp}/centroids")
+    _assign(emb, cents, 1, id_col, vec_col).write.partitionBy(
+        "list_id"
+    ).parquet(f"{tmp}/assignments")
+    if not fs.rename(hpath(path), hpath(old)):
+        raise RuntimeError(f"rebalance_ivf_index: could not stage out {path}")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        fs.rename(hpath(old), hpath(path))  # restore the live index
+        raise RuntimeError(f"rebalance_ivf_index: rename failed for {tmp}")
+    fs.delete(hpath(old), True)
+    return n
+
+
 def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3) -> str:
     """Emitted-keys property-oracle template for ENGINE-CHOSEN kNN results
     (``{emitted}`` expands to the materialized result relation): DuckDB reads

@@ -482,3 +482,81 @@ def test_bmp_resize_samples_exact_pixels():
     assert got["src_pixels"] == 10
     # n_bytes: new row 6 → stride 8 (2 pad bytes) for 1 row
     assert got["n_bytes"] == 54 + 8
+
+
+def test_ivf_rebalance_preserves_vectors_and_exact_at_full_probe(
+    spark, tmp_path, sf_dir
+):
+    """Round 8 lifecycle closure: retrain-and-rebuild from the index's own
+    vectors must (1) preserve the indexed set exactly — ids AND vectors,
+    (2) assign every vector to its nearest NEW centroid (single-shot
+    rebuild equivalence), (3) serve the exact brute-force top-k at full
+    probe, and (4) self-heal from a mid-swap crash state."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.entry_queries import setup
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_from_index,
+        rebalance_ivf_index,
+        recover_ivf_index,
+    )
+
+    setup(spark, sf_dir)
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "ivf_rebal")
+    build_ivf_index(spark, emb.where("vec_id % 7 != 0"), base)
+    append_to_ivf_index(spark, base, emb.where("vec_id % 7 = 0"))
+
+    def snap(path):
+        return {
+            (r["vec_id"], tuple(r["embedding"]))
+            for r in spark.read.option("basePath", f"{path}/assignments")
+            .parquet(f"{path}/assignments")
+            .select("vec_id", "embedding").collect()
+        }
+
+    before = snap(base)
+    n = rebalance_ivf_index(spark, base)
+    assert n == emb.count()
+    assert snap(base) == before  # (1) the indexed set is untouched
+
+    # (2) a from-scratch build over the SAME vectors with the same seeds
+    # yields the identical assignment relation (same trainer, same sample)
+    base2 = str(tmp_path / "ivf_single")
+    build_ivf_index(
+        spark,
+        spark.read.option("basePath", f"{base}/assignments")
+        .parquet(f"{base}/assignments").select("vec_id", "embedding"),
+        base2,
+    )
+    lists = lambda p: {
+        (r["vec_id"], r["list_id"])
+        for r in spark.read.option("basePath", f"{p}/assignments")
+        .parquet(f"{p}/assignments").select("vec_id", "list_id").collect()
+    }
+    assert lists(base) == lists(base2)
+
+    # (3) full probe == exact brute-force top-k
+    got = {
+        (r["q_id"], r["n_id"], r["cos"], r["rk"])
+        for r in knn_ivf_from_index(
+            spark, base, emb.where("vec_id < 5"), k=3, nprobe=16
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["n_id"], r["cos"], r["rk"])
+        for r in knn_ivf(
+            emb, query_ids=list(range(5)), k=3, n_centroids=16, nprobe=16
+        ).collect()
+    }
+    assert got == want
+
+    # (4) mid-swap crash state self-heals and serving resumes
+    os.rename(base, base + ".__rebal_old")
+    os.makedirs(base + ".__rebal_tmp")
+    assert recover_ivf_index(spark, base) == "restored_old"
+    assert not os.path.exists(base + ".__rebal_tmp")
+    assert snap(base) == before
