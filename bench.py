@@ -93,7 +93,9 @@ HEADLINE = [
     "multimodal_bmp_resize",
     "corpus_drift_js",
     "snapshot_diff_report",
+    "window_funnel_conversion",
     "knn_ivf_appended",
+    "knn_ivf_rebalanced",
     "aql_parameterized",
     # the dense-bucket-capped AllPairs config — the bounded-candidate regime
     # a power-law corpus needs; the uncapped prefix entry stays gate-checked

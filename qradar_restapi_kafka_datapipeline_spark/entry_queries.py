@@ -1799,6 +1799,22 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         _gap.format(ms="epoch_ms"),
     )
 
+    # ClickHouse windowFunnel analog (round 8): deepest ordered
+    # view→click→purchase level per user within a 1-day window — running-
+    # max anchor propagation, one window pass per step, NO per-user
+    # self-joins (quadratic on hot users).  Fuzz-tested against a
+    # brute-force chain enumeration (tests/test_properties.py).
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        window_funnel_sql,
+    )
+
+    q["window_funnel_conversion"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            window_funnel_sql("spark", window_ms=86_400_000)
+        ),
+        window_funnel_sql("duckdb", window_ms=86_400_000),
+    )
+
     # ---- rolling distinct users (DAU over trailing 7-day windows) -----------
     # COUNT(DISTINCT) is not a window function in Spark (or standard SQL), so
     # the rolling-unique metric is a (day, user) distinct projection joined to

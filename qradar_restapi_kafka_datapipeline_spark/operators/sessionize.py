@@ -179,3 +179,74 @@ def sessionize_sql(dialect: str, gap_minutes: int = 30, source: str = "events") 
     ) s
     GROUP BY user_id, session_id
     """
+
+
+def window_funnel_sql(
+    dialect: str,
+    steps: tuple[str, ...] = (
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ),
+    window_ms: int = 3_600_000,
+    source: str = "events",
+) -> str:
+    """ClickHouse ``windowFunnel`` as a relation (round 8): per user, the
+    deepest funnel level L such that step events occur in (non-strict)
+    time order with the WHOLE chain inside ``window_ms`` of its step-1
+    anchor; emits ``(funnel_level, n_users)`` over users with ≥1 step
+    event.  The conversion question every product/security journey asks
+    ("viewed → clicked → purchased within an hour").
+
+    NO self-joins (a per-user step1×step2 join is quadratic on hot
+    users): one window pass per step propagates a RUNNING-MAX anchor —
+    a_1(t) = latest step-1 ts ≤ t; a_k(t) = latest a_{k-1} carried by a
+    step-k row ≤ t — and a step-k row reaches level k iff
+    t − a_{k-1} ≤ window (intermediate steps need no own check: they lie
+    between anchor and the final step, so their span is implied; a MAX
+    anchor is optimal for the final-span test).  Linear per user, one
+    shuffle on user_id; ordering is ({ms}(ts), event_id) — the
+    generation-stable discipline (CLAUDE.md) — so both engines walk
+    identical sequences and the result is fully hash-checked."""
+    ms = "unix_millis" if dialect == "spark" else "epoch_ms"
+    step_case = " ".join(
+        f"WHEN {p} THEN {i + 1}" for i, p in enumerate(steps)
+    )
+    n = len(steps)
+    ctes = [
+        f"""ev AS (
+      SELECT user_id, {ms}(ts) AS t, event_id,
+             CASE {step_case} ELSE 0 END AS step
+      FROM {source} WHERE CASE {step_case} ELSE 0 END > 0
+    )""",
+        """a1 AS (
+      SELECT user_id, t, event_id, step,
+             MAX(CASE WHEN step = 1 THEN t END) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anc1
+      FROM ev
+    )""",
+    ]
+    for k in range(2, n):
+        ctes.append(f"""a{k} AS (
+      SELECT *, MAX(CASE WHEN step = {k} THEN anc{k - 1} END) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anc{k}
+      FROM a{k - 1}
+    )""")
+    level_arms = " ".join(
+        f"WHEN step = {k} AND anc{k - 1} IS NOT NULL "
+        f"AND t - anc{k - 1} <= {window_ms} THEN {k}"
+        for k in range(n, 1, -1)
+    )
+    return f"""
+    WITH {", ".join(ctes)},
+    lv AS (
+      SELECT user_id,
+             MAX(CASE {level_arms} WHEN step = 1 THEN 1 ELSE 0 END)
+               AS funnel_level
+      FROM a{n - 1} GROUP BY user_id
+    )
+    SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY funnel_level
+    """

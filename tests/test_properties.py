@@ -1252,3 +1252,86 @@ class TestBm25TfRelEquivalence:
         ).collect()
         key = lambda rows: [(r["doc_id"], r["score"], r["rk"]) for r in rows]
         assert key(via_rel) == key(base)
+
+
+def _ref_window_funnel(rows, n_steps, window):
+    """Brute-force chain enumeration (independent of the windowed
+    algorithm): per user, level = longest prefix 1..L with events at
+    non-decreasing (t, event_id) positions and span t_L - t_1 <= window."""
+    import itertools
+
+    by_user = {}
+    for u, t, eid, step in rows:
+        by_user.setdefault(u, []).append((t, eid, step))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        best = 0
+        for lvl in range(1, n_steps + 1):
+            found = False
+            pools = [
+                [i for i, e in enumerate(evs) if e[2] == k]
+                for k in range(1, lvl + 1)
+            ]
+            for combo in itertools.product(*pools):
+                if all(a <= b for a, b in zip(combo, combo[1:])) and (
+                    evs[combo[-1]][0] - evs[combo[0]][0] <= window
+                ):
+                    found = True
+                    break
+            if found:
+                best = lvl
+            else:
+                break
+        # level 0 = has step events but never step-1 (ClickHouse returns
+        # 0 for such users too; the SQL's ev relation keeps them)
+        out[best] = out.get(best, 0) + 1
+    return out
+
+
+class TestWindowFunnelDifferential:
+    """The running-max-anchor funnel vs brute-force chain enumeration on
+    random tiny event logs — an INDEPENDENT check of the algorithm itself
+    (anchors, window cutoff, same-timestamp tie order), not a mirror."""
+
+    _events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=30),   # t (ms)
+            st.integers(min_value=1, max_value=3),    # step
+        ),
+        min_size=1,
+        max_size=14,
+    )
+
+    @settings(max_examples=12, deadline=None, database=None)
+    @given(_events, st.integers(min_value=1, max_value=20))
+    def test_matches_bruteforce(self, spark, events, window):
+        import datetime
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+            window_funnel_sql,
+        )
+
+        preds = tuple(f"qid = {k}" for k in (1, 2, 3))
+        rows = [
+            (u, t, eid, step) for eid, (u, t, step) in enumerate(events)
+        ]
+        spark.createDataFrame(
+            [
+                (u, datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(milliseconds=t), eid, step)
+                for u, t, eid, step in rows
+            ],
+            "user_id LONG, ts TIMESTAMP, event_id LONG, qid LONG",
+        ).createOrReplaceTempView("prop_funnel_events")
+        got = {
+            r["funnel_level"]: r["n_users"]
+            for r in spark.sql(
+                window_funnel_sql(
+                    "spark", steps=preds, window_ms=window,
+                    source="prop_funnel_events",
+                )
+            ).collect()
+        }
+        assert got == _ref_window_funnel(rows, 3, window)

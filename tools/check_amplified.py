@@ -57,6 +57,9 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "beaconing_score": None,
     "beaconing_score_bucketed": None,
     "sessionize_events": None,
+    # round 8: windowFunnel — anchor chains at k× event volume (and the
+    # skew runs put the hot user's whole journey in one window partition)
+    "window_funnel_conversion": None,
     "sessionize_events_bucketed": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
