@@ -1308,6 +1308,12 @@ def _curation_entries(q: dict[str, Q]) -> None:
         ),
         C.stratified_sample_sql("duckdb", _RATES, default_bp=2500),
     )
+    # Exactly-k-per-stratum deterministic draw (round 8): the eval-set
+    # constructor — hash-ranked, reproducible, exact counts per source.
+    q["sample_exact_k_per_stratum"] = _df_entry(
+        lambda spark, sf: spark.sql(C.exact_k_per_stratum_sql("spark")),
+        C.exact_k_per_stratum_sql("duckdb"),
+    )
     q["curate_corpus_en"] = _df_entry(
         lambda spark, sf: spark.sql(C.curate_corpus_sql("spark")),
         C.curate_corpus_sql("duckdb"),

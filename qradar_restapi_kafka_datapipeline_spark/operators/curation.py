@@ -89,6 +89,36 @@ def stratified_sample_sql(
     )
 
 
+def exact_k_per_stratum_sql(
+    dialect: str,
+    k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> str:
+    """EXACTLY-k-per-stratum deterministic draw (round 8) — the eval-set
+    constructor ("100 held-out docs per source, same set every run"):
+    rank each stratum by the portable id hash (a uniform, input-blind
+    order) and keep rank ≤ k.  Rate-based gating
+    (:func:`stratified_sample_sql`) cannot promise exact counts; this
+    pays one bounded per-stratum sort for them.  Skew note: the window
+    partitions by stratum, so a stratum's rows sort in one task — for
+    strata past the task-sort budget use the bucketed-window twin
+    pattern (operators/skew.py) or pre-filter with a rate gate sized to
+    ~10k× k and rank the survivors (two-phase, same result because the
+    hash order is preserved by the gate)."""
+    h = portable_id_hash_sql(id_col, dialect)
+    return f"""
+    SELECT {id_col}, {strat_col}, rk FROM (
+      SELECT {id_col}, {strat_col},
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY {strat_col}
+               ORDER BY {h}, {id_col}) AS INT) AS rk
+      FROM {table}
+    ) ranked WHERE rk <= {k}
+    """
+
+
 def stratified_sample(
     df: DataFrame,
     rates_bp: dict[str, int],

@@ -788,3 +788,28 @@ def test_snapshot_diff_exact_counts(spark, tables):
     ).collect():
         got[r["status"]] = got.get(r["status"], 0) + r["n_docs"]
     assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_exact_k_per_stratum_counts_and_determinism(spark, tables):
+    """Round 8: the eval-set constructor keeps EXACTLY min(k, |stratum|)
+    docs per stratum, the same set on every run, and a smaller k draws a
+    strict PREFIX of a larger k's set (the property that lets eval sets
+    grow without resampling history)."""
+    k5 = spark.sql(C.exact_k_per_stratum_sql("spark", k=5)).collect()
+    sizes = {}
+    for r in k5:
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+    strata = {
+        r["source"]: r["n"]
+        for r in spark.sql(
+            "SELECT source, COUNT(*) AS n FROM documents GROUP BY source"
+        ).collect()
+    }
+    assert sizes == {s: min(5, n) for s, n in strata.items()}
+    again = spark.sql(C.exact_k_per_stratum_sql("spark", k=5)).collect()
+    key = lambda rows: sorted((r["doc_id"], r["source"], r["rk"]) for r in rows)
+    assert key(again) == key(k5)
+    k3 = {r["doc_id"] for r in spark.sql(
+        C.exact_k_per_stratum_sql("spark", k=3)
+    ).collect()}
+    assert k3 <= {r["doc_id"] for r in k5}
