@@ -1820,6 +1820,18 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         window_funnel_sql("duckdb", window_ms=86_400_000),
     )
+    # Exact cohort retention (round 8): first-seen cohorts,
+    # per-(cohort, offset) return counts — the classic product metric
+    # complementing the KMV day-pair estimator; all shuffles on user_id
+    # or the bounded cohort pair.
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        cohort_retention_exact_sql,
+    )
+
+    q["cohort_retention_exact"] = _df_entry(
+        lambda spark, sf: spark.sql(cohort_retention_exact_sql("spark")),
+        cohort_retention_exact_sql("duckdb"),
+    )
 
     # ---- rolling distinct users (DAU over trailing 7-day windows) -----------
     # COUNT(DISTINCT) is not a window function in Spark (or standard SQL), so

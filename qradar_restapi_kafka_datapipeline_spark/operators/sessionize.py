@@ -250,3 +250,51 @@ def window_funnel_sql(
     SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM lv GROUP BY funnel_level
     """
+
+
+def cohort_retention_exact_sql(
+    dialect: str,
+    max_offset: int = 7,
+    source: str = "events",
+) -> str:
+    """Exact cohort retention (round 8): for every (cohort day d, offset
+    i ≤ ``max_offset``) with any returning activity, how many of the
+    users FIRST SEEN on day d were active again on day d+i — the classic
+    product cohort metric, complementing the KMV-cube estimator
+    (:func:`...sketches.kmv_retention_sql`, which estimates the related
+    DAY-PAIR overlap — day-d actives returning on d+i — from bounded
+    per-day summaries without rescanning events).
+
+    Shape: distinct (user, day) pairs → per-user MIN day (the cohort) →
+    one equi-join of activity back to cohorts on user_id → count per
+    (cohort, offset).  Every shuffle keys on user_id or the bounded
+    (cohort_day, offset) pair; no window, no range join.  Day ids come
+    from the shared epoch-ms truncation (generation-stable, CLAUDE.md)."""
+    ms = "unix_millis" if dialect == "spark" else "epoch_ms"
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, {ms}(ts) {div} 86400000 AS day_id
+      FROM {source}
+    ),
+    cohort AS (
+      SELECT user_id, MIN(day_id) AS cohort_day FROM ud GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM cohort GROUP BY cohort_day
+    ),
+    ret AS (
+      SELECT c.cohort_day, u.day_id - c.cohort_day AS offset_days,
+             CAST(COUNT(*) AS BIGINT) AS retained
+      FROM ud u JOIN cohort c ON c.user_id = u.user_id
+      WHERE u.day_id - c.cohort_day BETWEEN 1 AND {max_offset}
+      GROUP BY c.cohort_day, u.day_id - c.cohort_day
+    )
+    SELECT r.cohort_day, r.offset_days, s.cohort_users, r.retained,
+           ROUND(CAST(r.retained AS DOUBLE)
+                 / CAST(s.cohort_users AS DOUBLE) + 1e-9, 6)
+             AS retention_rate
+    FROM ret r JOIN sizes s ON s.cohort_day = r.cohort_day
+    ORDER BY r.cohort_day, r.offset_days
+    """
