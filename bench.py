@@ -94,6 +94,8 @@ HEADLINE = [
     "corpus_drift_js",
     "snapshot_diff_report",
     "window_funnel_conversion",
+    "cohort_retention_exact",
+    "sample_exact_k_per_stratum",
     "knn_ivf_appended",
     "knn_ivf_rebalanced",
     "aql_parameterized",
