@@ -1230,6 +1230,17 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: text_chunk_knn (chunk RAG), mix_token_budget, sample_weighted_tokens,
 #: streaming_text_index_parity (incremental index maintenance),
 #: corpus_drift_js (distribution drift), snapshot_diff_report (versioning).
+#: Round 9 (VERDICT r8 #2) rotated OUT sketch_rank_quantiles (⊂ rank daily
+#: cube), knn_ivfpq_persisted (⊂ knn_mmr_ivfpq, which serves from the same
+#: persisted index), streaming_text_index_parity (the chunk-grain parity
+#: composes the same per-epoch parts protocol over a strictly larger
+#: pipeline), sample_weighted_tokens (sampling keeps mix_token_budget +
+#: the exact-k stratum draw), and dedup_clusters (⊂ minhash pairs →
+#: connected components, mirror-covered) — IN one rep per round-8 family
+#: the hard gate never hashed: window_funnel_conversion (event-sequence),
+#: cohort_retention_exact (first-seen cohorts, now the 1-scan DataFrame
+#: chain), knn_ivf_rebalanced (index lifecycle), streaming_chunk_index_
+#: parity (streamed chunk-index maintenance), sample_exact_k_per_stratum.
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1249,23 +1260,23 @@ GATE_WINDOW: tuple[str, ...] = (
     "sketch_kmv_retention",
     "sketch_rank_daily_cube",
     "corpus_drift_js",
-    "sketch_rank_quantiles",
+    "window_funnel_conversion",
     "text_chunk_knn",
     "streaming_sketch_parity",
     "dedup_exact_stats",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
-    "dedup_clusters",
+    "cohort_retention_exact",
     "knn_bruteforce_cosine",
-    "knn_ivfpq_persisted",
-    "streaming_text_index_parity",
+    "knn_ivf_rebalanced",
+    "streaming_chunk_index_parity",
     "knn_mmr_ivfpq",
     "semantic_dedup_pairs",
     "snapshot_diff_report",
     "text_knn_indexed",
     "text_semantic_pairs_hashed_capped",
     "curate_dsir_topk",
-    "sample_weighted_tokens",
+    "sample_exact_k_per_stratum",
     "streaming_dsir_apply_parity",
     "pipeline_corpus_funnel",
     "text_quality_scores",
@@ -1820,16 +1831,19 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         window_funnel_sql("duckdb", window_ms=86_400_000),
     )
-    # Exact cohort retention (round 8): first-seen cohorts,
+    # Exact cohort retention (round 8; r9: DataFrame chain with a persisted
+    # distinct (user, day) relation — ONE events scan instead of the SQL
+    # form's three CTE re-executions, VERDICT r8 #1): first-seen cohorts,
     # per-(cohort, offset) return counts — the classic product metric
     # complementing the KMV day-pair estimator; all shuffles on user_id
     # or the bounded cohort pair.
     from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        cohort_retention_exact,
         cohort_retention_exact_sql,
     )
 
     q["cohort_retention_exact"] = _df_entry(
-        lambda spark, sf: spark.sql(cohort_retention_exact_sql("spark")),
+        lambda spark, sf: cohort_retention_exact(spark),
         cohort_retention_exact_sql("duckdb"),
     )
 

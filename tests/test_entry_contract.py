@@ -88,21 +88,28 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     # routed, dsir_apply ⊂ streaming_dsir_apply_parity)
     for rotated_in in (
         "sketch_kmv_retention", "sketch_rank_daily_cube",
-        "text_chunk_knn", "mix_token_budget", "sample_weighted_tokens",
-        # round-8 families: incremental index maintenance (displaced
-        # knn_ivf_appended — the knn family keeps bruteforce + ivfpq +
-        # mmr reps), distribution drift (displaced histogram quantiles —
-        # rank/hll/cm/kmv still rep sketches), and versioning diff
-        # (displaced embedding_quantize_report — PQ serving reps
-        # quantization); all displaced entries stay mirror-checked
-        "streaming_text_index_parity",
+        "text_chunk_knn", "mix_token_budget",
+        # round-9 rotation (VERDICT r8 #2): one rep per round-8 family —
+        # event-sequence funnel (displaced sketch_rank_quantiles ⊂ rank
+        # daily cube), exact first-seen cohorts (displaced dedup_clusters
+        # ⊂ minhash pairs), IVF index lifecycle (displaced
+        # knn_ivfpq_persisted ⊂ knn_mmr_ivfpq on the same index),
+        # streamed chunk-index maintenance (displaced the text-grain
+        # streaming_text_index_parity — same per-epoch parts protocol,
+        # strictly larger pipeline), exactly-k stratum sampling
+        # (displaced sample_weighted_tokens — mix_token_budget +
+        # stratum draw rep sampling); all displaced stay mirror-checked
+        "window_funnel_conversion", "cohort_retention_exact",
+        "knn_ivf_rebalanced", "streaming_chunk_index_parity",
+        "sample_exact_k_per_stratum",
+        # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
         "streaming_sketch_parity",
         "pipeline_corpus_funnel",
-        "aql_auto_rollup_minmax", "sketch_rank_quantiles",
+        "aql_auto_rollup_minmax",
         "streaming_dsir_apply_parity",
-        "knn_ivfpq_persisted", "curate_quality_classifier",
+        "curate_quality_classifier",
         "decontaminate_bloom", "text_bm25_topk",
         "zorder_layout_keys", "knn_mmr_ivfpq",
         "sketch_cm_heavy_hitters", "sketch_hll_daily_cube",
@@ -122,6 +129,9 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "sketch_rank", "pipeline_corpus", "aql_auto_rollup_minmax",
         "streaming_dsir",
         # round 8 rotation (the r7 additions, now hard-gated)
-        "sketch_kmv", "text_chunk", "mix_token", "sample_weighted",
+        "sketch_kmv", "text_chunk", "mix_token",
+        # round 9 rotation (the r8 additions, now hard-gated)
+        "window_funnel", "cohort_retention", "knn_ivf_rebalanced",
+        "streaming_chunk", "sample_exact",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
