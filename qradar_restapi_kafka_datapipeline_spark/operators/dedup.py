@@ -987,12 +987,17 @@ def snapshot_diff_sql(dialect: str, old_rel: str, new_rel: str) -> str:
 
 #: The gate's synthetic second snapshot, shared verbatim by both engines:
 #: every 7th doc removed, every 11th edited (normalization-surviving token
-#: append), every 13th re-added under a shifted id (pure adds).
+#: append), every 13th re-added under a shifted id (pure adds).  The shift
+#: is MAX(doc_id)+1 via a scalar subquery — a fixed 1e6 constant silently
+#: collided with real ids on corpora at or above 1,000,000 (ADVICE r8),
+#: misclassifying 'added' rows in a way both engines agreed on (the gate
+#: hash passed while the fixture lied).
 SNAPSHOT_DIFF_NEW_REL = (
     "(SELECT doc_id, source, CASE WHEN doc_id % 11 = 0 "
     "THEN CONCAT(text, ' editmark') ELSE text END AS text "
     "FROM documents WHERE doc_id % 7 != 0 "
-    "UNION ALL SELECT doc_id + 1000000 AS doc_id, source, text "
+    "UNION ALL SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) "
+    "AS doc_id, source, text "
     "FROM documents WHERE doc_id % 13 = 0)"
 )
 

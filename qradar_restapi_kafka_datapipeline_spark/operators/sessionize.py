@@ -190,6 +190,7 @@ def window_funnel_sql(
     ),
     window_ms: int = 3_600_000,
     source: str = "events",
+    mode: str = "default",
 ) -> str:
     """ClickHouse ``windowFunnel`` as a relation (round 8): per user, the
     deepest funnel level L such that step events occur in (non-strict)
@@ -207,31 +208,99 @@ def window_funnel_sql(
     anchor is optimal for the final-span test).  Linear per user, one
     shuffle on user_id; ordering is ({ms}(ts), event_id) — the
     generation-stable discipline (CLAUDE.md) — so both engines walk
-    identical sequences and the result is fully hash-checked."""
+    identical sequences and the result is fully hash-checked.
+
+    ``mode`` (round 9, VERDICT r8 #5 — the strict variants a ClickHouse
+    windowFunnel user reaches next, as SEGMENTATION over the same anchor
+    chain; one extra window pass, still linear per user):
+
+    - ``"default"``: as above.
+    - ``"strict_order"``: any event matching NO step predicate breaks
+      every in-flight chain (ClickHouse ``strict_order``'s A→B→D→C = 2).
+      Needs the full event stream: rows are segmented by a running count
+      of non-step events and the anchor chain runs PARTITION BY
+      (user, segment) — chains can only form over CONSECUTIVE step
+      events.  Out-of-order step events do not break (they are chain
+      material, not foreign).
+    - ``"strict_dedup"``: a step event repeating the IMMEDIATELY
+      PRECEDING step value breaks the chain at that point (ClickHouse
+      ``strict_deduplication``'s consecutive-repeat reading: A→A stops
+      at 1, A→B→B→C at 2).  The breaking event opens the next segment,
+      so it may itself start a new chain.  Divergence from ClickHouse is
+      documented, not hidden: ClickHouse also interrupts on a NON-
+      consecutive repeat (A→B→A→C stops at 2; here the stale repeat is
+      ignored and C completes level 3) — the consecutive rule is the one
+      expressible as segmentation, and the fuzz oracle enumerates chains
+      under exactly this rule.
+    """
     ms = "unix_millis" if dialect == "spark" else "epoch_ms"
     step_case = " ".join(
         f"WHEN {p} THEN {i + 1}" for i, p in enumerate(steps)
     )
     n = len(steps)
-    ctes = [
-        f"""ev AS (
+    if n < 1:
+        raise ValueError("window_funnel_sql needs at least one step")
+    if mode not in ("default", "strict_order", "strict_dedup"):
+        raise ValueError(f"window_funnel_sql: unknown mode {mode!r}")
+    frame = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    if mode == "default":
+        pk = "user_id"
+        ctes = [
+            f"""ev AS (
+      SELECT user_id, {ms}(ts) AS t, event_id,
+             CASE {step_case} ELSE 0 END AS step
+      FROM {source} WHERE CASE {step_case} ELSE 0 END > 0
+    )"""
+        ]
+    elif mode == "strict_order":
+        pk = "user_id, seg"
+        ctes = [
+            f"""raw AS (
+      SELECT user_id, {ms}(ts) AS t, event_id,
+             CASE {step_case} ELSE 0 END AS step
+      FROM {source}
+    )""",
+            f"""ev AS (
+      SELECT user_id, t, event_id, step, seg FROM (
+        SELECT *, CAST(SUM(CASE WHEN step = 0 THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id {frame})
+               AS BIGINT) AS seg
+        FROM raw
+      ) s WHERE step > 0
+    )""",
+        ]
+    else:  # strict_dedup
+        pk = "user_id, seg"
+        ctes = [
+            f"""raw AS (
       SELECT user_id, {ms}(ts) AS t, event_id,
              CASE {step_case} ELSE 0 END AS step
       FROM {source} WHERE CASE {step_case} ELSE 0 END > 0
     )""",
-        """a1 AS (
+            f"""ev AS (
       SELECT user_id, t, event_id, step,
-             MAX(CASE WHEN step = 1 THEN t END) OVER (
-               PARTITION BY user_id ORDER BY t, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anc1
-      FROM ev
+             CAST(SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY t, event_id {frame})
+             AS BIGINT) AS seg
+      FROM (
+        SELECT *, CASE WHEN step = LAG(step) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id)
+               THEN 1 ELSE 0 END AS brk
+        FROM raw
+      ) m
     )""",
-    ]
+        ]
+    ctes.append(f"""a1 AS (
+      SELECT *, MAX(CASE WHEN step = 1 THEN t END) OVER (
+               PARTITION BY {pk} ORDER BY t, event_id {frame}) AS anc1
+      FROM ev
+    )""")
     for k in range(2, n):
         ctes.append(f"""a{k} AS (
       SELECT *, MAX(CASE WHEN step = {k} THEN anc{k - 1} END) OVER (
-               PARTITION BY user_id ORDER BY t, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anc{k}
+               PARTITION BY {pk} ORDER BY t, event_id {frame}) AS anc{k}
       FROM a{k - 1}
     )""")
     level_arms = " ".join(
@@ -245,7 +314,7 @@ def window_funnel_sql(
       SELECT user_id,
              MAX(CASE {level_arms} WHEN step = 1 THEN 1 ELSE 0 END)
                AS funnel_level
-      FROM a{n - 1} GROUP BY user_id
+      FROM a{max(n - 1, 1)} GROUP BY user_id
     )
     SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM lv GROUP BY funnel_level

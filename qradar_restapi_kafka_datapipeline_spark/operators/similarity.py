@@ -740,6 +740,15 @@ def recover_ivf_index(spark, path: str) -> str:
         if not fs.rename(hpath(old), hpath(path)):
             raise RuntimeError(f"recover_ivf_index: cannot restore {old}")
         did = "restored_old"
+    elif fs.exists(hpath(path)) and fs.exists(hpath(old)):
+        # Crash landed between the tmp→path stage-in and the old-tree
+        # delete: the swap evidently completed, so the stale staged-out
+        # copy is garbage.  Reclaiming it here (ADVICE r8) also removes
+        # the rename-onto-existing-dir ambiguity a SECOND mid-swap crash
+        # would hit (Hadoop local FS either fails the stage-out rename or
+        # nests the live tree inside the stale one).
+        fs.delete(hpath(old), True)
+        did = "dropped_stale_old"
     if fs.exists(hpath(tmp)):
         fs.delete(hpath(tmp), True)
         did = "dropped_tmp" if did == "ok" else did

@@ -1395,17 +1395,34 @@ def hist_quantiles(
     )
 
 
-def last_committed_epoch(checkpoint_dir: str) -> int:
+def last_committed_epoch(checkpoint_dir: str, spark=None) -> int:
     """The highest batch id the stream has durably committed — read from
     the checkpoint's ``commits/`` log (one numerically-named file per
     committed micro-batch, Spark's own exactly-once frontier).  Returns
-    -1 when nothing has committed yet (so a compactor folds nothing)."""
+    -1 when nothing has committed yet (so a compactor folds nothing).
+
+    With ``spark`` given the log is read through the Hadoop FileSystem
+    API — the same handle the compactor uses for the parts tree — so a
+    non-local checkpoint (HDFS/object store) resolves correctly; the
+    plain ``os.listdir`` path only ever applied to local paths and made
+    any other scheme look committed-nothing (ADVICE r8).  In both modes
+    a MISSING commits/ directory means "no commits yet" (-1) while any
+    other access failure raises — a compactor silently folding nothing
+    is indistinguishable from an empty log otherwise."""
     import os
 
     commits = os.path.join(checkpoint_dir, "commits")
+    if spark is not None:
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(commits)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hp):
+            return -1
+        names = [st.getPath().getName() for st in fs.listStatus(hp)]
+        return max((int(f) for f in names if f.isdigit()), default=-1)
     try:
         ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
-    except OSError:
+    except FileNotFoundError:
         return -1
     return max(ids, default=-1)
 
@@ -1446,7 +1463,7 @@ def compact_sketch_parts(
     from qradar_restapi_kafka_datapipeline_spark.operators.rollup import _AGG
 
     if checkpoint_dir is not None:
-        committed = last_committed_epoch(checkpoint_dir)
+        committed = last_committed_epoch(checkpoint_dir, spark)
         max_epoch = committed if max_epoch is None else min(
             max_epoch, committed
         )

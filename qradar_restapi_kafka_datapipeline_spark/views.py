@@ -135,7 +135,7 @@ def update_globalviews_incremental(
     base_path: str,
     new_events: DataFrame,
     names: list[str] | None = None,
-    rebuild_source: str | None = "qevents",
+    rebuild_source: str | None = None,
 ) -> None:
     """Fold a batch of NEW events into each materialized view — the
     continuously-maintained form (QRadar maintains GLOBALVIEWs incrementally;
@@ -148,7 +148,11 @@ def update_globalviews_incremental(
     increment (the usual arrangement — the view updater runs in the same
     foreachBatch that lands the batch, before the append): a source that
     already contains the increment would double-count it after the fold.
-    Pass ``rebuild_source=None`` to fail fast instead of rebuilding.
+    Because that precondition is invisible to this function, the default is
+    ``None`` — an old-schema tree FAILS FAST with rebuild guidance instead
+    of silently rebuilding from a relation that may already hold the batch
+    (ADVICE r8); opt into auto-rebuild by naming the pre-increment relation
+    explicitly.
 
     Use from a streaming foreachBatch:
         lambda batch, _: update_globalviews_incremental(spark, path, batch)

@@ -1254,10 +1254,14 @@ class TestBm25TfRelEquivalence:
         assert key(via_rel) == key(base)
 
 
-def _ref_window_funnel(rows, n_steps, window):
+def _ref_window_funnel(rows, n_steps, window, mode="default"):
     """Brute-force chain enumeration (independent of the windowed
     algorithm): per user, level = longest prefix 1..L with events at
-    non-decreasing (t, event_id) positions and span t_L - t_1 <= window."""
+    non-decreasing (t, event_id) positions and span t_L - t_1 <= window.
+    Strict modes segment the per-user sequence first (the DOCUMENTED
+    semantics of window_funnel_sql's modes): strict_order splits on
+    events matching no step (step 0) and drops them; strict_dedup splits
+    before a step event equal to the immediately preceding step value."""
     import itertools
 
     by_user = {}
@@ -1266,23 +1270,48 @@ def _ref_window_funnel(rows, n_steps, window):
     out = {}
     for u, evs in by_user.items():
         evs.sort()
+        if mode == "default":
+            segs = [[e for e in evs if e[2] > 0]]
+        elif mode == "strict_order":
+            segs, cur = [], []
+            for e in evs:
+                if e[2] == 0:
+                    segs.append(cur)
+                    cur = []
+                else:
+                    cur.append(e)
+            segs.append(cur)
+        else:  # strict_dedup
+            stepped = [e for e in evs if e[2] > 0]
+            segs, cur = [], []
+            for e in stepped:
+                if cur and e[2] == cur[-1][2]:
+                    segs.append(cur)
+                    cur = []
+                cur.append(e)
+            segs.append(cur)
+        if not any(segs):
+            continue  # no step events: user absent from the relation
         best = 0
-        for lvl in range(1, n_steps + 1):
-            found = False
-            pools = [
-                [i for i, e in enumerate(evs) if e[2] == k]
-                for k in range(1, lvl + 1)
-            ]
-            for combo in itertools.product(*pools):
-                if all(a <= b for a, b in zip(combo, combo[1:])) and (
-                    evs[combo[-1]][0] - evs[combo[0]][0] <= window
-                ):
-                    found = True
+        for seg in segs:
+            if not seg:
+                continue
+            for lvl in range(1, n_steps + 1):
+                found = False
+                pools = [
+                    [i for i, e in enumerate(seg) if e[2] == k]
+                    for k in range(1, lvl + 1)
+                ]
+                for combo in itertools.product(*pools):
+                    if all(a <= b for a, b in zip(combo, combo[1:])) and (
+                        seg[combo[-1]][0] - seg[combo[0]][0] <= window
+                    ):
+                        found = True
+                        break
+                if found:
+                    best = max(best, lvl)
+                else:
                     break
-            if found:
-                best = lvl
-            else:
-                break
         # level 0 = has step events but never step-1 (ClickHouse returns
         # 0 for such users too; the SQL's ev relation keeps them)
         out[best] = out.get(best, 0) + 1
@@ -1298,7 +1327,7 @@ class TestWindowFunnelDifferential:
         st.tuples(
             st.integers(min_value=0, max_value=2),    # user
             st.integers(min_value=0, max_value=30),   # t (ms)
-            st.integers(min_value=1, max_value=3),    # step
+            st.integers(min_value=0, max_value=3),    # step (0 = foreign)
         ),
         min_size=1,
         max_size=14,
@@ -1325,13 +1354,15 @@ class TestWindowFunnelDifferential:
             ],
             "user_id LONG, ts TIMESTAMP, event_id LONG, qid LONG",
         ).createOrReplaceTempView("prop_funnel_events")
-        got = {
-            r["funnel_level"]: r["n_users"]
-            for r in spark.sql(
-                window_funnel_sql(
-                    "spark", steps=preds, window_ms=window,
-                    source="prop_funnel_events",
-                )
-            ).collect()
-        }
-        assert got == _ref_window_funnel(rows, 3, window)
+        for mode in ("default", "strict_order", "strict_dedup"):
+            got = {
+                r["funnel_level"]: r["n_users"]
+                for r in spark.sql(
+                    window_funnel_sql(
+                        "spark", steps=preds, window_ms=window,
+                        source="prop_funnel_events", mode=mode,
+                    )
+                ).collect()
+            }
+            want = _ref_window_funnel(rows, 3, window, mode=mode)
+            assert got == want, (mode, rows, window)

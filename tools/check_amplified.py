@@ -60,6 +60,14 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # round 8: windowFunnel — anchor chains at k× event volume (and the
     # skew runs put the hot user's whole journey in one window partition)
     "window_funnel_conversion": None,
+    # round 9: the strict modes add a segmentation window pass — foreign-
+    # event resets (strict_order) and consecutive-dup breaks (strict_dedup)
+    # at k× volume and under the hot-user skew regime
+    "window_funnel_strict_order": None,
+    "window_funnel_strict_dedup": None,
+    # round 9: first-seen cohorts at k× the (user, day) population — the
+    # DataFrame chain's persisted distinct relation vs the 3-CTE oracle
+    "cohort_retention_exact": None,
     "sessionize_events_bucketed": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
