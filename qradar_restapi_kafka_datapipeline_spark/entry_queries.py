@@ -1028,6 +1028,16 @@ def _sketch_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: K.kmv_retention(spark),
         K.kmv_retention_sql("duckdb"),
     )
+    # FIRST-SEEN cohorts from the same cube (round 9, VERDICT r8 #8): the
+    # θ-sketch form — below the minimum per-day threshold membership is
+    # exact on every day, so first-seen/return sets are exact over the
+    # uniform sample and retention_rate is a pure integer-count ratio.
+    # Complements sketch_kmv_retention (day-pair overlap ≠ first-seen);
+    # the exact twin is cohort_retention_exact (see DESIGN.md round 9).
+    q["sketch_kmv_cohort"] = _df_entry(
+        lambda spark, sf: K.kmv_cohort(spark),
+        K.kmv_cohort_sql("duckdb"),
+    )
     # KMV bottom-k distinct sketch (round 7): a deterministic order
     # statistic, so the whole summary AND its estimates hash-check; the
     # merge-parity entry re-derives the estimate from two per-half
@@ -1241,6 +1251,10 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: cohort_retention_exact (first-seen cohorts, now the 1-scan DataFrame
 #: chain), knn_ivf_rebalanced (index lifecycle), streaming_chunk_index_
 #: parity (streamed chunk-index maintenance), sample_exact_k_per_stratum.
+#: A second r9 pass swapped OUT streaming_sessionize_parity (the
+#: streaming-parity motif keeps 4 reps: rollup-txn, sketch, dsir,
+#: chunk-index; sessionize itself is repped by the funnel) and IN
+#: dedup_image_phash — the new perceptual-hash image-dedup family.
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1290,7 +1304,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "curate_quality_classifier",
     "pack_sequences_bpe_contract",
     "multimodal_jpeg_decode",
-    "streaming_sessionize_parity",
+    "dedup_image_phash",
     "zorder_layout_keys",
 )
 

@@ -1759,6 +1759,110 @@ def kmv_retention_sql(
     """
 
 
+def kmv_cohort_sql(
+    dialect: str,
+    daily_rel: str | None = None,
+    max_offset: int = 7,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+) -> str:
+    """FIRST-SEEN cohort retention served from the KMV time cube (round 9,
+    VERDICT r8 #8) — the θ-sketch set-algebra twin of
+    :func:`...sessionize.cohort_retention_exact_sql`, answering the same
+    question (“of the users first seen on day d, how many returned on
+    d+i?”) without ever rescanning events.
+
+    θ = the MINIMUM per-day threshold across all days (a day with fewer
+    than ``k`` distinct keys has a COMPLETE sketch → threshold 2^60).
+    Every hash below θ is in every day's sketch where its key was active,
+    so over that uniform sample first-seen day and return days are EXACT
+    set operations; ``retention_rate`` is a pure ratio of integer counts
+    (the θ scale cancels), and only the absolute ``cohort_est``/
+    ``retained_est`` columns apply the 2^60/θ inverse-probability scale.
+    All shuffles key on h or the bounded (cohort_day, offset) pair; the
+    whole computation reads days × k bounded rows.  Deterministic
+    arithmetic on shared order statistics — fully hash-checked.
+
+    DuckDB pins the multi-referenced CTEs ``AS MATERIALIZED`` (inlining
+    re-runs the upstream per consumer — round-8 lesson); the Spark
+    caller (:func:`kmv_cohort`) injects the bounded daily relation as a
+    literal instead."""
+    daily = daily_rel or kmv_daily_sketches_sql(dialect, key_expr, source, k)
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    two60 = f"CAST({2 ** _HASH_BITS} AS DOUBLE)"
+    hint = "/*+ BROADCAST(t) */ " if dialect == "spark" else ""
+    hint_c = "/*+ BROADCAST(c, t2) */ " if dialect == "spark" else ""
+    return f"""
+    WITH daily AS {mat}({daily}),
+    th AS (
+      SELECT day_id,
+             CASE WHEN COUNT(*) < {k}
+                  THEN CAST({2 ** _HASH_BITS} AS BIGINT)
+                  ELSE CAST(MAX(h) AS BIGINT) END AS th
+      FROM daily GROUP BY day_id
+    ),
+    theta AS (SELECT MIN(th) AS theta FROM th),
+    samp AS {mat}(
+      SELECT {hint}d.h, d.day_id
+      FROM daily d JOIN theta t ON d.h < t.theta
+    ),
+    fs AS {mat}(
+      SELECT h, MIN(day_id) AS first_day FROM samp GROUP BY h
+    ),
+    coh AS (
+      SELECT first_day AS cohort_day,
+             CAST(COUNT(*) AS BIGINT) AS cohort_cnt
+      FROM fs GROUP BY first_day
+    ),
+    ret AS (
+      SELECT f.first_day AS cohort_day,
+             s.day_id - f.first_day AS offset_days,
+             CAST(COUNT(*) AS BIGINT) AS retained_cnt
+      FROM samp s JOIN fs f ON f.h = s.h
+      WHERE s.day_id - f.first_day BETWEEN 1 AND {max_offset}
+      GROUP BY f.first_day, s.day_id - f.first_day
+    )
+    SELECT {hint_c}r.cohort_day, r.offset_days,
+           ROUND(CAST(c.cohort_cnt AS DOUBLE) * {two60}
+                 / CAST(t2.theta AS DOUBLE) + 1e-9, 3) AS cohort_est,
+           ROUND(CAST(r.retained_cnt AS DOUBLE) * {two60}
+                 / CAST(t2.theta AS DOUBLE) + 1e-9, 3) AS retained_est,
+           ROUND(CAST(r.retained_cnt AS DOUBLE)
+                 / CAST(c.cohort_cnt AS DOUBLE) + 1e-9, 6) AS retention_rate
+    FROM ret r
+    JOIN coh c ON c.cohort_day = r.cohort_day
+    CROSS JOIN theta t2
+    """
+
+
+def kmv_cohort(
+    spark,
+    max_offset: int = 7,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+):
+    """Spark path: pin the bounded daily cube as a literal (the statement
+    references ``daily`` twice and ``samp``/``fs`` twice each; Spark
+    re-executes CTEs per reference — :func:`kmv_retention`'s posture)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    rows = spark.sql(
+        kmv_daily_sketches_sql("spark", key_expr, source, k)
+    ).collect()
+    lit = spark.createDataFrame(
+        [(r["day_id"], r["h"]) for r in rows], "day_id BIGINT, h BIGINT"
+    )
+    name = unique_view(lit, "__kmv_daily_cohort")
+    return spark.sql(
+        kmv_cohort_sql(
+            "spark", daily_rel=f"SELECT day_id, h FROM {name}",
+            max_offset=max_offset, k=k,
+        )
+    )
+
+
 def kmv_retention(
     spark,
     max_offset: int = 7,

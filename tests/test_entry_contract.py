@@ -102,6 +102,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "window_funnel_conversion", "cohort_retention_exact",
         "knn_ivf_rebalanced", "streaming_chunk_index_parity",
         "sample_exact_k_per_stratum",
+        # r9 second pass: perceptual-hash image dedup (displaced
+        # streaming_sessionize_parity — streaming parity keeps 4 reps,
+        # sessionize is repped by the funnel; both stay mirror-checked)
+        "dedup_image_phash",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned

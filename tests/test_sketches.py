@@ -558,3 +558,48 @@ def test_kmv_retention_tracks_exact_cohorts(spark, ev):
         if 1 <= d2 - d1 <= 7
     }
     assert set(got) == expect
+
+
+def test_kmv_cohort_exact_below_saturation(spark, ev):
+    """Round 9: the θ-sketch first-seen cohort form.  When every day's
+    distinct-key count sits below k the sketches are COMPLETE (θ = 2^60),
+    so cohort_est / retained_est must equal the exact first-seen counts
+    row-for-row and retention_rate the exact ratio — no error band at all.
+    (The sf0.001/sf0.01 corpora are in this regime: per-day distinct
+    users < 256.)"""
+    from pyspark.sql import functions as F
+
+    first = {}
+    active = {}
+    for r in ev.select(
+        F.expr("unix_millis(ts) DIV 86400000").alias("d"), "user_id"
+    ).distinct().collect():
+        u, d = r["user_id"], r["d"]
+        first[u] = min(first.get(u, d), d)
+        active.setdefault(u, set()).add(d)
+    cohort_cnt = {}
+    for u, d0 in first.items():
+        cohort_cnt[d0] = cohort_cnt.get(d0, 0) + 1
+    retained = {}
+    for u, days in active.items():
+        d0 = first[u]
+        for d in days:
+            if 1 <= d - d0 <= 7:
+                retained[(d0, d - d0)] = retained.get((d0, d - d0), 0) + 1
+    # guard the regime assumption the exactness claim rests on
+    per_day = {}
+    for u, days in active.items():
+        for d in days:
+            per_day[d] = per_day.get(d, 0) + 1
+    assert max(per_day.values()) < K.KMV_K
+
+    got = {
+        (r["cohort_day"], r["offset_days"]):
+            (r["cohort_est"], r["retained_est"], r["retention_rate"])
+        for r in K.kmv_cohort(spark).collect()
+    }
+    assert set(got) == set(retained)
+    for (d0, off), (cest, rest, rate) in got.items():
+        assert cest == cohort_cnt[d0], (d0, off)
+        assert rest == retained[(d0, off)], (d0, off)
+        assert abs(rate - retained[(d0, off)] / cohort_cnt[d0]) < 1e-5
