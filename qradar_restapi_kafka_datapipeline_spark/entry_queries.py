@@ -1871,6 +1871,19 @@ def _analytics_entries(q: dict[str, Q]) -> None:
             "duckdb", window_ms=86_400_000, mode="strict_dedup"
         ),
     )
+    # strict_increase: consecutive chain events at strictly increasing
+    # timestamps — RANGE-framed anchors (ties fall out of the frame; MAX
+    # is order-independent, so no event_id discipline is even needed).
+    q["window_funnel_strict_increase"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            window_funnel_sql(
+                "spark", window_ms=86_400_000, mode="strict_increase"
+            )
+        ),
+        window_funnel_sql(
+            "duckdb", window_ms=86_400_000, mode="strict_increase"
+        ),
+    )
     # Exact cohort retention (round 8; r9: DataFrame chain with a persisted
     # distinct (user, day) relation — ONE events scan instead of the SQL
     # form's three CTE re-executions, VERDICT r8 #1): first-seen cohorts,

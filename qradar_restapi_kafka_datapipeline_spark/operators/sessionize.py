@@ -232,6 +232,14 @@ def window_funnel_sql(
       ignored and C completes level 3) — the consecutive rule is the one
       expressible as segmentation, and the fuzz oracle enumerates chains
       under exactly this rule.
+    - ``"strict_increase"``: consecutive chain events must have STRICTLY
+      increasing timestamps (ClickHouse ``strict_increase``: same-ms
+      view+click cannot chain).  Implemented by switching the anchor
+      windows to ``RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``
+      over ``t`` — ties on t fall out of the frame, so an anchor is only
+      visible to strictly-later rows; MAX is order-independent inside
+      the frame, so no event_id tie-break is needed and the result is
+      deterministic in both engines with no ordering discipline at all.
     """
     ms = "unix_millis" if dialect == "spark" else "epoch_ms"
     step_case = " ".join(
@@ -240,12 +248,22 @@ def window_funnel_sql(
     n = len(steps)
     if n < 1:
         raise ValueError("window_funnel_sql needs at least one step")
-    if mode not in ("default", "strict_order", "strict_dedup"):
+    if mode not in (
+        "default", "strict_order", "strict_dedup", "strict_increase"
+    ):
         raise ValueError(f"window_funnel_sql: unknown mode {mode!r}")
     frame = (
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     )
-    if mode == "default":
+    # strict_increase: anchors visible only from STRICTLY later t — a
+    # RANGE frame excludes ties on the (single) ordering key, and MAX is
+    # order-independent within the frame, so event_id never appears
+    anchor_order = f"ORDER BY t, event_id {frame}"
+    if mode == "strict_increase":
+        anchor_order = (
+            "ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        )
+    if mode in ("default", "strict_increase"):
         pk = "user_id"
         ctes = [
             f"""ev AS (
@@ -294,13 +312,13 @@ def window_funnel_sql(
         ]
     ctes.append(f"""a1 AS (
       SELECT *, MAX(CASE WHEN step = 1 THEN t END) OVER (
-               PARTITION BY {pk} ORDER BY t, event_id {frame}) AS anc1
+               PARTITION BY {pk} {anchor_order}) AS anc1
       FROM ev
     )""")
     for k in range(2, n):
         ctes.append(f"""a{k} AS (
       SELECT *, MAX(CASE WHEN step = {k} THEN anc{k - 1} END) OVER (
-               PARTITION BY {pk} ORDER BY t, event_id {frame}) AS anc{k}
+               PARTITION BY {pk} {anchor_order}) AS anc{k}
       FROM a{k - 1}
     )""")
     level_arms = " ".join(

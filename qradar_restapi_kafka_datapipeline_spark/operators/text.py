@@ -665,6 +665,7 @@ def hashed_embedding_postings_sql(
     dim: int = 256,
     source: str = "documents",
     tf_rel: str | None = None,
+    keep_rel: str | None = None,
 ) -> str:
     """``(doc_id, bucket, w)`` — signed-hash feature postings: each token's
     60-bit portable hash supplies a sign bit (unbiases collisions, the
@@ -686,7 +687,14 @@ def hashed_embedding_postings_sql(
     relation (merged per-epoch parts) instead of re-tokenizing — the
     incremental-index hook; df-damping and tf-saturation apply over the
     injected relation, so the result is value-identical to the one-shot
-    form whenever the relation equals :func:`bigram_tf_sql` output."""
+    form whenever the relation equals :func:`bigram_tf_sql` output.
+
+    ``keep_rel``: inject a PRE-COMPUTED df-filter relation (one ``feat``
+    column) instead of deriving ndocs/keep from ``tf_rel`` — the sharded-
+    recompute hook (round 9): a shard-restricted ``tf_rel`` must still be
+    damped by GLOBAL document frequencies or its weights diverge from the
+    corpus-wide build.  Postings from sharded tf + global keep are
+    value-identical to the one-shot form on the shard's doc ids."""
     mat = "MATERIALIZED " if dialect == "duckdb" else ""
     h = portable_hash60_sql(dialect, "feat")
     div = "DIV" if dialect == "spark" else "//"
@@ -713,13 +721,17 @@ def hashed_embedding_postings_sql(
     # (df·2 > N — an exact integer predicate, no float idf whose last-ulp
     # ln() could diverge between engines), and tf saturates at 3
     # (sublinear weighting, LEAST is exact).
-    return f"""
-    {head}
-    ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    if keep_rel is not None:
+        keep_ctes = f"keep AS (SELECT feat FROM {keep_rel} kr),"
+    else:
+        keep_ctes = """ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
     keep AS (
       SELECT feat FROM tf GROUP BY feat
       HAVING COUNT(DISTINCT doc_id) * 2 <= (SELECT n FROM ndocs)
-    ),
+    ),"""
+    return f"""
+    {head}
+    {keep_ctes}
     hashed AS (
       -- hash hoisted ONCE per (doc, feat): md5 dominates the postings
       -- build, and Catalyst does not guarantee CSE between a GROUP BY key

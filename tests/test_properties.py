@@ -1270,7 +1270,7 @@ def _ref_window_funnel(rows, n_steps, window, mode="default"):
     out = {}
     for u, evs in by_user.items():
         evs.sort()
-        if mode == "default":
+        if mode in ("default", "strict_increase"):
             segs = [[e for e in evs if e[2] > 0]]
         elif mode == "strict_order":
             segs, cur = [], []
@@ -1303,7 +1303,16 @@ def _ref_window_funnel(rows, n_steps, window, mode="default"):
                     for k in range(1, lvl + 1)
                 ]
                 for combo in itertools.product(*pools):
-                    if all(a <= b for a, b in zip(combo, combo[1:])) and (
+                    if mode == "strict_increase":
+                        ordered = all(
+                            seg[a][0] < seg[b][0]
+                            for a, b in zip(combo, combo[1:])
+                        )
+                    else:
+                        ordered = all(
+                            a <= b for a, b in zip(combo, combo[1:])
+                        )
+                    if ordered and (
                         seg[combo[-1]][0] - seg[combo[0]][0] <= window
                     ):
                         found = True
@@ -1354,7 +1363,9 @@ class TestWindowFunnelDifferential:
             ],
             "user_id LONG, ts TIMESTAMP, event_id LONG, qid LONG",
         ).createOrReplaceTempView("prop_funnel_events")
-        for mode in ("default", "strict_order", "strict_dedup"):
+        for mode in (
+            "default", "strict_order", "strict_dedup", "strict_increase"
+        ):
             got = {
                 r["funnel_level"]: r["n_users"]
                 for r in spark.sql(

@@ -65,6 +65,7 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # at k× volume and under the hot-user skew regime
     "window_funnel_strict_order": None,
     "window_funnel_strict_dedup": None,
+    "window_funnel_strict_increase": None,
     # round 9: first-seen cohorts at k× the (user, day) population — the
     # DataFrame chain's persisted distinct relation vs the 3-CTE oracle
     "cohort_retention_exact": None,
@@ -131,11 +132,127 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # postings; no all-pairs term), unlike the capped similarity peers
     "text_chunk_windows": None,  # 64x green (36 s)
     # chunk retrieval: BIGINT dot growth over amplified chunk postings.
-    # 16x green (69 s, cp/qp MATERIALIZED); at 64x the single-process
-    # oracle exceeds 100 GiB RAM + the 60 GiB spill budget this host can
-    # spare — the Spark side scales (memoized postings), the ORACLE is
-    # the bound, same reasoning as the old similarity caps
+    # The one-statement oracle is capped at 16x (it exceeded 100 GiB RAM
+    # + the 60 GiB spill budget at 64x); ABOVE that cap the runner swaps
+    # in the SHARDED recompute below (VERDICT r8 #6) — parquet-staged tf
+    # + global df filter + per-shard top-k — which is value-identical
+    # and bounded by the largest shard, so the 64x claim is checkable.
     "text_chunk_knn": 16,
+}
+
+
+def _chunk_knn_sharded_oracle(
+    con,
+    shards: int = 16,
+    query_doc: int = 0,
+    k: int = 10,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 1024,
+):
+    """Sharded DuckDB recompute of ``text_chunk_knn`` (round 9): the
+    one-statement oracle materializes the WHOLE chunk-postings relation
+    (O(corpus tokens) in RAM) — at 64x that is the bound, not the engine.
+    This form stages the two tf relations to parquet ONCE (each a single
+    streaming pipeline DuckDB can spill), derives the GLOBAL df filters
+    from the staged files (a shard-restricted tf damped by shard-local df
+    would diverge from the corpus-wide build — the keep_rel hook exists
+    for exactly this), then scores chunks shard-by-shard (doc_id residue
+    classes) keeping only each shard's top-k; the global top-k is the
+    merge of shard top-ks under the same (cos, doc, start) order.  Memory
+    is bounded by ONE shard's postings.  Top-k correctness: every global
+    winner is its own shard's winner too, and the tie order is total."""
+    import pandas as pd
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import text as T
+
+    stage = tempfile.mkdtemp(prefix="amp_chunkknn_stage_")
+    chunks_rel = T._chunk_composite_rel("duckdb", size, stride, "documents")
+    con.execute(
+        f"COPY ({T.bigram_tf_sql('duckdb', chunks_rel)}) "
+        f"TO '{stage}/ctf.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY ({T.bigram_tf_sql('duckdb', 'documents')}) "
+        f"TO '{stage}/dtf.parquet' (FORMAT PARQUET)"
+    )
+    for nm in ("ctf", "dtf"):
+        con.execute(
+            f"COPY (SELECT feat FROM read_parquet('{stage}/{nm}.parquet') "
+            f"GROUP BY feat HAVING COUNT(DISTINCT doc_id) * 2 <= "
+            f"(SELECT COUNT(DISTINCT doc_id) "
+            f"FROM read_parquet('{stage}/{nm}.parquet'))) "
+            f"TO '{stage}/{nm}_keep.parquet' (FORMAT PARQUET)"
+        )
+    qp_sql = T.hashed_embedding_postings_sql(
+        "duckdb",
+        dim,
+        tf_rel=(
+            f"(SELECT doc_id, feat, c FROM read_parquet('{stage}/dtf.parquet')"
+            f" WHERE doc_id = {query_doc})"
+        ),
+        keep_rel=f"read_parquet('{stage}/dtf_keep.parquet')",
+    )
+    con.execute(
+        f"COPY (SELECT bucket, w FROM ({qp_sql}) q) "
+        f"TO '{stage}/qp.parquet' (FORMAT PARQUET)"
+    )
+    parts = []
+    for s in range(shards):
+        post_sql = T.hashed_embedding_postings_sql(
+            "duckdb",
+            dim,
+            tf_rel=(
+                f"(SELECT doc_id, feat, c "
+                f"FROM read_parquet('{stage}/ctf.parquet') "
+                f"WHERE (doc_id // {T.CHUNK_ID_MULT}) % {shards} = {s})"
+            ),
+            keep_rel=f"read_parquet('{stage}/ctf_keep.parquet')",
+        )
+        parts.append(con.execute(f"""
+        WITH post AS MATERIALIZED ({post_sql}),
+        qp AS (SELECT bucket, w FROM read_parquet('{stage}/qp.parquet')),
+        qn AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM qp),
+        cn AS (
+          SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+          FROM post GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT p.doc_id, CAST(SUM(p.w * q.w) AS BIGINT) AS dot
+          FROM post p JOIN qp q ON q.bucket = p.bucket
+          GROUP BY p.doc_id
+        )
+        SELECT CAST(d.doc_id // {T.CHUNK_ID_MULT} AS BIGINT) AS chunk_doc_id,
+               CAST(d.doc_id % {T.CHUNK_ID_MULT} AS BIGINT) AS chunk_start,
+               ROUND(CAST(d.dot AS DOUBLE)
+                     / SQRT(CAST(cn.n2 AS DOUBLE) * CAST(qn.n2 AS DOUBLE))
+                     + 1e-9, 6) AS cos
+        FROM dots d
+        JOIN cn ON cn.doc_id = d.doc_id
+        CROSS JOIN qn
+        WHERE d.dot > 0
+        ORDER BY cos DESC, chunk_doc_id ASC, chunk_start ASC
+        LIMIT {k}
+        """).df())
+        print(f"  chunk_knn shard {s + 1}/{shards} scored", flush=True)
+    merged = (
+        pd.concat(parts, ignore_index=True)
+        .sort_values(
+            ["cos", "chunk_doc_id", "chunk_start"],
+            ascending=[False, True, True],
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return merged
+
+
+#: Entries whose one-statement oracle cannot run at high amplification:
+#: above the AMPLIFIED_ENTRIES cap the runner uses this bounded-memory
+#: recompute instead of the capped SQL (and the cap no longer limits k).
+AMPLIFIED_ORACLE_FNS = {
+    "text_chunk_knn": _chunk_knn_sharded_oracle,
 }
 
 
@@ -152,7 +269,10 @@ def main() -> int:
     for n, cap in AMPLIFIED_ENTRIES.items():
         if prefixes and not n.startswith(prefixes):
             continue
-        plan.setdefault(min(k, cap) if cap else k, []).append(n)
+        # a sharded-oracle entry runs at the FULL requested k — its cap
+        # only marks where the one-statement SQL stops being usable
+        eff = k if n in AMPLIFIED_ORACLE_FNS else (min(k, cap) if cap else k)
+        plan.setdefault(eff, []).append(n)
 
     spark = get_spark(app_name="check-amplified")
     spark.sparkContext.setLogLevel("ERROR")
@@ -192,8 +312,15 @@ def main() -> int:
                       f"{str(e)[:160]}", flush=True)
                 failures += 1
                 continue
+            cap = AMPLIFIED_ENTRIES.get(name)
+            use_sharded = (
+                name in AMPLIFIED_ORACLE_FNS and cap is not None and kk > cap
+            )
             try:
-                ddf = con.execute(oracles[name]).df()
+                if use_sharded:
+                    ddf = AMPLIFIED_ORACLE_FNS[name](con)
+                else:
+                    ddf = con.execute(oracles[name]).df()
             except Exception as e:
                 print(f"FAIL  {name} @{kk}x: oracle error {type(e).__name__}: "
                       f"{str(e)[:160]}", flush=True)
