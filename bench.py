@@ -96,6 +96,10 @@ HEADLINE = [
     "window_funnel_conversion",
     "cohort_retention_exact",
     "sample_exact_k_per_stratum",
+    # round 9
+    "window_funnel_strict_order",
+    "dedup_image_phash",
+    "sketch_kmv_cohort",
     "knn_ivf_appended",
     "knn_ivf_rebalanced",
     "aql_parameterized",

@@ -98,6 +98,10 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sketch_cm_join_cardinality": None,
     "sketch_hll_rolling_distinct": None,
     "sketch_kmv_retention": None,
+    # round 9: first-seen cohorts from the cube — 16x pushes per-day
+    # distinct users past k=256, leaving the sketch-complete regime the
+    # small SFs sit in; the θ-sample arithmetic must stay hash-equal
+    "sketch_kmv_cohort": None,
     # round 7: E-S priorities at k× the candidate population (rank
     # boundaries shift with volume; ulp-rounding must hold at any k)
     "sample_weighted_tokens": None,
@@ -166,24 +170,79 @@ def _chunk_knn_sharded_oracle(
 
     from qradar_restapi_kafka_datapipeline_spark.operators import text as T
 
-    stage = tempfile.mkdtemp(prefix="amp_chunkknn_stage_")
-    chunks_rel = T._chunk_composite_rel("duckdb", size, stride, "documents")
-    con.execute(
-        f"COPY ({T.bigram_tf_sql('duckdb', chunks_rel)}) "
-        f"TO '{stage}/ctf.parquet' (FORMAT PARQUET)"
+    from qradar_restapi_kafka_datapipeline_spark.operators.sketches import (
+        _seeds,
     )
+
+    stage = tempfile.mkdtemp(prefix="amp_chunkknn_stage_")
+    # Stage 1: token positions — a pure streaming UNNEST, no windows, no
+    # joins.  Everything downstream reads THIS parquet, so the tokenize
+    # pipeline never gets duplicated into both sides of a self-join (the
+    # shape whose simultaneous window cascades OOM'd the direct
+    # bigram_tf_sql-over-chunks staging at 64x).
+    t0 = time.time()
     con.execute(
-        f"COPY ({T.bigram_tf_sql('duckdb', 'documents')}) "
+        f"COPY ({T.token_positions_sql('duckdb', 'documents')}) "
+        f"TO '{stage}/dtok.parquet' (FORMAT PARQUET)"
+    )
+    print(f"  chunk_knn staged tokens [{time.time()-t0:.0f}s]", flush=True)
+    tok = f"read_parquet('{stage}/dtok.parquet')"
+    bg = (
+        f"SELECT a.doc_id, a.pos, CONCAT(a.word, ' ', b.word) AS feat "
+        f"FROM {tok} a JOIN {tok} b "
+        f"ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+    )
+    # Stage 2: doc-level bigram tf (the query-vector source).
+    t0 = time.time()
+    con.execute(
+        f"COPY (SELECT doc_id, feat, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM ({bg}) g GROUP BY doc_id, feat) "
         f"TO '{stage}/dtf.parquet' (FORMAT PARQUET)"
     )
+    print(f"  chunk_knn staged doc tf [{time.time()-t0:.0f}s]", flush=True)
+    # Stage 3: chunk-level bigram tf DIRECTLY from doc token positions —
+    # the bigram at global positions (p, p+1) belongs to sliding window
+    # cs iff cs ≤ p and p + 1 ≤ cs + size - 1, and valid starts are the
+    # same constant-fan-out seed set chunk_documents_sql uses.  Chunk
+    # text reassembly round-trips tokenization exactly (words joined by
+    # one space, re-split on \\s+), so this tf is value-identical to
+    # tokenizing the reassembled chunks — proven by the sharded ==
+    # one-shot equality test at sf0.01 AND by the 64x hash check against
+    # the Spark side, which takes the reassembly path.
+    kk_fan = -(-size // stride)
+    cs = f"((g.pos // {stride}) - s.i) * {stride}"
+    guard = (
+        f"CASE WHEN cs < {T.CHUNK_ID_MULT} THEN 0 ELSE "
+        f"CAST(error('chunk_start overflows composite chunk id radix') "
+        f"AS BIGINT) END"
+    )
+    t0 = time.time()
+    con.execute(
+        f"COPY (SELECT doc_id * {T.CHUNK_ID_MULT} + cs + {guard} AS doc_id, "
+        f"feat, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+        f"SELECT g.doc_id, {cs} AS cs, g.feat "
+        f"FROM ({bg}) g CROSS JOIN ({_seeds('duckdb', kk_fan)}) s "
+        f"WHERE ((g.pos // {stride}) - s.i) >= 0 "
+        f"AND g.pos - {cs} <= {size - 2}) w "
+        f"GROUP BY doc_id, cs, feat) "
+        f"TO '{stage}/ctf.parquet' (FORMAT PARQUET)"
+    )
+    print(f"  chunk_knn staged chunk tf [{time.time()-t0:.0f}s]", flush=True)
     for nm in ("ctf", "dtf"):
+        t0 = time.time()
+        # tf is grouped by (doc_id, feat), so per-feat document frequency
+        # is COUNT(*), not COUNT(DISTINCT doc_id) — the distinct aggregate
+        # is the one shape DuckDB 1.0 cannot spill (it OOM'd the first
+        # 64x staging pass); the scalar chunk count hash-distincts fine.
         con.execute(
             f"COPY (SELECT feat FROM read_parquet('{stage}/{nm}.parquet') "
-            f"GROUP BY feat HAVING COUNT(DISTINCT doc_id) * 2 <= "
+            f"GROUP BY feat HAVING COUNT(*) * 2 <= "
             f"(SELECT COUNT(DISTINCT doc_id) "
             f"FROM read_parquet('{stage}/{nm}.parquet'))) "
             f"TO '{stage}/{nm}_keep.parquet' (FORMAT PARQUET)"
         )
+        print(f"  chunk_knn staged {nm} keep [{time.time()-t0:.0f}s]",
+              flush=True)
     qp_sql = T.hashed_embedding_postings_sql(
         "duckdb",
         dim,
