@@ -3430,6 +3430,17 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         M.phash_pairs_oracle_sql(max_hamming=2),
     )
+    # The 100-TB shape: identical hashes collapse FIRST (linear groupBy;
+    # a crawl's boilerplate-image classes never enter the pair join),
+    # then banding runs over DISTINCT hashes whose population is bounded
+    # by hash diversity — output stays constant under corpus
+    # amplification where the doc-level pair list grows quadratically.
+    q["dedup_image_phash_clusters"] = _df_entry(
+        lambda spark, sf: M.image_phash_clusters(
+            spark, spark.table("documents"), max_hamming=2
+        ),
+        M.phash_clusters_oracle_sql(max_hamming=2),
+    )
 
     # ---- PII redaction audit (operators/pii.py) ------------------------------
     # Regex scrub of emails/IPs/phones/ids over a log line derived from real

@@ -458,6 +458,26 @@ def dhash_oracle_sql(dialect: str, source: str = "documents") -> str:
     """
 
 
+def _phash_fragments(dialect: str) -> tuple[str, str, str]:
+    """Shared SQL fragments for the Hamming-banding family: the 8-row band
+    spine, the per-(hash row h, band row b) one-byte band value, and the
+    exact popcount over pre-aliased halves (hi_a/lo_a vs hi_b/lo_b) —
+    one definition for both the doc-level pair join and the distinct-hash
+    cluster join (per-engine logic written twice is how parity breaks)."""
+    xor = "({a} ^ {b})" if dialect == "spark" else "xor({a}, {b})"
+    shr = "SHIFTRIGHT({x}, {n})" if dialect == "spark" else "({x} >> ({n}))"
+    band_spine = " UNION ALL ".join(f"SELECT {b} AS b" for b in range(8))
+    band_val = (
+        f"CASE WHEN b.b < 4 THEN {shr.format(x='h.hash_lo', n='8 * b.b')} & 255 "
+        f"ELSE {shr.format(x='h.hash_hi', n='8 * (b.b - 4)')} & 255 END"
+    )
+    ham = (
+        f"bit_count({xor.format(a='lo_a', b='lo_b')})"
+        f" + bit_count({xor.format(a='hi_a', b='hi_b')})"
+    )
+    return band_spine, band_val, ham
+
+
 def phash_pairs_sql(
     dialect: str,
     hash_rel: str,
@@ -481,19 +501,7 @@ def phash_pairs_sql(
     if not 0 <= max_hamming <= 7:
         raise ValueError("banding with 8 one-byte bands is lossless only "
                          "for max_hamming in [0, 7]")
-    xor = (
-        "({a} ^ {b})" if dialect == "spark" else "xor({a}, {b})"
-    )
-    shr = "SHIFTRIGHT({x}, {n})" if dialect == "spark" else "({x} >> ({n}))"
-    band_spine = " UNION ALL ".join(f"SELECT {b} AS b" for b in range(8))
-    band_val = (
-        f"CASE WHEN b.b < 4 THEN {shr.format(x='h.hash_lo', n='8 * b.b')} & 255 "
-        f"ELSE {shr.format(x='h.hash_hi', n='8 * (b.b - 4)')} & 255 END"
-    )
-    ham = (
-        f"bit_count({xor.format(a='lo_a', b='lo_b')})"
-        f" + bit_count({xor.format(a='hi_a', b='hi_b')})"
-    )
+    band_spine, band_val, ham = _phash_fragments(dialect)
     hint = "/*+ BROADCAST(b) */ " if dialect == "spark" else ""
     return f"""
     WITH hs AS ({hash_rel}),
@@ -549,6 +557,89 @@ def phash_pairs_oracle_sql(max_hamming: int = 2) -> str:
     """DuckDB twin: hashes recomputed from the encoder spec, then the
     SAME pair logic."""
     return phash_pairs_sql(
+        "duckdb", dhash_oracle_sql("duckdb"), max_hamming
+    )
+
+
+def phash_clusters_sql(
+    dialect: str,
+    hash_rel: str,
+    max_hamming: int = 2,
+) -> str:
+    """The 100-TB shape of perceptual-hash dedup (round 9): collapse
+    IDENTICAL hashes first (one linear groupBy — exact duplicates never
+    enter the pair join), then band only the DISTINCT hashes.
+
+    Why this exists alongside :func:`phash_pairs_sql`: doc-level pair
+    output is quadratic in duplicate-class size (a crawl's boilerplate
+    images form huge classes — this corpus's texture classes already
+    produce 1.5M doc pairs at sf0.1 and would produce ~256x that at 16x
+    amplification).  Here each hash group is one row — (canonical
+    min-doc id, member count) — and the banded join runs over distinct
+    hashes, whose population is bounded by hash diversity, NOT corpus
+    size; the output is near-pairs BETWEEN groups (hamming ≥ 1; the
+    distance-0 mass lives in ``n_members``).  Doc-level pairs are
+    recoverable as the group cross-products, so no information is lost
+    — the consistency is pinned by a pytest expanding one into the
+    other."""
+    if not 1 <= max_hamming <= 7:
+        raise ValueError("cluster near-pairs need max_hamming in [1, 7] "
+                         "(distance 0 is collapsed into the groups)")
+    band_spine, band_val, ham = _phash_fragments(dialect)
+    hint = "/*+ BROADCAST(b) */ " if dialect == "spark" else ""
+    return f"""
+    WITH hs AS ({hash_rel}),
+    grp AS (
+      SELECT hash_hi, hash_lo,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MIN(doc_id) AS BIGINT) AS canonical
+      FROM hs GROUP BY hash_hi, hash_lo
+    ),
+    bands AS (
+      SELECT {hint}h.canonical, h.hash_hi, h.hash_lo, h.n_members,
+             b.b AS band_id, {band_val} AS band_val
+      FROM grp h CROSS JOIN ({band_spine}) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.canonical AS canon_a, y.canonical AS canon_b,
+             x.hash_hi AS hi_a, x.hash_lo AS lo_a, x.n_members AS n_a,
+             y.hash_hi AS hi_b, y.hash_lo AS lo_b, y.n_members AS n_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.canonical < y.canonical
+    )
+    SELECT canon_a, canon_b, n_a, n_b, CAST(hamming AS BIGINT) AS hamming
+    FROM (SELECT canon_a, canon_b, n_a, n_b, {ham} AS hamming FROM cand) p
+    WHERE hamming BETWEEN 1 AND {max_hamming}
+    """
+
+
+def image_phash_clusters(
+    spark,
+    docs: DataFrame,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """End-to-end cluster form: real dHash kernel → identical-hash
+    collapse → banded near-pairs over distinct hashes (same materialized
+    hash relation posture as :func:`image_phash_pairs`)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
+
+    hashes = image_dhash(attach_textured_bmp_payload(docs)).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    name = materialize_view(spark, hashes, "__phash_hashes")
+    return spark.sql(
+        phash_clusters_sql(
+            "spark",
+            f"SELECT doc_id, hash_hi, hash_lo FROM {name}",
+            max_hamming,
+        )
+    )
+
+
+def phash_clusters_oracle_sql(max_hamming: int = 2) -> str:
+    """DuckDB twin of :func:`image_phash_clusters`."""
+    return phash_clusters_sql(
         "duckdb", dhash_oracle_sql("duckdb"), max_hamming
     )
 

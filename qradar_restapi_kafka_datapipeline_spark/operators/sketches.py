@@ -1793,6 +1793,10 @@ def kmv_cohort_sql(
     two60 = f"CAST({2 ** _HASH_BITS} AS DOUBLE)"
     hint = "/*+ BROADCAST(t) */ " if dialect == "spark" else ""
     hint_c = "/*+ BROADCAST(c, t2) */ " if dialect == "spark" else ""
+    # fs is ≤ days × k rows but sits behind a groupBy over the pinned
+    # literal, so Spark has no stats and falls to SortMergeJoin without
+    # the hint (caught by plan_report's SMJ assert at generation time)
+    hint_f = "/*+ BROADCAST(f) */ " if dialect == "spark" else ""
     return f"""
     WITH daily AS {mat}({daily}),
     th AS (
@@ -1816,7 +1820,7 @@ def kmv_cohort_sql(
       FROM fs GROUP BY first_day
     ),
     ret AS (
-      SELECT f.first_day AS cohort_day,
+      SELECT {hint_f}f.first_day AS cohort_day,
              s.day_id - f.first_day AS offset_days,
              CAST(COUNT(*) AS BIGINT) AS retained_cnt
       FROM samp s JOIN fs f ON f.h = s.h

@@ -646,3 +646,42 @@ def test_phash_banding_is_lossless_vs_bruteforce():
         for r in con.execute(M.phash_pairs_oracle_sql(max_hamming=2)).fetchall()
     )
     assert banded == brute and len(brute) > 0
+
+
+def test_phash_clusters_expand_to_doc_pairs():
+    """Round 9: the cluster form must carry the SAME information as the
+    doc-level pair list — expanding each near-pair of hash groups into
+    its doc cross-product, plus each group's internal (distance-0)
+    pairs, reproduces phash_pairs exactly."""
+    import duckdb
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    docs = [(i, "z" * (i % 21)) for i in range(170)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") AS t(doc_id, text)"
+    )
+    pairs = sorted(
+        tuple(r)
+        for r in con.execute(M.phash_pairs_oracle_sql(max_hamming=2)).fetchall()
+    )
+    clusters = con.execute(
+        M.phash_clusters_oracle_sql(max_hamming=2)
+    ).fetchall()
+    members = {}
+    for (did, hi, lo) in con.execute(
+        M.dhash_oracle_sql("duckdb")
+    ).fetchall():
+        members.setdefault((hi, lo), []).append(did)
+    canon = {min(v): sorted(v) for v in members.values()}
+    expanded = []
+    for v in canon.values():  # distance-0: within-group cross products
+        expanded += [(a, b, 0) for i, a in enumerate(v) for b in v[i + 1:]]
+    for ca, cb, na, nb, h in clusters:  # near: between-group products
+        va, vb = canon[ca], canon[cb]
+        assert (len(va), len(vb)) == (na, nb)
+        expanded += [(min(a, b), max(a, b), h) for a in va for b in vb]
+    assert sorted(expanded) == pairs and len(clusters) > 0

@@ -69,6 +69,12 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # round 9: first-seen cohorts at k× the (user, day) population — the
     # DataFrame chain's persisted distinct relation vs the 3-CTE oracle
     "cohort_retention_exact": None,
+    # round 9: the cluster form of perceptual-hash dedup — distinct-hash
+    # population is bounded by texture diversity, so output stays small
+    # at k× docs while member counts grow k×; the doc-level pair entry is
+    # deliberately NOT amplified (its output is quadratic in duplicate-
+    # class size by design — the cluster form is the scale path)
+    "dedup_image_phash_clusters": None,
     "sessionize_events_bucketed": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
