@@ -3441,6 +3441,15 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         M.phash_clusters_oracle_sql(max_hamming=2),
     )
+    # Streamed index maintenance for the image-dedup family (round 9):
+    # the per-epoch parts motif — each micro-batch encodes+hashes its
+    # own images (per-image local), parts merge at read, cluster dedup
+    # served from the merged relation ≡ one-shot build (the static
+    # oracle); crash-replay pinned in pytest like its text/chunk twins.
+    q["streaming_phash_index_parity"] = _df_entry(
+        lambda spark, sf: M.phash_index_streaming(spark, max_hamming=2),
+        M.phash_clusters_oracle_sql(max_hamming=2),
+    )
 
     # ---- PII redaction audit (operators/pii.py) ------------------------------
     # Regex scrub of emails/IPs/phones/ids over a log line derived from real

@@ -644,6 +644,96 @@ def phash_clusters_oracle_sql(max_hamming: int = 2) -> str:
     )
 
 
+def phash_index_streaming(
+    spark,
+    max_hamming: int = 2,
+    n_batches: int = 3,
+    source: str = "documents",
+    _crash_after_write_epoch: int | None = None,
+    _parts_out: list | None = None,
+):
+    """Incrementally-maintained perceptual-hash index — the per-epoch
+    parts motif (``bm25_index_streaming`` / ``chunk_index_streaming``,
+    reference-free north star) applied to the MULTIMODAL dedup family:
+    each document micro-batch encodes + dHashes its images (both REAL
+    kernels, Arrow-batched) and lands ``(doc_id, hash_hi, hash_lo)`` as
+    an immutable ``epoch=N`` part; hashing is per-image LOCAL, so a
+    replayed batch rewrites exactly its own part and the merged parts
+    equal a one-shot corpus hash pass row-for-row.  Serving runs the
+    cluster dedup (:func:`phash_clusters_sql`) over the merged relation
+    — group counts and banded near-pairs are aggregates over it, so the
+    streamed index is value-identical to the one-shot build the static
+    DuckDB oracle computes.  At 100 TB this is image-dedup FRESHNESS:
+    a new crawl delivery contributes hashes with one bounded
+    decode+hash pass, no corpus rescan."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    src = spark.table(source).select("doc_id", "text")
+    base = scratch_dir("phash_ix_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    keyed = src.withColumn(
+        "__b", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
+    )
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    parts = os.path.join(base, "hash_parts")
+    ckpt = os.path.join(base, "ckpt")
+    if _parts_out is not None:
+        _parts_out.extend([parts, ckpt])
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        inc = image_dhash(attach_textured_bmp_payload(batch)).select(
+            "doc_id", "hash_hi", "hash_lo"
+        )
+        inc.write.mode("overwrite").parquet(
+            os.path.join(parts, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after increment write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()  # replay overwrites its own epoch part — idempotent
+    merged = (
+        f"SELECT doc_id, hash_hi, hash_lo FROM parquet.`{parts}`"
+    )
+    return spark.sql(phash_clusters_sql("spark", merged, max_hamming))
+
+
 def bmp_decode_oracle_sql(source: str = "documents") -> str:
     """DuckDB recomputation of every decoded property from the encoder spec."""
     return f"""

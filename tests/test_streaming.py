@@ -240,3 +240,51 @@ def test_chunk_streaming_index_crash_replay(spark, sf_dir):
         chunk_index_streaming(spark, _crash_after_write_epoch=1).collect()
     )
     assert streamed == oneshot
+
+
+def test_phash_streaming_index_crash_replay(spark, sf_dir):
+    """Round 9: the incrementally-maintained perceptual-hash index serves
+    the exact one-shot cluster dedup through an injected crash + replay
+    (hashing is per-image local, so a replayed batch rewrites exactly its
+    own (doc, hash) part), and the committed-frontier compactor folds all
+    epochs without changing the served result."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+        image_phash_clusters,
+        phash_clusters_sql,
+        phash_index_streaming,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.sketches import (
+        compact_sketch_parts,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    key = lambda rows: sorted(
+        (r["canon_a"], r["canon_b"], r["n_a"], r["n_b"], r["hamming"])
+        for r in rows
+    )
+    oneshot = key(
+        image_phash_clusters(spark, spark.table("documents")).collect()
+    )
+    assert len(oneshot) > 0
+
+    parts_info = []
+    streamed = key(
+        phash_index_streaming(
+            spark, _crash_after_write_epoch=1, _parts_out=parts_info
+        ).collect()
+    )
+    assert streamed == oneshot
+
+    # hash rows are per-image facts (no additive measure): compaction is
+    # a pure rewrite — key on the full row with MAX as the no-op fold
+    parts, ckpt = parts_info
+    folded = compact_sketch_parts(
+        spark, parts, ("doc_id", "hash_hi"), {"hash_lo": "max"},
+        checkpoint_dir=ckpt,
+    )
+    assert folded == 3
+    merged = f"SELECT doc_id, hash_hi, hash_lo FROM parquet.`{parts}`"
+    assert key(
+        spark.sql(phash_clusters_sql("spark", merged)).collect()
+    ) == oneshot
