@@ -99,7 +99,9 @@ HEADLINE = [
     # round 9
     "window_funnel_strict_order",
     "dedup_image_phash",
+    "dedup_image_phash_clusters",
     "sketch_kmv_cohort",
+    "hysteresis_alert_episodes",
     "knn_ivf_appended",
     "knn_ivf_rebalanced",
     "aql_parameterized",

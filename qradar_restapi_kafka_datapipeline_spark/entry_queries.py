@@ -1874,6 +1874,24 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     # strict_increase: consecutive chain events at strictly increasing
     # timestamps — RANGE-framed anchors (ties fall out of the frame; MAX
     # is order-independent, so no event_id discipline is even needed).
+    # Threshold alerting with hysteresis (round 9): per event_type, alert
+    # episodes ON at >=120% of the type's own mean daily rate, OFF at
+    # <=95% — two thresholds so boundary oscillation cannot flap the
+    # alert.  Crossing directions encode into a running MAX (parity =
+    # state), episodes are consecutive-day islands; exact BIGINT
+    # threshold comparisons make the rule scale-free and hash-checked.
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        hysteresis_alerts_sql,
+    )
+
+    # 105/99 rather than the op's 120/95 default: daily-rate variance
+    # shrinks ~1/sqrt(n) with volume, and the gate should check non-empty
+    # episode output at EVERY test SF (120/95 yields zero episodes at
+    # sf0.1 where sigma/mean is ~4%).
+    q["hysteresis_alert_episodes"] = _df_entry(
+        lambda spark, sf: spark.sql(hysteresis_alerts_sql("spark", 105, 99)),
+        hysteresis_alerts_sql("duckdb", 105, 99),
+    )
     q["window_funnel_strict_increase"] = _df_entry(
         lambda spark, sf: spark.sql(
             window_funnel_sql(

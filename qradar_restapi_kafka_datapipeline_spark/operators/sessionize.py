@@ -445,3 +445,81 @@ def cohort_retention_exact(
     # No final orderBy: the gate's value hash is order-insensitive and the
     # range-partition exchange for a global sort would be the plan's 6th
     # shuffle for pure presentation.
+
+
+def hysteresis_alerts_sql(
+    dialect: str,
+    hi_pct: int = 120,
+    lo_pct: int = 95,
+    source: str = "events",
+) -> str:
+    """Threshold alerting WITH HYSTERESIS (round 9) — the flapping-proof
+    alert rule every SIEM/monitoring stack runs: per event_type, an
+    alert episode turns ON when the daily rate reaches ``hi_pct``% of
+    that type's own mean daily rate and stays ON until the rate falls
+    to ``lo_pct``% (two thresholds, so rates oscillating around a single
+    boundary cannot flap the alert).  Emits one row per alert EPISODE:
+    (event_type, start_day, end_day, n_days, peak_rate).
+
+    Relative thresholds make the rule scale-free: crossings compare
+    ``rate · n_days · 100`` against ``total · pct`` — exact BIGINT
+    arithmetic, no float mean, identical in both engines at any SF.
+
+    State propagation without a state machine: each crossing encodes its
+    direction INTO a running MAX — ``day_id · 2 + 1`` for an up-cross,
+    ``day_id · 2`` for a down-cross — so the current state is just
+    ``(max encoding so far) % 2`` (later days dominate regardless of
+    direction; the parity carries the verdict).  One window pass per
+    series, no self-joins.  Episodes are maximal runs of CONSECUTIVE
+    ON days: a day with no events ENDS the episode (islands split on day
+    gaps rather than densifying a spine — the scale-safe semantic; at
+    100 TB the per-(type, day) relation is tiny but a dense spine per
+    entity would not be), while the state machine itself is driven only
+    by OBSERVED crossings — a dead-band day after a gap resumes in the
+    inherited state, which is exactly hysteresis ("hold the last
+    verdict until a boundary says otherwise").  Windows order by day_id
+    (unique per series) — no tie-break discipline needed."""
+    ms = "unix_millis" if dialect == "spark" else "epoch_ms"
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+    WITH dr AS (
+      SELECT event_type, {ms}(ts) {div} 86400000 AS day_id,
+             CAST(COUNT(*) AS BIGINT) AS rate
+      FROM {source} GROUP BY event_type, {ms}(ts) {div} 86400000
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(rate) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM dr GROUP BY event_type
+    ),
+    marks AS (
+      SELECT /*+ BROADCAST(t) */ d.event_type, d.day_id, d.rate,
+             CASE WHEN d.rate * t.n_days * 100 >= t.total * {hi_pct}
+                  THEN d.day_id * 2 + 1
+                  WHEN d.rate * t.n_days * 100 <= t.total * {lo_pct}
+                  THEN d.day_id * 2
+                  ELSE NULL END AS crossing
+      FROM dr d JOIN tot t ON t.event_type = d.event_type
+    ),
+    st AS (
+      SELECT event_type, day_id, rate,
+             MAX(crossing) OVER (PARTITION BY event_type ORDER BY day_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      FROM marks
+    ),
+    onrows AS (
+      SELECT event_type, day_id, rate FROM st
+      WHERE lc IS NOT NULL AND lc % 2 = 1
+    ),
+    runs AS (
+      SELECT event_type, day_id, rate,
+             day_id - ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY day_id) AS run_id
+      FROM onrows
+    )
+    SELECT event_type, CAST(MIN(day_id) AS BIGINT) AS start_day,
+           CAST(MAX(day_id) AS BIGINT) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(rate) AS BIGINT) AS peak_rate
+    FROM runs GROUP BY event_type, run_id
+    """

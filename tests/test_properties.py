@@ -1377,3 +1377,76 @@ class TestWindowFunnelDifferential:
             }
             want = _ref_window_funnel(rows, 3, window, mode=mode)
             assert got == want, (mode, rows, window)
+
+
+class TestHysteresisDifferential:
+    """The encode-direction-into-running-MAX hysteresis state machine vs a
+    literal python state machine on random small daily-rate series —
+    verifies crossing thresholds (exact integer comparisons vs the series
+    mean), state persistence through dead-band days, and the
+    consecutive-day episode split."""
+
+    _series = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # day offset
+            st.integers(min_value=1, max_value=6),   # rate (events that day)
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=12, deadline=None, database=None)
+    @given(_series)
+    def test_matches_state_machine(self, spark, series):
+        import datetime
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+            hysteresis_alerts_sql,
+        )
+
+        rows = []
+        eid = 0
+        base_day = 19700  # days since epoch, matches the SQL's day_id
+        for day, rate in series:
+            for _ in range(rate):
+                rows.append(
+                    (eid,
+                     datetime.datetime(1970, 1, 1)
+                     + datetime.timedelta(days=base_day + day, hours=1),
+                     1, "a", 0.0)
+                )
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE",
+        ).createOrReplaceTempView("prop_hyst_events")
+        got = sorted(
+            (r["start_day"], r["end_day"], r["n_days"], r["peak_rate"])
+            for r in spark.sql(
+                hysteresis_alerts_sql("spark", source="prop_hyst_events")
+            ).collect()
+        )
+
+        # literal state machine
+        days = sorted((base_day + d, r) for d, r in series)
+        total = sum(r for _, r in days)
+        n = len(days)
+        state = False
+        on_days = []
+        for d, r in days:
+            if r * n * 100 >= total * 120:
+                state = True
+            elif r * n * 100 <= total * 95:
+                state = False
+            if state:
+                on_days.append((d, r))
+        episodes = []
+        for d, r in on_days:
+            if episodes and d == episodes[-1][1] + 1:
+                s0, _, cnt, pk = episodes[-1]
+                episodes[-1] = (s0, d, cnt + 1, max(pk, r))
+            else:
+                episodes.append((d, d, 1, r))
+        assert got == sorted(episodes), (series, got, episodes)

@@ -66,6 +66,9 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "window_funnel_strict_order": None,
     "window_funnel_strict_dedup": None,
     "window_funnel_strict_increase": None,
+    # round 9: hysteresis episodes — relative thresholds at k× rates (the
+    # integer mean-comparison must stay exact as totals grow k²-ish)
+    "hysteresis_alert_episodes": None,
     # round 9: first-seen cohorts at k× the (user, day) population — the
     # DataFrame chain's persisted distinct relation vs the 3-CTE oracle
     "cohort_retention_exact": None,
