@@ -1871,6 +1871,42 @@ def _analytics_entries(q: dict[str, Q]) -> None:
             "duckdb", window_ms=86_400_000, mode="strict_dedup"
         ),
     )
+    # SIEM kill-chain funnel over the QRadar-shaped relation (round 9):
+    # deepest MITRE tactic progression per userName within 24h — the
+    # correlation question the reference's AQL surface feeds into QRadar
+    # offenses, answered by the same windowFunnel core (one anchor pass
+    # per tactic, no per-user self-joins).  The oracle derives qevents
+    # from raw events inline (sources/qevents.py, the shared builder).
+    from qradar_restapi_kafka_datapipeline_spark.sources.qevents import (
+        qevents_sql,
+    )
+
+    def _mitre_src(dialect: str) -> str:
+        q = "`" if dialect == "spark" else '"'
+        inner = (
+            "qevents" if dialect == "spark"
+            else f"({qevents_sql('duckdb')}) qe"
+        )
+        return (
+            f"(SELECT userName AS user_id, ts, event_id, "
+            f"{q}Mitre Tactic{q} AS tactic FROM {inner}) mt"
+        )
+
+    _mitre_steps = tuple(
+        f"tactic = 'tactic_{i}'" for i in range(3)
+    )
+    q["aql_mitre_chain_funnel"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            window_funnel_sql(
+                "spark", steps=_mitre_steps, window_ms=86_400_000,
+                source=_mitre_src("spark"),
+            )
+        ),
+        window_funnel_sql(
+            "duckdb", steps=_mitre_steps, window_ms=86_400_000,
+            source=_mitre_src("duckdb"),
+        ),
+    )
     # strict_increase: consecutive chain events at strictly increasing
     # timestamps — RANGE-framed anchors (ties fall out of the frame; MAX
     # is order-independent, so no event_id discipline is even needed).
