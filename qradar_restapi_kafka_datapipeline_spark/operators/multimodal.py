@@ -524,14 +524,80 @@ def phash_pairs_sql(
     """
 
 
+def phash_pairs_expanded_sql(
+    dialect: str,
+    hash_rel: str,
+    max_hamming: int = 2,
+) -> str:
+    """Doc-level near-dup pairs via GROUP EXPANSION (round 9, the
+    production form): band only the DISTINCT hashes (bounded by hash
+    diversity), then expand each near hash-pair into its member
+    cross-product and each hash group into its internal distance-0
+    pairs.  Value-identical to :func:`phash_pairs_sql` — the gate runs
+    THIS on Spark against the simple banded form as the DuckDB oracle,
+    so the two independent formulations check each other — but the cost
+    is output-bound: the banded join never sees doc-level rows, and the
+    expansion joins shuffle exactly the emitted pairs.  At 100 TB, where
+    boilerplate-image duplicate classes are huge, the simple form's
+    candidate join inflates with class size² per band while this form
+    pays class size² only in the unavoidable output."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError("banding with 8 one-byte bands is lossless only "
+                         "for max_hamming in [0, 7]")
+    band_spine, band_val, ham = _phash_fragments(dialect)
+    hint = "/*+ BROADCAST(b) */ " if dialect == "spark" else ""
+    hint_np = "/*+ BROADCAST(np) */ " if dialect == "spark" else ""
+    return f"""
+    WITH hs AS ({hash_rel}),
+    grp AS (
+      SELECT hash_hi, hash_lo, CAST(MIN(doc_id) AS BIGINT) AS canonical
+      FROM hs GROUP BY hash_hi, hash_lo
+    ),
+    bands AS (
+      SELECT {hint}h.canonical, h.hash_hi, h.hash_lo,
+             b.b AS band_id, {band_val} AS band_val
+      FROM grp h CROSS JOIN ({band_spine}) b
+    ),
+    np AS (
+      SELECT hi_a, lo_a, hi_b, lo_b, hamming FROM (
+        SELECT DISTINCT x.hash_hi AS hi_a, x.hash_lo AS lo_a,
+               y.hash_hi AS hi_b, y.hash_lo AS lo_b,
+               {ham} AS hamming
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_val = y.band_val
+         AND x.canonical < y.canonical
+      ) c WHERE hamming BETWEEN 1 AND {max_hamming}
+    ),
+    cross_pairs AS (
+      SELECT {hint_np}LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+             GREATEST(ma.doc_id, mb.doc_id) AS doc_b,
+             np.hamming
+      FROM np
+      JOIN hs ma ON ma.hash_hi = np.hi_a AND ma.hash_lo = np.lo_a
+      JOIN hs mb ON mb.hash_hi = np.hi_b AND mb.hash_lo = np.lo_b
+    ),
+    within_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+      FROM hs a JOIN hs b
+        ON a.hash_hi = b.hash_hi AND a.hash_lo = b.hash_lo
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM (SELECT * FROM cross_pairs
+          UNION ALL SELECT * FROM within_pairs) u
+    """
+
+
 def image_phash_pairs(
     spark,
     docs: DataFrame,
     max_hamming: int = 2,
 ) -> DataFrame:
     """End-to-end perceptual-hash image dedup: textured-BMP payloads →
-    REAL dHash kernel (:func:`image_dhash`) → Hamming-banded pair join
-    (:func:`phash_pairs_sql`).  The hash relation is tiny (two BIGINTs
+    REAL dHash kernel (:func:`image_dhash`) → group-expansion pair
+    join (:func:`phash_pairs_expanded_sql`; the gate oracle stays the
+    independent simple banded form, so the two formulations check
+    each other).  The hash relation is tiny (two BIGINTs
     per image) but its lineage crosses two Python kernel stages AND the
     pair SQL references it through WITH-CTE definitions (both join
     sides) — the exact shape where cache substitution does not reach
@@ -545,7 +611,7 @@ def image_phash_pairs(
     )
     name = materialize_view(spark, hashes, "__phash_hashes")
     return spark.sql(
-        phash_pairs_sql(
+        phash_pairs_expanded_sql(
             "spark",
             f"SELECT doc_id, hash_hi, hash_lo FROM {name}",
             max_hamming,
