@@ -3016,6 +3016,48 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         run=_bpe_run, oracle=B.bpe_doc_tokens_oracle_sql(_emit_dir("bpe_vocab"))
     )
 
+    # Tokenizer fertility by language (round 9) — the eval every tokenizer
+    # ships with: BPE tokens per whitespace word, per lang stratum (a
+    # vocabulary trained on one language inflates another's fertility —
+    # the number multilingual budget planning runs on).  Exact BIGINT sums
+    # from the REAL token relation; one terminal divide.  Same emitted-
+    # vocab contract as text_bpe_tokenize (Spark runs before its oracle).
+    def _bpe_fertility_run(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        setup(spark, sf)
+        t = B.bpe_doc_tokens(spark, _bpe_tokens_for(spark, sf))
+        return (
+            t.join(
+                spark.table("documents").select("doc_id", "lang"), "doc_id"
+            )
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_words").cast("long").alias("n_words"),
+                F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                F.round(
+                    F.sum("n_bpe_tokens").cast("double")
+                    / F.sum("n_words").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                ).alias("fertility"),
+            )
+        )
+
+    q["text_bpe_fertility_by_lang"] = Q(
+        run=_bpe_fertility_run,
+        oracle=(
+            "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(b.n_words) AS BIGINT) AS n_words, "
+            "CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens, "
+            "ROUND(CAST(SUM(b.n_bpe_tokens) AS DOUBLE) "
+            "/ CAST(SUM(b.n_words) AS DOUBLE) + 1e-9, 6) AS fertility "
+            f"FROM ({B.bpe_doc_tokens_oracle_sql(_emit_dir('bpe_vocab'))}) b "
+            "JOIN documents d ON d.doc_id = b.doc_id GROUP BY d.lang"
+        ),
+    )
+
     # fp_md5 (exact-dup key) + fp_pos (order-sensitive positional word-hash,
     # explode + SUM — the char-level interpreted lambda it replaces is gone;
     # VERDICT r2 #6)

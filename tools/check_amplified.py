@@ -81,6 +81,9 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "sessionize_events_bucketed": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
+    # round 9: fertility strata — same emitted-vocab contract, per-lang
+    # exact sums at k× the word population
+    "text_bpe_fertility_by_lang": None,
     "aql_auto_rollup_routed": None,  # navigator vs raw-events oracle at volume
     # round 6: sketch saturation regimes only volume can reach — CM cell
     # collisions at k× the user population, HLL leaving linear counting
