@@ -603,3 +603,81 @@ def test_kmv_cohort_exact_below_saturation(spark, ev):
         assert cest == cohort_cnt[d0], (d0, off)
         assert rest == retained[(d0, off)], (d0, off)
         assert abs(rate - retained[(d0, off)] / cohort_cnt[d0]) < 1e-5
+
+
+def test_kmv_cohort_saturation_matches_python_oracle(spark):
+    """Round 9: the θ-sample estimator in the SATURATED regime (per-day
+    distinct keys > k, so θ < 2^60 and the sample is a strict subset) —
+    replayed exactly in python from the same md5 hash family: daily
+    bottom-k, per-day thresholds, θ, the sub-θ sample, first-seen days,
+    and the scaled estimates must all agree (the gate hash only proves
+    the two ENGINES agree; this proves the estimator does what the spec
+    says)."""
+    import datetime
+    import hashlib
+    import random
+
+    rng = random.Random(20260816)
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 3, 1)
+    for day in range(6):
+        # 20-35 active users per day out of 60 → saturated at k=8
+        for u in rng.sample(range(60), rng.randrange(20, 36)):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, hours=3), u,
+                 "view", 1.0)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE",
+    ).createOrReplaceTempView("prop_kmv_events")
+
+    K_SMALL = 8
+    got = {
+        (r["cohort_day"], r["offset_days"]):
+            (r["cohort_est"], r["retained_est"], r["retention_rate"])
+        for r in K.kmv_cohort(
+            spark, k=K_SMALL, source="prop_kmv_events"
+        ).collect()
+    }
+
+    h60 = lambda u: int(
+        hashlib.md5(f"{u}#kmv".encode()).hexdigest()[:15], 16
+    )
+    by_day = {}
+    for _, ts, u, _, _ in rows:
+        d = int(ts.timestamp() * 1000) // 86400000
+        by_day.setdefault(d, set()).add(u)
+    daily = {
+        d: sorted(h60(u) for u in us)[:K_SMALL] for d, us in by_day.items()
+    }
+    th = {
+        d: (2 ** 60 if len(by_day[d]) < K_SMALL else max(hs))
+        for d, hs in daily.items()
+    }
+    assert any(t < 2 ** 60 for t in th.values())  # saturation reached
+    theta = min(th.values())
+    samp = {}
+    for d, hs in daily.items():
+        for h in hs:
+            if h < theta:
+                samp.setdefault(h, set()).add(d)
+    first = {h: min(ds) for h, ds in samp.items()}
+    cohort_cnt = {}
+    for h, d0 in first.items():
+        cohort_cnt[d0] = cohort_cnt.get(d0, 0) + 1
+    retained = {}
+    for h, ds in samp.items():
+        d0 = first[h]
+        for d in ds:
+            if 1 <= d - d0 <= 7:
+                retained[(d0, d - d0)] = retained.get((d0, d - d0), 0) + 1
+    assert set(got) == set(retained)
+    scale = 2.0 ** 60 / theta
+    for (d0, off), cnt in retained.items():
+        cest, rest, rate = got[(d0, off)]
+        assert abs(cest - cohort_cnt[d0] * scale) < 2e-3, (d0, off)
+        assert abs(rest - cnt * scale) < 2e-3, (d0, off)
+        assert abs(rate - cnt / cohort_cnt[d0]) < 2e-6, (d0, off)
