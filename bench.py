@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_image_phash_clusters",
     "sketch_kmv_cohort",
     "hysteresis_alert_episodes",
+    "event_path_trigrams",
     "knn_ivf_appended",
     "knn_ivf_rebalanced",
     "aql_parameterized",

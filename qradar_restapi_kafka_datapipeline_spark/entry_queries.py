@@ -1910,6 +1910,18 @@ def _analytics_entries(q: dict[str, Q]) -> None:
     # strict_increase: consecutive chain events at strictly increasing
     # timestamps — RANGE-framed anchors (ties fall out of the frame; MAX
     # is order-independent, so no event_id discipline is even needed).
+    # Event-path trigrams (round 9): the Sankey/path analysis — per-user
+    # consecutive (e1, e2, e3) windows via two LEADs over ONE user-keyed
+    # sort (no adjacency self-joins), bounded |types|^3 aggregate, top-k
+    # with a label tie-break so the cut is deterministic.
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        event_path_trigrams_sql,
+    )
+
+    q["event_path_trigrams"] = _df_entry(
+        lambda spark, sf: spark.sql(event_path_trigrams_sql("spark")),
+        event_path_trigrams_sql("duckdb"),
+    )
     # Threshold alerting with hysteresis (round 9): per event_type, alert
     # episodes ON at >=120% of the type's own mean daily rate, OFF at
     # <=95% — two thresholds so boundary oscillation cannot flap the

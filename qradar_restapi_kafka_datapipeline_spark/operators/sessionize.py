@@ -523,3 +523,39 @@ def hysteresis_alerts_sql(
            CAST(MAX(rate) AS BIGINT) AS peak_rate
     FROM runs GROUP BY event_type, run_id
     """
+
+
+def event_path_trigrams_sql(
+    dialect: str,
+    top_k: int = 20,
+    source: str = "events",
+) -> str:
+    """Top event-type paths of length 3 (round 9) — the Sankey/path
+    analysis every product- and security-analytics UI draws: for each
+    user's event stream in time order, count every consecutive
+    (e1 → e2 → e3) window and rank corpus-wide.  Two LEAD passes over
+    ONE user-keyed window sort (no self-joins — the naive formulation is
+    a double self-join on adjacency), then a tiny (|types|³-bounded)
+    aggregate.  Ordering is ({ms}(ts), event_id) — the generation-stable
+    discipline — and rank ties settle on the path labels, so the top-k
+    cut is deterministic and fully hash-checked."""
+    ms = "unix_millis" if dialect == "spark" else "epoch_ms"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM {source}
+      WINDOW w AS (PARTITION BY user_id ORDER BY {ms}(ts), event_id)
+    ),
+    paths AS (
+      SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n_paths, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY n_paths DESC, e1, e2, e3) AS rk
+      FROM paths
+    ) r WHERE rk <= {top_k}
+    """

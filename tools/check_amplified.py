@@ -69,6 +69,9 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # round 9: hysteresis episodes — relative thresholds at k× rates (the
     # integer mean-comparison must stay exact as totals grow k²-ish)
     "hysteresis_alert_episodes": None,
+    # round 9: path trigrams — LEAD chains at k× volume and under the
+    # hot-user skew regime (one user's giant ordered stream)
+    "event_path_trigrams": None,
     # round 9: first-seen cohorts at k× the (user, day) population — the
     # DataFrame chain's persisted distinct relation vs the 3-CTE oracle
     "cohort_retention_exact": None,
