@@ -1255,13 +1255,28 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: streaming-parity motif keeps 4 reps: rollup-txn, sketch, dsir,
 #: chunk-index; sessionize itself is repped by the funnel) and IN
 #: dedup_image_phash — the new perceptual-hash image-dedup family.
+#: Round 10 (VERDICT r9 #1) rotated IN one rep per round-9 family:
+#: window_funnel_strict_order (displaced window_funnel_conversion —
+#: strict_order runs the same anchor core PLUS the segmentation pass,
+#: strictly larger pipeline), sketch_kmv_cohort (displaced
+#: sketch_kmv_retention — the cohort twin serves first-seen cohorts
+#: from the same KMV cube, strictly larger), hysteresis_alert_episodes
+#: (displaced text_knn_indexed ⊂ text_chunk_knn — same postings-index
+#: serve over a strictly larger chunk pipeline), event_path_trigrams
+#: (displaced knn_bruteforce_cosine — ANN keeps knn_mmr_ivfpq +
+#: knn_ivf_rebalanced + text_chunk_knn; bruteforce stays the
+#: mirror-checked recall baseline), aql_mitre_chain_funnel (displaced
+#: aql_auto_rollup_minmax ⊂ aql_auto_rollup_routed, same auto-rollup
+#: navigator), text_bpe_fertility_by_lang (displaced text_bpe_tokenize
+#: — fertility runs tokenize plus the per-language aggregation,
+#: strictly larger).  All displaced entries stay mirror-checked.
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
     "sketch_cm_heavy_hitters",
     "aql_nested_incidr_coalesce",
     "aql_auto_rollup_routed",
-    "aql_auto_rollup_minmax",
+    "aql_mitre_chain_funnel",
     "mix_token_budget",
     "aql_routed_materialized",
     "aql_day_pruned_scan",
@@ -1271,23 +1286,23 @@ GATE_WINDOW: tuple[str, ...] = (
     "summing_rollup_hourly",
     "streaming_rollup_txn_parity",
     "sketch_hll_daily_cube",
-    "sketch_kmv_retention",
+    "sketch_kmv_cohort",
     "sketch_rank_daily_cube",
     "corpus_drift_js",
-    "window_funnel_conversion",
+    "window_funnel_strict_order",
     "text_chunk_knn",
     "streaming_sketch_parity",
     "dedup_exact_stats",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
     "cohort_retention_exact",
-    "knn_bruteforce_cosine",
+    "event_path_trigrams",
     "knn_ivf_rebalanced",
     "streaming_chunk_index_parity",
     "knn_mmr_ivfpq",
     "semantic_dedup_pairs",
     "snapshot_diff_report",
-    "text_knn_indexed",
+    "hysteresis_alert_episodes",
     "text_semantic_pairs_hashed_capped",
     "curate_dsir_topk",
     "sample_exact_k_per_stratum",
@@ -1296,7 +1311,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "text_quality_scores",
     "text_bm25_topk",
     "text_winnow_overlap",
-    "text_bpe_tokenize",
+    "text_bpe_fertility_by_lang",
     "pii_redaction_report",
     "boilerplate_doc_coverage",
     "decontaminate_bloom",

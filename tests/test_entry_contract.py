@@ -87,7 +87,9 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     # rank_merge_parity ⊂ rank_quantiles, auto_rollup_count ⊂ minmax +
     # routed, dsir_apply ⊂ streaming_dsir_apply_parity)
     for rotated_in in (
-        "sketch_kmv_retention", "sketch_rank_daily_cube",
+        # (sketch_kmv_retention rotated out in r10 for its strictly-larger
+        # cohort twin, pinned below)
+        "sketch_rank_daily_cube",
         "text_chunk_knn", "mix_token_budget",
         # round-9 rotation (VERDICT r8 #2): one rep per round-8 family —
         # event-sequence funnel (displaced sketch_rank_quantiles ⊂ rank
@@ -99,19 +101,32 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # strictly larger pipeline), exactly-k stratum sampling
         # (displaced sample_weighted_tokens — mix_token_budget +
         # stratum draw rep sampling); all displaced stay mirror-checked
-        "window_funnel_conversion", "cohort_retention_exact",
+        "cohort_retention_exact",
         "knn_ivf_rebalanced", "streaming_chunk_index_parity",
         "sample_exact_k_per_stratum",
         # r9 second pass: perceptual-hash image dedup (displaced
         # streaming_sessionize_parity — streaming parity keeps 4 reps,
         # sessionize is repped by the funnel; both stay mirror-checked)
         "dedup_image_phash",
+        # round-10 rotation (VERDICT r9 #1): one rep per round-9 family —
+        # strict funnel modes (window_funnel_strict_order displaced the
+        # plain conversion: same anchor core plus the segmentation pass),
+        # KMV first-seen cohorts (sketch_kmv_cohort displaced
+        # sketch_kmv_retention, same cube), hysteresis alert episodes
+        # (displaced text_knn_indexed ⊂ text_chunk_knn), event-path
+        # trigrams (displaced knn_bruteforce_cosine — the mirror keeps it
+        # as the ANN recall baseline), the AQL MITRE kill-chain funnel
+        # (displaced aql_auto_rollup_minmax ⊂ aql_auto_rollup_routed),
+        # and BPE fertility-by-language (displaced text_bpe_tokenize —
+        # fertility runs tokenize plus the per-lang aggregation).
+        "window_funnel_strict_order", "sketch_kmv_cohort",
+        "hysteresis_alert_episodes", "event_path_trigrams",
+        "aql_mitre_chain_funnel", "text_bpe_fertility_by_lang",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
         "streaming_sketch_parity",
         "pipeline_corpus_funnel",
-        "aql_auto_rollup_minmax",
         "streaming_dsir_apply_parity",
         "curate_quality_classifier",
         "decontaminate_bloom", "text_bm25_topk",
@@ -130,12 +145,15 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "sketch_cm", "sketch_hll", "curate_dsir", "zorder_",
         "decontaminate_",
         # round 7 families
-        "sketch_rank", "pipeline_corpus", "aql_auto_rollup_minmax",
+        "sketch_rank", "pipeline_corpus", "aql_auto_rollup",
         "streaming_dsir",
         # round 8 rotation (the r7 additions, now hard-gated)
         "sketch_kmv", "text_chunk", "mix_token",
         # round 9 rotation (the r8 additions, now hard-gated)
         "window_funnel", "cohort_retention", "knn_ivf_rebalanced",
         "streaming_chunk", "sample_exact",
+        # round 10 rotation (the r9 additions, now hard-gated)
+        "window_funnel_strict", "sketch_kmv_cohort", "hysteresis_",
+        "event_path_", "aql_mitre_", "text_bpe_fertility",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
