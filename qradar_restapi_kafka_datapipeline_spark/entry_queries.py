@@ -1955,6 +1955,19 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: spark.sql(hysteresis_alerts_sql("spark", 105, 99)),
         hysteresis_alerts_sql("duckdb", 105, 99),
     )
+    # Streamed twin (round 10, VERDICT r9 #7): per-epoch (type, day, rate)
+    # parts are the exactly-once additive unit, SUM-merged at read;
+    # episodes derive from the merged rates with the identical one-shot
+    # tail.  Oracle = whole-corpus single statement, so a lost or
+    # double-folded batch shifts a rate across a threshold and hash-fails.
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        hysteresis_streaming,
+    )
+
+    q["streaming_hysteresis_parity"] = _df_entry(
+        lambda spark, sf: hysteresis_streaming(spark, 105, 99),
+        hysteresis_alerts_sql("duckdb", 105, 99),
+    )
     q["window_funnel_strict_increase"] = _df_entry(
         lambda spark, sf: spark.sql(
             window_funnel_sql(

@@ -452,6 +452,7 @@ def hysteresis_alerts_sql(
     hi_pct: int = 120,
     lo_pct: int = 95,
     source: str = "events",
+    rates_rel: str | None = None,
 ) -> str:
     """Threshold alerting WITH HYSTERESIS (round 9) — the flapping-proof
     alert rule every SIEM/monitoring stack runs: per event_type, an
@@ -478,15 +479,22 @@ def hysteresis_alerts_sql(
     by OBSERVED crossings — a dead-band day after a gap resumes in the
     inherited state, which is exactly hysteresis ("hold the last
     verdict until a boundary says otherwise").  Windows order by day_id
-    (unique per series) — no tie-break discipline needed."""
+    (unique per series) — no tie-break discipline needed.
+
+    ``rates_rel``: optional SQL relation already at ``(event_type,
+    day_id, rate)`` grain (e.g. SUM-merged per-epoch streaming parts,
+    :func:`hysteresis_streaming`); when given it replaces the events
+    scan — the episode derivation is identical, which is the point:
+    daily rates are the exactly-once unit, episodes derive at read."""
     ms = "unix_millis" if dialect == "spark" else "epoch_ms"
     div = "DIV" if dialect == "spark" else "//"
-    return f"""
-    WITH dr AS (
+    dr = rates_rel or f"""
       SELECT event_type, {ms}(ts) {div} 86400000 AS day_id,
              CAST(COUNT(*) AS BIGINT) AS rate
       FROM {source} GROUP BY event_type, {ms}(ts) {div} 86400000
-    ),
+    """
+    return f"""
+    WITH dr AS ({dr}),
     tot AS (
       SELECT event_type, CAST(SUM(rate) AS BIGINT) AS total,
              CAST(COUNT(*) AS BIGINT) AS n_days
@@ -559,3 +567,108 @@ def event_path_trigrams_sql(
       FROM paths
     ) r WHERE rk <= {top_k}
     """
+
+
+def hysteresis_streaming(
+    spark,
+    hi_pct: int = 120,
+    lo_pct: int = 95,
+    n_batches: int = 3,
+    _crash_after_write_epoch: int | None = None,
+) -> DataFrame:
+    """Continuously-maintained hysteresis alerting (round 10, VERDICT r9
+    #7) — the ``streaming_*_parity`` motif applied to the most
+    streaming-shaped round-9 op: replay the events relation as an
+    ``n_batches`` file stream, fold each micro-batch's ``(event_type,
+    day_id, rate)`` counts as an immutable PER-EPOCH increment part
+    (``rates/epoch=N``, mode=overwrite — a replayed epoch rewrites its
+    own part, so there is no commit window and no double-fold; the
+    round-7 protocol), SUM-merge the parts at read, and derive alert
+    EPISODES from the merged daily rates with the one-shot
+    :func:`hysteresis_alerts_sql` tail.  Daily rates are the
+    exactly-once additive unit; episodes (thresholds, crossings,
+    islands) are a pure function of them, so streamed ≡ one-shot
+    value-for-value — the gate oracle computes episodes from the whole
+    corpus in a single statement and a lost or double-folded batch
+    shifts a rate past a threshold boundary and hash-fails.
+
+    ``_crash_after_write_epoch``: crash-injection hook (raise once AFTER
+    the part write — the widest failure window — then restart from the
+    same checkpoint; the replayed epoch overwrites its own part)."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    src_rel = spark.table("events").select(
+        F.col("event_id"), F.col("event_type"), F.col("ts")
+    )
+    base = scratch_dir("hyst_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    split = F.pmod(F.xxhash64("event_id"), F.lit(n_batches))
+    keyed = src_rel.withColumn("__b", split)
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    rates_path = os.path.join(base, "rates")
+    ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        spark_ = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch.createOrReplaceTempView("__hyst_batch")
+        inc = spark_.sql(
+            """
+            SELECT event_type, unix_millis(ts) DIV 86400000 AS day_id,
+                   CAST(COUNT(*) AS BIGINT) AS rate
+            FROM __hyst_batch
+            GROUP BY event_type, unix_millis(ts) DIV 86400000
+            """
+        )
+        inc.write.mode("overwrite").parquet(
+            os.path.join(rates_path, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after increment write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(src_rel.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()
+    merged = (
+        "SELECT event_type, day_id, CAST(SUM(rate) AS BIGINT) AS rate "
+        f"FROM parquet.`{rates_path}` GROUP BY event_type, day_id"
+    )
+    return spark.sql(
+        hysteresis_alerts_sql(
+            "spark", hi_pct, lo_pct, rates_rel=merged
+        )
+    )

