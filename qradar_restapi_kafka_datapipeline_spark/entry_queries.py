@@ -1860,6 +1860,18 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         window_funnel_sql("duckdb", window_ms=86_400_000),
     )
+    # Hot-user-safe twin (round 10, VERDICT r9 #3): every valid chain
+    # spans <= window, so adjacent window-width bucket PAIRS contain all
+    # chains whole; the identical anchor cascade runs per (user, pair),
+    # per-user level = MAX across pairs.  The oracle is the PLAIN
+    # single-partition SQL — an independent formulation (also fuzzed
+    # against brute-force chain enumeration in test_properties).
+    q["window_funnel_bucketed"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            window_funnel_sql("spark", window_ms=86_400_000, bucketed=True)
+        ),
+        window_funnel_sql("duckdb", window_ms=86_400_000),
+    )
     # Strict variants (round 9, VERDICT r8 #5): strict_order segments the
     # FULL event stream on foreign (non-step) events — chains must be
     # consecutive step events; strict_dedup breaks a chain at a step event
@@ -1935,6 +1947,19 @@ def _analytics_entries(q: dict[str, Q]) -> None:
 
     q["event_path_trigrams"] = _df_entry(
         lambda spark, sf: spark.sql(event_path_trigrams_sql("spark")),
+        event_path_trigrams_sql("duckdb"),
+    )
+    # Hot-user-safe twin (round 10, VERDICT r9 #3): per-(user, day)
+    # LEADs + a positional stitch from the tiny per-day FIRSTS relation
+    # (<= 2·days rows per user).  Oracle = the PLAIN single-window SQL —
+    # an independent formulation (also differential-fuzzed vs a literal
+    # python sliding window on single-row-day edge cases).
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        event_path_trigrams_bucketed,
+    )
+
+    q["event_path_trigrams_bucketed"] = _df_entry(
+        lambda spark, sf: event_path_trigrams_bucketed(spark),
         event_path_trigrams_sql("duckdb"),
     )
     # Threshold alerting with hysteresis (round 9): per event_type, alert

