@@ -165,7 +165,21 @@ HEADLINE = [
     "sketch_kmv_retention",
     # round 7: chunk-level retrieval (the RAG serving composition)
     "text_chunk_knn",
+    # round 10: hot-user-safe event-sequence twins (plain forms above stay
+    # for the crossover comparison) + the refined IVF-PQ serve (ADC
+    # shortlist re-ranked by exact cosine — the production ANN path)
+    "window_funnel_bucketed",
+    "event_path_trigrams_bucketed",
+    "knn_ivfpq_refined",
 ]
+# Growth policy (VERDICT r9 #8): at ~95 entries the two-pass min-of-2 +
+# probe discipline still holds (the memoized index/vocab/classifier builds
+# pay their cost in pass 1 — recorded under cold_queries — and pass 2's
+# min is the steady serve, so one-time builds already never pollute the
+# steady total).  If the set crosses ~100, split the build-paying entries
+# into an explicit "cold section" list reported under a separate
+# cold-builds key INSTEAD of growing this list further; the per-query map
+# schema ({name: sec}) must stay unchanged for cross-round comparability.
 
 
 def _extra_paths():

@@ -2848,6 +2848,25 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             dim=64,
         ),
     )
+    # Refined serve (round 10, VERDICT r9 #5): the FAISS refine step over
+    # the same index — ADC top-60 shortlist re-ranked by exact rounded
+    # cosine (60 raw-vector reads per query, never a corpus scan).  Raw
+    # ADC recall@3 vs brute force measured ~0.3 at sf0.1 (64-bit codes
+    # blur near-ties); refined recovers to ≈ the probe ceiling (~0.87) —
+    # the production serving recommendation.  The oracle recomputes the
+    # whole pipeline INCLUDING the refine from the artifacts; the recall
+    # floor itself is pinned by the pytest contract vs knn_bruteforce.
+    q["knn_ivfpq_refined"] = Q(
+        run=lambda spark, sf: S.knn_ivfpq_from_index(
+            spark, _ivfpq_index_for(spark, sf), dim=64, refine_k=60
+        ),
+        oracle=S.ivfpq_oracle_sql(
+            f"{_emit_dir('ivfpq')}/index/centroids",
+            f"{_emit_dir('ivfpq')}/index/codebooks",
+            dim=64,
+            refine_k=60,
+        ),
+    )
     # MMR over the PERSISTED index (round 6, VERDICT r5 #6): proves the
     # docstring claim that the IVF/PQ serving path swaps in under the greedy
     # unchanged.  Pool candidates come from the file-pruned ADC serve (no

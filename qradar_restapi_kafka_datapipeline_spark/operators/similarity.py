@@ -1172,6 +1172,46 @@ def _ivfpq_rank_sql(codes_rel: str, probes_rel: str, lut_rel: str, k: int) -> st
     """
 
 
+def _ivfpq_refine_sql(
+    dialect: str,
+    codes_rel: str,
+    probes_rel: str,
+    lut_rel: str,
+    vec_rel: str,
+    refine_k: int,
+    k: int,
+    dim: int,
+) -> str:
+    """The FAISS refine stage as dialect-shared SQL (round 10, VERDICT r9
+    #5): re-rank the ADC top-``refine_k`` shortlist by EXACT rounded
+    cosine over the raw vectors, emit the top-``k``.  Measured at sf0.1
+    (DESIGN.md round-10 recall table): raw ADC recall@3 vs brute force is
+    ~0.3 — the 64-bit PQ codes blur near-ties — while the probed
+    candidate set contains ~0.87 of the truth; refining the bounded
+    shortlist (refine_k raw-vector reads per query, never a corpus scan)
+    recovers recall to ≈ the probe ceiling.  The shortlist and query
+    vectors BROADCAST; the only corpus-sized relation is the codes scan
+    already file-pruned by the probe predicate."""
+    adc = "WITH " + _ivfpq_rank_sql(codes_rel, probes_rel, lut_rel, refine_k)
+    dot_qn = _dot_full_sql(dialect, "qe.v", "ne.v", dim)
+    dot_qq = _dot_full_sql(dialect, "qe.v", "qe.v", dim)
+    dot_nn = _dot_full_sql(dialect, "ne.v", "ne.v", dim)
+    return f"""
+    SELECT q_id, n_id, cos, rk FROM (
+      SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk
+      FROM (
+        SELECT /*+ BROADCAST(s), BROADCAST(qe) */ s.q_id, s.n_id,
+               ROUND(({dot_qn})
+                     / SQRT(({dot_qq}) * ({dot_nn})) + 1e-9, 6) AS cos
+        FROM ({adc}) s
+        JOIN ({vec_rel}) qe ON qe.vec_id = s.q_id
+        JOIN ({vec_rel}) ne ON ne.vec_id = s.n_id
+      ) scored
+    ) ranked WHERE rk <= {k}
+    """
+
+
 def build_ivfpq_index(
     spark,
     emb: DataFrame,
@@ -1220,13 +1260,21 @@ def knn_ivfpq_from_index(
     query_max: int = 3,
     k: int = 3,
     source_view: str = "embeddings",
+    refine_k: int | None = None,
 ) -> DataFrame:
     """Serve top-``k`` from the persisted IVF-PQ index: probe lists come
     from the shared rounded assignment SQL (collected — queries × nprobe
     ints, a plan constant), the codes scan carries a static
     ``list_id IN (...)`` predicate (file-pruned like the raw-vector IVF
     path), and scoring is the exact-integer ADC sum.  The scan never
-    touches an embedding."""
+    touches an embedding.
+
+    ``refine_k`` (round 10): when set, the ADC ranking produces a
+    top-``refine_k`` SHORTLIST that is re-ranked by exact rounded cosine
+    over the raw vectors (:func:`_ivfpq_refine_sql` — the FAISS refine
+    step; refine_k bounded raw-vector reads per query).  Output columns
+    become ``(q_id, n_id, cos, rk)``.  ~20·k recovers recall to the
+    probe ceiling (DESIGN.md round-10 recall table)."""
     probes = spark.sql(
         ivf_assign_sql("spark", f"{path}/centroids", dim, nprobe, source_view)
     ).where(F.col("vec_id") < query_max).select(
@@ -1244,6 +1292,19 @@ def knn_ivfpq_from_index(
     F.broadcast(probes).createOrReplaceTempView("__ivfpq_probes")
     lut = pq_lut_sql("spark", f"{path}/codebooks", m, dim // m, query_max,
                      source_view)
+    if refine_k is not None:
+        return spark.sql(
+            _ivfpq_refine_sql(
+                "spark",
+                "SELECT vec_id, mi, j, list_id FROM __ivfpq_codes",
+                "SELECT q_id, list_id FROM __ivfpq_probes",
+                lut,
+                _vec_rel_sql("spark", source_view),
+                refine_k,
+                k,
+                dim,
+            )
+        )
     return spark.sql(
         "WITH " + _ivfpq_rank_sql(
             "SELECT vec_id, mi, j, list_id FROM __ivfpq_codes",
@@ -1251,6 +1312,58 @@ def knn_ivfpq_from_index(
             lut,
             k,
         )
+    )
+
+
+def ivfpq_recall_report(
+    spark,
+    path: str,
+    dim: int,
+    m: int = 16,
+    nprobe: int = 4,
+    query_max: int = 10,
+    k: int = 3,
+    min_avg_recall: float = 0.5,
+    source_view: str = "embeddings",
+    refine_k: int | None = None,
+) -> DataFrame:
+    """Retrieval-quality contract for the persisted IVF-PQ serving path
+    (round 10, VERDICT r9 #5): the gate's static oracle proves the ADC
+    pipeline computes its own spec exactly, but says nothing about how
+    well ADC top-k approximates the TRUE cosine top-k.  This report runs
+    the index serve and :func:`knn_bruteforce` side by side and emits
+    ``(n_queries, n_result_rows, avg_recall, avg_recall_ge_floor)``.
+
+    ``k`` doubles as the contract for BOTH gate shapes: k=3 is
+    ``knn_ivfpq_persisted``'s serve, k=pool_k is exactly the candidate
+    pool :func:`knn_mmr_ivfpq` refines (its pool IS the ADC top-pool_k),
+    so a pool-recall floor bounds the MMR entry's input quality too.
+    Floors are pinned with margin below measured behavior (DESIGN.md
+    round-10 recall table) so the contract catches a probe/codebook/ADC
+    regression without being flaky to data-scale noise."""
+    approx = knn_ivfpq_from_index(
+        spark, path, dim, m=m, nprobe=nprobe, query_max=query_max, k=k,
+        source_view=source_view, refine_k=refine_k,
+    ).select("q_id", "n_id")
+    bf = knn_bruteforce(
+        spark.table(source_view), query_ids=list(range(query_max)), k=k
+    ).select("q_id", "n_id")
+    hits = approx.join(bf, ["q_id", "n_id"], "left_semi")
+    a = approx.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_result_rows"),
+    )
+    h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return a.crossJoin(h).select(
+        "n_queries",
+        "n_result_rows",
+        F.round(
+            F.col("n_hits") / (F.col("n_queries") * F.lit(float(k))), 4
+        ).alias("avg_recall"),
+        (
+            F.col("n_hits")
+            >= F.col("n_queries") * F.lit(float(k) * min_avg_recall)
+        ).alias("avg_recall_ge_floor"),
     )
 
 
@@ -1263,12 +1376,14 @@ def ivfpq_oracle_sql(
     query_max: int = 3,
     k: int = 3,
     source: str = "embeddings",
+    refine_k: int | None = None,
 ) -> str:
     """Static DuckDB recomputation of the WHOLE IVF-PQ pipeline from the two
     artifacts — coarse assignment (nprobe for queries, 1 for the corpus),
-    code assignment, LUT, candidate cut, ADC, top-k.  Because every stage
-    uses the rounded/tie-broken shared SQL, a divergence ANYWHERE (including
-    which lists a query probes) hash-fails the entry."""
+    code assignment, LUT, candidate cut, ADC, top-k, and (when
+    ``refine_k`` is set) the exact-cosine refine re-rank.  Because every
+    stage uses the rounded/tie-broken shared SQL, a divergence ANYWHERE
+    (including which lists a query probes) hash-fails the entry."""
     dsub = dim // m
     corpus_assign = ivf_assign_sql("duckdb", cent_artifact, dim, 1, source)
     q_probes = (
@@ -1282,6 +1397,11 @@ def ivfpq_oracle_sql(
         f"JOIN ({corpus_assign}) ca ON ca.vec_id = pc.vec_id"
     )
     lut = pq_lut_sql("duckdb", cb_artifact, m, dsub, query_max, source)
+    if refine_k is not None:
+        return _ivfpq_refine_sql(
+            "duckdb", codes, q_probes, lut,
+            _vec_rel_sql("duckdb", source), refine_k, k, dim,
+        )
     return "WITH " + _ivfpq_rank_sql(codes, q_probes, lut, k)
 
 
