@@ -628,11 +628,37 @@ def quantize_embeddings_oracle_sql(source: str = "embeddings") -> str:
 # Persisted IVF index — the build-once / query-many ANN serving shape
 # ---------------------------------------------------------------------------
 
+def auto_nlist(n_vectors: int) -> int:
+    """Coarse-quantizer geometry for a corpus of ``n_vectors`` (round 10):
+    nlist ∝ √n, floored at the fixed-16 default the small-SF gate entries
+    pin.  FIXED geometry dilutes retrieval quality as the corpus grows —
+    measured at 16× (DESIGN.md round-10 recall table): the same 4 probed
+    lists hold 16× more candidates, the ADC top-``refine_k`` shortlist
+    cut becomes 16× more competitive, and refined recall@3 fell
+    0.80 → 0.60.  √n lists at CONSTANT nprobe keep candidates-per-probe
+    (and so both per-query scan cost and the shortlist-crowding regime)
+    constant at any corpus size — the 100-TB serving posture: probe
+    cost ∝ n/nlist · nprobe = O(√n · nprobe) codes per query."""
+    import math
+
+    return max(16, int(round(math.sqrt(n_vectors))))
+
+
+def _resolve_nlist(emb: DataFrame, n_centroids, sample_n: int):
+    """``n_centroids="auto"`` → √n lists; the training sample widens to
+    ≥ 8 rows per centroid so driver-side Lloyd keeps non-degenerate
+    cells (1024 lowest ids over 179 lists is ~5.7 each)."""
+    if n_centroids == "auto":
+        n_centroids = auto_nlist(emb.count())
+        sample_n = max(sample_n, 8 * n_centroids)
+    return int(n_centroids), sample_n
+
+
 def build_ivf_index(
     spark,
     emb: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_n: int = 1024,
@@ -649,7 +675,9 @@ def build_ivf_index(
     the same literal-folded/broadcast-join split as the per-call path
     (:func:`knn_ivf` / :func:`_assign_cells_join`).  Returns the trained
     centroids (also persisted, so a cold reader needs only ``path``).
+    ``n_centroids="auto"`` → √n lists (:func:`auto_nlist`).
     """
+    n_centroids, sample_n = _resolve_nlist(emb, n_centroids, sample_n)
     cents = _train_ivf_centroids(emb, n_centroids, id_col, vec_col, sample_n, iters)
     spark.createDataFrame(
         [(cid, [float(x) for x in cv]) for cid, cv in enumerate(cents)],
@@ -1216,7 +1244,7 @@ def build_ivfpq_index(
     spark,
     emb: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     m: int = 16,
     ksub: int = 16,
     sample_n: int = 1024,
@@ -1229,7 +1257,11 @@ def build_ivfpq_index(
     file-prunes to its lists AND reads 1-byte codes instead of raw vectors.
     Assignment and encoding run the SHARED rounded SQL
     (:func:`ivf_assign_sql` / :func:`pq_codes_sql`), so the stored layout
-    is bit-identical to what the static oracle recomputes."""
+    is bit-identical to what the static oracle recomputes.
+    ``n_centroids="auto"`` → √n coarse lists (:func:`auto_nlist` — the
+    constant-per-query-cost geometry; the serve side needs no change
+    since probes come from the persisted centroids relation)."""
+    n_centroids, sample_n = _resolve_nlist(emb, n_centroids, sample_n)
     dim = len(emb.select("embedding").first()[0])
     cents = _train_ivf_centroids(emb, n_centroids, "vec_id", "embedding",
                                  sample_n, iters)

@@ -1416,3 +1416,50 @@ class TestIvfpqRecallContract:
         raw = self._recall(spark, ivfpq_index, k=3)
         refined = self._recall(spark, ivfpq_index, k=3, refine_k=60)
         assert refined >= raw
+
+
+class TestAutoIvfGeometry:
+    """Round 10: nlist="auto" (∝ √n, floored at 16) — the constant
+    per-query-cost geometry.  Measured at 16× (DESIGN.md): refined@3
+    recall 0.60 → 0.70 while probing 4/179 lists instead of 4/16 (~11×
+    fewer codes scanned) — fixed geometry dilutes, √n holds."""
+
+    def test_auto_nlist_values(self):
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            auto_nlist,
+        )
+
+        assert auto_nlist(0) == 16
+        assert auto_nlist(256) == 16        # floor
+        assert auto_nlist(2_000) == 45      # sf0.1 corpus
+        assert auto_nlist(32_000) == 179    # 16x
+        assert auto_nlist(10 ** 12) == 10 ** 6  # the 100-TB posture
+
+    def test_auto_build_and_serve(self, spark, sf_dir, tmp_path):
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            build_ivfpq_index,
+            knn_ivfpq_from_index,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
+            load_tables,
+        )
+
+        load_tables(spark, sf_dir)
+        base = str(tmp_path / "auto_idx")
+        build_ivfpq_index(
+            spark, spark.table("embeddings"), base, n_centroids="auto"
+        )
+        n_lists = (
+            spark.read.parquet(f"{base}/centroids").count()
+        )
+        n_vecs = spark.table("embeddings").count()
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            auto_nlist,
+        )
+
+        assert n_lists == auto_nlist(n_vecs)
+        rows = knn_ivfpq_from_index(
+            spark, base, dim=64, refine_k=60
+        ).collect()
+        assert len(rows) == 9  # 3 queries x top-3
+        assert all(r["rk"] <= 3 and r["cos"] <= 1.0 for r in rows)
