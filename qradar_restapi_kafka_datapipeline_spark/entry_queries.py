@@ -1270,6 +1270,12 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: navigator), text_bpe_fertility_by_lang (displaced text_bpe_tokenize
 #: — fertility runs tokenize plus the per-language aggregation,
 #: strictly larger).  All displaced entries stay mirror-checked.
+#: A second r10 pass upgraded the trigram slot to its bucketed twin
+#: (event_path_trigrams_bucketed): same computation, STRICTLY stronger
+#: check — the Spark side is the hot-user-safe decomposition while the
+#: DuckDB oracle is the PLAIN single-window SQL, so the hard gate now
+#: hash-proves the two formulations against each other every round
+#: (the plain entry stays mirror-checked).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1296,7 +1302,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "dedup_exact_substring",
     "dedup_minhash_lsh",
     "cohort_retention_exact",
-    "event_path_trigrams",
+    "event_path_trigrams_bucketed",
     "knn_ivf_rebalanced",
     "streaming_chunk_index_parity",
     "knn_mmr_ivfpq",

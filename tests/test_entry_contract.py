@@ -120,7 +120,7 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # and BPE fertility-by-language (displaced text_bpe_tokenize —
         # fertility runs tokenize plus the per-lang aggregation).
         "window_funnel_strict_order", "sketch_kmv_cohort",
-        "hysteresis_alert_episodes", "event_path_trigrams",
+        "hysteresis_alert_episodes", "event_path_trigrams_bucketed",
         "aql_mitre_chain_funnel", "text_bpe_fertility_by_lang",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",

@@ -1393,6 +1393,50 @@ class TestWindowFunnelDifferential:
             }
             assert got_b == want, ("bucketed", mode, rows, window)
 
+    @settings(max_examples=8, deadline=None, database=None)
+    @given(_events, st.integers(min_value=1, max_value=20),
+           st.sampled_from([1, 2, 4]))
+    def test_matches_bruteforce_step_geometry(self, spark, events, window,
+                                              n_steps):
+        """Round 10: the anchor-cascade unrolling over its STEP-COUNT
+        geometry (the 3-step fuzz above pins semantics; 1 step has no
+        cascade at all, 2 skips the intermediate-anchor loop, 4 runs it
+        twice).  Events with step > n_steps act as foreign events —
+        exercising the strict_order split with a different foreign mix."""
+        import datetime
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+            window_funnel_sql,
+        )
+
+        preds = tuple(f"qid = {k}" for k in range(1, n_steps + 1))
+        rows = [
+            (u, t, eid, step if step <= n_steps else 0)
+            for eid, (u, t, step) in enumerate(events)
+        ]
+        spark.createDataFrame(
+            [
+                (u, datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(milliseconds=t), eid, step)
+                for u, t, eid, step in rows
+            ],
+            "user_id LONG, ts TIMESTAMP, event_id LONG, qid LONG",
+        ).createOrReplaceTempView("prop_funnel_geo_events")
+        for mode in ("default", "strict_order"):
+            for bucketed in (False, True):
+                got = {
+                    r["funnel_level"]: r["n_users"]
+                    for r in spark.sql(
+                        window_funnel_sql(
+                            "spark", steps=preds, window_ms=window,
+                            source="prop_funnel_geo_events", mode=mode,
+                            bucketed=bucketed,
+                        )
+                    ).collect()
+                }
+                want = _ref_window_funnel(rows, n_steps, window, mode=mode)
+                assert got == want, (n_steps, mode, bucketed, rows, window)
+
 
 def _round_half_away(v, dp):
     import math

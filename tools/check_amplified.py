@@ -72,6 +72,12 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # round 9: path trigrams — LEAD chains at k× volume and under the
     # hot-user skew regime (one user's giant ordered stream)
     "event_path_trigrams": None,
+    # round 10: the hot-user-safe twins — the bucketed decompositions must
+    # stay hash-equal to the PLAIN DuckDB oracles exactly in the regime
+    # they exist for (k× volume, 50% single-user skew); the perf win is
+    # measured separately (DESIGN.md round-10 skew table)
+    "window_funnel_bucketed": None,
+    "event_path_trigrams_bucketed": None,
     # round 9: first-seen cohorts at k× the (user, day) population — the
     # DataFrame chain's persisted distinct relation vs the 3-CTE oracle
     "cohort_retention_exact": None,
