@@ -171,6 +171,7 @@ HEADLINE = [
     "window_funnel_bucketed",
     "event_path_trigrams_bucketed",
     "knn_ivfpq_refined",
+    "multimodal_video_frames",
 ]
 # Growth policy (VERDICT r9 #8): at ~95 entries the two-pass min-of-2 +
 # probe discipline still holds (the memoized index/vocab/classifier builds

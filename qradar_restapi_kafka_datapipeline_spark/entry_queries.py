@@ -3603,6 +3603,18 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         M.jpeg_decode_oracle_sql(),
     )
+    # Video frame sampling (round 10) — the container member of the
+    # decode family: a length-prefixed MJPEG-shaped frame stream, sampled
+    # every 2nd frame by a kernel that SEEKS over unsampled frames via
+    # the length prefixes (decode cost ∝ kept frames) and decodes kept
+    # ones through the real BMP parser; per-frame fills vary with the
+    # index, so the closed-form oracle catches seek/index off-by-ones.
+    q["multimodal_video_frames"] = _df_entry(
+        lambda spark, sf: M.video_frame_sample_features(
+            M.attach_video_payload(spark.table("documents")), every_nth=2
+        ),
+        M.video_frame_sample_oracle_sql(every_nth=2),
+    )
     # Perceptual-hash image dedup (round 9, VERDICT r8 #4): textured BMPs
     # → REAL byte-walking dHash kernel (stride walk, integer nearest-
     # neighbor 9×8 resample, adjacent-pixel comparisons) → Hamming-banded

@@ -1463,3 +1463,90 @@ class TestAutoIvfGeometry:
         ).collect()
         assert len(rows) == 9  # 3 queries x top-3
         assert all(r["rk"] <= 3 and r["cos"] <= 1.0 for r in rows)
+
+
+class TestVideoContainer:
+    """Round 10: the video container member of the real-decode family —
+    parse honesty (magic/truncation/trailing-byte rejection), per-frame
+    fill variation, and SEEK honesty: the sampler must skip unsampled
+    frames via length prefixes WITHOUT parsing them."""
+
+    def test_round_trip_all_frames(self):
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            BMP_CHECKSUM_MOD,
+            decode_video_frame_samples,
+            encode_video,
+        )
+
+        for doc_id, text in ((0, ""), (3, "abc def"), (17, "x" * 23)):
+            payload = encode_video(doc_id, text)
+            w = 4 + len(text) % 8
+            h = 2 + doc_id % 5
+            n = 2 + doc_id % 4
+            frames = decode_video_frame_samples(payload, every_nth=1)
+            assert [f[0] for f in frames] == list(range(n))
+            for idx, fw, fh, psum in frames:
+                assert (fw, fh) == (w, h)
+                want = ((doc_id + 7 * idx) % 256) * 3 * w * h
+                assert psum == want % BMP_CHECKSUM_MOD
+
+    def test_sampling_geometry(self):
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            decode_video_frame_samples,
+            encode_video,
+        )
+
+        payload = encode_video(3, "five frames here")  # n_frames = 5
+        for nth, want in ((1, [0, 1, 2, 3, 4]), (2, [0, 2, 4]),
+                          (3, [0, 3]), (7, [0])):
+            got = [f[0] for f in decode_video_frame_samples(payload, nth)]
+            assert got == want, (nth, got)
+
+    def test_malformed_payloads_raise(self):
+        import pytest as _pytest
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            decode_video_frame_samples,
+            encode_video,
+        )
+
+        good = encode_video(1, "abc")
+        with _pytest.raises(ValueError):
+            decode_video_frame_samples(b"XXXX" + good[4:])
+        with _pytest.raises(ValueError):
+            decode_video_frame_samples(good[:-5])       # truncated frame
+        with _pytest.raises(ValueError):
+            decode_video_frame_samples(good + b"\x00")  # trailing bytes
+
+    def test_seek_skips_unsampled_frames(self):
+        """Corrupting an UNSAMPLED frame's pixel bytes must not disturb
+        sampling (the seek never parses it); corrupting a SAMPLED frame's
+        magic must raise — together these prove the kernel really seeks
+        instead of decoding everything."""
+        import struct
+
+        import pytest as _pytest
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.multimodal import (
+            decode_video_frame_samples,
+            encode_video,
+        )
+
+        doc_id, text = 3, "five frames here"   # 5 frames, idx 1 unsampled
+        payload = bytearray(encode_video(doc_id, text))
+        # walk to frame 1's offset via the same length prefixes
+        off = 12
+        offsets = []
+        for _ in range(5):
+            ln = struct.unpack_from("<I", bytes(payload), off)[0]
+            offsets.append((off + 4, ln))
+            off += 4 + ln
+        clean = decode_video_frame_samples(bytes(encode_video(doc_id, text)), 2)
+        f1, l1 = offsets[1]
+        payload[f1 + 60:f1 + 64] = b"\xff\xff\xff\xff"  # pixel bytes of idx 1
+        assert decode_video_frame_samples(bytes(payload), 2) == clean
+        f2, _ = offsets[2]
+        payload2 = bytearray(encode_video(doc_id, text))
+        payload2[f2:f2 + 2] = b"XX"                     # magic of SAMPLED idx 2
+        with _pytest.raises(ValueError):
+            decode_video_frame_samples(bytes(payload2), 2)
