@@ -88,6 +88,15 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # class size by design — the cluster form is the scale path)
     "dedup_image_phash_clusters": None,
     "sessionize_events_bucketed": None,
+    # round 10: streamed hysteresis — per-epoch rate parts SUM-merged at
+    # read must equal the one-shot episode derivation at k× daily rates
+    "streaming_hysteresis_parity": None,
+    # round 10: container frame sampling — the seek/decode kernel over k×
+    # the payload population (mapInPandas at volume), closed-form oracle
+    "multimodal_video_frames": None,
+    # round 10: refined IVF-PQ serve — the oracle replays coarse assign +
+    # probes + codes + LUT + ADC + exact-cosine refine at k× vectors
+    "knn_ivfpq_refined": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
     # round 9: fertility strata — same emitted-vocab contract, per-lang
