@@ -1840,21 +1840,45 @@ def kmv_cohort_sql(
     """
 
 
+def kmv_daily_rows(
+    spark,
+    key_expr: str = "CAST(user_id AS STRING)",
+    source: str = "events",
+    k: int = KMV_K,
+) -> list:
+    """Collect the bounded daily cube (≤ days × k rows) — the ONE
+    corpus-touching pass the retention/cohort estimators share.  Callers
+    that answer repeated questions over the same corpus should collect
+    once and hand the rows to :func:`kmv_retention` / :func:`kmv_cohort`
+    (``daily_rows=``): the cube is the MAINTAINED artifact in production
+    (the streaming fold entries prove the per-epoch protocol), so
+    re-deriving it per query is a re-scan the posture forbids.  The
+    registry memoizes per (session, sf) in ``entry_queries``."""
+    return spark.sql(
+        kmv_daily_sketches_sql("spark", key_expr, source, k)
+    ).collect()
+
+
 def kmv_cohort(
     spark,
     max_offset: int = 7,
     key_expr: str = "CAST(user_id AS STRING)",
     source: str = "events",
     k: int = KMV_K,
+    daily_rows: list | None = None,
 ):
     """Spark path: pin the bounded daily cube as a literal (the statement
     references ``daily`` twice and ``samp``/``fs`` twice each; Spark
-    re-executes CTEs per reference — :func:`kmv_retention`'s posture)."""
+    re-executes CTEs per reference — :func:`kmv_retention`'s posture).
+    ``daily_rows``: pre-collected cube (:func:`kmv_daily_rows`) — the
+    maintained-cube serving path; omitted → built here (one scan)."""
     from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
 
-    rows = spark.sql(
-        kmv_daily_sketches_sql("spark", key_expr, source, k)
-    ).collect()
+    rows = (
+        daily_rows
+        if daily_rows is not None
+        else kmv_daily_rows(spark, key_expr, source, k)
+    )
     lit = spark.createDataFrame(
         [(r["day_id"], r["h"]) for r in rows], "day_id BIGINT, h BIGINT"
     )
@@ -1873,16 +1897,20 @@ def kmv_retention(
     key_expr: str = "CAST(user_id AS STRING)",
     source: str = "events",
     k: int = KMV_K,
+    daily_rows: list | None = None,
 ):
     """Spark path: pin the bounded daily-sketch cube (days × k rows) as a
     literal — the one-statement form references ``daily`` three times
     (pairs, union build, sizes) and Spark re-executes a CTE per
-    reference — then run the pair algebra over the pin."""
+    reference — then run the pair algebra over the pin.
+    ``daily_rows``: pre-collected cube (:func:`kmv_daily_rows`)."""
     from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
 
-    rows = spark.sql(
-        kmv_daily_sketches_sql("spark", key_expr, source, k)
-    ).collect()
+    rows = (
+        daily_rows
+        if daily_rows is not None
+        else kmv_daily_rows(spark, key_expr, source, k)
+    )
     lit = spark.createDataFrame(
         [(r["day_id"], r["h"]) for r in rows], "day_id BIGINT, h BIGINT"
     )
