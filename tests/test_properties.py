@@ -1842,6 +1842,91 @@ class TestDsirDifferential:
             assert abs(gs - ws) < 2e-6, (texts, got, want)
 
 
+class TestQualityClassifierDifferential:
+    """The distilled-classifier APPLY path vs a from-scratch python
+    replica (round 10 — the last shared-SQL-only gate family): hashed
+    signed bigram postings (df-stoplist, tf saturation, sign/bucket from
+    the 60-bit md5 hash), per-feature micro-contributions against the
+    EMITTED weights artifact, bias-only featureless docs, and the
+    rounded logit/sigmoid/keep triple.  The trainer is driver-side numpy
+    (already independent of SQL); this closes the loop on scoring."""
+
+    _texts = st.lists(
+        st.text(alphabet=st.sampled_from("ab "), min_size=0, max_size=14),
+        min_size=2,
+        max_size=6,
+    )
+
+    @settings(max_examples=6, deadline=None, database=None)
+    @given(_texts)
+    def test_matches_reference(self, spark, texts):
+        import hashlib
+        import math
+        import re as _re
+        import tempfile
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.curation import (
+            quality_classifier_sql,
+            train_quality_classifier,
+            write_quality_classifier,
+        )
+
+        dim = 64
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        ).createOrReplaceTempView("prop_qc_docs")
+        w, b = train_quality_classifier(
+            spark, dim=dim, sample_n=400, iters=50, source="prop_qc_docs"
+        )
+        art = tempfile.mkdtemp(prefix="prop_qc_art_")
+        write_quality_classifier(spark, w, b, art)
+        got = {
+            r["doc_id"]: (r["logit"], r["score"], r["keep"])
+            for r in spark.sql(
+                quality_classifier_sql("spark", art, dim, "prop_qc_docs")
+            ).collect()
+        }
+
+        # from-scratch featurize + score against the same artifact values
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def r6(v):
+            x = (v + 1e-9) * 1e6
+            r = math.floor(abs(x) + 0.5)
+            return (r if x >= 0 else -r) / 1e6
+
+        tf = {}
+        for d, text in enumerate(texts):
+            words = _re.split(r"\s+", text.strip())
+            for a2, b2 in zip(words, words[1:]):
+                tf[(d, f"{a2} {b2}")] = tf.get((d, f"{a2} {b2}"), 0) + 1
+        n_docs = len(texts)
+        df = {}
+        for (d, f), _c in tf.items():
+            df[f] = df.get(f, 0) + 1
+        post = {}
+        for (d, f), c in tf.items():
+            if df[f] * 2 > n_docs:
+                continue
+            h = h60(f)
+            bkt = (h // 2) % dim
+            s = 1 if h % 2 == 0 else -1
+            post[(d, bkt)] = post.get((d, bkt), 0) + s * min(c, 3)
+        sums = {d: 0.0 for d in range(n_docs)}
+        for (d, bkt), wgt in post.items():
+            if wgt != 0 and w[bkt] != 0.0:
+                sums[d] += r6(wgt * w[bkt])
+        for d in range(n_docs):
+            logit = r6(sums[d] + b)
+            score = r6(1.0 / (1.0 + math.exp(-logit)))
+            keep = logit >= 0
+            gl, gs, gk = got[d]
+            assert abs(gl - logit) < 2e-6, (texts, d, gl, logit)
+            assert abs(gs - score) < 2e-6, (texts, d, gs, score)
+            assert gk == keep, (texts, d, gk, keep)
+
+
 class TestTrigramBucketedDifferential:
     """The per-day-LEAD + firsts-stitch trigram twin vs a literal python
     sliding window on random tiny streams — single-row days, day gaps,
