@@ -99,6 +99,26 @@ def main() -> None:
     append_to_text_index(spark, tindex, "__serve_holdout")
     print("text search after absorbing the held-out 1/5:")
     text_knn_from_index(spark, tindex, qtext, k=3, query_id=0, exclude_id=0).show()
+
+    # 6. Compressed serving at scale (round 10): IVF-PQ with the FAISS
+    #    refine step.  Build with n_centroids="auto" (√n lists — constant
+    #    candidates-per-probe at any corpus size); serve reads 1-byte codes
+    #    from the probed partitions, then re-ranks the ADC top-refine_k
+    #    shortlist by exact cosine (bounded raw-vector reads, never a
+    #    corpus scan).  Measured recall@3: raw ADC ~0.3, refined 0.8-0.97
+    #    (DESIGN.md round-10 recall table) — refine is the production path.
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_recall_report,
+        knn_ivfpq_from_index,
+    )
+
+    pq_index = os.path.join(os.path.dirname(index), "ivfpq")
+    build_ivfpq_index(spark, emb, pq_index, n_centroids="auto")
+    print("refined IVF-PQ serve (ADC top-60 -> exact-cosine top-3):")
+    knn_ivfpq_from_index(spark, pq_index, dim=64, refine_k=60).show()
+    print("recall contract vs brute force:")
+    ivfpq_recall_report(spark, pq_index, dim=64, k=3, refine_k=60).show()
     spark.stop()
 
 
