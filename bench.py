@@ -172,6 +172,7 @@ HEADLINE = [
     "event_path_trigrams_bucketed",
     "knn_ivfpq_refined",
     "multimodal_video_frames",
+    "window_funnel_latency",
 ]
 # Growth policy (VERDICT r9 #8): at ~95 entries the two-pass min-of-2 +
 # probe discipline still holds (the memoized index/vocab/classifier builds

@@ -1894,6 +1894,23 @@ def _analytics_entries(q: dict[str, Q]) -> None:
         ),
         window_funnel_sql("duckdb", window_ms=86_400_000),
     )
+    # Conversion-latency quantiles (round 10): fastest completing chain
+    # per converted user (the running-MAX anchor already minimizes the
+    # per-row span), value-at-rank exact order statistics — same dual-
+    # formulation gate shape (Spark bucketed vs plain DuckDB), brute-
+    # force latency fuzzer as the independent algorithm check.
+    from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+        window_funnel_latency_sql,
+    )
+
+    q["window_funnel_latency"] = _df_entry(
+        lambda spark, sf: spark.sql(
+            window_funnel_latency_sql(
+                "spark", window_ms=86_400_000, bucketed=True
+            )
+        ),
+        window_funnel_latency_sql("duckdb", window_ms=86_400_000),
+    )
     # Strict variants (round 9, VERDICT r8 #5): strict_order segments the
     # FULL event stream on foreign (non-step) events — chains must be
     # consecutive step events; strict_dedup breaks a chain at a step event

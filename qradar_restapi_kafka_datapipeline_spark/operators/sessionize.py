@@ -192,6 +192,8 @@ def window_funnel_sql(
     source: str = "events",
     mode: str = "default",
     bucketed: bool = False,
+    _emit: str = "levels",
+    _quantiles: tuple[tuple[str, float], ...] = (),
 ) -> str:
     """ClickHouse ``windowFunnel`` as a relation (round 8): per user, the
     deepest funnel level L such that step events occur in (non-strict)
@@ -368,6 +370,37 @@ def window_funnel_sql(
                PARTITION BY {pk} {anchor_order}) AS anc{k}
       FROM a{k - 1}
     )""")
+    if _emit == "latency":
+        if n < 2:
+            raise ValueError("funnel latency needs at least two steps")
+        qvals = ", ".join(
+            f"('{lbl}', CAST({q} AS DOUBLE))" for lbl, q in _quantiles
+        )
+        qt = (
+            f"VALUES {qvals} AS qt(ql, q)"
+            if dialect == "spark"
+            else f"(VALUES {qvals}) qt(ql, q)"
+        )
+        return f"""
+    WITH {", ".join(ctes)},
+    lat AS (
+      SELECT user_id,
+             MIN(CASE WHEN step = {n} AND anc{n - 1} IS NOT NULL
+                       AND t - anc{n - 1} <= {window_ms}
+                  THEN t - anc{n - 1} END) AS ms
+      FROM a{n - 1} GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT ms, ROW_NUMBER() OVER (ORDER BY ms, user_id) AS rk,
+             COUNT(*) OVER () AS nconv
+      FROM lat WHERE ms IS NOT NULL
+    )
+    SELECT qt.ql AS quantile, CAST(r.ms AS BIGINT) AS latency_ms,
+           CAST(r.nconv AS BIGINT) AS n_converted
+    FROM ranked r
+    JOIN {qt}
+      ON r.rk = CAST(CEIL(qt.q * r.nconv) AS BIGINT)
+    """
     level_arms = " ".join(
         f"WHEN step = {k} AND anc{k - 1} IS NOT NULL "
         f"AND t - anc{k - 1} <= {window_ms} THEN {k}"
@@ -384,6 +417,44 @@ def window_funnel_sql(
     SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM lv GROUP BY funnel_level
     """
+
+
+def window_funnel_latency_sql(
+    dialect: str,
+    steps: tuple[str, ...] = (
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ),
+    window_ms: int = 3_600_000,
+    source: str = "events",
+    mode: str = "default",
+    bucketed: bool = False,
+    quantiles: tuple[tuple[str, float], ...] = (
+        ("p50", 0.5), ("p90", 0.9), ("p99", 0.99),
+    ),
+) -> str:
+    """Conversion-LATENCY distribution over the same anchor cascade
+    (round 10) — the question every funnel user asks next: for users who
+    complete all ``steps`` within ``window_ms``, how long did the
+    fastest completing chain take?  Per user the latency is
+    ``MIN(t_final − anc_{{n−1}})`` over qualifying final-step rows — the
+    running-MAX anchor already maximizes the chain start per final row,
+    so the row-wise span is minimal and the per-user MIN is the true
+    minimal end-to-end duration (the brute-force fuzz oracle enumerates
+    chains and agrees).  Emits one row per quantile:
+    ``(quantile, latency_ms, n_converted)`` where ``latency_ms`` is the
+    VALUE-AT-RANK exact order statistic (``ceil(q·n)``-th, ties settled
+    by user_id) — the CLAUDE.md rank discipline, fully hash-checkable,
+    no interpolation.  ``mode``/``bucketed`` compose exactly as in
+    :func:`window_funnel_sql`; under ``bucketed`` the per-user MIN over
+    bucket-pairs equals the plain MIN (every pair chain is a real chain
+    and the responsible pair contains the minimal one)."""
+    return window_funnel_sql(
+        dialect, steps=steps, window_ms=window_ms, source=source,
+        mode=mode, bucketed=bucketed, _emit="latency",
+        _quantiles=quantiles,
+    )
 
 
 def cohort_retention_exact_sql(

@@ -1393,6 +1393,72 @@ class TestWindowFunnelDifferential:
             }
             assert got_b == want, ("bucketed", mode, rows, window)
 
+    @settings(max_examples=10, deadline=None, database=None)
+    @given(_events, st.integers(min_value=1, max_value=20))
+    def test_latency_matches_bruteforce(self, spark, events, window):
+        """Round 10: conversion-latency quantiles vs brute force — per
+        user the MINIMAL span over valid full-level chains, then the
+        exact ceil(q·n) order statistic (ties by user_id)."""
+        import datetime
+        import itertools
+        import math
+
+        from qradar_restapi_kafka_datapipeline_spark.operators.sessionize import (
+            window_funnel_latency_sql,
+        )
+
+        preds = tuple(f"qid = {k}" for k in (1, 2, 3))
+        rows = [
+            (u, t, eid, step) for eid, (u, t, step) in enumerate(events)
+        ]
+        spark.createDataFrame(
+            [
+                (u, datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(milliseconds=t), eid, step)
+                for u, t, eid, step in rows
+            ],
+            "user_id LONG, ts TIMESTAMP, event_id LONG, qid LONG",
+        ).createOrReplaceTempView("prop_funnel_lat_events")
+
+        # brute force: per user, min span over ordered full chains
+        by_user = {}
+        for u, t, eid, step in rows:
+            by_user.setdefault(u, []).append((t, eid, step))
+        lat = {}
+        for u, evs in by_user.items():
+            evs.sort()
+            seg = [e for e in evs if e[2] > 0]
+            pools = [
+                [i for i, e in enumerate(seg) if e[2] == k]
+                for k in (1, 2, 3)
+            ]
+            best = None
+            for combo in itertools.product(*pools):
+                if all(a <= b for a, b in zip(combo, combo[1:])):
+                    span = seg[combo[-1]][0] - seg[combo[0]][0]
+                    if span <= window and (best is None or span < best):
+                        best = span
+            if best is not None:
+                lat[u] = best
+        conv = sorted((ms, u) for u, ms in lat.items())
+        want = []
+        for lbl, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            if conv:
+                want.append(
+                    (lbl, conv[math.ceil(q * len(conv)) - 1][0], len(conv))
+                )
+        for bucketed in (False, True):
+            got = sorted(
+                (r["quantile"], r["latency_ms"], r["n_converted"])
+                for r in spark.sql(
+                    window_funnel_latency_sql(
+                        "spark", steps=preds, window_ms=window,
+                        source="prop_funnel_lat_events", bucketed=bucketed,
+                    )
+                ).collect()
+            )
+            assert got == sorted(want), (bucketed, rows, window, got, want)
+
     @settings(max_examples=8, deadline=None, database=None)
     @given(_events, st.integers(min_value=1, max_value=20),
            st.sampled_from([1, 2, 4]))

@@ -77,6 +77,7 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # they exist for (k× volume, 50% single-user skew); the perf win is
     # measured separately (DESIGN.md round-10 skew table)
     "window_funnel_bucketed": None,
+    "window_funnel_latency": None,
     "event_path_trigrams_bucketed": None,
     # round 9: first-seen cohorts at k× the (user, day) population — the
     # DataFrame chain's persisted distinct relation vs the 3-CTE oracle
