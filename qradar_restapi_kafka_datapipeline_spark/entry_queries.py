@@ -1292,6 +1292,22 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: DuckDB oracle is the PLAIN single-window SQL, so the hard gate now
 #: hash-proves the two formulations against each other every round
 #: (the plain entry stays mirror-checked).
+#: Round 11 (VERDICT r10 #1) rotated IN the five r10 flagships:
+#: knn_ivfpq_refined (displaced knn_mmr_ivfpq — refine is the production
+#: serving recommendation over the same persisted index and the oracle
+#: replays the FULL ADC+refine pipeline; MMR stays mirror-checked),
+#: window_funnel_bucketed + window_funnel_latency (both dual-formulation
+#: twins: Spark runs the hot-user-safe bucket-pair decomposition while
+#: the DuckDB oracle is the PLAIN single-window SQL — displaced
+#: window_funnel_strict_order, whose segmentation pass stays
+#: mirror-checked + brute-force fuzzed, and sketch_hll_daily_cube, whose
+#: cube navigator is repped by sketch_rank_daily_cube),
+#: streaming_hysteresis_parity (strictly stronger than the displaced
+#: hysteresis_alert_episodes: identical one-shot oracle, Spark side is
+#: the per-epoch replay-safe streamed fold), and multimodal_video_frames
+#: (the video-container family — displaced aql_routed_materialized ⊂
+#: aql_auto_rollup_routed, the same GLOBALVIEW routing navigator over a
+#: strictly larger rollup pipeline).  All displaced stay mirror-checked.
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1300,18 +1316,17 @@ GATE_WINDOW: tuple[str, ...] = (
     "aql_auto_rollup_routed",
     "aql_mitre_chain_funnel",
     "mix_token_budget",
-    "aql_routed_materialized",
     "aql_day_pruned_scan",
     "full_network_name_domain_divergence",
     "refset_membership",
     "normalize_dates",
     "summing_rollup_hourly",
     "streaming_rollup_txn_parity",
-    "sketch_hll_daily_cube",
     "sketch_kmv_cohort",
     "sketch_rank_daily_cube",
     "corpus_drift_js",
-    "window_funnel_strict_order",
+    "window_funnel_bucketed",
+    "window_funnel_latency",
     "text_chunk_knn",
     "streaming_sketch_parity",
     "dedup_exact_stats",
@@ -1321,10 +1336,10 @@ GATE_WINDOW: tuple[str, ...] = (
     "event_path_trigrams_bucketed",
     "knn_ivf_rebalanced",
     "streaming_chunk_index_parity",
-    "knn_mmr_ivfpq",
+    "knn_ivfpq_refined",
     "semantic_dedup_pairs",
     "snapshot_diff_report",
-    "hysteresis_alert_episodes",
+    "streaming_hysteresis_parity",
     "text_semantic_pairs_hashed_capped",
     "curate_dsir_topk",
     "sample_exact_k_per_stratum",
@@ -1341,6 +1356,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "curate_quality_classifier",
     "pack_sequences_bpe_contract",
     "multimodal_jpeg_decode",
+    "multimodal_video_frames",
     "dedup_image_phash",
     "zorder_layout_keys",
 )

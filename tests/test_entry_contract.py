@@ -119,9 +119,22 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # (displaced aql_auto_rollup_minmax ⊂ aql_auto_rollup_routed),
         # and BPE fertility-by-language (displaced text_bpe_tokenize —
         # fertility runs tokenize plus the per-lang aggregation).
-        "window_funnel_strict_order", "sketch_kmv_cohort",
-        "hysteresis_alert_episodes", "event_path_trigrams_bucketed",
+        "sketch_kmv_cohort",
+        "event_path_trigrams_bucketed",
         "aql_mitre_chain_funnel", "text_bpe_fertility_by_lang",
+        # round-11 rotation (VERDICT r10 #1): the five r10 flagships —
+        # refined IVF-PQ serve (displaced knn_mmr_ivfpq on the same
+        # index), both dual-formulation funnel twins (Spark bucketed vs
+        # plain-SQL oracle; displaced window_funnel_strict_order, whose
+        # segmentation stays mirror-checked + fuzzed, and
+        # sketch_hll_daily_cube, repped by the rank cube), the streamed
+        # hysteresis fold (strictly stronger than the displaced batch
+        # hysteresis_alert_episodes — identical oracle), and the video
+        # frame-sample family (displaced aql_routed_materialized ⊂
+        # aql_auto_rollup_routed).  All displaced stay mirror-checked.
+        "knn_ivfpq_refined", "window_funnel_bucketed",
+        "window_funnel_latency", "streaming_hysteresis_parity",
+        "multimodal_video_frames",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
@@ -130,8 +143,8 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "streaming_dsir_apply_parity",
         "curate_quality_classifier",
         "decontaminate_bloom", "text_bm25_topk",
-        "zorder_layout_keys", "knn_mmr_ivfpq",
-        "sketch_cm_heavy_hitters", "sketch_hll_daily_cube",
+        "zorder_layout_keys",
+        "sketch_cm_heavy_hitters",
         "curate_dsir_topk",
     ):
         assert rotated_in in GATE_WINDOW, rotated_in
@@ -141,8 +154,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "knn_", "semantic_dedup", "text_bpe", "text_semantic", "pii_",
         "boilerplate_", "curate_", "multimodal_", "streaming_",
         "pack_sequences",
-        # round 6 families
-        "sketch_cm", "sketch_hll", "curate_dsir", "zorder_",
+        # round 6 families (r11: the HLL cube rotated out — the cube
+        # navigator is repped by sketch_rank_daily_cube; hll stays
+        # mirror-checked)
+        "sketch_cm", "curate_dsir", "zorder_",
         "decontaminate_",
         # round 7 families
         "sketch_rank", "pipeline_corpus", "aql_auto_rollup",
@@ -152,8 +167,12 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # round 9 rotation (the r8 additions, now hard-gated)
         "window_funnel", "cohort_retention", "knn_ivf_rebalanced",
         "streaming_chunk", "sample_exact",
-        # round 10 rotation (the r9 additions, now hard-gated)
-        "window_funnel_strict", "sketch_kmv_cohort", "hysteresis_",
+        # round 10 rotation (the r9 additions, now hard-gated;
+        # hysteresis kept via its strictly-stronger streamed parity)
+        "sketch_kmv_cohort", "streaming_hysteresis",
         "event_path_", "aql_mitre_", "text_bpe_fertility",
+        # round 11 rotation (the r10 flagships, now hard-gated)
+        "knn_ivfpq_refined", "window_funnel_bucketed",
+        "window_funnel_latency", "multimodal_video",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
