@@ -810,8 +810,16 @@ def hysteresis_streaming(
 
     ``_crash_after_write_epoch``: crash-injection hook (raise once AFTER
     the part write — the widest failure window — then restart from the
-    same checkpoint; the replayed epoch overwrites its own part)."""
+    same checkpoint; the replayed epoch overwrites its own part).
+
+    The scratch tree (landing splits, per-epoch parts, checkpoint) is
+    eagerly removed before returning (ADVICE r10): episodes are a
+    bounded relation (per-type threshold crossings), so they are
+    materialized driver-side and returned as a literal DataFrame — a
+    long-lived session running the parity entry repeatedly no longer
+    accumulates scratch until interpreter exit."""
     import os
+    import shutil
 
     from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
     from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
@@ -874,17 +882,22 @@ def hysteresis_streaming(
         )
 
     try:
-        run()
-    except Exception:
-        if _crash_after_write_epoch is None:
-            raise
-        run()
-    merged = (
-        "SELECT event_type, day_id, CAST(SUM(rate) AS BIGINT) AS rate "
-        f"FROM parquet.`{rates_path}` GROUP BY event_type, day_id"
-    )
-    return spark.sql(
-        hysteresis_alerts_sql(
-            "spark", hi_pct, lo_pct, rates_rel=merged
+        try:
+            run()
+        except Exception:
+            if _crash_after_write_epoch is None:
+                raise
+            run()
+        merged = (
+            "SELECT event_type, day_id, CAST(SUM(rate) AS BIGINT) AS rate "
+            f"FROM parquet.`{rates_path}` GROUP BY event_type, day_id"
         )
-    )
+        episodes = spark.sql(
+            hysteresis_alerts_sql(
+                "spark", hi_pct, lo_pct, rates_rel=merged
+            )
+        )
+        rows = episodes.collect()
+        return spark.createDataFrame(rows, episodes.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

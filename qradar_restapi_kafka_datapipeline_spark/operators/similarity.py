@@ -1209,6 +1209,8 @@ def _ivfpq_refine_sql(
     refine_k: int,
     k: int,
     dim: int,
+    shortlist_rel: str | None = None,
+    n_id_in: list[int] | None = None,
 ) -> str:
     """The FAISS refine stage as dialect-shared SQL (round 10, VERDICT r9
     #5): re-rank the ADC top-``refine_k`` shortlist by EXACT rounded
@@ -1216,11 +1218,29 @@ def _ivfpq_refine_sql(
     (DESIGN.md round-10 recall table): raw ADC recall@3 vs brute force is
     ~0.3 — the 64-bit PQ codes blur near-ties — while the probed
     candidate set contains ~0.87 of the truth; refining the bounded
-    shortlist (refine_k raw-vector reads per query, never a corpus scan)
-    recovers recall to ≈ the probe ceiling.  The shortlist and query
-    vectors BROADCAST; the only corpus-sized relation is the codes scan
-    already file-pruned by the probe predicate."""
-    adc = "WITH " + _ivfpq_rank_sql(codes_rel, probes_rel, lut_rel, refine_k)
+    shortlist recovers recall to ≈ the probe ceiling.
+
+    Two formulations of the raw-vector read (ADVICE r10):
+
+    - default (the oracle's): the shortlist and query vectors BROADCAST
+      and ``ne`` hash-probes them in ONE streaming pass over the raw
+      vectors — no shuffle, but the corpus relation is scanned once.
+    - ``shortlist_rel`` + ``n_id_in`` (the Spark serve path): the ADC
+      shortlist was already materialized, so ``ne`` carries a literal
+      ``vec_id IN (...)`` predicate that pushes down to the parquet
+      scan — genuinely queries×refine_k bounded raw-vector reads, never
+      a corpus pass.  The gate hash-proves the two formulations equal."""
+    if shortlist_rel is None:
+        adc = ("(WITH "
+               + _ivfpq_rank_sql(codes_rel, probes_rel, lut_rel, refine_k)
+               + ")")
+    else:
+        adc = f"({shortlist_rel})"
+    ne_rel = f"({vec_rel})"
+    if n_id_in is not None:
+        ids = ", ".join(str(int(i)) for i in sorted(set(n_id_in)))
+        pred = f"vec_id IN ({ids})" if ids else "1 = 0"
+        ne_rel = f"(SELECT * FROM ({vec_rel}) WHERE {pred})"
     dot_qn = _dot_full_sql(dialect, "qe.v", "ne.v", dim)
     dot_qq = _dot_full_sql(dialect, "qe.v", "qe.v", dim)
     dot_nn = _dot_full_sql(dialect, "ne.v", "ne.v", dim)
@@ -1232,9 +1252,9 @@ def _ivfpq_refine_sql(
         SELECT /*+ BROADCAST(s), BROADCAST(qe) */ s.q_id, s.n_id,
                ROUND(({dot_qn})
                      / SQRT(({dot_qq}) * ({dot_nn})) + 1e-9, 6) AS cos
-        FROM ({adc}) s
+        FROM {adc} s
         JOIN ({vec_rel}) qe ON qe.vec_id = s.q_id
-        JOIN ({vec_rel}) ne ON ne.vec_id = s.n_id
+        JOIN {ne_rel} ne ON ne.vec_id = s.n_id
       ) scored
     ) ranked WHERE rk <= {k}
     """
@@ -1304,9 +1324,15 @@ def knn_ivfpq_from_index(
     ``refine_k`` (round 10): when set, the ADC ranking produces a
     top-``refine_k`` SHORTLIST that is re-ranked by exact rounded cosine
     over the raw vectors (:func:`_ivfpq_refine_sql` — the FAISS refine
-    step; refine_k bounded raw-vector reads per query).  Output columns
-    become ``(q_id, n_id, cos, rk)``.  ~20·k recovers recall to the
-    probe ceiling (DESIGN.md round-10 recall table)."""
+    step).  Output columns become ``(q_id, n_id, cos, rk)``.  ~20·k
+    recovers recall to the probe ceiling (DESIGN.md round-10 recall
+    table).  When the shortlist is driver-safe (queries × refine_k ≤
+    100k pairs — any realistic online serve batch) it is materialized
+    and the raw-vector scan carries a literal ``vec_id IN (...)``
+    pushdown: genuinely bounded reads, no corpus pass (ADVICE r10).
+    Larger offline batches fall back to the single streaming pass with
+    the shortlist broadcast; the DuckDB oracle always replays the
+    streaming formulation, so the gate hash-proves the two equal."""
     probes = spark.sql(
         ivf_assign_sql("spark", f"{path}/centroids", dim, nprobe, source_view)
     ).where(F.col("vec_id") < query_max).select(
@@ -1325,16 +1351,40 @@ def knn_ivfpq_from_index(
     lut = pq_lut_sql("spark", f"{path}/codebooks", m, dim // m, query_max,
                      source_view)
     if refine_k is not None:
+        codes_rel = "SELECT vec_id, mi, j, list_id FROM __ivfpq_codes"
+        probes_rel = "SELECT q_id, list_id FROM __ivfpq_probes"
+        shortlist_rel = None
+        n_id_in = None
+        if query_max * refine_k <= 100_000:
+            # bounded serve: land the ADC shortlist (≤ queries×refine_k
+            # rows) driver-side, re-read the raw vectors through an
+            # IN-list pushed to the parquet scan.
+            pairs = spark.sql(
+                "WITH " + _ivfpq_rank_sql(codes_rel, probes_rel, lut,
+                                          refine_k)
+            ).select("q_id", "n_id").collect()
+            vals = ", ".join(
+                f"({int(r['q_id'])}, {int(r['n_id'])})" for r in pairs
+            )
+            shortlist_rel = (
+                f"SELECT * FROM (VALUES {vals}) AS sl(q_id, n_id)"
+                if pairs else
+                "SELECT CAST(NULL AS BIGINT) AS q_id, "
+                "CAST(NULL AS BIGINT) AS n_id WHERE 1 = 0"
+            )
+            n_id_in = [int(r["n_id"]) for r in pairs]
         return spark.sql(
             _ivfpq_refine_sql(
                 "spark",
-                "SELECT vec_id, mi, j, list_id FROM __ivfpq_codes",
-                "SELECT q_id, list_id FROM __ivfpq_probes",
+                codes_rel,
+                probes_rel,
                 lut,
                 _vec_rel_sql("spark", source_view),
                 refine_k,
                 k,
                 dim,
+                shortlist_rel=shortlist_rel,
+                n_id_in=n_id_in,
             )
         )
     return spark.sql(
@@ -1381,9 +1431,11 @@ def ivfpq_recall_report(
         spark.table(source_view), query_ids=list(range(query_max)), k=k
     ).select("q_id", "n_id")
     hits = approx.join(bf, ["q_id", "n_id"], "left_semi")
-    a = approx.agg(
-        F.countDistinct("q_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_result_rows"),
+    # ADVICE r10: n_queries comes from the BRUTE-FORCE side — a regression
+    # that makes some queries return zero approx rows must count as misses
+    # (it shrinks the numerator, never the denominator).
+    a = bf.agg(F.countDistinct("q_id").alias("n_queries")).crossJoin(
+        approx.agg(F.count(F.lit(1)).alias("n_result_rows"))
     )
     h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
     return a.crossJoin(h).select(
