@@ -61,10 +61,12 @@ _DAY_PART_MEMO: dict[tuple[int, str], str] = {}
 _IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
 _IVF_REBAL_MEMO: dict[tuple[int, str], str] = {}
+_IVF_STREAM_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_MEMO: dict[tuple[int, str], str] = {}
+_IVFPQ_AUTO_MEMO: dict[tuple[int, str], str] = {}
 _QC_MEMO: dict[tuple[int, str], str] = {}
 #: (session id, sf_dir) → materialized temp-view name of the threshold-0.85
 #: MinHash-LSH pair relation (VERDICT r5 #3): four registry consumers
@@ -2922,6 +2924,39 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             refine_k=60,
         ),
     )
+    # √n AUTO-GEOMETRY end-to-end (round 11, VERDICT r10 #2): the same
+    # build→serve→refine pipeline with n_centroids="auto" — nlist is
+    # derived from the corpus size at build time (auto_nlist, the
+    # constant-candidates-per-probe posture), so this entry exercises
+    # the 100-TB default rather than the hash-pinned nlist=16 the other
+    # gate entries use.  The static oracle replays the WHOLE pipeline
+    # from the persisted centroids/codebooks, so it adapts to whatever
+    # geometry the builder chose — probe selection, ADC and refine are
+    # all hash-checked under the auto layout.
+    def _ivfpq_auto_index_for(spark: SparkSession, sf: str) -> str:
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _IVFPQ_AUTO_MEMO:
+            import os
+
+            base = os.path.join(_emit_dir("ivfpq_auto"), "index")
+            S.build_ivfpq_index(
+                spark, spark.table("embeddings"), base, n_centroids="auto"
+            )
+            _IVFPQ_AUTO_MEMO[key] = base
+        return _IVFPQ_AUTO_MEMO[key]
+
+    q["knn_ivfpq_auto_refined"] = Q(
+        run=lambda spark, sf: S.knn_ivfpq_from_index(
+            spark, _ivfpq_auto_index_for(spark, sf), dim=64, refine_k=60
+        ),
+        oracle=S.ivfpq_oracle_sql(
+            f"{_emit_dir('ivfpq_auto')}/index/centroids",
+            f"{_emit_dir('ivfpq_auto')}/index/codebooks",
+            dim=64,
+            refine_k=60,
+        ),
+    )
     # MMR over the PERSISTED index (round 6, VERDICT r5 #6): proves the
     # docstring claim that the IVF/PQ serving path swaps in under the greedy
     # unchanged.  Pool candidates come from the file-pruned ADC serve (no
@@ -2993,6 +3028,40 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["knn_ivf_appended"] = _emitting_entry(
         "knn_ivf_appended",
         _ivf_appended_run,
+        S.knn_emitted_oracle_sql(query_max=10, k=3),
+    )
+
+    # Streamed index freshness (round 11, VERDICT r10 #3): the same
+    # 6/7-build + 1/7-growth split, but arrivals land as MICRO-BATCHES —
+    # each epoch an immutable assignments part under the index's
+    # persisted (frozen) quantizer, replay-safe by construction (a
+    # replayed epoch overwrites its own part).  The serve unions the
+    # log with the base tree under the same probed-list file pruning;
+    # every emitted row is value-verified by the same emitted-keys
+    # oracle, and pytest pins streamed ≡ one-shot append row-for-row
+    # plus crash-injection replay (test_streaming.py).
+    def _ivf_stream_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        key = (id(spark), sf)
+        if key not in _IVF_STREAM_MEMO:
+            base = os.path.join(scratch_dir("ivf_stream_idx_"), "index")
+            emb = spark.table("embeddings")
+            S.build_ivf_index(spark, emb.where("vec_id % 7 != 0"), base)
+            S.ivf_append_streaming(spark, base, emb.where("vec_id % 7 = 0"))
+            _IVF_STREAM_MEMO[key] = base
+        return S.knn_ivf_from_index(
+            spark,
+            _IVF_STREAM_MEMO[key],
+            spark.table("embeddings").where("vec_id < 10"),
+            k=3,
+        )
+
+    q["streaming_ivf_append_parity"] = _emitting_entry(
+        "streaming_ivf_append_parity",
+        _ivf_stream_run,
         S.knn_emitted_oracle_sql(query_max=10, k=3),
     )
 

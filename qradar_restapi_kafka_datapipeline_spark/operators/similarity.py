@@ -689,6 +689,33 @@ def build_ivf_index(
     return cents
 
 
+def _merged_assignments(spark, path: str, probed: list[int],
+                        id_col: str, vec_col: str) -> DataFrame:
+    """The index's full assignment relation: the one-shot ``assignments/``
+    tree UNIONed with any streamed per-epoch parts under
+    ``assignments_stream/epoch=N/list_id=L/`` (:func:`ivf_append_streaming`).
+    Both trees are list_id-partitioned, so the probed-lists predicate
+    file-prunes each independently — the streamed log costs a query
+    nothing beyond its own probed files."""
+    rel = (
+        spark.read.option("basePath", f"{path}/assignments")
+        .parquet(f"{path}/assignments")
+        .where(F.col("list_id").isin(probed))
+        .select(id_col, vec_col, "list_id")
+    )
+    stream = f"{path}/assignments_stream"
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath(stream)):
+        rel = rel.unionByName(
+            spark.read.option("basePath", stream)
+            .parquet(stream)
+            .where(F.col("list_id").isin(probed))
+            .select(id_col, vec_col, "list_id")
+        )
+    return rel
+
+
 def knn_ivf_from_index(
     spark,
     path: str,
@@ -717,13 +744,8 @@ def knn_ivf_from_index(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "list_id"
     )
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
-    corpus = (
-        spark.read.option("basePath", f"{path}/assignments")
-        .parquet(f"{path}/assignments")
-        .where(F.col("list_id").isin(probed))
-        .select(
-            F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "list_id"
-        )
+    corpus = _merged_assignments(spark, path, probed, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "list_id"
     )
     return _rerank_topk(q, corpus, k)
 
@@ -751,6 +773,100 @@ def append_to_ivf_index(
     _assign(new_emb, cents, 1, id_col, vec_col).write.mode("append").partitionBy(
         "list_id"
     ).parquet(f"{path}/assignments")
+
+
+def ivf_append_streaming(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    n_batches: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _crash_after_write_epoch: int | None = None,
+) -> None:
+    """Continuously-maintained IVF index (round 11, VERDICT r10 #3) — the
+    ``streaming_*_parity`` per-epoch-parts motif applied to vector-index
+    freshness: micro-batched vector arrivals are assigned with the
+    index's PERSISTED (frozen) quantizer and each epoch lands as an
+    immutable part ``assignments_stream/epoch=N/list_id=L/``
+    (mode=overwrite — a replayed epoch rewrites its own part, so there
+    is no commit window and no double-append; contrast
+    :func:`append_to_ivf_index`, whose bare ``mode("append")`` is only
+    exactly-once under an external commit protocol).  Assignment under a
+    frozen quantizer is a pure per-row function, so the streamed log's
+    union IS the one-shot append relation row-for-row — serving through
+    :func:`knn_ivf_from_index` (which unions the log via
+    :func:`_merged_assignments`) is hash-equal to a one-shot build, and
+    :func:`rebalance_ivf_index` compacts the log into the retrained
+    tree.  Both trees stay list_id-partitioned, so probe file-pruning
+    is unchanged.
+
+    ``_crash_after_write_epoch``: crash-injection hook (raise once AFTER
+    the part write — the widest failure window — then restart from the
+    same checkpoint; the replayed epoch overwrites its own part)."""
+    import os
+    import shutil
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cents = [list(r["cv"]) for r in cent_rows]
+    base = scratch_dir("ivf_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    split = F.pmod(F.xxhash64(id_col), F.lit(n_batches))
+    keyed = new_emb.select(id_col, vec_col).withColumn("__b", split)
+    now = 1_700_000_000
+    for i in range(n_batches):
+        p = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), p)
+        os.utime(p, (now + 10 * i, now + 10 * i))
+
+    stream_path = f"{path}/assignments_stream"
+    ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        _assign(batch, cents, 1, id_col, vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("list_id").parquet(
+            os.path.join(stream_path, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after increment write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(keyed.drop("__b").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        try:
+            run()
+        except Exception:
+            if _crash_after_write_epoch is None:
+                raise
+            run()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def recover_ivf_index(spark, path: str) -> str:
@@ -786,7 +902,7 @@ def recover_ivf_index(spark, path: str) -> str:
 def rebalance_ivf_index(
     spark,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_n: int = 1024,
@@ -807,7 +923,18 @@ def rebalance_ivf_index(
     NEW index fully readable; :func:`recover_ivf_index` self-heals the
     one mid-swap window).  Serving code needs no change: the layout
     contract (centroids/ + assignments/ partitioned by list_id) is
-    preserved.  Returns the number of vectors re-indexed."""
+    preserved.  Returns the number of vectors re-indexed.
+
+    ``n_centroids`` defaults to ``"auto"`` (round 11, VERDICT r10 #2):
+    the rebalance is exactly the moment the index should ADOPT the √n
+    geometry — appends grow the corpus under a frozen quantizer, and
+    retraining at the STALE fixed nlist reproduces the
+    shortlist-crowding regime the rebuild exists to escape (the same
+    nprobe lists hold k× more candidates; DESIGN.md round-10 recall
+    table).  √n lists at constant nprobe restore constant
+    candidates-per-probe, so per-query scan cost stays O(√n·nprobe)
+    as the corpus keeps growing.  Pass an int to pin geometry (the
+    small-SF gate entries do, for hash stability)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -817,9 +944,22 @@ def rebalance_ivf_index(
         .parquet(f"{path}/assignments")
         .select(id_col, vec_col)
     )
+    stream = f"{path}/assignments_stream"
+    if fs.exists(hpath(stream)):
+        # fold the streamed per-epoch log (ivf_append_streaming) into the
+        # retrained tree — the rebuild IS the log's compaction; the swap
+        # stages the whole old dir (log included) out, so the new index
+        # starts with an empty log.
+        emb = emb.unionByName(
+            spark.read.option("basePath", stream).parquet(stream)
+            .select(id_col, vec_col)
+        )
     n = emb.count()
+    if n_centroids == "auto":
+        n_centroids = auto_nlist(n)
+        sample_n = max(sample_n, 8 * n_centroids)
     cents = _train_ivf_centroids(
-        emb, n_centroids, id_col, vec_col, sample_n, iters
+        emb, int(n_centroids), id_col, vec_col, sample_n, iters
     )
     tmp, old = f"{path}.__rebal_tmp", f"{path}.__rebal_old"
     fs.delete(hpath(tmp), True)

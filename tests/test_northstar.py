@@ -1464,6 +1464,39 @@ class TestAutoIvfGeometry:
         assert len(rows) == 9  # 3 queries x top-3
         assert all(r["rk"] <= 3 and r["cos"] <= 1.0 for r in rows)
 
+    def test_rebalance_adopts_auto_geometry(self, spark, sf_dir, tmp_path):
+        """Round 11 (VERDICT r10 #2): the rebuild is the moment the index
+        escapes its stale geometry — build fixed-16, grow it with a
+        frozen-quantizer append, rebalance with the DEFAULT args, and
+        the retrained quantizer must hold √n lists, with the serve path
+        working unchanged over the new layout."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            append_to_ivf_index,
+            auto_nlist,
+            build_ivf_index,
+            knn_ivf_from_index,
+            rebalance_ivf_index,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
+            load_tables,
+        )
+
+        load_tables(spark, sf_dir)
+        emb = spark.table("embeddings")
+        base = str(tmp_path / "rebal_auto")
+        build_ivf_index(spark, emb.where("vec_id % 7 != 0"), base,
+                        n_centroids=16)
+        assert spark.read.parquet(f"{base}/centroids").count() == 16
+        append_to_ivf_index(spark, base, emb.where("vec_id % 7 = 0"))
+        n = rebalance_ivf_index(spark, base)  # default: adopt √n
+        n_lists = spark.read.parquet(f"{base}/centroids").count()
+        assert n_lists == auto_nlist(n)
+        assert n_lists > 16  # the corpus outgrew the fixed default
+        rows = knn_ivf_from_index(
+            spark, base, emb.where("vec_id < 10"), k=3
+        ).collect()
+        assert len(rows) == 30 and all(r["rk"] <= 3 for r in rows)
+
 
 class TestVideoContainer:
     """Round 10: the video container member of the real-decode family —

@@ -98,6 +98,12 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # round 10: refined IVF-PQ serve — the oracle replays coarse assign +
     # probes + codes + LUT + ADC + exact-cosine refine at k× vectors
     "knn_ivfpq_refined": None,
+    # round 11: the √n auto-geometry build→serve→refine path — nlist is
+    # derived from the AMPLIFIED corpus size (auto_nlist picks √(k·n)
+    # lists), so this is the one row where the 100-TB default geometry
+    # itself runs at volume; the oracle replays the whole pipeline from
+    # the persisted artifacts, adapting to whatever geometry was chosen
+    "knn_ivfpq_auto_refined": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
     # round 9: fertility strata — same emitted-vocab contract, per-lang
