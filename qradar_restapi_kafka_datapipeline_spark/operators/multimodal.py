@@ -947,6 +947,258 @@ def wav_decode_oracle_sql(source: str = "documents") -> str:
     """
 
 
+#: Audio fingerprint geometry (round 11, VERDICT r10 #4): 65 frames of 4
+#: PCM samples each — 64 consecutive-frame energy comparisons = one
+#: 64-bit fingerprint, so the WHOLE Hamming-banding family
+#: (:func:`phash_pairs_sql` / :func:`phash_clusters_sql`) is reused
+#: verbatim.  The voiced encoder derives each frame's amplitude from the
+#: WORD at that position of the document, so near-duplicate texts yield
+#: near-duplicate audio — the fingerprint measures content, not doc_id.
+AUDIO_FP_FRAMES = 65
+AUDIO_FP_SPF = 4
+_AUDIO_AMP_FALLBACK = 97
+_K_WLEN, _K_WFIRST, _K_WLAST = 17, 31, 7
+
+
+def _word_amp(words: list[str], f: int) -> int:
+    """Frame ``f``'s amplitude: a cheap deterministic mix of the word at
+    sampled position ``(f·nw)//FRAMES`` — length, first and last char —
+    replicated in closed form by :func:`audio_fp_oracle_sql`."""
+    if not words:
+        return _AUDIO_AMP_FALLBACK
+    w = words[(f * len(words)) // AUDIO_FP_FRAMES]
+    return (_K_WLEN * len(w) + _K_WFIRST * ord(w[0])
+            + _K_WLAST * ord(w[-1])) % 256
+
+
+def encode_wav_voiced(doc_id: int, text: str) -> bytes:
+    """A valid 16-bit mono PCM WAV whose samples are a function of the
+    TEXT (the constant-formula :func:`encode_wav` is degenerate for
+    fingerprinting: its samples depend only on doc_id, so no two
+    documents ever sound alike).  Frame ``f`` (4 samples) carries
+    ``(amp_f+1)·(s+1)·13 + 5·f − 32768`` — amplitudes small enough that
+    the 16-bit lattice never wraps, so frame energy is the closed form
+    ``130·(amp_f+1) + 20·f``.  Same RIFF layout as :func:`encode_wav`,
+    including the junk LIST chunk before fmt on every third document
+    (a decoder that assumes fixed offsets fails the gate)."""
+    import struct
+
+    rate = 8000 + (doc_id % 4) * 4000
+    words = text.split()
+    samples = []
+    for f in range(AUDIO_FP_FRAMES):
+        amp = _word_amp(words, f)
+        for s in range(AUDIO_FP_SPF):
+            samples.append((amp + 1) * (s + 1) * 13 + 5 * f - 32768)
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b""
+    if doc_id % 3 == 0:
+        junk = b"notacodecpayload"
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_voiced_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, payload)`` with a voiced WAV per document."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_wav_voiced(int(i), t)
+                        for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id LONG, payload BINARY"
+    )
+
+
+def audio_fingerprint(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit frame-energy sign-hash per audio payload, parsed from REAL
+    bytes: RIFF chunk walk (fmt may not be first), signed-PCM unpack,
+    unsigned-offset per-frame energy sums, one bit per consecutive-frame
+    comparison ``E(f+1) > E(f)`` — the audio sibling of
+    :func:`image_dhash` (Chromaprint's sub-fingerprint idea reduced to
+    the energy envelope).  Emitted as two unsigned 32-bit halves in
+    BIGINTs (``hash_hi``/``hash_lo``), so the Hamming banding machinery
+    is shared with the image family.  The kernel never sees the encoder
+    formula — it walks bytes; :func:`audio_fp_oracle_sql` recomputes
+    the fingerprint from the spec in closed form."""
+    import struct
+
+    def _one(payload: bytes) -> tuple[int, int]:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a WAV payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            clen = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen % 2)
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        n = len(data) // 2
+        if n != AUDIO_FP_FRAMES * AUDIO_FP_SPF:
+            raise ValueError(f"fingerprint expects "
+                             f"{AUDIO_FP_FRAMES * AUDIO_FP_SPF} samples, "
+                             f"got {n}")
+        u = [s + 32768 for s in struct.unpack(f"<{n}h", data)]
+        energies = [
+            sum(u[f * AUDIO_FP_SPF : (f + 1) * AUDIO_FP_SPF])
+            for f in range(AUDIO_FP_FRAMES)
+        ]
+        hi = lo = 0
+        for k in range(AUDIO_FP_FRAMES - 1):
+            if energies[k + 1] > energies[k]:
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+        return hi, lo
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(i), *_one(bytes(b)))
+                for i, b in zip(pdf[id_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "hash_hi", "hash_lo"])
+
+    return media.mapInPandas(
+        kernel, schema="doc_id LONG, hash_hi LONG, hash_lo LONG"
+    )
+
+
+def audio_fp_oracle_sql(source: str = "documents") -> str:
+    """DuckDB recomputation of the audio fingerprint from the encoder
+    spec in closed form — whitespace word split, per-frame word-amp mix,
+    the exact integer energy ``130·(amp+1) + 20·f``, LEAD comparison
+    bits, integer-shift bit weights.  All-integer: no float discipline
+    needed anywhere."""
+    amp = (
+        f"({_K_WLEN} * length(w) + {_K_WFIRST} * ascii(w)"
+        f" + {_K_WLAST} * ascii(substr(w, length(w)))) % 256"
+    )
+    return f"""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS words
+      FROM {source}
+    ),
+    fw AS (
+      SELECT doc_id, f.f AS f, len(words) AS nw,
+             CASE WHEN len(words) = 0 THEN ''
+                  ELSE words[(f.f * len(words)) // {AUDIO_FP_FRAMES} + 1]
+             END AS w
+      FROM ws CROSS JOIN
+           UNNEST(generate_series(0, {AUDIO_FP_FRAMES - 1})) AS f(f)
+    ),
+    amps AS (
+      SELECT doc_id, f,
+             CASE WHEN nw = 0 THEN {_AUDIO_AMP_FALLBACK}
+                  ELSE {amp} END AS amp
+      FROM fw
+    ),
+    energies AS (
+      SELECT doc_id, f, 130 * (amp + 1) + 20 * f AS energy FROM amps
+    ),
+    bits AS (
+      SELECT doc_id, f AS k,
+             CASE WHEN LEAD(energy) OVER (
+                    PARTITION BY doc_id ORDER BY f) > energy
+                  THEN 1 ELSE 0 END AS bit
+      FROM energies
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN k >= 32 AND k < 64
+                         THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                         ELSE 0 END) AS BIGINT) AS hash_hi,
+           CAST(SUM(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << k)
+                         ELSE 0 END) AS BIGINT) AS hash_lo
+    FROM bits GROUP BY doc_id
+    """
+
+
+def audio_fingerprint_pairs(
+    spark,
+    docs: DataFrame,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """End-to-end audio near-dup dedup: voiced-WAV payloads → REAL
+    RIFF-walking fingerprint kernel → group-expansion pair join
+    (:func:`phash_pairs_expanded_sql`; the gate oracle stays the
+    independent simple banded form over the closed-form fingerprint
+    recomputation, so kernel, encoder AND pair logic are all
+    cross-checked).  Same materialize posture as the image twin: the
+    hash relation's lineage crosses two Python kernel stages and feeds
+    both join sides through CTE definitions."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
+
+    hashes = audio_fingerprint(attach_voiced_wav_payload(docs)).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    name = materialize_view(spark, hashes, "__audio_fp")
+    return spark.sql(
+        phash_pairs_expanded_sql(
+            "spark",
+            f"SELECT doc_id, hash_hi, hash_lo FROM {name}",
+            max_hamming,
+        )
+    )
+
+
+def audio_fp_pairs_oracle_sql(max_hamming: int = 2) -> str:
+    """DuckDB twin of :func:`audio_fingerprint_pairs`: fingerprints from
+    the encoder spec, then the simple banded pair form."""
+    return phash_pairs_sql("duckdb", audio_fp_oracle_sql(), max_hamming)
+
+
+def audio_fingerprint_clusters(
+    spark,
+    docs: DataFrame,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Cluster form (the 100-TB shape, like :func:`image_phash_clusters`):
+    identical fingerprints collapse in one linear groupBy, banding runs
+    over DISTINCT fingerprints only."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import materialize_view
+
+    hashes = audio_fingerprint(attach_voiced_wav_payload(docs)).select(
+        "doc_id", "hash_hi", "hash_lo"
+    )
+    name = materialize_view(spark, hashes, "__audio_fp_cl")
+    return spark.sql(
+        phash_clusters_sql(
+            "spark",
+            f"SELECT doc_id, hash_hi, hash_lo FROM {name}",
+            max_hamming,
+        )
+    )
+
+
+def audio_fp_clusters_oracle_sql(max_hamming: int = 2) -> str:
+    """DuckDB twin of :func:`audio_fingerprint_clusters`."""
+    return phash_clusters_sql("duckdb", audio_fp_oracle_sql(), max_hamming)
+
+
 def frame_sample(
     features: DataFrame, every_nth: int = 2
 ) -> DataFrame:

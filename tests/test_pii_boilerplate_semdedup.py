@@ -685,3 +685,179 @@ def test_phash_clusters_expand_to_doc_pairs():
         assert (len(va), len(vb)) == (na, nb)
         expanded += [(min(a, b), max(a, b), h) for a in va for b in vb]
     assert sorted(expanded) == pairs and len(clusters) > 0
+
+
+def _py_audio_fp(doc_id: int, text: str) -> tuple[int, int]:
+    """From-scratch fingerprint replica (round 11): independent of BOTH
+    the kernel (which walks RIFF bytes) and the oracle SQL (closed-form
+    energies) — words → amps → energies → comparison bits, straight from
+    the spec."""
+    words = text.split()
+    amps = []
+    for f in range(65):
+        if not words:
+            amps.append(97)
+        else:
+            w = words[(f * len(words)) // 65]
+            amps.append((17 * len(w) + 31 * ord(w[0]) + 7 * ord(w[-1])) % 256)
+    energies = [130 * (a + 1) + 20 * f for f, a in enumerate(amps)]
+    hi = lo = 0
+    for k in range(64):
+        if energies[k + 1] > energies[k]:
+            if k < 32:
+                lo |= 1 << k
+            else:
+                hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def test_audio_fingerprint_kernel_matches_spec():
+    """The RIFF-walking kernel (chunk walk, signed-PCM unpack, unsigned
+    frame-energy sums) must reproduce the spec-level fingerprint across
+    word-count/char/junk-chunk variety — an off-by-one in frame slicing
+    or a signed/unsigned sum flips bits."""
+    import pandas as pd
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    texts = ["", "one", "alpha beta gamma", "x " * 40, "Zz yY " * 17,
+             "word " * 123]
+    docs = [(i, texts[i % len(texts)] + "tail" * (i % 3)) for i in range(90)]
+    media = pd.DataFrame(
+        {
+            "doc_id": [i for i, _ in docs],
+            "payload": [M.encode_wav_voiced(i, t) for i, t in docs],
+        }
+    )
+    captured = []
+
+    class _FakeDF:
+        def mapInPandas(self, kernel, schema):
+            captured.extend(kernel(iter([media])))
+            return None
+
+    M.audio_fingerprint(_FakeDF())
+    got = {
+        int(r["doc_id"]): (int(r["hash_hi"]), int(r["hash_lo"]))
+        for _, r in captured[0].iterrows()
+    }
+    want = {i: _py_audio_fp(i, t) for i, t in docs}
+    assert got == want
+
+
+def test_audio_fp_oracle_matches_python_replica():
+    """The DuckDB closed-form recomputation must agree with the
+    from-scratch replica on the REAL corpus text (whitespace-split
+    parity, list indexing, LEAD bit order)."""
+    import duckdb
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(
+            "SELECT doc_id, hash_hi, hash_lo FROM ("
+            + M.audio_fp_oracle_sql() + ") t"
+        ).fetchall()
+    }
+    want = {int(i): _py_audio_fp(int(i), t) for i, t in rows}
+    assert got == want and len(got) > 0
+
+
+def test_audio_fp_banding_is_lossless_vs_bruteforce():
+    """8 one-byte bands over the 64-bit fingerprint: every pair within
+    the cutoff must survive the banded join (pigeonhole d <= 7),
+    proven against brute-force all-pairs popcount."""
+    import duckdb
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta"]
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(i % 9 + 3)))
+        for i in range(160)
+    ]
+    hashes = {i: _py_audio_fp(i, t) for i, t in docs}
+
+    def ham(a, b):
+        return (bin(hashes[a][0] ^ hashes[b][0]).count("1")
+                + bin(hashes[a][1] ^ hashes[b][1]).count("1"))
+
+    brute = sorted(
+        (a, b, ham(a, b))
+        for a in hashes for b in hashes
+        if a < b and ham(a, b) <= 3
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in docs)
+        + ") AS t(doc_id, text)"
+    )
+    banded = sorted(
+        tuple(r)
+        for r in con.execute(
+            M.audio_fp_pairs_oracle_sql(max_hamming=3)
+        ).fetchall()
+    )
+    assert banded == brute and len(brute) > 0
+
+
+def test_audio_fingerprint_rejects_malformed_payloads():
+    import struct
+
+    import pytest as _pytest
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    good = M.encode_wav_voiced(1, "a few words here")
+
+    def _fp(payload):
+        import pandas as pd
+
+        captured = []
+
+        class _FakeDF:
+            def mapInPandas(self, kernel, schema):
+                captured.extend(
+                    kernel(iter([pd.DataFrame(
+                        {"doc_id": [1], "payload": [payload]}
+                    )]))
+                )
+                return None
+
+        M.audio_fingerprint(_FakeDF())
+        return captured
+
+    with _pytest.raises(ValueError):
+        _fp(b"XXXX" + good[4:])            # bad magic
+    with _pytest.raises(ValueError):
+        _fp(good[:12])                     # missing chunks
+    # wrong sample count: a plain (non-voiced) WAV has text-dependent n
+    with _pytest.raises(ValueError):
+        _fp(M.encode_wav(1, "short"))
+
+
+def test_near_dup_texts_yield_near_dup_audio():
+    """Content sensitivity: substituting ONE word of a 120-word document
+    moves a bounded number of sampled frames, so the fingerprints stay
+    within a small Hamming distance; an unrelated document does not."""
+    base_words = ["w%d" % (i % 29) for i in range(120)]
+    a = " ".join(base_words)
+    subbed = list(base_words)
+    subbed[60] = "different"
+    b = " ".join(subbed)
+    c = " ".join("q%d" % (i * 7 % 31) for i in range(120))
+    fa, fb, fc = (_py_audio_fp(0, t) for t in (a, b, c))
+
+    def ham(x, y):
+        return (bin(x[0] ^ y[0]).count("1") + bin(x[1] ^ y[1]).count("1"))
+
+    assert ham(fa, fb) <= 3
+    assert ham(fa, fc) > 10

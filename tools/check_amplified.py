@@ -88,6 +88,11 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # deliberately NOT amplified (its output is quadratic in duplicate-
     # class size by design — the cluster form is the scale path)
     "dedup_image_phash_clusters": None,
+    # round 11: the audio sibling — distinct-fingerprint population is
+    # bounded by content diversity (the amplified copies' interleaved
+    # tags perturb sampled word positions, so cross-copy fingerprints
+    # fall outside the near band and the output grows ~linearly)
+    "dedup_audio_fingerprint_clusters": None,
     "sessionize_events_bucketed": None,
     # round 10: streamed hysteresis — per-epoch rate parts SUM-merged at
     # read must equal the one-shot episode derivation at k× daily rates
