@@ -173,15 +173,42 @@ HEADLINE = [
     "knn_ivfpq_refined",
     "multimodal_video_frames",
     "window_funnel_latency",
+    # round 11: √n auto-geometry build→refine serve, streamed IVF append
+    # (steady = serve over base ∪ per-epoch log), audio fingerprint dedup
+    # (cluster form — the scale shape)
+    "knn_ivfpq_auto_refined",
+    "streaming_ivf_append_parity",
+    "dedup_audio_fingerprint_clusters",
 ]
-# Growth policy (VERDICT r9 #8): at ~95 entries the two-pass min-of-2 +
-# probe discipline still holds (the memoized index/vocab/classifier builds
-# pay their cost in pass 1 — recorded under cold_queries — and pass 2's
-# min is the steady serve, so one-time builds already never pollute the
-# steady total).  If the set crosses ~100, split the build-paying entries
-# into an explicit "cold section" list reported under a separate
-# cold-builds key INSTEAD of growing this list further; the per-query map
-# schema ({name: sec}) must stay unchanged for cross-round comparability.
+# Round 11 (VERDICT r10 #5, the r9 #8 growth policy now due at 100
+# entries): one-time builds are SPLIT out of the steady section.  Every
+# name below runs ONCE before the timed passes — that run pays the
+# memoized artifact build (index/codebook/vocab/classifier training, day
+# partition or qevents materialization) and is recorded under
+# ``cold_builds``; the two timed passes then measure only the steady
+# serve.  ``value`` is therefore the pure steady total from this round
+# on; ``cold_build_value`` carries the build costs (BASELINE.md notes
+# the r10→r11 composition change).
+COLD_BUILDS = [
+    "aql_day_pruned_scan",        # day-partition materialization
+    "text_bpe_tokenize",          # BPE vocab train (also feeds fertility)
+    "curate_dsir_topk",           # DSIR hashed-count selector build
+    "curate_dsir_apply",          # frozen-selector artifact
+    "curate_quality_classifier",  # driver-side classifier training
+    "text_knn_indexed",           # text postings index build
+    "text_chunk_knn",             # chunk postings index build
+    "sketch_kmv_retention",       # KMV day cube build
+    "sketch_kmv_cohort",
+    "knn_ivf_persisted",          # IVF index builds + lifecycle
+    "knn_ivf_appended",
+    "knn_ivf_rebalanced",
+    "streaming_ivf_append_parity",
+    "knn_pq_adc",                 # PQ codebook train
+    "knn_ivfpq_persisted",        # IVF-PQ index builds
+    "knn_ivfpq_refined",
+    "knn_ivfpq_auto_refined",
+    "knn_mmr_ivfpq",
+]
 
 
 def _extra_paths():
@@ -294,18 +321,34 @@ def main() -> None:
         register_ref_sets(spark)
         ingest_sec = round(time.time() - t0, 3)
 
+        extra = _extra_paths()
+
+        def _runner(name):
+            return extra.get(name) or (reg[name].run if name in reg else None)
+
+        # Cold section: every memoized one-time build pays its cost HERE,
+        # recorded separately — the steady passes below then time only
+        # the serve shape a long-running cluster job repeats.
+        cold_builds: dict[str, float] = {
+            "ingest_materialize_qevents": ingest_sec
+        }
+        for name in COLD_BUILDS:
+            runner = _runner(name)
+            if runner is None:
+                continue
+            t0 = time.time()
+            _consume(runner(spark, SF_DIR))
+            cold_builds[name] = round(time.time() - t0, 3)
+
         # Two passes per query; report the per-query MIN (steady state).
         # Pass 1 pays one-time codegen compilation and any co-tenant CPU
         # spikes on this shared host (observed 15-20 s lands on a random
         # query); pass 2 measures the plan itself — the number that scales
         # to a long-running cluster job. Both passes are recorded.
         cold: dict[str, float] = {}
-        extra = _extra_paths()
         for passno in range(2):
             for name in HEADLINE:
-                runner = extra.get(name) or (
-                    reg[name].run if name in reg else None
-                )
+                runner = _runner(name)
                 if runner is None:
                     continue
                 t0 = time.time()
@@ -316,9 +359,8 @@ def main() -> None:
                     timings[name] = dt
                 else:
                     timings[name] = min(timings[name], dt)
-        timings = {"ingest_materialize_qevents": ingest_sec, **timings}
-        cold = {"ingest_materialize_qevents": ingest_sec, **cold}
         total = round(sum(timings.values()), 3)
+        cold_build_value = round(sum(cold_builds.values()), 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
@@ -333,8 +375,12 @@ def main() -> None:
         "probe_ref_sec": PROBE_REF_SEC,
         "value_probe_normalized": round(total * PROBE_REF_SEC / probe_sec, 3),
         "queries": timings,
-        "methodology": "per-query min of 2 consecutive runs "
-        "(steady state); first-run times under cold_queries",
+        "methodology": "one-time builds (index/vocab/classifier training, "
+        "materializations) run first and are recorded under cold_builds; "
+        "steady value = per-query min of 2 subsequent runs; first steady "
+        "pass under cold_queries",
+        "cold_builds": cold_builds,
+        "cold_build_value": cold_build_value,
         "cold_queries": cold,
         "cold_value": round(sum(cold.values()), 3),
         "loadavg_before": load_before,
@@ -360,6 +406,7 @@ def main() -> None:
                 "unit": "sec",
                 "probe_sec": probe_sec,
                 "value_probe_normalized": full["value_probe_normalized"],
+                "cold_build_value": cold_build_value,
                 "cold_value": full["cold_value"],
                 "n_queries": len(timings),
                 "loadavg_before": load_before,
