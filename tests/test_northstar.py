@@ -1464,6 +1464,31 @@ class TestAutoIvfGeometry:
         assert len(rows) == 9  # 3 queries x top-3
         assert all(r["rk"] <= 3 and r["cos"] <= 1.0 for r in rows)
 
+    def test_auto_geometry_refined_recall_floor(self, spark, sf_dir, tmp_path):
+        """Round 11 (VERDICT r10 #2): the √n-built index must serve
+        refined recall at least as the fixed-16 floor — auto geometry is
+        the default posture, so it carries the same contract the pinned
+        gate geometry does (measured: auto ≥ fixed at matched scan
+        budget, BASELINE.md round-11 table)."""
+        from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+            build_ivfpq_index,
+            ivfpq_recall_report,
+        )
+        from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
+            load_tables,
+        )
+
+        load_tables(spark, sf_dir)
+        base = str(tmp_path / "auto_recall")
+        build_ivfpq_index(
+            spark, spark.table("embeddings"), base, n_centroids="auto"
+        )
+        row = ivfpq_recall_report(
+            spark, base, dim=64, query_max=10, k=3, refine_k=60
+        ).first()
+        assert row["n_queries"] == 10
+        assert row["avg_recall"] >= 0.6
+
     def test_rebalance_adopts_auto_geometry(self, spark, sf_dir, tmp_path):
         """Round 11 (VERDICT r10 #2): the rebuild is the moment the index
         escapes its stale geometry — build fixed-16, grow it with a
