@@ -109,6 +109,11 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # itself runs at volume; the oracle replays the whole pipeline from
     # the persisted artifacts, adapting to whatever geometry was chosen
     "knn_ivfpq_auto_refined": None,
+    # round 11: streamed per-epoch vector appends — the emitted-keys
+    # oracle re-derives every served row's cosine/rank over the
+    # amplified corpus, so a lost or double-folded epoch surfaces as a
+    # missing/extra neighbor at volume
+    "streaming_ivf_append_parity": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
     # round 9: fertility strata — same emitted-vocab contract, per-lang
