@@ -3490,8 +3490,12 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     )
 
     # ---- TF-IDF top-k keywords per doc (deterministic rounded-score rank) ---
+    # r11: Spark materializes the tf relation once (3 CTE consumers
+    # re-ran tokenize per consumer — ≈neutral at this SF, wins at real
+    # corpus scale); oracle stays the plain statement — dual
+    # formulations, hash-proven equal.
     q["text_tfidf_topk"] = _df_entry(
-        lambda spark, sf: spark.sql(T.tfidf_topk_sql("spark")),
+        lambda spark, sf: T.tfidf_topk(spark),
         T.tfidf_topk_sql("duckdb"),
     )
 
