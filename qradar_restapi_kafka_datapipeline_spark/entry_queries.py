@@ -1310,6 +1310,19 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: (the video-container family — displaced aql_routed_materialized ⊂
 #: aql_auto_rollup_routed, the same GLOBALVIEW routing navigator over a
 #: strictly larger rollup pipeline).  All displaced stay mirror-checked.
+#: A second r11 pass rotated IN this round's own flagships so the next
+#: round's hard gate already covers them: knn_ivfpq_auto_refined
+#: (displaced knn_ivfpq_refined — same ADC+refine pipeline under the √n
+#: production-default geometry, strictly larger because the oracle
+#: replay adapts to the auto layout), streaming_ivf_append_parity
+#: (displaced streaming_sketch_parity — the additive per-epoch-parts
+#: protocol keeps four window reps: rollup-txn, chunk-index, dsir,
+#: hysteresis; the IVF append is the NEW frozen-quantizer-assignment
+#: parts protocol), and dedup_audio_fingerprint (displaced
+#: dedup_image_phash — the shared 8-band Hamming machinery stays
+#: hash-checked through the audio entry, whose closed-form oracle also
+#: covers a new encoder + RIFF kernel; the image entry keeps its
+#: banding-lossless + kernel-spec pytests and the mirror).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1330,7 +1343,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "window_funnel_bucketed",
     "window_funnel_latency",
     "text_chunk_knn",
-    "streaming_sketch_parity",
+    "streaming_ivf_append_parity",
     "dedup_exact_stats",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
@@ -1338,7 +1351,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "event_path_trigrams_bucketed",
     "knn_ivf_rebalanced",
     "streaming_chunk_index_parity",
-    "knn_ivfpq_refined",
+    "knn_ivfpq_auto_refined",
     "semantic_dedup_pairs",
     "snapshot_diff_report",
     "streaming_hysteresis_parity",
@@ -1359,7 +1372,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "pack_sequences_bpe_contract",
     "multimodal_jpeg_decode",
     "multimodal_video_frames",
-    "dedup_image_phash",
+    "dedup_audio_fingerprint",
     "zorder_layout_keys",
 )
 

@@ -107,7 +107,8 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # r9 second pass: perceptual-hash image dedup (displaced
         # streaming_sessionize_parity — streaming parity keeps 4 reps,
         # sessionize is repped by the funnel; both stay mirror-checked)
-        "dedup_image_phash",
+        # (dedup_image_phash rotated out in the second r11 pass for the
+        # audio twin on the same banding machinery, pinned below)
         # round-10 rotation (VERDICT r9 #1): one rep per round-9 family —
         # strict funnel modes (window_funnel_strict_order displaced the
         # plain conversion: same anchor core plus the segmentation pass),
@@ -132,13 +133,21 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # hysteresis_alert_episodes — identical oracle), and the video
         # frame-sample family (displaced aql_routed_materialized ⊂
         # aql_auto_rollup_routed).  All displaced stay mirror-checked.
-        "knn_ivfpq_refined", "window_funnel_bucketed",
+        "window_funnel_bucketed",
         "window_funnel_latency", "streaming_hysteresis_parity",
         "multimodal_video_frames",
+        # second r11 pass: this round's flagships — √n auto-geometry
+        # refine (displaced knn_ivfpq_refined ⊂ same pipeline, pinned
+        # geometry), streamed IVF append (displaced
+        # streaming_sketch_parity — additive-parts protocol keeps 4
+        # reps), audio fingerprint dedup (displaced dedup_image_phash —
+        # the shared banding machinery stays gate-checked; image keeps
+        # its pytests + mirror)
+        "knn_ivfpq_auto_refined", "streaming_ivf_append_parity",
+        "dedup_audio_fingerprint",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
-        "streaming_sketch_parity",
         "pipeline_corpus_funnel",
         "streaming_dsir_apply_parity",
         "curate_quality_classifier",
@@ -172,7 +181,9 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "sketch_kmv_cohort", "streaming_hysteresis",
         "event_path_", "aql_mitre_", "text_bpe_fertility",
         # round 11 rotation (the r10 flagships, now hard-gated)
-        "knn_ivfpq_refined", "window_funnel_bucketed",
+        "knn_ivfpq_", "window_funnel_bucketed",
         "window_funnel_latency", "multimodal_video",
+        # second r11 pass (this round's flagships)
+        "knn_ivfpq_auto", "streaming_ivf_append", "dedup_audio_",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
