@@ -3512,6 +3512,19 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         T.tfidf_topk_sql("duckdb"),
     )
 
+    # ---- Hybrid retrieval: BM25 ⊕ dense via RRF (round 11) -----------------
+    # The production search-stack composition (Cormack et al. 2009):
+    # reciprocal-rank fusion of the lexical BM25 top-20 and the
+    # hashed-embedding cosine top-20, integer micro-unit scores so the
+    # fused ranking is exact BIGINT arithmetic; in_lex/in_dense expose
+    # which side contributed.  Independent check: a from-scratch python
+    # fusion over the two (independently-differentialed) constituent
+    # rankings (tests/test_pii_boilerplate_semdedup.py).
+    q["text_hybrid_rrf"] = _df_entry(
+        lambda spark, sf: spark.sql(T.hybrid_rrf_sql("spark")),
+        T.hybrid_rrf_sql("duckdb"),
+    )
+
     # ---- Okapi BM25 ranked retrieval (round 5) ------------------------------
     # Query = doc 0's distinct words (a relation, not a driver featurization);
     # per-term contributions become integer micro-scores so the per-doc sum

@@ -1445,6 +1445,60 @@ def bm25_topk_sql(
     """
 
 
+def hybrid_rrf_sql(
+    dialect: str,
+    k: int = 10,
+    pool: int = 20,
+    query_doc: int = 0,
+    rrf_k: int = 60,
+    dim: int = 4096,
+    source: str = "documents",
+) -> str:
+    """Hybrid lexical + dense retrieval via Reciprocal Rank Fusion
+    (Cormack et al. 2009) — the production search-stack composition:
+    fuse the BM25 top-``pool`` (:func:`bm25_topk_sql`) and the
+    hashed-embedding cosine top-``pool`` (:func:`hashed_text_knn_sql`)
+    with ``score(d) = Σ_r 1/(rrf_k + rank_r(d))``, emit the fused
+    top-``k``.
+
+    Cross-engine exactness: each reciprocal becomes an INTEGER
+    micro-unit ``floor(1e9/(rrf_k + rank) + 0.5)`` (the CLAUDE.md
+    half-up idiom; both constituent ranks are already deterministic
+    integer ranks), so the fused score is an exact BIGINT sum — no
+    float ordering anywhere.  ``in_lex``/``in_dense`` expose which
+    ranking(s) contributed, the standard fusion diagnostic.
+
+    Scale shape: both constituents are bounded top-``pool`` relations
+    (the heavy work — postings, df, tf — lives inside them and carries
+    their documented 100-TB postures); the fusion itself is a
+    ``≤ 2·pool``-row aggregate."""
+    lex = bm25_topk_sql(dialect, query_doc=query_doc, k=pool, source=source)
+    den = hashed_text_knn_sql(dialect, query_max=query_doc + 1, k=pool,
+                              dim=dim, source=source)
+    micro = f"CAST(FLOOR(1000000000.0 / ({rrf_k} + rk) + 0.5) AS BIGINT)"
+    return f"""
+    WITH u AS (
+      SELECT doc_id, rk, 0 AS is_den FROM ({lex}) lex0
+      UNION ALL
+      SELECT n_id AS doc_id, rk, 1 AS is_den FROM ({den}) den0
+      WHERE q_id = {query_doc}
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(SUM({micro}) AS BIGINT) AS rrf_micro,
+             CAST(SUM(is_den) AS BIGINT) AS in_dense,
+             CAST(SUM(1 - is_den) AS BIGINT) AS in_lex
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_micro, in_lex, in_dense, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, rrf_micro, in_lex, in_dense,
+             ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+      FROM fused
+    ) ranked WHERE rk <= {k}
+    """
+
+
 def bm25_index_streaming(
     spark,
     query_doc: int = 0,

@@ -179,6 +179,10 @@ RULES: list[tuple[str, tuple[str, ...], list[tuple]]] = [
         ("pytest", "test_curation.py",
          "test_hashed_embedding_pairs_find_planted_dups_only"),
     ]),
+    ("hybrid-rrf", ("text_hybrid_rrf",), [
+        ("pytest", "test_pii_boilerplate_semdedup.py",
+         "test_hybrid_rrf_matches_python_fusion_of_constituents"),
+    ]),
     ("winnowing", ("text_winnow",), [
         ("pytest", "test_northstar.py",
          "test_winnow_guarantee_shared_run_shares_fingerprint"),

@@ -861,3 +861,47 @@ def test_near_dup_texts_yield_near_dup_audio():
 
     assert ham(fa, fb) <= 3
     assert ham(fa, fc) > 10
+
+
+def test_hybrid_rrf_matches_python_fusion_of_constituents():
+    """Round 11: the RRF fusion layer, re-fused from scratch in python —
+    fetch the two constituent rankings (each independently differential-
+    checked elsewhere: BM25 python replica, hashed-knn planted tests)
+    from DuckDB, fuse with the literal 1e9/(60+rank) half-up micro-unit
+    spec, and the entry's fused top-k must match row-for-row."""
+    import duckdb
+    import math
+
+    from qradar_restapi_kafka_datapipeline_spark.operators import text as T
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    lex = con.execute(
+        T.bm25_topk_sql("duckdb", query_doc=0, k=20)
+    ).fetchall()
+    den = con.execute(
+        T.hashed_text_knn_sql("duckdb", query_max=1, k=20)
+    ).fetchall()
+    scores: dict[int, list] = {}
+    for doc_id, _score, rk in lex:
+        e = scores.setdefault(int(doc_id), [0, 0, 0])
+        e[0] += math.floor(1_000_000_000.0 / (60 + rk) + 0.5)
+        e[1] += 1  # in_lex
+    for _q, n_id, _cos, rk in den:
+        e = scores.setdefault(int(n_id), [0, 0, 0])
+        e[0] += math.floor(1_000_000_000.0 / (60 + rk) + 0.5)
+        e[2] += 1  # in_dense
+    fused = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    want = [
+        (doc, e[0], e[1], e[2], i + 1)
+        for i, (doc, e) in enumerate(fused)
+    ]
+    got = [tuple(int(x) for x in r)
+           for r in con.execute(T.hybrid_rrf_sql("duckdb")).fetchall()]
+    assert got == want and len(want) == 10
+    # both sides contribute somewhere in the fused list
+    assert any(r[2] and r[3] for r in got) or (
+        any(r[2] for r in got) and any(r[3] for r in got))
