@@ -519,7 +519,11 @@ def test_ivf_rebalance_preserves_vectors_and_exact_at_full_probe(
         }
 
     before = snap(base)
-    n = rebalance_ivf_index(spark, base)
+    # pin the 16-list geometry: this test proves rebuild equivalence and
+    # full-probe exactness at a FIXED nlist (nprobe=16 below probes every
+    # list only when there are 16); the r11 "auto" default's adoption
+    # path is covered by TestAutoIvfGeometry.
+    n = rebalance_ivf_index(spark, base, n_centroids=16)
     assert n == emb.count()
     assert snap(base) == before  # (1) the indexed set is untouched
 
