@@ -179,6 +179,7 @@ HEADLINE = [
     "knn_ivfpq_auto_refined",
     "streaming_ivf_append_parity",
     "dedup_audio_fingerprint_clusters",
+    "text_hybrid_rrf",
 ]
 # Round 11 (VERDICT r10 #5, the r9 #8 growth policy now due at 100
 # entries): one-time builds are SPLIT out of the steady section.  Every
