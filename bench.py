@@ -180,6 +180,7 @@ HEADLINE = [
     "streaming_ivf_append_parity",
     "dedup_audio_fingerprint_clusters",
     "text_hybrid_rrf",
+    "knn_ivf_deleted",
 ]
 # Round 11 (VERDICT r10 #5, the r9 #8 growth policy now due at 100
 # entries): one-time builds are SPLIT out of the steady section.  Every
@@ -203,6 +204,7 @@ COLD_BUILDS = [
     "knn_ivf_persisted",          # IVF index builds + lifecycle
     "knn_ivf_appended",
     "knn_ivf_rebalanced",
+    "knn_ivf_deleted",
     "streaming_ivf_append_parity",
     "knn_pq_adc",                 # PQ codebook train
     "knn_ivfpq_persisted",        # IVF-PQ index builds

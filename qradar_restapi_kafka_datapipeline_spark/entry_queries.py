@@ -62,6 +62,7 @@ _IVF_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
 _IVF_REBAL_MEMO: dict[tuple[int, str], str] = {}
 _IVF_STREAM_MEMO: dict[tuple[int, str], str] = {}
+_IVF_DELETE_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
@@ -3076,6 +3077,42 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         "streaming_ivf_append_parity",
         _ivf_stream_run,
         S.knn_emitted_oracle_sql(query_max=10, k=3),
+    )
+
+    # Tombstone deletes (round 11): the GDPR verb of the lifecycle —
+    # delete every vec_id % 9 == 0, serve; the oracle's
+    # exclude_n_pred drops any tombstoned id from its re-derivation, so
+    # a deleted vector surviving in the output fails the row-count
+    # match outright (on top of the usual emitted-keys value checks).
+    # Pytest pins serve-after-delete ≡ one-shot build over the
+    # remaining ids, plus rebalance compacting the log physically.
+    def _ivf_deleted_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        key = (id(spark), sf)
+        if key not in _IVF_DELETE_MEMO:
+            base = os.path.join(scratch_dir("ivf_delete_"), "index")
+            emb = spark.table("embeddings")
+            S.build_ivf_index(spark, emb, base)
+            S.delete_from_ivf_index(
+                spark, base, emb.where("vec_id % 9 = 0").select("vec_id")
+            )
+            _IVF_DELETE_MEMO[key] = base
+        return S.knn_ivf_from_index(
+            spark,
+            _IVF_DELETE_MEMO[key],
+            spark.table("embeddings").where("vec_id < 10"),
+            k=3,
+        )
+
+    q["knn_ivf_deleted"] = _emitting_entry(
+        "knn_ivf_deleted",
+        _ivf_deleted_run,
+        S.knn_emitted_oracle_sql(
+            query_max=10, k=3, exclude_n_pred="em.n_id % 9 = 0"
+        ),
     )
 
     # Index-lifecycle closure (round 8): after frozen-quantizer appends,

@@ -713,6 +713,15 @@ def _merged_assignments(spark, path: str, probed: list[int],
             .where(F.col("list_id").isin(probed))
             .select(id_col, vec_col, "list_id")
         )
+    tomb = f"{path}/tombstones"
+    if fs.exists(hpath(tomb)):
+        # deletes are a BROADCAST anti-join: the tombstone log is bounded
+        # between rebuilds (a rebuild compacts it away), so the probe scan
+        # stays file-pruned and the filter is map-side.
+        dels = F.broadcast(
+            spark.read.parquet(tomb).select(id_col).distinct()
+        )
+        rel = rel.join(dels, id_col, "left_anti")
     return rel
 
 
@@ -869,6 +878,27 @@ def ivf_append_streaming(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Tombstone deletes (round 11) — the third lifecycle verb alongside
+    :func:`append_to_ivf_index` and :func:`rebalance_ivf_index`, and the
+    one a GDPR/right-to-be-forgotten pipeline actually needs: each call
+    appends the ids as an immutable part under ``tombstones/``; serving
+    (:func:`_merged_assignments`) anti-joins the broadcast tombstone set,
+    and the next rebalance physically drops the rows and clears the log
+    (the rebuild IS the compaction, same as the streamed-append log).
+    Idempotent — deleting an id twice, or an id not in the index, is a
+    no-op by anti-join semantics.  No list is rewritten at delete time,
+    so deletes are O(|ids|) regardless of index size."""
+    ids.select(id_col).distinct().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+
+
 def recover_ivf_index(spark, path: str) -> str:
     """Self-heal a rebalance killed between its two renames (the one crash
     point where the live index is briefly absent — the staged-out tree
@@ -954,6 +984,14 @@ def rebalance_ivf_index(
             spark.read.option("basePath", stream).parquet(stream)
             .select(id_col, vec_col)
         )
+    tomb = f"{path}/tombstones"
+    if fs.exists(hpath(tomb)):
+        # honor tombstones (delete_from_ivf_index): the rebuild drops the
+        # deleted rows physically and the swap clears the log.
+        emb = emb.join(
+            F.broadcast(spark.read.parquet(tomb).select(id_col).distinct()),
+            id_col, "left_anti",
+        )
     n = emb.count()
     if n_centroids == "auto":
         n_centroids = auto_nlist(n)
@@ -979,13 +1017,20 @@ def rebalance_ivf_index(
     return n
 
 
-def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3) -> str:
+def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3,
+                           exclude_n_pred: str | None = None) -> str:
     """Emitted-keys property-oracle template for ENGINE-CHOSEN kNN results
     (``{emitted}`` expands to the materialized result relation): DuckDB reads
     back only (q_id, n_id) and recomputes cosine, rank, the k cutoff and the
     id-domain predicates from the raw embeddings — one builder drives every
     IVF-flavored entry (per-call and persisted-index), so the value checks
-    cannot drift apart."""
+    cannot drift apart.
+
+    ``exclude_n_pred`` (round 11, the delete entry): a predicate over
+    ``em.n_id`` naming ids the serve MUST NOT return (the tombstoned
+    set) — a deleted id surviving in the output is dropped by the
+    oracle and fails the row-count match."""
+    excl = f"AND NOT ({exclude_n_pred}) " if exclude_n_pred else ""
     return (
         "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
@@ -993,7 +1038,7 @@ def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3) -> str:
         "ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cos "
         "FROM emitted em JOIN e a ON a.vec_id = em.q_id "
         "JOIN e b ON b.vec_id = em.n_id "
-        f"WHERE em.q_id < {query_max} AND em.q_id != em.n_id), "
+        f"WHERE em.q_id < {query_max} AND em.q_id != em.n_id {excl}), "
         "r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER "
         "(PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rk FROM s) "
         f"SELECT q_id, n_id, cos, rk FROM r WHERE rk <= {k}"

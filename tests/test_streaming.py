@@ -402,3 +402,59 @@ def test_ivf_rebalance_compacts_streamed_log(spark, sf_dir, tmp_path):
         spark.read.parquet(f"{base}/assignments").select("vec_id")
         .distinct().count() == n_total
     )
+
+
+def test_ivf_delete_serves_remaining_and_rebalance_compacts(
+    spark, sf_dir, tmp_path
+):
+    """Round 11: tombstone deletes — serve-after-delete must equal a
+    one-shot build over the remaining ids exactly (the anti-join can
+    neither leak a deleted vector nor drop a live one), deletes must be
+    idempotent, and the next rebalance physically drops the rows and
+    clears the log."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        knn_ivf_from_index,
+        rebalance_ivf_index,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "with_deletes")
+    ref = str(tmp_path / "remaining_only")
+    build_ivf_index(spark, emb, base)
+    dels = emb.where("vec_id % 9 = 0").select("vec_id")
+    delete_from_ivf_index(spark, base, dels)
+    delete_from_ivf_index(spark, base, dels)  # idempotent
+    build_ivf_index(spark, emb.where("vec_id % 9 != 0"), ref)
+
+    def serve(path):
+        # FULL probe: the two indexes carry different quantizers (base
+        # trained on the full corpus, ref on the remaining set), so
+        # approximate nprobe results may legitimately differ — at full
+        # probe both are the exact top-k over the live candidate set.
+        nlists = spark.read.parquet(f"{path}/centroids").count()
+        return sorted(
+            (r["q_id"], r["n_id"], r["cos"], r["rk"])
+            for r in knn_ivf_from_index(
+                spark, path, emb.where("vec_id < 10"), k=3, nprobe=nlists
+            ).collect()
+        )
+
+    got, want = serve(base), serve(ref)
+    assert got == want
+    assert not any(n % 9 == 0 for _q, n, _c, _r in got)
+
+    n_remaining = emb.where("vec_id % 9 != 0").count()
+    n = rebalance_ivf_index(spark, base)
+    assert n == n_remaining
+    assert not os.path.exists(f"{base}/tombstones")
+    assert (
+        spark.read.parquet(f"{base}/assignments")
+        .where("vec_id % 9 = 0").count() == 0
+    )
+    assert serve(base) == want  # still the remaining-only result

@@ -114,6 +114,9 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # amplified corpus, so a lost or double-folded epoch surfaces as a
     # missing/extra neighbor at volume
     "streaming_ivf_append_parity": None,
+    # round 11: tombstone deletes — the exclude-predicate oracle must
+    # hold at volume (a leaked deleted id fails the row-count match)
+    "knn_ivf_deleted": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
     # round 9: fertility strata — same emitted-vocab contract, per-lang
