@@ -1531,6 +1531,20 @@ def knn_ivfpq_from_index(
         .parquet(f"{path}/codes")
         .where(F.col("list_id").isin(probed))
     )
+    tomb = f"{path}/tombstones"
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    tfs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if tfs.exists(hpath(tomb)):
+        # same tombstone-log convention as the raw-vector index
+        # (delete_from_ivf_index): broadcast anti-join on the code scan,
+        # so deleted vectors can neither rank nor enter a refine
+        # shortlist; a rebuild compacts the log away.
+        codes = codes.join(
+            F.broadcast(
+                spark.read.parquet(tomb).select("vec_id").distinct()
+            ),
+            "vec_id", "left_anti",
+        )
     codes.createOrReplaceTempView("__ivfpq_codes")
     F.broadcast(probes).createOrReplaceTempView("__ivfpq_probes")
     lut = pq_lut_sql("spark", f"{path}/codebooks", m, dim // m, query_max,

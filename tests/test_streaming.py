@@ -458,3 +458,31 @@ def test_ivf_delete_serves_remaining_and_rebalance_compacts(
         .where("vec_id % 9 = 0").count() == 0
     )
     assert serve(base) == want  # still the remaining-only result
+
+
+def test_ivfpq_serve_honors_tombstones(spark, sf_dir, tmp_path):
+    """The PQ serve shares the tombstone-log convention: after a delete,
+    neither the ADC ranking nor the refined serve may return a deleted
+    id, and live results must match a build over the remaining set at
+    the same quantizer artifacts (the codes anti-join is the only
+    change)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        delete_from_ivf_index,
+        knn_ivfpq_from_index,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "pq_del")
+    build_ivfpq_index(spark, emb, base)
+    before = knn_ivfpq_from_index(spark, base, dim=64, refine_k=60).collect()
+    deleted = {int(r["n_id"]) for r in before[:2]}
+    delete_from_ivf_index(
+        spark, base,
+        spark.createDataFrame([(i,) for i in deleted], "vec_id LONG"),
+    )
+    for kw in ({}, {"refine_k": 60}):
+        rows = knn_ivfpq_from_index(spark, base, dim=64, **kw).collect()
+        assert rows and not any(int(r["n_id"]) in deleted for r in rows)
