@@ -899,6 +899,60 @@ def delete_from_ivf_index(
     )
 
 
+def compact_ivf_index(spark, path: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> int:
+    """Maintenance compaction (round 11): fold the streamed assignments
+    log (:func:`ivf_append_streaming`) and the tombstone set
+    (:func:`delete_from_ivf_index`) into the base ``assignments/`` tree
+    WITHOUT retraining — the quantizer (and therefore every assignment
+    and probe decision) is untouched, so serving is VALUE-IDENTICAL
+    before and after at any nprobe: this is the cheap periodic
+    maintenance step between rebalances, bounding log length and
+    restoring one-tree scans.  Same crash-safe stage-out/stage-in rename
+    protocol (and the same ``__rebal_tmp``/``__rebal_old`` names) as
+    :func:`rebalance_ivf_index`, so :func:`recover_ivf_index` heals a
+    mid-swap crash of either operation.  Returns the number of live
+    vectors in the compacted tree."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    recover_ivf_index(spark, path)
+    rel = (
+        spark.read.option("basePath", f"{path}/assignments")
+        .parquet(f"{path}/assignments")
+        .select(id_col, vec_col, "list_id")
+    )
+    stream = f"{path}/assignments_stream"
+    if fs.exists(hpath(stream)):
+        rel = rel.unionByName(
+            spark.read.option("basePath", stream).parquet(stream)
+            .select(id_col, vec_col, "list_id")
+        )
+    tomb = f"{path}/tombstones"
+    if fs.exists(hpath(tomb)):
+        rel = rel.join(
+            F.broadcast(spark.read.parquet(tomb).select(id_col).distinct()),
+            id_col, "left_anti",
+        )
+    tmp, old = f"{path}.__rebal_tmp", f"{path}.__rebal_old"
+    fs.delete(hpath(tmp), True)
+    # centroids pass through unchanged (the quantizer is the index's
+    # identity; compaction only reorganizes storage)
+    spark.read.parquet(f"{path}/centroids").coalesce(1).write.parquet(
+        f"{tmp}/centroids"
+    )
+    rel.write.partitionBy("list_id").parquet(f"{tmp}/assignments")
+    n = spark.read.parquet(f"{tmp}/assignments").count()
+    if not fs.rename(hpath(path), hpath(old)):
+        raise RuntimeError(f"compact_ivf_index: could not stage out {path}")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        fs.rename(hpath(old), hpath(path))
+        raise RuntimeError(f"compact_ivf_index: rename failed for {tmp}")
+    fs.delete(hpath(old), True)
+    return n
+
+
 def recover_ivf_index(spark, path: str) -> str:
     """Self-heal a rebalance killed between its two renames (the one crash
     point where the live index is briefly absent — the staged-out tree

@@ -486,3 +486,54 @@ def test_ivfpq_serve_honors_tombstones(spark, sf_dir, tmp_path):
     for kw in ({}, {"refine_k": 60}):
         rows = knn_ivfpq_from_index(spark, base, dim=64, **kw).collect()
         assert rows and not any(int(r["n_id"]) in deleted for r in rows)
+
+
+def test_ivf_compaction_is_value_neutral_and_crash_safe(
+    spark, sf_dir, tmp_path
+):
+    """compact_ivf_index keeps the quantizer, so serving is IDENTICAL
+    before and after at the default (approximate) nprobe — a stronger
+    pin than the rebalance tests can make; the log dirs are gone, and a
+    mid-swap crash state self-heals via the shared recovery protocol."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_append_streaming,
+        knn_ivf_from_index,
+        recover_ivf_index,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "compact_neutral")
+    build_ivf_index(spark, emb.where("vec_id % 7 != 0"), base)
+    ivf_append_streaming(spark, base, emb.where("vec_id % 7 = 0"))
+    delete_from_ivf_index(
+        spark, base, emb.where("vec_id % 11 = 0").select("vec_id")
+    )
+
+    def serve():
+        return sorted(
+            (r["q_id"], r["n_id"], r["cos"], r["rk"])
+            for r in knn_ivf_from_index(
+                spark, base, emb.where("vec_id < 10"), k=3
+            ).collect()
+        )
+
+    before = serve()
+    n_live = (
+        emb.where("vec_id % 11 != 0").count()
+    )
+    n = compact_ivf_index(spark, base)
+    assert n == n_live
+    assert not os.path.exists(f"{base}/assignments_stream")
+    assert not os.path.exists(f"{base}/tombstones")
+    assert serve() == before  # value-neutral at the approximate probe
+    # mid-swap crash state self-heals (shared recovery protocol)
+    os.rename(base, base + ".__rebal_old")
+    assert recover_ivf_index(spark, base) == "restored_old"
+    assert serve() == before
