@@ -181,6 +181,7 @@ HEADLINE = [
     "dedup_audio_fingerprint_clusters",
     "text_hybrid_rrf",
     "knn_ivf_deleted",
+    "rollup_time_travel",
 ]
 # Round 11 (VERDICT r10 #5, the r9 #8 growth policy now due at 100
 # entries): one-time builds are SPLIT out of the steady section.  Every
@@ -205,6 +206,7 @@ COLD_BUILDS = [
     "knn_ivf_appended",
     "knn_ivf_rebalanced",
     "knn_ivf_deleted",
+    "rollup_time_travel",       # 3-epoch txn-table build
     "streaming_ivf_append_parity",
     "knn_pq_adc",                 # PQ codebook train
     "knn_ivfpq_persisted",        # IVF-PQ index builds

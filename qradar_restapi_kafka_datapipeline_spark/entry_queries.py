@@ -63,6 +63,7 @@ _IVF_APPEND_MEMO: dict[tuple[int, str], str] = {}
 _IVF_REBAL_MEMO: dict[tuple[int, str], str] = {}
 _IVF_STREAM_MEMO: dict[tuple[int, str], str] = {}
 _IVF_DELETE_MEMO: dict[tuple[int, str], str] = {}
+_TXN_TT_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
@@ -694,6 +695,57 @@ def registry() -> dict[str, Q]:
             "SELECT date_trunc('hour', ts) AS Start_Time, domainId, eventName, "
             "CAST(SUM(eventCount) AS BIGINT) AS Event_Count "
             "FROM qevents GROUP BY 1, 2, 3"
+        ),
+    )
+
+    # Time travel over the transactional table (round 11): every commit
+    # file carries its FULL day→dir mapping over immutable version dirs,
+    # so VERSION AS OF is a free read.  Three epoch merges split by the
+    # PORTABLE residue event_id % 3; reading AS OF epoch 1 must equal
+    # the one-shot aggregate over the first two epochs' rows — an oracle
+    # that recomputes the historical snapshot from raw events, so a
+    # mapping carried forward wrongly (stale day dir, leaked epoch-2
+    # rows) hash-fails.
+    def _rollup_time_travel_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+        from qradar_restapi_kafka_datapipeline_spark.operators.txn_rollup import (
+            TxnRollupTable,
+        )
+
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _TXN_TT_MEMO:
+            base = os.path.join(scratch_dir("txn_tt_"), "table")
+            t = TxnRollupTable(spark, base)
+            src = spark.table("qevents").select(
+                "event_id", "ts", "domainId", "eventName", "eventCount"
+            )
+            for e in range(3):
+                t.merge(
+                    src.where(f"event_id % 3 = {e}").drop("event_id"),
+                    epoch=e,
+                    measure="eventCount",
+                    time_col="ts",
+                )
+            _TXN_TT_MEMO[key] = base
+        t = TxnRollupTable(spark, _TXN_TT_MEMO[key])
+        return t.read_at(epoch=1).select(
+            F.col("ts").alias("Start_Time"),
+            "domainId",
+            "eventName",
+            F.col("eventCount").cast("bigint").alias("Event_Count"),
+        )
+
+    q["rollup_time_travel"] = _df_entry(
+        _rollup_time_travel_run,
+        _duck_cte(
+            "SELECT date_trunc('hour', ts) AS Start_Time, domainId, "
+            "eventName, CAST(SUM(eventCount) AS BIGINT) AS Event_Count "
+            "FROM qevents WHERE event_id % 3 <= 1 GROUP BY 1, 2, 3"
         ),
     )
 

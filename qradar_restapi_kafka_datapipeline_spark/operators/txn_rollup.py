@@ -171,7 +171,42 @@ class TxnRollupTable:
         Mapping entries are grouped by version dir and each group is read
         with ``basePath`` so partition discovery restores ``event_date``.
         """
-        mapping = self.latest_mapping()
+        return self._read_mapping(self.latest_mapping())
+
+    def read_at(self, commit_id: int | None = None,
+                epoch: int | None = None) -> DataFrame | None:
+        """Time travel (round 11): the snapshot AS OF a past commit — the
+        Delta/Iceberg ``VERSION AS OF`` read, free here because every
+        commit file already carries its FULL day→directory mapping and
+        data dirs are immutable.  ``commit_id`` reads the newest commit
+        ``<= commit_id``; ``epoch`` reads the FIRST commit whose epoch
+        ledger contains that streaming epoch (the snapshot the epoch's
+        merge published).  Returns None if no commit qualifies.  Bounded
+        by retention like any time travel: :meth:`vacuum` reclaims
+        version dirs unreachable from the newest snapshots, after which
+        older reads fail — keep ``keep_commits`` accordingly."""
+        if (commit_id is None) == (epoch is None):
+            raise ValueError("pass exactly one of commit_id / epoch")
+        cids = self._list_commit_ids()
+        target = None
+        if commit_id is not None:
+            elig = [c for c in cids if c <= commit_id]
+            target = max(elig) if elig else None
+        else:
+            for c in sorted(cids):
+                payload = self._read_commit(c)
+                ledger = payload.get("epochs")
+                if ledger is None:
+                    ledger = [payload["epoch"]] if payload.get(
+                        "epoch") is not None else []
+                if epoch in set(ledger):
+                    target = c
+                    break
+        if target is None:
+            return None
+        return self._read_mapping(self._read_commit(target)["days"])
+
+    def _read_mapping(self, mapping: dict[str, str]) -> DataFrame | None:
         if not mapping:
             return None
         by_version: dict[str, list[str]] = {}

@@ -85,6 +85,11 @@ RULES: list[tuple[str, tuple[str, ...], list[tuple]]] = [
         ("pytest", "test_streaming.py",
          "test_hysteresis_streaming_crash_replay"),
     ]),
+    ("txn-time-travel", ("rollup_time_travel",), [
+        ("pytest", "test_txn_rollup.py", "test_read_at_time_travel"),
+        ("pytest", "test_txn_rollup.py",
+         "test_kill_mid_merge_replays_to_same_hash"),
+    ]),
     ("cohort-retention", ("cohort_retention",), [
         # DataFrame-chain Spark side vs 3-CTE SQL oracle — two
         # formulations, hash-proven against each other by the gate

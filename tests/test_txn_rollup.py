@@ -178,3 +178,44 @@ def test_vacuum_migrates_pre_ledger_commits(spark, tmp_path, batches):
     before = _table_hash(t3.read())
     t3.merge(b0, epoch=5)
     assert _table_hash(t3.read()) == before
+
+
+def test_read_at_time_travel(spark, tmp_path, batches):
+    """Round 11: VERSION AS OF — read_at(commit_id) reproduces the exact
+    historical snapshot (commit files carry full mappings over immutable
+    version dirs); read_at(epoch) resolves to the commit that epoch's
+    merge published; both error paths are explicit."""
+    import pytest as _pytest
+
+    b0, b1 = batches
+    t = TxnRollupTable(spark, str(tmp_path / "tt"))
+    t.merge(b0, epoch=0)
+    snap1 = _table_hash(t.read())
+    t.merge(b1, epoch=1)
+    assert _table_hash(t.read()) != snap1  # the table moved on
+    assert _table_hash(t.read_at(commit_id=1)) == snap1
+    assert _table_hash(t.read_at(epoch=0)) == snap1
+    assert _table_hash(t.read_at(epoch=1)) == _table_hash(t.read())
+    assert t.read_at(commit_id=0) is None   # before the first commit
+    assert t.read_at(epoch=99) is None      # unknown epoch
+    with _pytest.raises(ValueError):
+        t.read_at()
+    with _pytest.raises(ValueError):
+        t.read_at(commit_id=1, epoch=0)
+
+
+def test_read_at_respects_vacuum_retention(spark, tmp_path, batches):
+    """Time travel is bounded by retention: after vacuum(keep_commits=1)
+    the superseded version dirs are gone, so the historical read fails
+    loudly instead of returning partial data."""
+    import pytest as _pytest
+
+    b0, b1 = batches
+    t = TxnRollupTable(spark, str(tmp_path / "tt_vac"))
+    t.merge(b0, epoch=0)
+    t.merge(b1, epoch=1)
+    latest = _table_hash(t.read())
+    t.vacuum(keep_commits=1)
+    assert _table_hash(t.read()) == latest  # the live snapshot is intact
+    with _pytest.raises(Exception):
+        t.read_at(commit_id=1).collect()
