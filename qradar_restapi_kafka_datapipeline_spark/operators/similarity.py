@@ -195,13 +195,17 @@ def _assign(
     vec_col: str,
 ) -> DataFrame:
     """``(id, vec, list_id)`` — ``probes`` rows per vector, nearest-centroid
-    assignment.  ONE definition keyed on the TRAINED centroid count (not the
-    requested one — the sample can yield fewer): ≤64 centroids literal-fold
-    into codegen, more take the broadcast centroid-table join
-    (:func:`_assign_cells_join`, janino 64 KB limit).  Shared by the
-    per-call IVF, the index build, the index append, and the serving-path
-    probes, so all four stay on the same scale split."""
-    if len(cents) <= 64:
+    assignment.  ONE definition keyed on the TRAINED geometry (not the
+    requested one — the sample can yield fewer): small quantizers
+    literal-fold into codegen, larger take the broadcast centroid-table
+    join (:func:`_assign_cells_join`).  The budget is centroids × dims
+    LITERALS, not centroid count (round 11: auto geometry's 45×64 = 2,880
+    literals fell off the janino codegen cliff and the interpreted
+    expression served 1.8× slower than the broadcast join — 16×64 = 1,024
+    stays comfortably inside).  Shared by the per-call IVF, the index
+    build, the index append, and the serving-path probes, so all four
+    stay on the same scale split."""
+    if cents and len(cents) * len(cents[0]) <= 1536:
         return df.select(
             F.col(id_col),
             F.col(vec_col),

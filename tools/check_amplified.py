@@ -117,6 +117,10 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # round 11: tombstone deletes — the exclude-predicate oracle must
     # hold at volume (a leaked deleted id fails the row-count match)
     "knn_ivf_deleted": None,
+    # round 11: VERSION AS OF — the historical snapshot must equal the
+    # raw-events recomputation of the first two epochs at k× volume
+    # (a stale mapping or leaked epoch-2 row shifts a summed measure)
+    "rollup_time_travel": None,
     "percentile_values": None,
     "text_bpe_tokenize": None,
     # round 9: fertility strata — same emitted-vocab contract, per-lang
