@@ -3609,8 +3609,11 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # which side contributed.  Independent check: a from-scratch python
     # fusion over the two (independently-differentialed) constituent
     # rankings (tests/test_pii_boilerplate_semdedup.py).
+    # Spark runs the two constituents standalone (broadcast plans) and
+    # fuses the bounded results (hybrid_rrf); the oracle is the
+    # one-statement composed SQL — dual formulations, hash-proven.
     q["text_hybrid_rrf"] = _df_entry(
-        lambda spark, sf: spark.sql(T.hybrid_rrf_sql("spark")),
+        lambda spark, sf: T.hybrid_rrf(spark),
         T.hybrid_rrf_sql("duckdb"),
     )
 

@@ -1471,7 +1471,16 @@ def hybrid_rrf_sql(
     Scale shape: both constituents are bounded top-``pool`` relations
     (the heavy work — postings, df, tf — lives inside them and carries
     their documented 100-TB postures); the fusion itself is a
-    ``≤ 2·pool``-row aggregate."""
+    ``≤ 2·pool``-row aggregate.
+
+    This one-statement composition is the ORACLE form: nesting both
+    builders under one optimizer defeats AQE's size estimation (the
+    re-inlined CTEs hide relation sizes and the constituent joins fall
+    to SortMergeJoin — plan-report caught exactly that).  The Spark
+    entry runs :func:`hybrid_rrf` instead — each constituent executes
+    standalone with its normal broadcast plan and the fusion runs over
+    the two bounded results — so the gate hash-proves the two
+    formulations against each other."""
     lex = bm25_topk_sql(dialect, query_doc=query_doc, k=pool, source=source)
     den = hashed_text_knn_sql(dialect, query_max=query_doc + 1, k=pool,
                               dim=dim, source=source)
@@ -1497,6 +1506,54 @@ def hybrid_rrf_sql(
       FROM fused
     ) ranked WHERE rk <= {k}
     """
+
+
+def hybrid_rrf(
+    spark,
+    k: int = 10,
+    pool: int = 20,
+    query_doc: int = 0,
+    rrf_k: int = 60,
+    dim: int = 4096,
+    source: str = "documents",
+) -> DataFrame:
+    """Spark serve form of :func:`hybrid_rrf_sql`: run the two
+    constituent rankings as their own queries (each keeps its
+    broadcast-join plan) and fuse the two bounded top-``pool`` results
+    as a DataFrame aggregate — the bounded-constant posture."""
+    from pyspark.sql import Window
+
+    lex = (
+        spark.sql(bm25_topk_sql("spark", query_doc=query_doc, k=pool,
+                                source=source))
+        .select("doc_id", "rk")
+        .withColumn("is_den", F.lit(0))
+    )
+    den = (
+        hashed_text_knn(spark, query_max=query_doc + 1, k=pool, dim=dim,
+                        source=source)
+        .where(F.col("q_id") == query_doc)
+        .select(F.col("n_id").alias("doc_id"), "rk")
+        .withColumn("is_den", F.lit(1))
+    )
+    micro = F.floor(
+        F.lit(1_000_000_000.0) / (F.lit(rrf_k) + F.col("rk")) + F.lit(0.5)
+    ).cast("bigint")
+    fused = (
+        lex.unionByName(den)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(micro).cast("bigint").alias("rrf_micro"),
+            F.sum(F.lit(1) - F.col("is_den")).cast("bigint").alias("in_lex"),
+            F.sum("is_den").cast("bigint").alias("in_dense"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "rrf_micro", "in_lex", "in_dense", "rk")
+    )
 
 
 def bm25_index_streaming(
