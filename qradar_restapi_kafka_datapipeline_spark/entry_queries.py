@@ -1376,6 +1376,17 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: hash-checked through the audio entry, whose closed-form oracle also
 #: covers a new encoder + RIFF kernel; the image entry keeps its
 #: banding-lossless + kernel-spec pytests and the mirror).
+#: A third r11 pass hard-gated the late flagships:
+#: rollup_time_travel (displaced summing_rollup_hourly — the txn
+#: parity entry's oracle IS the identical hourly aggregate, so the
+#: summing computation stays gate-checked through it, while time travel
+#: adds the historical-snapshot recomputation), text_hybrid_rrf
+#: (displaced text_bm25_topk ⊂ the hybrid, which runs BM25 + hashed
+#: kNN + fusion; BM25 keeps its python differential + mirror), and
+#: knn_ivf_deleted (displaced dedup_exact_stats — normalized-md5 exact
+#: dedup is exercised inside the gate's pipeline_corpus_funnel and
+#: keeps its mirror row; the delete entry's exclude-predicate oracle is
+#: the only check that can catch a tombstone leak).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1388,7 +1399,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "full_network_name_domain_divergence",
     "refset_membership",
     "normalize_dates",
-    "summing_rollup_hourly",
+    "rollup_time_travel",
     "streaming_rollup_txn_parity",
     "sketch_kmv_cohort",
     "sketch_rank_daily_cube",
@@ -1397,7 +1408,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "window_funnel_latency",
     "text_chunk_knn",
     "streaming_ivf_append_parity",
-    "dedup_exact_stats",
+    "knn_ivf_deleted",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
     "cohort_retention_exact",
@@ -1414,7 +1425,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "streaming_dsir_apply_parity",
     "pipeline_corpus_funnel",
     "text_quality_scores",
-    "text_bm25_topk",
+    "text_hybrid_rrf",
     "text_winnow_overlap",
     "text_bpe_fertility_by_lang",
     "pii_redaction_report",

@@ -145,13 +145,20 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # its pytests + mirror)
         "knn_ivfpq_auto_refined", "streaming_ivf_append_parity",
         "dedup_audio_fingerprint",
+        # third r11 pass: time travel (displaced summing_rollup_hourly,
+        # whose aggregate IS the txn parity entry's oracle), hybrid RRF
+        # (displaced text_bm25_topk ⊂ the hybrid), tombstone deletes
+        # (displaced dedup_exact_stats — normalized-md5 exact dedup runs
+        # inside pipeline_corpus_funnel; only the exclude-predicate
+        # oracle can catch a tombstone leak)
+        "rollup_time_travel", "text_hybrid_rrf", "knn_ivf_deleted",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
         "pipeline_corpus_funnel",
         "streaming_dsir_apply_parity",
         "curate_quality_classifier",
-        "decontaminate_bloom", "text_bm25_topk",
+        "decontaminate_bloom",
         "zorder_layout_keys",
         "sketch_cm_heavy_hitters",
         "curate_dsir_topk",
