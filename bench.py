@@ -207,6 +207,7 @@ COLD_BUILDS = [
     "knn_ivf_rebalanced",
     "knn_ivf_deleted",
     "rollup_time_travel",       # 3-epoch txn-table build
+    "text_hybrid_rrf",          # memoized hashed-postings build
     "streaming_ivf_append_parity",
     "knn_pq_adc",                 # PQ codebook train
     "knn_ivfpq_persisted",        # IVF-PQ index builds

@@ -64,6 +64,7 @@ _IVF_REBAL_MEMO: dict[tuple[int, str], str] = {}
 _IVF_STREAM_MEMO: dict[tuple[int, str], str] = {}
 _IVF_DELETE_MEMO: dict[tuple[int, str], str] = {}
 _TXN_TT_MEMO: dict[tuple[int, str], str] = {}
+_HYBRID_POSTS_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
@@ -3621,12 +3622,34 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # fusion over the two (independently-differentialed) constituent
     # rankings (tests/test_pii_boilerplate_semdedup.py).
     # Spark runs the two constituents standalone (broadcast plans) and
-    # fuses the bounded results (hybrid_rrf); the oracle is the
-    # one-statement composed SQL — dual formulations, hash-proven.
-    q["text_hybrid_rrf"] = _df_entry(
-        lambda spark, sf: T.hybrid_rrf(spark),
-        T.hybrid_rrf_sql("duckdb"),
-    )
+    # fuses the bounded results (hybrid_rrf); the dense side serves from
+    # a session-memoized materialized postings relation (the maintained-
+    # index posture).  The oracle is the one-statement composed SQL —
+    # dual formulations, hash-proven.
+    def _hybrid_run(spark: SparkSession, sf: str) -> DataFrame:
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _HYBRID_POSTS_MEMO:
+            from qradar_restapi_kafka_datapipeline_spark.engine import (
+                materialize_view,
+                unique_view,
+            )
+            from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
+                _spread,
+            )
+
+            src = unique_view(
+                _spread(spark.table("documents"), by="doc_id"),
+                "__hyb_spread_src",
+            )
+            _HYBRID_POSTS_MEMO[key] = materialize_view(
+                spark,
+                spark.sql(T.hashed_embedding_postings_sql("spark", 4096, src)),
+                "__hyb_post",
+            )
+        return T.hybrid_rrf(spark, posts_rel=_HYBRID_POSTS_MEMO[key])
+
+    q["text_hybrid_rrf"] = _df_entry(_hybrid_run, T.hybrid_rrf_sql("duckdb"))
 
     # ---- Okapi BM25 ranked retrieval (round 5) ------------------------------
     # Query = doc 0's distinct words (a relation, not a driver featurization);

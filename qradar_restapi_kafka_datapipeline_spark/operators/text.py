@@ -1516,11 +1516,17 @@ def hybrid_rrf(
     rrf_k: int = 60,
     dim: int = 4096,
     source: str = "documents",
+    posts_rel: str | None = None,
 ) -> DataFrame:
     """Spark serve form of :func:`hybrid_rrf_sql`: run the two
     constituent rankings as their own queries (each keeps its
     broadcast-join plan) and fuse the two bounded top-``pool`` results
-    as a DataFrame aggregate — the bounded-constant posture."""
+    as a DataFrame aggregate — the bounded-constant posture.
+
+    ``posts_rel``: serve the dense side from an already-materialized
+    ``(doc_id, bucket, w)`` postings relation (the maintained-index
+    posture — the registry entry memoizes it per session, cutting the
+    steady serve from ~4 s to the two bounded rank queries)."""
     from pyspark.sql import Window
 
     lex = (
@@ -1529,9 +1535,16 @@ def hybrid_rrf(
         .select("doc_id", "rk")
         .withColumn("is_den", F.lit(0))
     )
+    if posts_rel is not None:
+        den_df = spark.sql(
+            hashed_text_knn_sql("spark", query_max=query_doc + 1, k=pool,
+                                dim=dim, source=source, posts_rel=posts_rel)
+        )
+    else:
+        den_df = hashed_text_knn(spark, query_max=query_doc + 1, k=pool,
+                                 dim=dim, source=source)
     den = (
-        hashed_text_knn(spark, query_max=query_doc + 1, k=pool, dim=dim,
-                        source=source)
+        den_df
         .where(F.col("q_id") == query_doc)
         .select(F.col("n_id").alias("doc_id"), "rk")
         .withColumn("is_den", F.lit(1))
