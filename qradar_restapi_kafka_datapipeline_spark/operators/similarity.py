@@ -939,6 +939,18 @@ def compact_ivf_index(spark, path: str,
             F.broadcast(spark.read.parquet(tomb).select(id_col).distinct()),
             id_col, "left_anti",
         )
+    # Explicit empty-state guard (ADVICE r11): a full-delete (every vector
+    # tombstoned — the legitimate GDPR wipe state) would otherwise write a
+    # partitioned tree with zero part files and die at the read-back with an
+    # opaque "unable to infer schema".  Fail BEFORE any staging with a clear
+    # message; the live index is untouched.
+    if rel.limit(1).count() == 0:
+        raise ValueError(
+            f"compact_ivf_index: index at {path} is empty after applying "
+            "tombstones (every vector deleted). Compaction cannot produce a "
+            "schemaless empty tree — drop the index directory instead, or "
+            "rebuild with build_ivf_index once new vectors exist."
+        )
     tmp, old = f"{path}.__rebal_tmp", f"{path}.__rebal_old"
     fs.delete(hpath(tmp), True)
     # centroids pass through unchanged (the quantizer is the index's
@@ -1569,13 +1581,18 @@ def knn_ivfpq_from_index(
     over the raw vectors (:func:`_ivfpq_refine_sql` — the FAISS refine
     step).  Output columns become ``(q_id, n_id, cos, rk)``.  ~20·k
     recovers recall to the probe ceiling (DESIGN.md round-10 recall
-    table).  When the shortlist is driver-safe (queries × refine_k ≤
-    100k pairs — any realistic online serve batch) it is materialized
-    and the raw-vector scan carries a literal ``vec_id IN (...)``
-    pushdown: genuinely bounded reads, no corpus pass (ADVICE r10).
-    Larger offline batches fall back to the single streaming pass with
-    the shortlist broadcast; the DuckDB oracle always replays the
-    streaming formulation, so the gate hash-proves the two equal."""
+    table).  When the shortlist is literal-safe (queries × refine_k ≤
+    4,096 pairs — an online serve batch) it is materialized and the
+    raw-vector scan carries a literal ``vec_id IN (...)`` pushdown:
+    genuinely bounded reads, no corpus pass (ADVICE r10).  The cap is
+    sized to the SQL-literal budget, not driver memory — a 100k-tuple
+    VALUES clause plus a 100k-id IN list is megabytes of SQL whose
+    parse/analysis and codegen fallback would dwarf the saved corpus
+    scan (ADVICE r11; same janino cliff as the IVF assignment
+    literal-fold budget).  Larger offline batches fall back to the
+    single streaming pass with the shortlist broadcast; the DuckDB
+    oracle always replays the streaming formulation, so the gate
+    hash-proves the two equal."""
     probes = spark.sql(
         ivf_assign_sql("spark", f"{path}/centroids", dim, nprobe, source_view)
     ).where(F.col("vec_id") < query_max).select(
@@ -1612,7 +1629,7 @@ def knn_ivfpq_from_index(
         probes_rel = "SELECT q_id, list_id FROM __ivfpq_probes"
         shortlist_rel = None
         n_id_in = None
-        if query_max * refine_k <= 100_000:
+        if query_max * refine_k <= 4_096:
             # bounded serve: land the ADC shortlist (≤ queries×refine_k
             # rows) driver-side, re-read the raw vectors through an
             # IN-list pushed to the parquet scan.

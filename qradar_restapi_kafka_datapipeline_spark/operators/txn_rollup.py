@@ -179,12 +179,14 @@ class TxnRollupTable:
         Delta/Iceberg ``VERSION AS OF`` read, free here because every
         commit file already carries its FULL day→directory mapping and
         data dirs are immutable.  ``commit_id`` reads the newest commit
-        ``<= commit_id``; ``epoch`` reads the FIRST commit whose epoch
-        ledger contains that streaming epoch (the snapshot the epoch's
-        merge published).  Returns None if no commit qualifies.  Bounded
-        by retention like any time travel: :meth:`vacuum` reclaims
-        version dirs unreachable from the newest snapshots, after which
-        older reads fail — keep ``keep_commits`` accordingly."""
+        ``<= commit_id``; ``epoch`` reads the commit that PUBLISHED that
+        streaming epoch (``payload["epoch"] == epoch`` — never the
+        cumulative replay ledger, which every LATER commit also carries:
+        matching on containment would silently serve a newer snapshot as
+        the historical one once :meth:`vacuum` pruned the publisher).
+        Returns None if no commit qualifies — including when the
+        publishing commit has been vacuumed, so retention makes epoch
+        reads FAIL rather than lie; keep ``keep_commits`` accordingly."""
         if (commit_id is None) == (epoch is None):
             raise ValueError("pass exactly one of commit_id / epoch")
         cids = self._list_commit_ids()
@@ -194,12 +196,7 @@ class TxnRollupTable:
             target = max(elig) if elig else None
         else:
             for c in sorted(cids):
-                payload = self._read_commit(c)
-                ledger = payload.get("epochs")
-                if ledger is None:
-                    ledger = [payload["epoch"]] if payload.get(
-                        "epoch") is not None else []
-                if epoch in set(ledger):
+                if self._read_commit(c).get("epoch") == epoch:
                     target = c
                     break
         if target is None:

@@ -537,3 +537,32 @@ def test_ivf_compaction_is_value_neutral_and_crash_safe(
     os.rename(base, base + ".__rebal_old")
     assert recover_ivf_index(spark, base) == "restored_old"
     assert serve() == before
+
+
+def test_ivf_compaction_full_delete_fails_loudly(spark, sf_dir, tmp_path):
+    """ADVICE r11: compacting an index whose every vector is tombstoned
+    (the legitimate GDPR full-wipe state) must raise a clear error BEFORE
+    staging — not die in the read-back with 'unable to infer schema' —
+    and must leave the live index untouched and still servable."""
+    import pytest as _pytest
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        knn_ivf_from_index,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "full_wipe")
+    build_ivf_index(spark, emb, base)
+    delete_from_ivf_index(spark, base, emb.select("vec_id"))
+    with _pytest.raises(ValueError, match="empty after applying tombstones"):
+        compact_ivf_index(spark, base)
+    # fail-safe: the live tree is intact (tombstones still mask everything,
+    # so a serve returns zero rows but does not error)
+    assert knn_ivf_from_index(
+        spark, base, emb.where("vec_id < 3"), k=3
+    ).count() == 0

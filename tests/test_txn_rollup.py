@@ -219,3 +219,22 @@ def test_read_at_respects_vacuum_retention(spark, tmp_path, batches):
     assert _table_hash(t.read()) == latest  # the live snapshot is intact
     with _pytest.raises(Exception):
         t.read_at(commit_id=1).collect()
+
+
+def test_read_at_epoch_none_after_vacuum(spark, tmp_path, batches):
+    """ADVICE r11 (medium): epoch reads must resolve the PUBLISHING commit
+    (payload epoch == e), never the cumulative replay ledger — after vacuum
+    prunes the publisher, the surviving commit's ledger still CONTAINS the
+    old epoch, and the pre-fix containment match silently served the newer
+    snapshot as if it were the historical one.  Post-fix: None."""
+    b0, b1 = batches
+    t = TxnRollupTable(spark, str(tmp_path / "tt_ep"))
+    t.merge(b0, epoch=0)
+    t.merge(b1, epoch=1)
+    t.vacuum(keep_commits=1)
+    # the survivor's ledger carries epoch 0 (replay safety), but the commit
+    # that PUBLISHED epoch 0 is gone — the historical read must say so
+    assert 0 in t.committed_epochs()
+    assert t.read_at(epoch=0) is None
+    # the surviving publisher still resolves
+    assert t.read_at(epoch=1) is not None
