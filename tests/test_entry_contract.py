@@ -89,8 +89,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
     for rotated_in in (
         # (sketch_kmv_retention rotated out in r10 for its strictly-larger
         # cohort twin, pinned below)
+        # (text_chunk_knn rotated out in r12 — chunk retrieval is
+        # gate-checked through chunk_index_delete_parity, pinned below)
         "sketch_rank_daily_cube",
-        "text_chunk_knn", "mix_token_budget",
+        "mix_token_budget",
         # round-9 rotation (VERDICT r8 #2): one rep per round-8 family —
         # event-sequence funnel (displaced sketch_rank_quantiles ⊂ rank
         # daily cube), exact first-seen cohorts (displaced dedup_clusters
@@ -101,8 +103,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # strictly larger pipeline), exactly-k stratum sampling
         # (displaced sample_weighted_tokens — mix_token_budget +
         # stratum draw rep sampling); all displaced stay mirror-checked
+        # (streaming_chunk_index_parity rotated out in r12 — its parts
+        # protocol runs inside chunk_index_delete_parity, pinned below)
         "cohort_retention_exact",
-        "knn_ivf_rebalanced", "streaming_chunk_index_parity",
+        "knn_ivf_rebalanced",
         "sample_exact_k_per_stratum",
         # r9 second pass: perceptual-hash image dedup (displaced
         # streaming_sessionize_parity — streaming parity keeps 4 reps,
@@ -152,6 +156,16 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # inside pipeline_corpus_funnel; only the exclude-predicate
         # oracle can catch a tombstone leak)
         "rollup_time_travel", "text_hybrid_rrf", "knn_ivf_deleted",
+        # round-12 rotation (VERDICT r11 #1/#4): the text-side takedown
+        # flagships — chunk_index_delete_parity (displaced
+        # streaming_chunk_index_parity: identical per-epoch parts
+        # protocol PLUS the tombstone stream + serve-minus, strictly
+        # larger) and text_index_delete_parity (displaced text_chunk_knn:
+        # chunk retrieval stays gate-checked through the chunk delete
+        # entry, which ranks chunk_knn_sql over the maintained parts;
+        # only the rebuild-over-remaining oracle can catch a stale
+        # df/N/avgdl after takedown).  Both displaced stay mirror-checked.
+        "text_index_delete_parity", "chunk_index_delete_parity",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
@@ -178,11 +192,15 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # round 7 families
         "sketch_rank", "pipeline_corpus", "aql_auto_rollup",
         "streaming_dsir",
-        # round 8 rotation (the r7 additions, now hard-gated)
-        "sketch_kmv", "text_chunk", "mix_token",
-        # round 9 rotation (the r8 additions, now hard-gated)
+        # round 8 rotation (r12: text_chunk_knn rotated out — chunk
+        # retrieval is gate-checked through chunk_index_delete_parity)
+        "sketch_kmv", "mix_token",
+        # round 9 rotation (r12: streaming_chunk_index_parity rotated
+        # out — its parts protocol runs inside chunk_index_delete_parity)
         "window_funnel", "cohort_retention", "knn_ivf_rebalanced",
-        "streaming_chunk", "sample_exact",
+        "sample_exact",
+        # round 12 rotation (the takedown flagships)
+        "text_index_delete", "chunk_index_delete",
         # round 10 rotation (the r9 additions, now hard-gated;
         # hysteresis kept via its strictly-stronger streamed parity)
         "sketch_kmv_cohort", "streaming_hysteresis",

@@ -194,6 +194,18 @@ RULES: list[tuple[str, tuple[str, ...], list[tuple]]] = [
         ("pytest", "test_northstar.py",
          "test_winnow_overlap_dataframe_matches_sql_form"),
     ]),
+    ("text-index-takedown", ("text_index_delete", "chunk_index_delete"), [
+        # serve-after-delete ≡ one-shot rebuild over remaining docs, proven
+        # two independent ways: the PURE-SPARK rebuild differential (no
+        # shared tf_rel path) and the gate's DuckDB rebuild oracle; plus
+        # the tombstone-stream crash-replay and physical-drop compaction
+        ("pytest", "test_text_index_deletes.py",
+         "test_streamed_bm25_delete_crash_replay_and_rebuild_parity"),
+        ("pytest", "test_text_index_deletes.py",
+         "test_streamed_chunk_delete_rebuild_parity"),
+        ("pytest", "test_text_index_deletes.py",
+         "test_compact_tf_parts_drops_deleted_and_serves_identically"),
+    ]),
     ("chunking-rag", ("text_chunk_",), [
         ("pytest", "test_properties.py", "TestChunkWindowsDifferentialFuzz"),
         ("pytest", "test_northstar.py",

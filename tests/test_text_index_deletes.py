@@ -1,0 +1,188 @@
+"""Text-index takedown lifecycle (round 12, VERDICT r11 #1).
+
+The IVF family got tombstone deletes + compaction in round 11; these tests
+pin the same lifecycle for the text-side indexes, where takedown is
+NON-trivial because BM25's df/N/avgdl and the postings df-damping are
+GLOBAL aggregates — removing one document re-weights every term it
+contained.  The contract under test everywhere: serve-after-delete is
+value-IDENTICAL to a one-shot rebuild over the remaining documents
+(computed here as a pure-Spark differential that never touches the
+parts/tombstone machinery — the gate's DuckDB oracle recomputes the same
+rebuild independently), deletes replay safely through an injected crash,
+and compaction drops rows physically without changing a single served
+value.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qradar_restapi_kafka_datapipeline_spark.operators import text as T
+
+DELETE_PRED = "doc_id % 9 = 0"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, tables):
+    return spark.table("documents")
+
+
+def _remaining_view(spark) -> str:
+    spark.table("documents").where(f"NOT ({DELETE_PRED})") \
+        .createOrReplaceTempView("__tid_remaining")
+    return "__tid_remaining"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streamed_bm25_delete_crash_replay_and_rebuild_parity(spark, docs):
+    """The flagship contract: BM25 served from merged tf parts minus the
+    streamed tombstone parts equals a one-shot BM25 over the remaining
+    docs (df/N/avgdl all shrink — a stale global statistic diverges),
+    and an injected crash AFTER a tombstone-part write replays to the
+    identical result (the epoch-keyed overwrite is the commit)."""
+    rem = _remaining_view(spark)
+    want = _rows(
+        spark.sql(T.bm25_topk_sql("spark", query_doc=1, k=10, source=rem)),
+        ("doc_id", "score", "rk"),
+    )
+    assert want, "rebuild differential must be non-empty"
+    got = _rows(
+        T.text_index_delete_streaming(spark),
+        ("doc_id", "score", "rk"),
+    )
+    assert got == want
+    assert not any(d % 9 == 0 for d, _s, _r in got)
+    crashed = _rows(
+        T.text_index_delete_streaming(spark, _crash_after_write_epoch=0),
+        ("doc_id", "score", "rk"),
+    )
+    assert crashed == want
+
+
+def test_streamed_chunk_delete_rebuild_parity(spark, docs):
+    """Chunk-grain twin: document tombstones mask every chunk of a
+    deleted doc via the composite-id decode, the postings df-damping
+    rebuilds over the remaining chunks, and the query vector featurizes
+    against the REMAINING corpus — all equal to a one-shot chunk build
+    over the remaining documents."""
+    rem = _remaining_view(spark)
+    want = _rows(
+        spark.sql(T.chunk_knn_sql("spark", query_doc=1, k=10, source=rem)),
+        ("chunk_doc_id", "chunk_start", "cos"),
+    )
+    assert want
+    got = _rows(
+        T.chunk_index_delete_streaming(spark),
+        ("chunk_doc_id", "chunk_start", "cos"),
+    )
+    assert got == want
+    assert not any(d % 9 == 0 for d, _cs, _c in got)
+
+
+def test_compact_tf_parts_drops_deleted_and_serves_identically(spark, docs):
+    """Physical drop at compaction: fold the per-epoch tf parts minus the
+    tombstones into a single epoch part — the served result is unchanged,
+    the deleted docs' rows are physically gone, and the tombstone log is
+    cleared (the masked-row debt is bounded)."""
+    po: list = []
+    served = T.text_index_delete_streaming(spark, _parts_out=po)
+    before = _rows(served, ("doc_id", "score", "rk"))
+    parts, del_parts = po[0], po[1]
+    n = T.compact_tf_parts(spark, parts, del_parts)
+    assert n > 0
+    assert not os.path.exists(del_parts)
+    epochs = [d for d in os.listdir(parts) if d.startswith("epoch=")]
+    assert epochs == ["epoch=0"]
+    live = spark.read.parquet(f"{parts}/epoch=0")
+    assert live.where(F.expr(DELETE_PRED)).count() == 0
+    merged = f"(SELECT doc_id, word, tf FROM parquet.`{parts}`)"
+    after = _rows(
+        spark.sql(T.bm25_topk_sql("spark", query_doc=1, k=10,
+                                  tf_rel=merged)),
+        ("doc_id", "score", "rk"),
+    )
+    assert after == before
+
+
+def test_compact_tf_parts_chunk_grain_key_mult(spark, docs):
+    """Composite-id compaction: chunk-grain parts drop by the DECODED
+    document id (doc_id DIV radix), so one doc-grain tombstone removes
+    every chunk row of that document."""
+    po: list = []
+    served = T.chunk_index_delete_streaming(spark, _parts_out=po)
+    before = _rows(served, ("chunk_doc_id", "chunk_start", "cos"))
+    parts, del_parts = po[0], po[1]
+    T.compact_tf_parts(spark, parts, del_parts, key_mult=T.CHUNK_ID_MULT)
+    live = spark.read.parquet(f"{parts}/epoch=0")
+    assert live.where(
+        F.expr(f"(doc_id DIV {T.CHUNK_ID_MULT}) % 9 = 0")
+    ).count() == 0
+    merged = f"(SELECT t.doc_id, t.feat, t.c FROM parquet.`{parts}` t)"
+    cp_sql = T.hashed_embedding_postings_sql("spark", 1024, tf_rel=merged)
+    rem = _remaining_view(spark)
+    after = _rows(
+        spark.sql(T.chunk_knn_sql("spark", 1, 10, source=rem,
+                                  chunk_postings_rel=cp_sql)),
+        ("chunk_doc_id", "chunk_start", "cos"),
+    )
+    assert after == before
+
+
+def test_persisted_index_delete_serves_remaining(spark, docs, tmp_path):
+    """The PERSISTED hashed-postings index: tombstones mask at serve
+    (cosines are pairwise, so the expected post-delete top-k is exactly
+    the pre-delete ranking with the deleted ids filtered out), the log
+    append is idempotent, and the deleted ids can never rank."""
+    base = str(tmp_path / "index")
+    T.build_text_index(spark, base, dim=4096)
+    qtext = docs.where("doc_id = 0").first()["text"]
+
+    def serve(k):
+        return T.text_knn_from_index(
+            spark, base, qtext, k=k, dim=4096, query_id=0, exclude_id=0
+        ).collect()
+
+    before = serve(20)
+    del_ids = {int(before[0]["n_id"]), int(before[2]["n_id"])}
+    ids_df = spark.createDataFrame([(i,) for i in del_ids], "doc_id LONG")
+    T.delete_from_text_index(spark, base, ids_df)
+    T.delete_from_text_index(spark, base, ids_df)  # idempotent
+    got = [(r["n_id"], r["cos"]) for r in serve(5)]
+    want = [(r["n_id"], r["cos"]) for r in before
+            if int(r["n_id"]) not in del_ids][:5]
+    assert got == want
+    assert not any(int(n) in del_ids for n, _ in got)
+
+    # compaction drops rows physically, clears the log, serve unchanged
+    T.compact_text_index(spark, base)
+    assert not os.path.exists(f"{base}/tombstones")
+    dead = [int(i) for i in del_ids]
+    assert spark.read.parquet(f"{base}/postings") \
+        .where(F.col("doc_id").isin(dead)).count() == 0
+    assert spark.read.parquet(f"{base}/norms") \
+        .where(F.col("doc_id").isin(dead)).count() == 0
+    assert [(r["n_id"], r["cos"]) for r in serve(5)] == got
+
+
+def test_persisted_index_postings_swap_crash_heals(spark, docs, tmp_path):
+    """A compaction kill between the postings stage-out and stage-in
+    leaves the live dir absent and the staged-out copy intact — the
+    recovery hook restores it (the shared two-rename protocol, now
+    covering postings as well as norms)."""
+    base = str(tmp_path / "index")
+    T.build_text_index(spark, base, dim=4096)
+    qtext = docs.where("doc_id = 0").first()["text"]
+    before = [(r["n_id"], r["cos"]) for r in T.text_knn_from_index(
+        spark, base, qtext, k=5, dim=4096, query_id=0, exclude_id=0
+    ).collect()]
+    # simulate the mid-swap crash state
+    os.rename(f"{base}/postings", f"{base}/.postings_compact_old")
+    assert T.recover_text_index_norms(spark, base) == "restored_old"
+    after = [(r["n_id"], r["cos"]) for r in T.text_knn_from_index(
+        spark, base, qtext, k=5, dim=4096, query_id=0, exclude_id=0
+    ).collect()]
+    assert after == before
