@@ -64,12 +64,12 @@ _IVF_REBAL_MEMO: dict[tuple[int, str], str] = {}
 _IVF_STREAM_MEMO: dict[tuple[int, str], str] = {}
 _IVF_DELETE_MEMO: dict[tuple[int, str], str] = {}
 _TXN_TT_MEMO: dict[tuple[int, str], str] = {}
-_HYBRID_POSTS_MEMO: dict[tuple[int, str], str] = {}
 _BPE_MEMO: dict[tuple[int, str], list[str]] = {}
 _TEXT_INDEX_MEMO: dict[tuple[int, str], str] = {}
 _PQ_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_AUTO_MEMO: dict[tuple[int, str], str] = {}
+_IVFPQ_STREAM_MEMO: dict[tuple[int, str], str] = {}
 _QC_MEMO: dict[tuple[int, str], str] = {}
 #: (session id, sf_dir) → materialized temp-view name of the threshold-0.85
 #: MinHash-LSH pair relation (VERDICT r5 #3): four registry consumers
@@ -1398,7 +1398,19 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: hard-gated through chunk_index_delete_parity, which ranks
 #: chunk_knn_sql over the maintained parts, while the BM25-side delete
 #: entry is the only check that can catch a stale df/N/avgdl after a
-#: takedown; text_chunk_knn keeps its mirror + 64x row).
+#: takedown; text_chunk_knn keeps its mirror + 64x row).  A second r12
+#: pass rotated IN streaming_ivfpq_append_parity (displaced
+#: streaming_ivf_append_parity — the frozen-quantizer per-epoch parts
+#: protocol over a strictly larger pipeline: arrivals are additionally
+#: ENCODED under the frozen codebooks and the serve runs ADC + refine
+#: over the unioned code trees, all replayed one-shot by the static
+#: oracle; the raw-vector entry keeps its emitted-keys mirror + crash
+#: tests).  A third r12 pass rotated IN text_hybrid_rrf_indexed
+#: (displaced text_hybrid_rrf — the indexed twin runs the SAME fusion
+#: over the same constituents but serves BOTH from the on-disk
+#: maintained artifact, so the rebuild oracle additionally hash-checks
+#: artifact freshness of the tf and postings relations; the
+#: memo-free plain entry stays mirror-checked + python-differentialed).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
@@ -1419,7 +1431,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "window_funnel_bucketed",
     "window_funnel_latency",
     "text_index_delete_parity",
-    "streaming_ivf_append_parity",
+    "streaming_ivfpq_append_parity",
     "knn_ivf_deleted",
     "dedup_exact_substring",
     "dedup_minhash_lsh",
@@ -1437,7 +1449,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "streaming_dsir_apply_parity",
     "pipeline_corpus_funnel",
     "text_quality_scores",
-    "text_hybrid_rrf",
+    "text_hybrid_rrf_indexed",
     "text_winnow_overlap",
     "text_bpe_fertility_by_lang",
     "pii_redaction_report",
@@ -3154,6 +3166,52 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         S.knn_emitted_oracle_sql(query_max=10, k=3),
     )
 
+    # Streamed append for the COMPRESSED serve (round 12, VERDICT r11
+    # #2): the same 6/7-build + 1/7-growth split, but arrivals are
+    # ENCODED under the index's frozen codebooks and assigned under its
+    # frozen quantizer into immutable per-epoch code parts
+    # (codes_stream/epoch=N/list_id=L — replay overwrites its own part);
+    # the refined serve unions the log under the same probed-list file
+    # pruning.  Code assignment under frozen artifacts is a pure per-row
+    # function of the vector, so the two-tree streamed serve must
+    # hash-equal the oracle's ONE-SHOT replay of the whole pipeline
+    # (coarse assign, encode, LUT, ADC, refine) over the full corpus
+    # from the persisted artifacts — dual formulations proven every gate
+    # round.  Crash replay + streamed ≡ one-shot encode pytests live in
+    # test_streaming.py.
+    def _ivfpq_stream_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _IVFPQ_STREAM_MEMO:
+            base = os.path.join(_emit_dir("ivfpq_stream"), "index")
+            emb = spark.table("embeddings")
+            emb.where("vec_id % 7 != 0").createOrReplaceTempView(
+                "__ivfpq_stream_base"
+            )
+            S.build_ivfpq_index(
+                spark, emb.where("vec_id % 7 != 0"), base,
+                source_view="__ivfpq_stream_base",
+            )
+            S.ivfpq_append_streaming(
+                spark, base, emb.where("vec_id % 7 = 0"), dim=64
+            )
+            _IVFPQ_STREAM_MEMO[key] = base
+        return S.knn_ivfpq_from_index(
+            spark, _IVFPQ_STREAM_MEMO[key], dim=64, refine_k=60
+        )
+
+    q["streaming_ivfpq_append_parity"] = Q(
+        run=_ivfpq_stream_run,
+        oracle=S.ivfpq_oracle_sql(
+            f"{_emit_dir('ivfpq_stream')}/index/centroids",
+            f"{_emit_dir('ivfpq_stream')}/index/codebooks",
+            dim=64,
+            refine_k=60,
+        ),
+    )
+
     # Tombstone deletes (round 11): the GDPR verb of the lifecycle —
     # delete every vec_id % 9 == 0, serve; the oracle's
     # exclude_n_pred drops any tombstoned id from its re-derivation, so
@@ -3634,33 +3692,54 @@ def _north_star_entries(q: dict[str, Q]) -> None:
     # rankings (tests/test_pii_boilerplate_semdedup.py).
     # Spark runs the two constituents standalone (broadcast plans) and
     # fuses the bounded results (hybrid_rrf); the dense side serves from
-    # a session-memoized materialized postings relation (the maintained-
-    # index posture).  The oracle is the one-statement composed SQL —
-    # dual formulations, hash-proven.
+    # an ON-DISK maintained postings artifact (round 12, VERDICT r11 #3
+    # — replaced the session memo: a fresh process pays one artifact
+    # READ, not a postings build).  The artifact path is fingerprinted
+    # by the corpus file (size+mtime), so a regenerated corpus rebuilds
+    # instead of serving stale postings.  The oracle is the
+    # one-statement composed SQL recomputed from the raw documents —
+    # dual formulations, and artifact freshness is hash-proven every
+    # round.
+    def _hybrid_artifact(spark: SparkSession, sf: str) -> str:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import (
+            artifact_dir,
+            ensure_artifact,
+        )
+
+        path = artifact_dir(
+            "hybrid_text_index", os.path.join(sf, "documents.parquet")
+        )
+        return ensure_artifact(
+            path, lambda tmp: T.build_hybrid_text_index(spark, tmp)
+        )
+
     def _hybrid_run(spark: SparkSession, sf: str) -> DataFrame:
         setup(spark, sf)
-        key = (id(spark), sf)
-        if key not in _HYBRID_POSTS_MEMO:
-            from qradar_restapi_kafka_datapipeline_spark.engine import (
-                materialize_view,
-                unique_view,
-            )
-            from qradar_restapi_kafka_datapipeline_spark.operators.dedup import (
-                _spread,
-            )
-
-            src = unique_view(
-                _spread(spark.table("documents"), by="doc_id"),
-                "__hyb_spread_src",
-            )
-            _HYBRID_POSTS_MEMO[key] = materialize_view(
-                spark,
-                spark.sql(T.hashed_embedding_postings_sql("spark", 4096, src)),
-                "__hyb_post",
-            )
-        return T.hybrid_rrf(spark, posts_rel=_HYBRID_POSTS_MEMO[key])
+        base = _hybrid_artifact(spark, sf)
+        return T.hybrid_rrf(spark, posts_rel=f"parquet.`{base}/posts`")
 
     q["text_hybrid_rrf"] = _df_entry(_hybrid_run, T.hybrid_rrf_sql("duckdb"))
+
+    # BOTH constituents from the maintained artifact (the full indexed
+    # serve): BM25 from the persisted tf relation (df/N/avgdl derive
+    # from it at serve — the bm25_index_streaming contract), dense from
+    # the persisted postings; no corpus tokenize anywhere in the serve.
+    # Same rebuild-from-raw-documents oracle — the gate hash-proves
+    # index-serve ≡ rebuild for BOTH sides at once.
+    def _hybrid_indexed_run(spark: SparkSession, sf: str) -> DataFrame:
+        setup(spark, sf)
+        base = _hybrid_artifact(spark, sf)
+        return T.hybrid_rrf(
+            spark,
+            posts_rel=f"parquet.`{base}/posts`",
+            tf_rel=f"parquet.`{base}/tf`",
+        )
+
+    q["text_hybrid_rrf_indexed"] = _df_entry(
+        _hybrid_indexed_run, T.hybrid_rrf_sql("duckdb")
+    )
 
     # ---- Okapi BM25 ranked retrieval (round 5) ------------------------------
     # Query = doc 0's distinct words (a relation, not a driver featurization);

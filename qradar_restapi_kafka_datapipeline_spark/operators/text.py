@@ -1601,6 +1601,7 @@ def hybrid_rrf(
     dim: int = 4096,
     source: str = "documents",
     posts_rel: str | None = None,
+    tf_rel: str | None = None,
 ) -> DataFrame:
     """Spark serve form of :func:`hybrid_rrf_sql`: run the two
     constituent rankings as their own queries (each keeps its
@@ -1608,14 +1609,16 @@ def hybrid_rrf(
     as a DataFrame aggregate — the bounded-constant posture.
 
     ``posts_rel``: serve the dense side from an already-materialized
-    ``(doc_id, bucket, w)`` postings relation (the maintained-index
-    posture — the registry entry memoizes it per session, cutting the
-    steady serve from ~4 s to the two bounded rank queries)."""
+    ``(doc_id, bucket, w)`` postings relation; ``tf_rel``: serve the
+    lexical side from a maintained ``(doc_id, word, tf)`` relation —
+    with BOTH set (the :func:`build_hybrid_text_index` artifact) a
+    serve never re-tokenizes the corpus: two index reads plus the
+    bounded fusion, the production search-stack shape."""
     from pyspark.sql import Window
 
     lex = (
         spark.sql(bm25_topk_sql("spark", query_doc=query_doc, k=pool,
-                                source=source))
+                                source=source, tf_rel=tf_rel))
         .select("doc_id", "rk")
         .withColumn("is_den", F.lit(0))
     )
@@ -1651,6 +1654,42 @@ def hybrid_rrf(
         .where(F.col("rk") <= k)
         .select("doc_id", "rrf_micro", "in_lex", "in_dense", "rk")
     )
+
+
+def build_hybrid_text_index(
+    spark, path: str, dim: int = 4096, source: str = "documents"
+) -> None:
+    """Materialize BOTH hybrid-RRF constituents' maintainable relations
+    as an on-disk artifact (round 12, VERDICT r11 #3 — replaces the
+    per-(session, sf) memo, so a fresh process READS instead of
+    rebuilding):
+
+    - ``tf/`` — ``(doc_id, word, tf)``, BM25's per-doc-local unit (the
+      same relation :func:`bm25_index_streaming` maintains as parts);
+      df/N/avgdl derive from it at serve, so serving from the artifact
+      is value-identical to the inline build.
+    - ``posts/`` — ``(doc_id, bucket, w)`` signed-hash bigram postings
+      over the spread source (exactly the relation the dense side
+      memoized per session).
+
+    Maintenance story: tf appends per-doc-locally (the streamed-parts
+    protocol), posts likewise; takedown via the tombstone-anti-join
+    convention.  This builder is the one-shot form the gate's rebuild
+    oracle recomputes — a stale artifact hash-fails."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
+
+    src = unique_view(
+        _spread(spark.table(source), by="doc_id"), "__bhi_spread_src"
+    )
+    tok = token_positions_sql("spark", src)
+    spark.sql(
+        f"SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM ({tok}) t WHERE word != '' GROUP BY doc_id, word"
+    ).write.mode("overwrite").parquet(f"{path}/tf")
+    spark.sql(
+        hashed_embedding_postings_sql("spark", dim, src)
+    ).write.mode("overwrite").parquet(f"{path}/posts")
 
 
 def bm25_index_streaming(

@@ -147,7 +147,9 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # reps), audio fingerprint dedup (displaced dedup_image_phash —
         # the shared banding machinery stays gate-checked; image keeps
         # its pytests + mirror)
-        "knn_ivfpq_auto_refined", "streaming_ivf_append_parity",
+        # (streaming_ivf_append_parity rotated out in r12 for its
+        # strictly-larger compressed twin, pinned below)
+        "knn_ivfpq_auto_refined",
         "dedup_audio_fingerprint",
         # third r11 pass: time travel (displaced summing_rollup_hourly,
         # whose aggregate IS the txn parity entry's oracle), hybrid RRF
@@ -155,7 +157,9 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # (displaced dedup_exact_stats — normalized-md5 exact dedup runs
         # inside pipeline_corpus_funnel; only the exclude-predicate
         # oracle can catch a tombstone leak)
-        "rollup_time_travel", "text_hybrid_rrf", "knn_ivf_deleted",
+        # (text_hybrid_rrf upgraded in r12 to its indexed twin — same
+        # fusion, both constituents served from the on-disk artifact)
+        "rollup_time_travel", "text_hybrid_rrf_indexed", "knn_ivf_deleted",
         # round-12 rotation (VERDICT r11 #1/#4): the text-side takedown
         # flagships — chunk_index_delete_parity (displaced
         # streaming_chunk_index_parity: identical per-epoch parts
@@ -166,6 +170,7 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # only the rebuild-over-remaining oracle can catch a stale
         # df/N/avgdl after takedown).  Both displaced stay mirror-checked.
         "text_index_delete_parity", "chunk_index_delete_parity",
+        "streaming_ivfpq_append_parity",
         # round-8 rotations stay pinned
         "corpus_drift_js", "snapshot_diff_report",
         # carried r6/r7 rotations stay pinned
@@ -208,7 +213,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # round 11 rotation (the r10 flagships, now hard-gated)
         "knn_ivfpq_", "window_funnel_bucketed",
         "window_funnel_latency", "multimodal_video",
-        # second r11 pass (this round's flagships)
-        "knn_ivfpq_auto", "streaming_ivf_append", "dedup_audio_",
+        # second r11 pass (r12: the raw-vector streamed append rotated
+        # out for its compressed twin)
+        "knn_ivfpq_auto", "dedup_audio_",
+        # second r12 pass (the compressed streamed append)
+        "streaming_ivfpq_append",
     ):
         assert any(n.startswith(prefix) for n in GATE_WINDOW), prefix
