@@ -888,6 +888,36 @@ def registry() -> dict[str, Q]:
         run=_routed_mat_run, oracle=aql_oracle_sql(_ROUTED_AQL, DEFAULT_PARAMS)
     )
 
+    # ---- the full reference-shaped path as ONE hash (round 12, VERDICT
+    # r11 #8): streamed ingest → continuously-maintained GLOBALVIEW
+    # (per-epoch immutable view parts, the strong replay posture — crash
+    # test in test_streaming.py) → aggregate NAVIGATOR routes the
+    # raw-events AQL to the streamed view → routed scan.  The oracle
+    # computes the SAME AQL from raw events in one nested statement, so
+    # a fault anywhere in the chain — a lost/doubled epoch, a bad state
+    # merge, a routing rewrite bug, a stale view — lands in one
+    # hash-fail.
+    def _routed_streamed_run(spark: SparkSession, sf: str) -> DataFrame:
+        from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+            globalview_streaming_parts,
+        )
+
+        frontend = setup(spark, sf)
+        view = "MongoDB_AuthenticationFailure"
+        merged = globalview_streaming_parts(spark, view)
+        merged.createOrReplaceTempView(view)
+        try:
+            # eager analysis binds the routed plan to the streamed view;
+            # the zero-copy views are restored for later entries
+            return frontend.sql(_ROUTED_AQL, DEFAULT_PARAMS, auto_route=True)
+        finally:
+            register_globalviews(spark)
+
+    q["streaming_globalview_routed"] = Q(
+        run=_routed_streamed_run,
+        oracle=aql_oracle_sql(_ROUTED_AQL, DEFAULT_PARAMS),
+    )
+
     # ---- maintenance compaction is value-neutral (VERDICT r4 #7) ------------
     # Continuous merge ingestion leaves each day partition with one small
     # file per shuffle task per fold (the small-files problem ClickHouse's
@@ -1411,12 +1441,18 @@ def _sketch_entries(q: dict[str, Q]) -> None:
 #: maintained artifact, so the rebuild oracle additionally hash-checks
 #: artifact freshness of the tf and postings relations; the
 #: memo-free plain entry stays mirror-checked + python-differentialed).
+#: A fourth r12 pass rotated IN streaming_globalview_routed (displaced
+#: aql_auto_rollup_routed ⊂ the composed entry: the SAME routed AQL and
+#: the SAME raw-events oracle, but the navigator now routes onto a view
+#: maintained by STREAMED per-epoch parts — ingest, maintenance, routing
+#: and the collapsed scan all land in one hash; the zero-copy routed
+#: entry stays mirror-checked and the router itself keeps its fuzzers).
 GATE_WINDOW: tuple[str, ...] = (
     "aql_AllowedInboundTraffic",
     "aql_parameterized",
     "sketch_cm_heavy_hitters",
     "aql_nested_incidr_coalesce",
-    "aql_auto_rollup_routed",
+    "streaming_globalview_routed",
     "aql_mitre_chain_funnel",
     "mix_token_budget",
     "aql_day_pruned_scan",

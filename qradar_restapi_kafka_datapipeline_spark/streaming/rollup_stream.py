@@ -302,6 +302,106 @@ def streaming_rollup_watermarked(
     return writer.start()
 
 
+def globalview_streaming_parts(
+    spark,
+    view: str,
+    n_batches: int = 3,
+    _crash_after_write_epoch: int | None = None,
+) -> DataFrame:
+    """Continuously-maintained GLOBALVIEW state via the per-epoch
+    immutable-parts protocol (round 12, VERDICT r11 #8) — the strong
+    replay posture (CLAUDE.md r7: never read-merge-overwrite in a
+    streaming fold) applied to the reference's central artifact: each
+    qevents micro-batch lands ITS OWN hourly view aggregate as
+    ``view_parts/epoch=N`` (mode=overwrite — replay rewrites exactly its
+    part), and the served view is the merge-on-read over all parts
+    (SUM/SUM/MIN/MAX re-aggregate — every state column merges losslessly
+    at the same grain, the SummingMergeTree/AggregatingMergeTree
+    contract).  Returns the merged view relation, value-identical to the
+    one-shot :func:`...views.globalview_sql` aggregate by construction —
+    which is what the composed gate entry hash-proves (through the
+    aggregate NAVIGATOR on top, against a raw-events oracle).
+
+    ``_crash_after_write_epoch``: crash-injection hook (raise once AFTER
+    the part write, restart from the same checkpoint — replay test)."""
+    import os
+
+    from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+    from qradar_restapi_kafka_datapipeline_spark.views import (
+        _VIEW_DIMS,
+        globalview_sql,
+    )
+
+    cols = spark.table("qevents").select(
+        "ts", "eventCount", "magnitude", "devicetype", "category", "qid",
+        *_VIEW_DIMS,
+    )
+    base = scratch_dir("gv_stream_parts_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    split = F.pmod(
+        F.xxhash64(F.unix_micros("ts"), *_VIEW_DIMS, "eventCount"),
+        F.lit(n_batches),
+    )
+    keyed = cols.withColumn("__b", split)
+    now = 1_700_000_000
+    for i in range(n_batches):
+        path = os.path.join(landing, f"b{i}.parquet")
+        _write_split(keyed.where(F.col("__b") == i).drop("__b"), path)
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    parts = os.path.join(base, "view_parts")
+    ckpt = os.path.join(base, "ckpt")
+    armed = {"epoch": _crash_after_write_epoch}
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark_ = batch.sparkSession
+        batch.createOrReplaceTempView("__gvs_batch")
+        inc = spark_.sql(globalview_sql(view, "__gvs_batch"))
+        inc.write.mode("overwrite").parquet(
+            os.path.join(parts, f"epoch={epoch}")
+        )
+        if armed["epoch"] is not None and epoch >= armed["epoch"]:
+            armed["epoch"] = None
+            raise RuntimeError(
+                "injected crash after view-part write (replay test)"
+            )
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(keyed.drop("__b").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    try:
+        run()
+    except Exception:
+        if _crash_after_write_epoch is None:
+            raise
+        run()  # replay overwrites its own epoch part — idempotent
+
+    dims = ", ".join(_VIEW_DIMS)
+    return spark.sql(
+        f"SELECT {dims}, ts, "
+        f"CAST(SUM(SUM_eventCount) AS BIGINT) AS SUM_eventCount, "
+        f"CAST(SUM(n_rows) AS BIGINT) AS n_rows, "
+        f"CAST(MIN(MIN_eventCount) AS BIGINT) AS MIN_eventCount, "
+        f"CAST(MAX(MAX_eventCount) AS BIGINT) AS MAX_eventCount "
+        f"FROM parquet.`{parts}` GROUP BY {dims}, ts"
+    )
+
+
 def volume_anomaly_sql(hourly_src: str) -> str:
     """Trailing z-score over an HOURLY-VOLUME relation ``(h, eventName, n)``
     — the engine-shared scoring layer of the streaming anomaly parity.  Same

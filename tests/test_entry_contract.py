@@ -195,7 +195,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "sketch_cm", "curate_dsir", "zorder_",
         "decontaminate_",
         # round 7 families
-        "sketch_rank", "pipeline_corpus", "aql_auto_rollup",
+        # (aql_auto_rollup_routed rotated out in r12 — the navigator is
+        # gate-checked through streaming_globalview_routed, which routes
+        # the same AQL onto the streamed-parts view)
+        "sketch_rank", "pipeline_corpus", "streaming_globalview",
         "streaming_dsir",
         # round 8 rotation (r12: text_chunk_knn rotated out — chunk
         # retrieval is gate-checked through chunk_index_delete_parity)

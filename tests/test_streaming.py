@@ -539,6 +539,64 @@ def test_ivf_compaction_is_value_neutral_and_crash_safe(
     assert serve() == before
 
 
+def test_streamed_globalview_parts_parity_routing_and_crash(
+    spark, sf_dir, tables
+):
+    """Round 12 (VERDICT r11 #8): the composed reference-shaped path.
+    (a) per-epoch view parts merge to EXACTLY the one-shot GLOBALVIEW
+    aggregate (all four state columns); (b) an injected crash after a
+    part write replays to the same state; (c) the aggregate navigator
+    routed over the STREAMED view really scans the parts relation (a
+    silent fall-through to raw events would pass the value gate while
+    voiding the composition claim)."""
+    from qradar_restapi_kafka_datapipeline_spark.plans.aql import AQLFrontend
+    from qradar_restapi_kafka_datapipeline_spark.sources.registry import (
+        register_qevents,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.streaming.rollup_stream import (
+        globalview_streaming_parts,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.views import (
+        globalview_sql,
+        register_globalviews,
+    )
+
+    register_qevents(spark, sf_dir)
+    view = "MongoDB_AuthenticationFailure"
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(spark.sql(globalview_sql(view)))
+    merged = globalview_streaming_parts(spark, view)
+    assert rows(merged) == want
+    crashed = globalview_streaming_parts(
+        spark, view, _crash_after_write_epoch=0
+    )
+    assert rows(crashed) == want
+
+    # navigator over the streamed view: value-equal to raw AND the plan
+    # actually reads the parts relation
+    register_globalviews(spark)
+    frontend = AQLFrontend(spark)
+    aql = (
+        "SELECT domainId, userName, CAST(SUM(eventCount) AS BIGINT) AS t "
+        "FROM events WHERE eventName = 'error' GROUP BY domainId, userName"
+    )
+    raw = rows(frontend.sql(aql))
+    merged.createOrReplaceTempView(view)
+    try:
+        routed = frontend.sql(aql, auto_route=True)
+        assert rows(routed) == raw
+        plan = routed._jdf.queryExecution().optimizedPlan().toString()
+        # scans the streamed parts relation (only it carries the epoch
+        # partition column and the view state columns), not raw events
+        assert "epoch#" in plan and "SUM_eventCount#" in plan
+        assert "qevents" not in plan
+    finally:
+        register_globalviews(spark)
+
+
 def test_ivfpq_streamed_append_equals_oneshot_encode_and_crash_replay(
     spark, sf_dir, tmp_path
 ):
