@@ -182,6 +182,14 @@ HEADLINE = [
     "text_hybrid_rrf",
     "knn_ivf_deleted",
     "rollup_time_travel",
+    # round 12: hybrid serve with BOTH constituents from the on-disk
+    # artifact (steady = two index reads + bounded fusion), and the
+    # streamed-codes IVF-PQ serve (steady = refined serve over the
+    # base ∪ codes_stream trees).  The delete/globalview parity entries
+    # stay out of bench like their replay-parity siblings — every timed
+    # pass would re-run the whole stream by construction.
+    "text_hybrid_rrf_indexed",
+    "streaming_ivfpq_append_parity",
 ]
 # Round 11 (VERDICT r10 #5, the r9 #8 growth policy now due at 100
 # entries): one-time builds are SPLIT out of the steady section.  Every
@@ -207,8 +215,10 @@ COLD_BUILDS = [
     "knn_ivf_rebalanced",
     "knn_ivf_deleted",
     "rollup_time_travel",       # 3-epoch txn-table build
-    "text_hybrid_rrf",          # memoized hashed-postings build
+    "text_hybrid_rrf",          # on-disk hybrid artifact build (r12)
+    "text_hybrid_rrf_indexed",  # shares the artifact; cold pays the read
     "streaming_ivf_append_parity",
+    "streaming_ivfpq_append_parity",  # base build + streamed code parts
     "knn_pq_adc",                 # PQ codebook train
     "knn_ivfpq_persisted",        # IVF-PQ index builds
     "knn_ivfpq_refined",

@@ -175,6 +175,20 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # one-shot oracle (df/N/avgdl shift with volume)
     "streaming_text_index_parity": None,
     "streaming_chunk_index_parity": 16,  # chunk oracle is the 64x bound
+    # round 12: the takedown twins — tombstone-streamed deletes must
+    # leave BM25's shrunken df/N/avgdl (and the chunk postings'
+    # df-damping) hash-equal to a rebuild over the remaining docs at
+    # k× volume; the chunk oracle shares its family's one-statement
+    # memory bound
+    "text_index_delete_parity": None,
+    "chunk_index_delete_parity": 16,
+    # round 12: streamed codes appends — the full artifact-replay
+    # oracle (assign + encode + LUT + ADC + refine) over the amplified
+    # corpus must equal the two-tree streamed serve
+    "streaming_ivfpq_append_parity": None,
+    # round 12: the composed streamed-view navigator path vs the
+    # raw-events oracle at volume (a lost/doubled epoch shifts a sum)
+    "streaming_globalview_routed": None,
     "curate_dsir_apply": None,
     "streaming_dsir_apply_parity": None,
     "pipeline_corpus_funnel": 16,  # was OOM pre-materialization
