@@ -4092,6 +4092,25 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         lambda spark, sf: M.phash_index_streaming(spark, max_hamming=2),
         M.phash_clusters_oracle_sql(max_hamming=2),
     )
+    # Round 12: takedown for the maintained image-dedup index — the
+    # text/chunk tombstone-stream protocol on the multimodal family.
+    # Serve-after-delete must equal a one-shot cluster build over the
+    # REMAINING documents (canonical ids, member counts and banded
+    # near-pairs all shift when a member drops); the oracle recomputes
+    # exactly that rebuild from the encoder spec.
+    q["phash_index_delete_parity"] = _df_entry(
+        lambda spark, sf: M.phash_index_delete_streaming(
+            spark, max_hamming=2
+        ),
+        M.phash_clusters_sql(
+            "duckdb",
+            M.dhash_oracle_sql(
+                "duckdb",
+                "(SELECT * FROM documents WHERE doc_id % 9 != 0) __rem_ph",
+            ),
+            2,
+        ),
+    )
 
     # ---- PII redaction audit (operators/pii.py) ------------------------------
     # Regex scrub of emails/IPs/phones/ids over a log line derived from real

