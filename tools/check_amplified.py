@@ -107,8 +107,11 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     # derived from the AMPLIFIED corpus size (auto_nlist picks √(k·n)
     # lists), so this is the one row where the 100-TB default geometry
     # itself runs at volume; the oracle replays the whole pipeline from
-    # the persisted artifacts, adapting to whatever geometry was chosen
-    "knn_ivfpq_auto_refined": None,
+    # the persisted artifacts, adapting to whatever geometry was chosen.
+    # 16 = the one-statement oracle's memory bound (its n×√n-list assign
+    # and n×m×ksub encode windows OOM'd a 64x run, 60 GiB spill budget);
+    # above it the sharded per-vector-independent recompute below runs
+    "knn_ivfpq_auto_refined": 16,
     # round 11: streamed per-epoch vector appends — the emitted-keys
     # oracle re-derives every served row's cosine/rank over the
     # amplified corpus, so a lost or double-folded epoch surfaces as a
@@ -380,11 +383,95 @@ def _chunk_knn_sharded_oracle(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def _ivfpq_auto_refined_sharded_oracle(
+    con,
+    shards: int = 16,
+    dim: int = 64,
+    m: int = 16,
+    nprobe: int = 4,
+    query_max: int = 3,
+    k: int = 3,
+    refine_k: int = 60,
+):
+    """Sharded DuckDB replay of ``knn_ivfpq_auto_refined`` (round 12,
+    VERDICT r11 #6): the one-statement oracle's corpus stages — coarse
+    assignment (n × √n-auto-lists dot products + a per-vector
+    ROW_NUMBER) and PQ encode (n × m × ksub distances + a per-(vec, mi)
+    ROW_NUMBER) — OOM'd a 64× run even with a 60 GiB spill budget (the
+    window + list_transform intermediates are the unspillable part).
+    Both stages are PER-VECTOR independent, so they shard by vec_id
+    residue with NO global-statistics hook needed (unlike the df-damped
+    chunk postings): each shard is one bounded COPY pipeline staged to
+    parquet.  The serving stages (probes for query_max vectors, LUT,
+    ADC over probed lists only, exact-cosine refine of the bounded
+    shortlist) are cheap and run as one final statement over the staged
+    relations — the SAME shared rounded/tie-broken SQL the one-statement
+    oracle uses, so the result is value-identical to it wherever both
+    can run (pinned by the 16× row, which still uses the one-statement
+    form)."""
+    import importlib
+
+    eq = importlib.import_module(
+        "qradar_restapi_kafka_datapipeline_spark.entry_queries"
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        _ivfpq_refine_sql,
+        _vec_rel_sql,
+        ivf_assign_sql,
+        pq_codes_sql,
+        pq_lut_sql,
+    )
+
+    cent = f"{eq._emit_dir('ivfpq_auto')}/index/centroids"
+    cb = f"{eq._emit_dir('ivfpq_auto')}/index/codebooks"
+    stage = tempfile.mkdtemp(prefix="amp_ivfpq_auto_stage_")
+    try:
+        for s in range(shards):
+            shard_src = (
+                f"(SELECT * FROM embeddings "
+                f"WHERE vec_id % {shards} = {s}) es"
+            )
+            t0 = time.time()
+            con.execute(
+                f"COPY (SELECT vec_id, list_id FROM "
+                f"({ivf_assign_sql('duckdb', cent, dim, 1, shard_src)}) a) "
+                f"TO '{stage}/assign_{s}.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                f"COPY ({pq_codes_sql('duckdb', cb, m, dim // m, shard_src)}) "
+                f"TO '{stage}/codes_{s}.parquet' (FORMAT PARQUET)"
+            )
+            print(f"  ivfpq_auto staged shard {s + 1}/{shards} "
+                  f"[{time.time()-t0:.0f}s]", flush=True)
+        q_src = f"(SELECT * FROM embeddings WHERE vec_id < {query_max}) qs"
+        probes = (
+            f"SELECT vec_id AS q_id, list_id FROM "
+            f"({ivf_assign_sql('duckdb', cent, dim, nprobe, q_src)}) pa"
+        )
+        lut = pq_lut_sql("duckdb", cb, m, dim // m, query_max, q_src)
+        codes = (
+            f"SELECT c.vec_id, c.mi, c.j, a.list_id "
+            f"FROM read_parquet('{stage}/codes_*.parquet') c "
+            f"JOIN read_parquet('{stage}/assign_*.parquet') a "
+            f"ON a.vec_id = c.vec_id"
+        )
+        return con.execute(
+            _ivfpq_refine_sql(
+                "duckdb", codes, probes, lut,
+                _vec_rel_sql("duckdb", "embeddings"),
+                refine_k, k, dim,
+            )
+        ).df()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 #: Entries whose one-statement oracle cannot run at high amplification:
 #: above the AMPLIFIED_ENTRIES cap the runner uses this bounded-memory
 #: recompute instead of the capped SQL (and the cap no longer limits k).
 AMPLIFIED_ORACLE_FNS = {
     "text_chunk_knn": _chunk_knn_sharded_oracle,
+    "knn_ivfpq_auto_refined": _ivfpq_auto_refined_sharded_oracle,
 }
 
 
