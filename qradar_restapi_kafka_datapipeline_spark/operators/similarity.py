@@ -1074,6 +1074,68 @@ def compact_ivf_index(spark, path: str,
     return n
 
 
+def compact_ivfpq_index(spark, path: str) -> int:
+    """Codebook-preserving maintenance compaction for the COMPRESSED
+    index (round 12 — the :func:`compact_ivf_index` role for the
+    IVF-PQ store): fold the streamed code parts
+    (:func:`ivfpq_append_streaming`) and the tombstone log into the
+    base ``codes/`` tree.  The quantizer AND codebooks are untouched —
+    codes are already encoded, so compaction only reorganizes storage
+    and serving is VALUE-IDENTICAL before and after at any nprobe
+    (same guarantee class as the raw-index compaction, pinned in
+    pytest).  Same crash-safe stage-out/stage-in rename protocol and
+    ``__rebal_tmp``/``__rebal_old`` names, so :func:`recover_ivf_index`
+    heals a mid-swap crash of this operation too.  Returns the number
+    of live vectors in the compacted tree."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    recover_ivf_index(spark, path)
+    rel = (
+        spark.read.option("basePath", f"{path}/codes")
+        .parquet(f"{path}/codes")
+        .select("vec_id", "mi", "j", "list_id")
+    )
+    stream = f"{path}/codes_stream"
+    if fs.exists(hpath(stream)):
+        rel = rel.unionByName(
+            spark.read.option("basePath", stream).parquet(stream)
+            .select("vec_id", "mi", "j", "list_id")
+        )
+    tomb = f"{path}/tombstones"
+    if fs.exists(hpath(tomb)):
+        rel = rel.join(
+            F.broadcast(spark.read.parquet(tomb).select("vec_id").distinct()),
+            "vec_id", "left_anti",
+        )
+    if rel.limit(1).count() == 0:
+        raise ValueError(
+            f"compact_ivfpq_index: index at {path} is empty after applying "
+            "tombstones (every vector deleted) — drop the index directory "
+            "instead, or rebuild with build_ivfpq_index once vectors exist."
+        )
+    tmp, old = f"{path}.__rebal_tmp", f"{path}.__rebal_old"
+    fs.delete(hpath(tmp), True)
+    # the two trained artifacts pass through unchanged (they are the
+    # index's identity; compaction only reorganizes the code storage)
+    for art in ("centroids", "codebooks"):
+        spark.read.parquet(f"{path}/{art}").coalesce(1).write.parquet(
+            f"{tmp}/{art}"
+        )
+    rel.write.partitionBy("list_id").parquet(f"{tmp}/codes")
+    n = (
+        spark.read.parquet(f"{tmp}/codes")
+        .select("vec_id").distinct().count()
+    )
+    if not fs.rename(hpath(path), hpath(old)):
+        raise RuntimeError(f"compact_ivfpq_index: could not stage out {path}")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        fs.rename(hpath(old), hpath(path))
+        raise RuntimeError(f"compact_ivfpq_index: rename failed for {tmp}")
+    fs.delete(hpath(old), True)
+    return n
+
+
 def recover_ivf_index(spark, path: str) -> str:
     """Self-heal a rebalance killed between its two renames (the one crash
     point where the live index is briefly absent — the staged-out tree

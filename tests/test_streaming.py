@@ -665,6 +665,28 @@ def test_ivfpq_streamed_append_equals_oneshot_encode_and_crash_replay(
     )
     assert serve(crashed, refine_k=60) == serve(ref, refine_k=60)
 
+    # codebook-preserving compaction (round 12): fold the code log +
+    # tombstones into the base tree — the trained artifacts untouched,
+    # serving value-identical at the approximate probe, log dirs gone
+    import os as _os
+
+    from qradar_restapi_kafka_datapipeline_spark.operators.similarity import (
+        compact_ivfpq_index,
+        delete_from_ivf_index,
+    )
+
+    delete_from_ivf_index(
+        spark, base, emb.where("vec_id % 11 = 0").select("vec_id")
+    )
+    before = serve(base, refine_k=60)
+    n = compact_ivfpq_index(spark, base)
+    assert n == emb.where("vec_id % 11 != 0").count()
+    assert not _os.path.exists(f"{base}/codes_stream")
+    assert not _os.path.exists(f"{base}/tombstones")
+    assert spark.read.parquet(f"{base}/codes") \
+        .where("vec_id % 11 = 0").count() == 0
+    assert serve(base, refine_k=60) == before
+
 
 def test_ivf_compaction_full_delete_fails_loudly(spark, sf_dir, tmp_path):
     """ADVICE r11: compacting an index whose every vector is tombstoned
