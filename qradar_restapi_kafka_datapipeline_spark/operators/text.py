@@ -1668,12 +1668,20 @@ def build_hybrid_text_index(
       same relation :func:`bm25_index_streaming` maintains as parts);
       df/N/avgdl derive from it at serve, so serving from the artifact
       is value-identical to the inline build.
-    - ``posts/`` — ``(doc_id, bucket, w)`` signed-hash bigram postings
-      over the spread source (exactly the relation the dense side
-      memoized per session).
+    - ``btf/`` — ``(doc_id, feat, c)`` bigram term frequencies
+      (:func:`bigram_tf_sql`), ALSO per-doc local — the maintainable
+      unit the postings derive from.
+    - ``posts/`` — ``(doc_id, bucket, w)`` signed-hash bigram postings,
+      derived FROM ``btf`` (value-identical to the direct form by the
+      tf_rel contract), so maintenance can re-derive them without a
+      corpus re-tokenize.
 
-    Maintenance story: tf appends per-doc-locally (the streamed-parts
-    protocol), posts likewise; takedown via the tombstone-anti-join
+    Maintenance: :func:`append_to_hybrid_index` appends new docs' tf and
+    btf rows (per-doc local — exact) and re-derives ``posts/`` from the
+    merged btf — the GLOBAL df-damping recomputes, so the appended
+    artifact is row-identical to a rebuild over the union, at
+    vocabulary-scale cost (re-execution scales with corpus;
+    materialization with vocabulary).  Takedown via the tombstone
     convention.  This builder is the one-shot form the gate's rebuild
     oracle recomputes — a stale artifact hash-fails."""
     from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
@@ -1687,9 +1695,69 @@ def build_hybrid_text_index(
         f"SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
         f"FROM ({tok}) t WHERE word != '' GROUP BY doc_id, word"
     ).write.mode("overwrite").parquet(f"{path}/tf")
+    spark.sql(bigram_tf_sql("spark", src)).write.mode("overwrite").parquet(
+        f"{path}/btf"
+    )
     spark.sql(
-        hashed_embedding_postings_sql("spark", dim, src)
+        hashed_embedding_postings_sql(
+            "spark", dim,
+            tf_rel=f"(SELECT doc_id, feat, c FROM parquet.`{path}/btf`)",
+        )
     ).write.mode("overwrite").parquet(f"{path}/posts")
+
+
+def append_to_hybrid_index(
+    spark, path: str, new_source: str, dim: int = 4096
+) -> None:
+    """Incremental maintenance for the hybrid artifact: tokenize ONLY the
+    new documents (tf and btf are per-doc local, so their appends are
+    exact), then re-derive ``posts/`` from the merged btf — the global
+    df-damping (stopword keep set, N) recomputes over the union, so the
+    result is row-identical to :func:`build_hybrid_text_index` over the
+    union corpus (pinned in pytest).  The posts rewrite is an aggregate
+    over the STORED vocabulary-grain relation, never a corpus
+    re-tokenize; it swaps in behind the same two-rename protocol as the
+    text-index compactions (heal-at-entry covers a prior mid-swap
+    kill).  ``dim`` must match the build's."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+    from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live, tmp, old = (
+        f"{path}/posts", f"{path}/.posts_swap_tmp", f"{path}/.posts_swap_old"
+    )
+    # heal a prior mid-swap kill (same contract as recover_text_index_norms)
+    if not fs.exists(hpath(live)) and fs.exists(hpath(old)):
+        if not fs.rename(hpath(old), hpath(live)):
+            raise RuntimeError(f"append_to_hybrid_index: cannot restore {old}")
+    fs.delete(hpath(tmp), True)
+
+    src = unique_view(
+        _spread(spark.table(new_source), by="doc_id"), "__ahi_spread_src"
+    )
+    tok = token_positions_sql("spark", src)
+    spark.sql(
+        f"SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM ({tok}) t WHERE word != '' GROUP BY doc_id, word"
+    ).write.mode("append").parquet(f"{path}/tf")
+    spark.sql(bigram_tf_sql("spark", src)).write.mode("append").parquet(
+        f"{path}/btf"
+    )
+    spark.sql(
+        hashed_embedding_postings_sql(
+            "spark", dim,
+            tf_rel=f"(SELECT doc_id, feat, c FROM parquet.`{path}/btf`)",
+        )
+    ).write.mode("overwrite").parquet(tmp)
+    fs.delete(hpath(old), True)
+    if not fs.rename(hpath(live), hpath(old)):
+        raise RuntimeError("append_to_hybrid_index: could not stage-out posts")
+    if not fs.rename(hpath(tmp), hpath(live)):
+        fs.rename(hpath(old), hpath(live))
+        raise RuntimeError(f"append_to_hybrid_index: rename failed for {tmp}")
+    fs.delete(hpath(old), True)
 
 
 def bm25_index_streaming(

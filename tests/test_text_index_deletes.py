@@ -186,6 +186,43 @@ def test_persisted_index_delete_serves_remaining(spark, docs, tmp_path):
     assert [(r["n_id"], r["cos"]) for r in serve(5)] == got
 
 
+def test_hybrid_artifact_append_equals_rebuild(spark, docs, tmp_path):
+    """The hybrid artifact's maintenance verb: the word-tf and bigram-tf
+    relations are per-doc LOCAL (append is exact), and the postings'
+    GLOBAL df-damping re-derives from the merged bigram-tf at append
+    time (vocabulary-scale work — never a corpus re-tokenize), so the
+    appended artifact must be row-identical to a one-shot build over
+    the union in ALL THREE relations — and the hybrid serve equal to
+    the rebuild's."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        append_to_hybrid_index,
+        build_hybrid_text_index,
+        hybrid_rrf,
+    )
+
+    base = str(tmp_path / "hyb_inc")
+    ref = str(tmp_path / "hyb_full")
+    docs.where("doc_id % 4 != 0").createOrReplaceTempView("__hyb_base")
+    docs.where("doc_id % 4 = 0").createOrReplaceTempView("__hyb_new")
+    build_hybrid_text_index(spark, base, source="__hyb_base")
+    append_to_hybrid_index(spark, base, "__hyb_new")
+    build_hybrid_text_index(spark, ref)
+
+    for rel in ("tf", "btf", "posts"):
+        got = _rows(spark.read.parquet(f"{base}/{rel}"),
+                    spark.read.parquet(f"{base}/{rel}").columns)
+        want = _rows(spark.read.parquet(f"{ref}/{rel}"),
+                     spark.read.parquet(f"{ref}/{rel}").columns)
+        assert got == want, rel
+
+    serve = lambda p: _rows(  # noqa: E731
+        hybrid_rrf(spark, posts_rel=f"parquet.`{p}/posts`",
+                   tf_rel=f"parquet.`{p}/tf`"),
+        ["doc_id", "rrf_micro", "in_lex", "in_dense", "rk"],
+    )
+    assert serve(base) == serve(ref)
+
+
 def test_persisted_index_postings_swap_crash_heals(spark, docs, tmp_path):
     """A compaction kill between the postings stage-out and stage-in
     leaves the live dir absent and the staged-out copy intact — the
