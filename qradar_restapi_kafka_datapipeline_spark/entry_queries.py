@@ -70,6 +70,7 @@ _PQ_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_AUTO_MEMO: dict[tuple[int, str], str] = {}
 _IVFPQ_STREAM_MEMO: dict[tuple[int, str], str] = {}
+_HYBRID_DEL_MEMO: dict[tuple[int, str], str] = {}
 _QC_MEMO: dict[tuple[int, str], str] = {}
 #: (session id, sf_dir) → materialized temp-view name of the threshold-0.85
 #: MinHash-LSH pair relation (VERDICT r5 #3): four registry consumers
@@ -3779,6 +3780,42 @@ def _north_star_entries(q: dict[str, Q]) -> None:
 
     q["text_hybrid_rrf_indexed"] = _df_entry(
         _hybrid_indexed_run, T.hybrid_rrf_sql("duckdb")
+    )
+
+    # Hybrid-index takedown, end to end (round 12 second pass): build a
+    # PRIVATE artifact copy, tombstone doc_id % 9 = 0, COMPACT (rows
+    # physically dropped, postings' df-damping re-derived from the
+    # remaining bigram-tf), serve from the compacted artifact.  The
+    # oracle rebuilds the whole hybrid from the REMAINING raw docs —
+    # post-compaction the artifact must be rebuild-exact, so a leaked
+    # row, stale df, or stale stopword set hash-fails.
+    def _hybrid_deleted_run(spark: SparkSession, sf: str) -> DataFrame:
+        import os
+
+        from qradar_restapi_kafka_datapipeline_spark.engine import scratch_dir
+
+        setup(spark, sf)
+        key = (id(spark), sf)
+        if key not in _HYBRID_DEL_MEMO:
+            base = os.path.join(scratch_dir("hyb_del_"), "index")
+            T.build_hybrid_text_index(spark, base)
+            T.delete_from_hybrid_index(
+                spark, base,
+                spark.table("documents").where("doc_id % 9 = 0")
+                .select("doc_id"),
+            )
+            T.compact_hybrid_index(spark, base)
+            _HYBRID_DEL_MEMO[key] = base
+        tf_rel, posts_rel = T.hybrid_index_rels(spark, _HYBRID_DEL_MEMO[key])
+        return T.hybrid_rrf(spark, query_doc=1, posts_rel=posts_rel,
+                            tf_rel=tf_rel)
+
+    q["text_hybrid_rrf_deleted"] = _df_entry(
+        _hybrid_deleted_run,
+        T.hybrid_rrf_sql(
+            "duckdb", query_doc=1,
+            source="(SELECT * FROM documents WHERE doc_id % 9 != 0) __rem_hd",
+        ),
     )
 
     # ---- Okapi BM25 ranked retrieval (round 5) ------------------------------

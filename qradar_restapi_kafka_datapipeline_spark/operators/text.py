@@ -1760,6 +1760,87 @@ def append_to_hybrid_index(
     fs.delete(hpath(old), True)
 
 
+def delete_from_hybrid_index(spark, path: str, ids) -> None:
+    """Tombstone deletes for the hybrid artifact — same append-only log
+    convention as every other maintained index (idempotent, O(|ids|))."""
+    ids.select("doc_id").distinct().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+
+
+def hybrid_index_rels(spark, path: str) -> tuple[str, str]:
+    """``(tf_rel, posts_rel)`` for serving :func:`hybrid_rrf` from the
+    artifact, with any tombstones masked.  Two-phase semantics, each
+    side at its honest strength:
+
+    - BM25 (tf) side: masking IS rebuild-exact immediately — df, N and
+      avgdl all derive from the served relation at query time, so the
+      anti-joined tf equals a rebuild over the remaining docs.
+    - dense (posts) side: masking excludes deleted docs from results,
+      but the postings' df-damping stays the one baked at build — the
+      FROZEN-analyzer posture (``append_to_text_index``'s documented
+      contract) until :func:`compact_hybrid_index` re-derives the
+      postings from the remaining bigram-tf, after which the whole
+      artifact is rebuild-exact again (pytest-pinned)."""
+    tomb = _text_index_tombstones(spark, path)
+    tf = f"parquet.`{path}/tf`"
+    posts = f"parquet.`{path}/posts`"
+    if tomb is None:
+        return tf, posts
+    anti = (
+        f"LEFT ANTI JOIN (SELECT DISTINCT doc_id FROM "
+        f"parquet.`{path}/tombstones`) __hd ON __hd.doc_id = t.doc_id"
+    )
+    return (
+        f"(SELECT t.doc_id, t.word, t.tf FROM {tf} t {anti})",
+        f"(SELECT t.doc_id, t.bucket, t.w FROM {posts} t {anti})",
+    )
+
+
+def compact_hybrid_index(spark, path: str, dim: int = 4096) -> None:
+    """Physical takedown for the hybrid artifact: drop the tombstoned
+    docs' rows from ``tf/`` and ``btf/``, re-derive ``posts/`` from the
+    remaining bigram-tf (the global df-damping recomputes — exactly the
+    :func:`append_to_hybrid_index` motif), and clear the log.  After
+    this the artifact is row-identical to a one-shot build over the
+    remaining documents in all three relations.  Each relation swaps in
+    behind the two-rename protocol; crash ordering is safe because the
+    log is deleted last (interrupted states keep masking via
+    :func:`hybrid_index_rels`)."""
+    tomb = _text_index_tombstones(spark, path)
+    if tomb is None:
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def swap_in(name: str, df) -> None:
+        live = f"{path}/{name}"
+        tmp = f"{path}/.{name}_swap_tmp"
+        old = f"{path}/.{name}_swap_old"
+        if not fs.exists(hpath(live)) and fs.exists(hpath(old)):
+            if not fs.rename(hpath(old), hpath(live)):
+                raise RuntimeError(f"compact_hybrid_index: cannot restore {old}")
+        fs.delete(hpath(tmp), True)
+        df.write.mode("overwrite").parquet(tmp)
+        fs.delete(hpath(old), True)
+        if not fs.rename(hpath(live), hpath(old)):
+            raise RuntimeError(f"compact_hybrid_index: could not stage out {name}")
+        if not fs.rename(hpath(tmp), hpath(live)):
+            fs.rename(hpath(old), hpath(live))
+            raise RuntimeError(f"compact_hybrid_index: rename failed for {name}")
+        fs.delete(hpath(old), True)
+
+    b = F.broadcast(tomb)
+    swap_in("tf", spark.read.parquet(f"{path}/tf").join(b, "doc_id", "left_anti"))
+    swap_in("btf", spark.read.parquet(f"{path}/btf").join(b, "doc_id", "left_anti"))
+    swap_in("posts", spark.sql(hashed_embedding_postings_sql(
+        "spark", dim,
+        tf_rel=f"(SELECT doc_id, feat, c FROM parquet.`{path}/btf`)",
+    )))
+    fs.delete(hpath(f"{path}/tombstones"), True)
+
+
 def bm25_index_streaming(
     spark,
     query_doc: int = 0,

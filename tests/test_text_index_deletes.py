@@ -223,6 +223,58 @@ def test_hybrid_artifact_append_equals_rebuild(spark, docs, tmp_path):
     assert serve(base) == serve(ref)
 
 
+def test_hybrid_artifact_delete_masks_then_compact_equals_rebuild(
+    spark, docs, tmp_path
+):
+    """Two-phase hybrid takedown: after the tombstone append, BOTH serve
+    sides exclude the deleted docs (BM25 masking is rebuild-exact
+    immediately; the dense side runs under the frozen analyzer); after
+    compaction the artifact is row-identical to a one-shot build over
+    the remaining documents in all three relations and the serve equals
+    the rebuild's."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        build_hybrid_text_index,
+        compact_hybrid_index,
+        delete_from_hybrid_index,
+        hybrid_index_rels,
+        hybrid_rrf,
+    )
+
+    base = str(tmp_path / "hyb_del")
+    ref = str(tmp_path / "hyb_rem")
+    build_hybrid_text_index(spark, base)
+    docs.where(f"NOT ({DELETE_PRED})").createOrReplaceTempView("__hd_rem")
+    build_hybrid_text_index(spark, ref, source="__hd_rem")
+
+    delete_from_hybrid_index(
+        spark, base, docs.where(DELETE_PRED).select("doc_id")
+    )
+    delete_from_hybrid_index(  # idempotent
+        spark, base, docs.where(DELETE_PRED).select("doc_id")
+    )
+
+    def serve(p):
+        tf_rel, posts_rel = hybrid_index_rels(spark, p)
+        return [
+            (int(r["doc_id"]), int(r["rk"]))
+            for r in hybrid_rrf(spark, query_doc=1, posts_rel=posts_rel,
+                                tf_rel=tf_rel).collect()
+        ]
+
+    masked = serve(base)
+    assert masked and not any(d % 9 == 0 for d, _ in masked)
+
+    compact_hybrid_index(spark, base)
+    assert not os.path.exists(f"{base}/tombstones")
+    for rel in ("tf", "btf", "posts"):
+        got = _rows(spark.read.parquet(f"{base}/{rel}"),
+                    spark.read.parquet(f"{base}/{rel}").columns)
+        want = _rows(spark.read.parquet(f"{ref}/{rel}"),
+                     spark.read.parquet(f"{ref}/{rel}").columns)
+        assert got == want, rel
+    assert serve(base) == serve(ref)
+
+
 def test_persisted_index_postings_swap_crash_heals(spark, docs, tmp_path):
     """A compaction kill between the postings stage-out and stage-in
     leaves the live dir absent and the staged-out copy intact — the
