@@ -187,16 +187,25 @@ ARTIFACT_ROOT = os.environ.get(
 )
 
 
-def artifact_dir(name: str, *fingerprint_paths: str) -> str:
+def artifact_dir(
+    name: str, *fingerprint_paths: str, version: str = ""
+) -> str:
     """Stable cross-process location for a maintained on-disk artifact,
     keyed by ``name`` plus a cheap content fingerprint (absolute path,
     size, mtime) of the input files it was derived from — a regenerated
     corpus therefore maps to a FRESH key instead of silently serving a
     stale index (the correctness gate would hash-fail on staleness; the
-    fingerprint prevents ever getting there)."""
+    fingerprint prevents ever getting there).
+
+    ``version`` (ADVICE r12): the BUILDER's code/parameter token (e.g.
+    ``"dim=64;tok=bigram"`` or a bumped layout tag).  Folded into the hash so
+    a builder change keys away stale artifacts automatically — ungated
+    callers no longer depend on someone remembering the manual name-suffix
+    convention."""
     import hashlib
 
     h = hashlib.md5()
+    h.update(f"v={version}".encode())
     for p in fingerprint_paths:
         st = os.stat(p)
         h.update(
@@ -217,10 +226,20 @@ def ensure_artifact(path: str, build) -> str:
     os.makedirs(ARTIFACT_ROOT, exist_ok=True)
     tmp = f"{path}.__build_{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    build(tmp)
+    # ADVICE r12: a failed build must not leak the staging tree (the
+    # upfront rmtree only helps on pid reuse), and a rename failure is
+    # "lost the race" ONLY if the destination actually exists — EACCES /
+    # EXDEV (ARTIFACT_ROOT on another filesystem) must re-raise instead of
+    # deleting the fresh build and deferring the failure downstream.
     try:
-        os.rename(tmp, path)
-    except OSError:
+        build(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.isdir(path):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return path
 

@@ -3748,9 +3748,12 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         # layout-versioned name: v2 added btf/ (the maintainable bigram-tf
         # relation posts derive from) — bumping the name on layout change
         # is what keeps ensure_artifact's existence-is-commit contract
-        # safe across releases (an old-layout tree never half-serves)
+        # safe across releases (an old-layout tree never half-serves).
+        # The builder parameters ALSO key the hash (ADVICE r12): a dim
+        # change re-keys automatically instead of serving stale postings.
         path = artifact_dir(
-            "hybrid_text_index_v2", os.path.join(sf, "documents.parquet")
+            "hybrid_text_index_v2", os.path.join(sf, "documents.parquet"),
+            version="dim=4096",
         )
         return ensure_artifact(
             path, lambda tmp: T.build_hybrid_text_index(spark, tmp)

@@ -1718,7 +1718,17 @@ def append_to_hybrid_index(
     over the STORED vocabulary-grain relation, never a corpus
     re-tokenize; it swaps in behind the same two-rename protocol as the
     text-index compactions (heal-at-entry covers a prior mid-swap
-    kill).  ``dim`` must match the build's."""
+    kill).  ``dim`` must match the build's.
+
+    Replay safety (ADVICE r12 medium): the tf/btf appends are
+    INDEPENDENTLY dedup'd — each new-doc relation anti-joins the already
+    -stored doc_ids for THAT relation before appending, so a crash landing
+    anywhere between the tf append, the btf append and the posts swap is
+    healed by simply re-running the append: the already-landed rows append
+    nothing (empty anti-join), the missing ones land, and the posts
+    re-derive from the merged btf.  The probe joins broadcast the (batch
+    -bounded) new-id set, so the stored-side scan is a pruned single
+    -column pass — the O(batch) shape, never O(index)."""
     from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
     from qradar_restapi_kafka_datapipeline_spark.operators.dedup import _spread
 
@@ -1737,14 +1747,28 @@ def append_to_hybrid_index(
     src = unique_view(
         _spread(spark.table(new_source), by="doc_id"), "__ahi_spread_src"
     )
+    new_ids = spark.table(new_source).select("doc_id").distinct()
+
+    def _dedup_new(df, stored: str):
+        # doc_ids from the batch ALREADY present in the stored relation
+        # (tiny: a subset of the batch) — a replayed append lands nothing.
+        present = (
+            spark.read.parquet(stored).select("doc_id")
+            .join(F.broadcast(new_ids), "doc_id", "left_semi").distinct()
+        )
+        return df.join(F.broadcast(present), "doc_id", "left_anti")
+
     tok = token_positions_sql("spark", src)
-    spark.sql(
-        f"SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
-        f"FROM ({tok}) t WHERE word != '' GROUP BY doc_id, word"
+    _dedup_new(
+        spark.sql(
+            f"SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+            f"FROM ({tok}) t WHERE word != '' GROUP BY doc_id, word"
+        ),
+        f"{path}/tf",
     ).write.mode("append").parquet(f"{path}/tf")
-    spark.sql(bigram_tf_sql("spark", src)).write.mode("append").parquet(
-        f"{path}/btf"
-    )
+    _dedup_new(
+        spark.sql(bigram_tf_sql("spark", src)), f"{path}/btf"
+    ).write.mode("append").parquet(f"{path}/btf")
     spark.sql(
         hashed_embedding_postings_sql(
             "spark", dim,
@@ -2507,6 +2531,14 @@ def compact_tf_parts(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(parts).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, old = f"{parts}.__compact_tmp", f"{parts}.__compact_old"
+    # heal-at-entry (ADVICE r12): a kill between the two renames leaves the
+    # live parts dir absent with the data staged at __compact_old — restore
+    # it, same contract as recover_ivf_index / recover_text_index_norms.
+    if not fs.exists(hpath(parts)) and fs.exists(hpath(old)):
+        if not fs.rename(hpath(old), hpath(parts)):
+            raise RuntimeError(f"compact_tf_parts: cannot restore {old}")
+    fs.delete(hpath(tmp), True)
     rel = spark.read.option("basePath", parts).parquet(parts)
     data_cols = [c for c in rel.columns if c != "epoch"]
     rel = rel.select(*data_cols)
@@ -2524,8 +2556,6 @@ def compact_tf_parts(
             F.broadcast(tomb.withColumnRenamed("doc_id", "__tomb_id")),
             key == F.col("__tomb_id"), "left_anti",
         )
-    tmp, old = f"{parts}.__compact_tmp", f"{parts}.__compact_old"
-    fs.delete(hpath(tmp), True)
     rel.write.mode("overwrite").parquet(f"{tmp}/epoch=0")
     n = spark.read.parquet(f"{tmp}/epoch=0").count()
     if not fs.rename(hpath(parts), hpath(old)):

@@ -293,3 +293,66 @@ def test_persisted_index_postings_swap_crash_heals(spark, docs, tmp_path):
         spark, base, qtext, k=5, dim=4096, query_id=0, exclude_id=0
     ).collect()]
     assert after == before
+
+def test_hybrid_append_replay_is_noop(spark, docs, tmp_path):
+    """ADVICE r12 (medium): a crash anywhere in append_to_hybrid_index's
+    window — after the tf append, after the btf append, or mid posts
+    swap — is healed by simply RE-RUNNING the append.  Each append
+    anti-joins the already-stored doc_ids for its own relation, so
+    already-landed rows land nothing and tf counts can never double."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        append_to_hybrid_index,
+        build_hybrid_text_index,
+    )
+
+    base = str(tmp_path / "hyb_replay")
+    ref = str(tmp_path / "hyb_replay_full")
+    docs.where("doc_id % 4 != 0").createOrReplaceTempView("__hr_base")
+    docs.where("doc_id % 4 = 0").createOrReplaceTempView("__hr_new")
+    build_hybrid_text_index(spark, base, source="__hr_base")
+
+    # simulate the worst crash window: tf landed, btf did NOT, posts stale
+    src = "__hr_new"
+    tok = T.token_positions_sql("spark", src)
+    spark.sql(
+        f"SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM ({tok}) t WHERE word != '' GROUP BY doc_id, word"
+    ).write.mode("append").parquet(f"{base}/tf")
+
+    # the replayed append must land ONLY the missing btf rows
+    append_to_hybrid_index(spark, base, "__hr_new")
+    # and a FULL second replay must change nothing
+    append_to_hybrid_index(spark, base, "__hr_new")
+
+    build_hybrid_text_index(spark, ref)
+    for rel in ("tf", "btf", "posts"):
+        got = _rows(spark.read.parquet(f"{base}/{rel}"),
+                    spark.read.parquet(f"{base}/{rel}").columns)
+        want = _rows(spark.read.parquet(f"{ref}/{rel}"),
+                     spark.read.parquet(f"{ref}/{rel}").columns)
+        assert got == want, rel
+
+
+def test_compact_tf_parts_heals_mid_swap_crash(spark, docs):
+    """ADVICE r12: a kill between compact_tf_parts' two renames leaves
+    the live parts dir absent with the data staged at __compact_old —
+    the next compaction call must restore it at entry (the standard
+    heal-at-entry protocol) and serve identically."""
+    po: list = []
+    served = T.text_index_delete_streaming(spark, _parts_out=po)
+    before = _rows(served, ("doc_id", "score", "rk"))
+    parts, del_parts = po[0], po[1]
+    n1 = T.compact_tf_parts(spark, parts, del_parts)
+    # simulate the mid-swap crash state
+    os.rename(parts, f"{parts}.__compact_old")
+    assert not os.path.exists(parts)
+    n2 = T.compact_tf_parts(spark, parts)
+    assert n2 == n1
+    assert not os.path.exists(f"{parts}.__compact_old")
+    merged = f"(SELECT doc_id, word, tf FROM parquet.`{parts}`)"
+    after = _rows(
+        spark.sql(T.bm25_topk_sql("spark", query_doc=1, k=10,
+                                  tf_rel=merged)),
+        ("doc_id", "score", "rk"),
+    )
+    assert after == before
