@@ -1255,7 +1255,8 @@ def rebalance_ivf_index(
 
 
 def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3,
-                           exclude_n_pred: str | None = None) -> str:
+                           exclude_n_pred: str | None = None,
+                           emitted_sel: str | None = None) -> str:
     """Emitted-keys property-oracle template for ENGINE-CHOSEN kNN results
     (``{emitted}`` expands to the materialized result relation): DuckDB reads
     back only (q_id, n_id) and recomputes cosine, rank, the k cutoff and the
@@ -1266,10 +1267,17 @@ def knn_emitted_oracle_sql(query_max: int = 10, k: int = 3,
     ``exclude_n_pred`` (round 11, the delete entry): a predicate over
     ``em.n_id`` naming ids the serve MUST NOT return (the tombstoned
     set) — a deleted id surviving in the output is dropped by the
-    oracle and fails the row-count match."""
+    oracle and fails the row-count match.
+
+    ``emitted_sel`` (round 13, the composed takedown entry): override
+    the emitted-keys projection — a COMPOSED entry unions several
+    families into one artifact, so its per-family oracle slice reads
+    e.g. ``SELECT k1 AS q_id, k2 AS n_id FROM {{emitted}} WHERE family
+    = 'ivf'`` (keep the literal ``{{emitted}}`` placeholder)."""
     excl = f"AND NOT ({exclude_n_pred}) " if exclude_n_pred else ""
+    sel = emitted_sel or "SELECT q_id, n_id FROM {emitted}"
     return (
-        "WITH emitted AS (SELECT q_id, n_id FROM {emitted}), "
+        f"WITH emitted AS ({sel}), "
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         "s AS (SELECT em.q_id, em.n_id, "
         "ROUND(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cos "
@@ -1950,6 +1958,127 @@ def ivfpq_oracle_sql(
             _vec_rel_sql("duckdb", source), refine_k, k, dim,
         )
     return "WITH " + _ivfpq_rank_sql(codes, q_probes, lut, k)
+
+
+# ---------------------------------------------------------------------------
+# Production hybrid retrieval (round 13, VERDICT r12 #2): fuse BM25 with the
+# REAL maintained dense index — RRF over the lexical ranking served from the
+# hybrid artifact's tf relation and the IVF-PQ refined serve over the
+# embeddings table (doc_id ↔ vec_id), replacing the hashed-bigram proxy as
+# the dense constituent.  Both constituents serve from on-disk maintained
+# artifacts; the fusion is the exact-BIGINT RRF shared with operators/text.
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf_ivfpq(
+    spark,
+    path: str,
+    tf_rel: str | None = None,
+    dim: int = 64,
+    k: int = 10,
+    pool: int = 20,
+    query_doc: int = 1,
+    rrf_k: int = 60,
+    m: int = 16,
+    nprobe: int = 4,
+    refine_k: int = 60,
+    source_view: str = "embeddings",
+    doc_source: str = "documents",
+) -> DataFrame:
+    """RRF fusion of the two PRODUCTION indexes: BM25 top-``pool`` for
+    document ``query_doc`` (served from a maintained ``(doc_id, word,
+    tf)`` relation when ``tf_rel`` is set — zero corpus tokenize) and
+    the IVF-PQ refined top-``pool`` for vector ``query_doc`` served from
+    the persisted compressed index at ``path`` (file-pruned probed-list
+    code scan + exact-cosine refine — never a corpus embedding scan).
+    Vectors are keyed by document id (``vec_id = doc_id``; a deployment
+    with a separate key space routes through its mapping relation before
+    the fusion).
+
+    Per the round-11 composed-optimizer finding (CLAUDE.md), the two
+    constituents run as SEPARATE queries — each keeps its broadcast /
+    pruned plan — and only the two bounded top-``pool`` results meet in
+    the ≤ 2·pool-row fusion aggregate (:func:`...text.rrf_fuse`).  The
+    DuckDB oracle (:func:`hybrid_rrf_ivfpq_sql`) is the one-statement
+    composed rebuild over raw documents + the persisted PQ artifacts, so
+    the gate hash-proves serve ≡ rebuild for both constituents at once.
+    Scale: both constituents carry their own documented 100-TB postures;
+    the fusion adds no shuffle beyond a 2·pool-row aggregate."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        bm25_topk_sql,
+        rrf_fuse,
+    )
+
+    lex = spark.sql(
+        bm25_topk_sql("spark", query_doc=query_doc, k=pool,
+                      source=doc_source, tf_rel=tf_rel)
+    )
+    den = (
+        knn_ivfpq_from_index(
+            spark, path, dim, m=m, nprobe=nprobe,
+            query_max=query_doc + 1, k=pool,
+            source_view=source_view, refine_k=refine_k,
+        )
+        .where(F.col("q_id") == query_doc)
+        .select(F.col("n_id").alias("doc_id"), "rk")
+    )
+    return rrf_fuse(lex, den, k=k, rrf_k=rrf_k)
+
+
+def hybrid_rrf_ivfpq_sql(
+    cent_artifact: str,
+    cb_artifact: str,
+    dim: int = 64,
+    k: int = 10,
+    pool: int = 20,
+    query_doc: int = 1,
+    rrf_k: int = 60,
+    m: int = 16,
+    nprobe: int = 4,
+    refine_k: int = 60,
+    source: str = "embeddings",
+    doc_source: str = "documents",
+) -> str:
+    """One-statement DuckDB oracle for :func:`hybrid_rrf_ivfpq`: BM25
+    rebuilt from the raw documents (tokenize → tf → df — the artifact-
+    freshness check for the served tf relation) fused with the FULL
+    IVF-PQ replay from the persisted centroids/codebooks
+    (:func:`ivfpq_oracle_sql` — coarse assign, encode, LUT, ADC,
+    refine), under the identical integer micro-unit RRF.  Dual
+    formulations: Spark serves two maintained indexes, the oracle
+    recomputes both pipelines from raw inputs + trained artifacts."""
+    from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        bm25_topk_sql,
+    )
+
+    lex = bm25_topk_sql("duckdb", query_doc=query_doc, k=pool,
+                        source=doc_source)
+    den = ivfpq_oracle_sql(
+        cent_artifact, cb_artifact, dim=dim, m=m, nprobe=nprobe,
+        query_max=query_doc + 1, k=pool, source=source, refine_k=refine_k,
+    )
+    micro = f"CAST(FLOOR(1000000000.0 / ({rrf_k} + rk) + 0.5) AS BIGINT)"
+    return f"""
+    WITH u AS (
+      SELECT doc_id, rk, 0 AS is_den FROM ({lex}) lex0
+      UNION ALL
+      SELECT n_id AS doc_id, rk, 1 AS is_den FROM ({den}) den0
+      WHERE q_id = {query_doc}
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(SUM({micro}) AS BIGINT) AS rrf_micro,
+             CAST(SUM(is_den) AS BIGINT) AS in_dense,
+             CAST(SUM(1 - is_den) AS BIGINT) AS in_lex
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_micro, in_lex, in_dense, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, rrf_micro, in_lex, in_dense,
+             ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS rk
+      FROM fused
+    ) ranked WHERE rk <= {k}
+    """
 
 
 # ---------------------------------------------------------------------------

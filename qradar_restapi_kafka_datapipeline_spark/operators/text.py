@@ -1614,13 +1614,9 @@ def hybrid_rrf(
     with BOTH set (the :func:`build_hybrid_text_index` artifact) a
     serve never re-tokenizes the corpus: two index reads plus the
     bounded fusion, the production search-stack shape."""
-    from pyspark.sql import Window
-
-    lex = (
-        spark.sql(bm25_topk_sql("spark", query_doc=query_doc, k=pool,
-                                source=source, tf_rel=tf_rel))
-        .select("doc_id", "rk")
-        .withColumn("is_den", F.lit(0))
+    lex = spark.sql(
+        bm25_topk_sql("spark", query_doc=query_doc, k=pool,
+                      source=source, tf_rel=tf_rel)
     )
     if posts_rel is not None:
         den_df = spark.sql(
@@ -1634,8 +1630,22 @@ def hybrid_rrf(
         den_df
         .where(F.col("q_id") == query_doc)
         .select(F.col("n_id").alias("doc_id"), "rk")
-        .withColumn("is_den", F.lit(1))
     )
+    return rrf_fuse(lex, den, k=k, rrf_k=rrf_k)
+
+
+def rrf_fuse(lex, den, k: int = 10, rrf_k: int = 60):
+    """Fuse two bounded ``(doc_id, rk)`` rankings by Reciprocal Rank
+    Fusion with integer micro-unit scores (the exact-BIGINT discipline
+    of :func:`hybrid_rrf_sql`) — the shared fusion tail for ANY pair of
+    constituent retrievers (hashed-dense, BM25, the production IVF-PQ
+    dense index in ``operators/similarity.py``).  Both inputs are
+    bounded top-``pool`` relations, so the fusion is a ``≤ 2·pool``-row
+    aggregate regardless of corpus size."""
+    from pyspark.sql import Window
+
+    lex = lex.select("doc_id", "rk").withColumn("is_den", F.lit(0))
+    den = den.select("doc_id", "rk").withColumn("is_den", F.lit(1))
     micro = F.floor(
         F.lit(1_000_000_000.0) / (F.lit(rrf_k) + F.col("rk")) + F.lit(0.5)
     ).cast("bigint")

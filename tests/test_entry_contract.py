@@ -106,7 +106,10 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # (streaming_chunk_index_parity rotated out in r12 — its parts
         # protocol runs inside chunk_index_delete_parity, pinned below)
         "cohort_retention_exact",
-        "knn_ivf_rebalanced",
+        # (knn_ivf_rebalanced rotated out in r13 for phash_index_delete_
+        # parity — the ANN lifecycle keeps streaming_ivfpq_append_parity,
+        # knn_ivfpq_auto_refined and takedown_all's two vector slices;
+        # rebalance stays mirror-checked + pytested)
         "sample_exact_k_per_stratum",
         # r9 second pass: perceptual-hash image dedup (displaced
         # streaming_sessionize_parity — streaming parity keeps 4 reps,
@@ -158,8 +161,18 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         # inside pipeline_corpus_funnel; only the exclude-predicate
         # oracle can catch a tombstone leak)
         # (text_hybrid_rrf upgraded in r12 to its indexed twin — same
-        # fusion, both constituents served from the on-disk artifact)
-        "rollup_time_travel", "text_hybrid_rrf_indexed", "knn_ivf_deleted",
+        # fusion, both constituents served from the on-disk artifact;
+        # upgraded AGAIN in r13 to text_hybrid_rrf_ivfpq: the dense
+        # constituent is now the REAL maintained IVF-PQ index with the
+        # full ADC+refine replay in the oracle, while the lexical side
+        # keeps the same tf-artifact serve + rebuild freshness check.
+        # knn_ivf_deleted rotated out in r13 — takedown_all_indexes_
+        # parity runs the identical ivf serve under the identical
+        # exclude-predicate emitted oracle as one of its four slices.)
+        "rollup_time_travel", "text_hybrid_rrf_ivfpq",
+        # round-13 rotation (VERDICT r12 #1/#3): the one-call multi-index
+        # takedown composition + the late-r12 multimodal takedown flagship
+        "takedown_all_indexes_parity", "phash_index_delete_parity",
         # round-12 rotation (VERDICT r11 #1/#4): the text-side takedown
         # flagships — chunk_index_delete_parity (displaced
         # streaming_chunk_index_parity: identical per-epoch parts
@@ -205,7 +218,7 @@ def test_gate_window_leads_registry_and_is_fully_oracled():
         "sketch_kmv", "mix_token",
         # round 9 rotation (r12: streaming_chunk_index_parity rotated
         # out — its parts protocol runs inside chunk_index_delete_parity)
-        "window_funnel", "cohort_retention", "knn_ivf_rebalanced",
+        "window_funnel", "cohort_retention", "knn_ivfpq",
         "sample_exact",
         # round 12 rotation (the takedown flagships)
         "text_index_delete", "chunk_index_delete",

@@ -194,6 +194,17 @@ RULES: list[tuple[str, tuple[str, ...], list[tuple]]] = [
         ("pytest", "test_northstar.py",
          "test_winnow_overlap_dataframe_matches_sql_form"),
     ]),
+    ("multi-index-takedown", ("takedown_",), [
+        # one id set fanned across four maintained indexes by ONE verb;
+        # crash-mid-fan-out replay + per-index serve-vs-rebuild
+        # differentials are from-scratch pytests, and the gate entry's
+        # ivf/ivfpq slices carry emitted-keys exclude-predicate oracles
+        # (not shared-builder SQL)
+        ("pytest", "test_takedown.py",
+         "test_takedown_crash_mid_fanout_replays_to_same_state"),
+        ("pytest", "test_takedown.py",
+         "test_takedown_reaches_every_registered_index"),
+    ]),
     ("text-index-takedown", ("text_index_delete", "chunk_index_delete",
                              "phash_index_delete"), [
         ("pytest", "test_text_index_deletes.py",
