@@ -190,6 +190,13 @@ HEADLINE = [
     # pass would re-run the whole stream by construction.
     "text_hybrid_rrf_indexed",
     "streaming_ivfpq_append_parity",
+    # round 13: the production hybrid (BM25 tf-artifact serve fused with
+    # the real IVF-PQ refined serve) and the one-call multi-index
+    # takedown composition (steady = the four post-takedown serves —
+    # masked text knn, compacted hybrid fusion, tombstone-anti-joined
+    # ivf + ivfpq — over memoized builds)
+    "text_hybrid_rrf_ivfpq",
+    "takedown_all_indexes_parity",
 ]
 # Round 11 (VERDICT r10 #5, the r9 #8 growth policy now due at 100
 # entries): one-time builds are SPLIT out of the steady section.  Every
@@ -224,6 +231,8 @@ COLD_BUILDS = [
     "knn_ivfpq_refined",
     "knn_ivfpq_auto_refined",
     "knn_mmr_ivfpq",
+    "text_hybrid_rrf_ivfpq",        # shares the ivfpq + hybrid artifacts
+    "takedown_all_indexes_parity",  # 4 private index builds + the fan-out
 ]
 
 
@@ -383,10 +392,30 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Self-describing interference tag (round 13, VERDICT r12 #7): a run
+    # captured under co-tenant load should SAY so in its own JSON instead
+    # of needing forensic probe comparison afterwards (the r12 driver run
+    # was 1.23x median-inflated and read as a regression until adjudicated
+    # by hand).  Thresholds mirror the documented adjudication protocol:
+    # probe beyond ~1.3x the quiet reference, or a busy host at start.
+    band = (
+        "loaded"
+        if probe_sec > 1.3 * PROBE_REF_SEC
+        or (load_before is not None and load_before[0] > 2.0)
+        else "quiet"
+    )
+    if band == "loaded":
+        print(
+            f"WARNING: loaded-host run (probe {probe_sec:.3f}s vs ref "
+            f"{PROBE_REF_SEC}s, loadavg {load_before}) — timings are "
+            "interference-inflated; adjudicate per BASELINE.md protocol",
+            file=sys.stderr,
+        )
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "band": band,
         "probe_sec": probe_sec,
         "probe_ref_sec": PROBE_REF_SEC,
         "value_probe_normalized": round(total * PROBE_REF_SEC / probe_sec, 3),
@@ -420,6 +449,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "band": band,
                 "probe_sec": probe_sec,
                 "value_probe_normalized": full["value_probe_normalized"],
                 "cold_build_value": cold_build_value,

@@ -4,10 +4,10 @@
     python3 examples/takedown_lifecycle.py [sf_dir]
 
 A training-data pipeline receives document-removal requests constantly;
-this script drives the round-12 delete story end-to-end and checks the
-honesty condition at each step — a removed document must vanish from
-EVERY serving surface, and global statistics (BM25's df/N/avgdl, the
-postings df-damping) must shrink as if the document had never existed:
+this script drives the delete story end-to-end and checks the honesty
+condition at each step — a removed document must vanish from EVERY
+serving surface, and global statistics (BM25's df/N/avgdl, the postings
+df-damping) must shrink as if the document had never existed:
 
 1. persisted text index: tombstone log → serve masks → compaction drops
    the rows physically and clears the log, serve unchanged;
@@ -15,7 +15,12 @@ postings df-damping) must shrink as if the document had never existed:
    immutable tombstone parts, replay-safe) and the served ranking equals
    a one-shot rebuild over the remaining documents exactly;
 3. vector index: tombstone → serve excludes → compaction (quantizer
-   untouched, serving value-identical at any probe budget).
+   untouched, serving value-identical at any probe budget);
+4. (round 13) the ONE-CALL form a real GDPR event uses: a single id set
+   fanned across a registered catalog of maintained indexes by
+   ``operators.takedown.takedown`` — what steps 1-3 choreograph by hand
+   — followed by ``maintenance.vacuum_index`` measuring the masked-row
+   debt and compacting when the policy threshold trips.
 
 Run from the repo root (Spark python workers resolve the package via the
 driver's cwd).
@@ -105,6 +110,36 @@ def main() -> None:
     n = compact_ivf_index(spark, vix)
     print(f"[ann] tombstoned {sorted(gone)}, compacted to {n} live vectors "
           "(quantizer untouched — serving value-identical)")
+
+    # -- 4. the one-call fan-out + measured vacuum policy -------------------
+    from qradar_restapi_kafka_datapipeline_spark.operators.maintenance import (
+        vacuum_index,
+    )
+    from qradar_restapi_kafka_datapipeline_spark.operators.takedown import (
+        RegisteredIndex,
+        takedown,
+    )
+
+    ix2 = os.path.join(work, "text_index2")
+    vix2 = os.path.join(work, "ivf2")
+    T.build_text_index(spark, ix2, dim=4096)
+    build_ivf_index(spark, spark.table("embeddings"), vix2)
+    report = takedown(
+        spark,
+        docs.where("doc_id % 9 = 0").select("doc_id"),
+        [
+            RegisteredIndex("text", "text", ix2),
+            RegisteredIndex("ann", "ivf", vix2),
+        ],
+    )
+    print(f"[one-call] fanned one id set across {len(report)} indexes: "
+          f"{report}")
+    for name, kind, path in (("text", "text", ix2), ("ann", "ivf", vix2)):
+        out = vacuum_index(spark, path, kind, max_masked_fraction=0.05)
+        print(f"[vacuum:{name}] masked_fraction="
+              f"{out['masked_fraction']} -> {out['action']}")
+        assert out["action"] == "compacted"
+        assert out["after"]["masked_rows"] == 0
 
     print("TAKEDOWN LIFECYCLE OK")
     spark.stop()

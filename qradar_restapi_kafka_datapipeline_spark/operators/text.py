@@ -1725,10 +1725,14 @@ def append_to_hybrid_index(
     df-damping (stopword keep set, N) recomputes over the union, so the
     result is row-identical to :func:`build_hybrid_text_index` over the
     union corpus (pinned in pytest).  The posts rewrite is an aggregate
-    over the STORED vocabulary-grain relation, never a corpus
-    re-tokenize; it swaps in behind the same two-rename protocol as the
-    text-index compactions (heal-at-entry covers a prior mid-swap
-    kill).  ``dim`` must match the build's.
+    over the STORED btf relation, never a corpus re-tokenize — one
+    corpus-grain columnar scan whose measured cost stays ≤0.43× a full
+    rebuild at 1–64× corpus and 1–3× vocabulary (DESIGN.md round-13
+    append-cost curve; the incremental keep-set-delta design is recorded
+    there for when a future curve tips the ratio); it swaps in behind
+    the same two-rename protocol as the text-index compactions
+    (heal-at-entry covers a prior mid-swap kill).  ``dim`` must match
+    the build's.
 
     Replay safety (ADVICE r12 medium): the tf/btf appends are
     INDEPENDENTLY dedup'd — each new-doc relation anti-joins the already

@@ -187,8 +187,11 @@ AMPLIFIED_ENTRIES: dict[str, int | None] = {
     "chunk_index_delete_parity": 16,
     # round 12: streamed codes appends — the full artifact-replay
     # oracle (assign + encode + LUT + ADC + refine) over the amplified
-    # corpus must equal the two-tree streamed serve
-    "streaming_ivfpq_append_parity": None,
+    # corpus must equal the two-tree streamed serve.  16 = the
+    # one-statement replay's memory bound (same n×lists assign +
+    # n×m×ksub encode windows as knn_ivfpq_auto_refined); above it the
+    # sharded per-vector replay runs (round 13, VERDICT r12 #4)
+    "streaming_ivfpq_append_parity": 16,
     # round 12: the composed streamed-view navigator path vs the
     # raw-events oracle at volume (a lost/doubled epoch shifts a sum)
     "streaming_globalview_routed": None,
@@ -383,7 +386,7 @@ def _chunk_knn_sharded_oracle(
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def _ivfpq_auto_refined_sharded_oracle(
+def _ivfpq_sharded_oracle(
     con,
     shards: int = 16,
     dim: int = 64,
@@ -392,6 +395,7 @@ def _ivfpq_auto_refined_sharded_oracle(
     query_max: int = 3,
     k: int = 3,
     refine_k: int = 60,
+    emit_name: str = "ivfpq_auto",
 ):
     """Sharded DuckDB replay of ``knn_ivfpq_auto_refined`` (round 12,
     VERDICT r11 #6): the one-statement oracle's corpus stages — coarse
@@ -408,7 +412,14 @@ def _ivfpq_auto_refined_sharded_oracle(
     relations — the SAME shared rounded/tie-broken SQL the one-statement
     oracle uses, so the result is value-identical to it wherever both
     can run (pinned by the 16× row, which still uses the one-statement
-    form)."""
+    form).
+
+    ``emit_name`` (round 13, VERDICT r12 #4): the per-vector-independent
+    shape is artifact-agnostic, so the SAME sharded replay serves every
+    IVF-PQ-artifact entry — ``ivfpq_auto`` (the √n auto-geometry build)
+    and ``ivfpq_stream`` (the streamed-codes append entry, whose frozen
+    quantizer/codebooks make one-shot replay ≡ the two-tree streamed
+    serve by the per-row-function argument its docstring pins)."""
     import importlib
 
     eq = importlib.import_module(
@@ -422,9 +433,9 @@ def _ivfpq_auto_refined_sharded_oracle(
         pq_lut_sql,
     )
 
-    cent = f"{eq._emit_dir('ivfpq_auto')}/index/centroids"
-    cb = f"{eq._emit_dir('ivfpq_auto')}/index/codebooks"
-    stage = tempfile.mkdtemp(prefix="amp_ivfpq_auto_stage_")
+    cent = f"{eq._emit_dir(emit_name)}/index/centroids"
+    cb = f"{eq._emit_dir(emit_name)}/index/codebooks"
+    stage = tempfile.mkdtemp(prefix=f"amp_{emit_name}_stage_")
     try:
         for s in range(shards):
             shard_src = (
@@ -471,7 +482,10 @@ def _ivfpq_auto_refined_sharded_oracle(
 #: recompute instead of the capped SQL (and the cap no longer limits k).
 AMPLIFIED_ORACLE_FNS = {
     "text_chunk_knn": _chunk_knn_sharded_oracle,
-    "knn_ivfpq_auto_refined": _ivfpq_auto_refined_sharded_oracle,
+    "knn_ivfpq_auto_refined": _ivfpq_sharded_oracle,
+    "streaming_ivfpq_append_parity": (
+        lambda con: _ivfpq_sharded_oracle(con, emit_name="ivfpq_stream")
+    ),
 }
 
 
