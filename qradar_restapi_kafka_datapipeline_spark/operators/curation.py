@@ -654,18 +654,17 @@ def dsir_cnts_sql(dialect: str, dim: int = 1024, source: str = "documents") -> s
     scores against (nonnegative: the sign trick of the cosine postings
     would break the probability reading)."""
     from qradar_restapi_kafka_datapipeline_spark.operators.text import (
+        bigram_feats_sql,
         portable_hash60_sql,
-        token_positions_sql,
     )
 
-    tok = token_positions_sql(dialect, source)
-    h = portable_hash60_sql(dialect, "CONCAT(a.word, ' ', b.word)")
+    feats = bigram_feats_sql(dialect, source)
+    h = portable_hash60_sql(dialect, "feat")
     return f"""
-    WITH tok AS ({tok})
-    SELECT a.doc_id, {h} % {dim} AS bucket,
+    SELECT doc_id, {h} % {dim} AS bucket,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-    GROUP BY a.doc_id, {h} % {dim}
+    FROM ({feats}) f
+    GROUP BY doc_id, {h} % {dim}
     """
 
 

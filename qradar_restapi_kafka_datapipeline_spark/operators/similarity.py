@@ -729,6 +729,27 @@ def _merged_assignments(spark, path: str, probed: list[int],
     return rel
 
 
+#: bounded-serve collect budget (rows) for the probe relation: aligned with
+#: the refine shortlist's literal cap (the janino/SQL-literal posture) —
+#: far above any online serve batch, far below anything that could stress
+#: the driver.  Larger batches keep the fully distributed path.
+_SERVE_COLLECT_CAP = 4096
+
+
+def _serve_q_schema(schema, id_col: str, vec_col: str):
+    """Schema for the rebuilt local probe relation — id/vector types copied
+    from the source DataFrame so the collected values round-trip exactly."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("q_id", schema[id_col].dataType, True),
+            StructField("qv", schema[vec_col].dataType, True),
+            StructField("list_id", IntegerType(), True),
+        ]
+    )
+
+
 def knn_ivf_from_index(
     spark,
     path: str,
@@ -756,7 +777,25 @@ def knn_ivf_from_index(
     q = _assign(queries, cents, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"), "list_id"
     )
-    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    # r13 (guide §5): a serve batch is bounded (queries × nprobe rows), so
+    # land the WHOLE probe relation in ONE action instead of a list_id
+    # distinct-collect followed by the final plan re-executing the
+    # assignment expression inside the broadcast build — the probed-list
+    # predicate AND the broadcast side both come from the single collected
+    # result (12 → ~5 Spark jobs per serve measured at sf0.1; the values
+    # are the SAME Spark-computed assignments, no replica risk).  Batches
+    # beyond the bounded-serve cap keep the distributed path.
+    q_rows = q.limit(_SERVE_COLLECT_CAP + 1).collect()
+    if len(q_rows) <= _SERVE_COLLECT_CAP:
+        probed = sorted({r["list_id"] for r in q_rows})
+        q = spark.createDataFrame(
+            [(r["q_id"], r["qv"], r["list_id"]) for r in q_rows],
+            _serve_q_schema(queries.schema, id_col, vec_col),
+        )
+    else:
+        probed = sorted(
+            {r["list_id"] for r in q.select("list_id").distinct().collect()}
+        )
     corpus = _merged_assignments(spark, path, probed, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("nv"), "list_id"
     )
@@ -1799,8 +1838,17 @@ def knn_ivfpq_from_index(
     ).where(F.col("vec_id") < query_max).select(
         F.col("vec_id").alias("q_id"), "list_id"
     )
-    probed = sorted(
-        {r["list_id"] for r in probes.select("list_id").distinct().collect()}
+    # r13 (guide §5): the probe relation is bounded (query_max × nprobe id
+    # pairs) — collect it WHOLE in the one action that already existed (the
+    # old code collected just the distinct list_ids, then the final plan
+    # re-executed the centroids-scan assignment SQL inside the broadcast
+    # build) and serve the literal rows back.  Same Spark-computed values,
+    # one less execution of the assignment subplan per serve.
+    probe_rows = probes.collect()
+    probed = sorted({r["list_id"] for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(int(r["q_id"]), int(r["list_id"])) for r in probe_rows],
+        "q_id BIGINT, list_id INT",
     )
     codes = _merged_codes(spark, path, probed)
     tomb = f"{path}/tombstones"
@@ -2146,55 +2194,63 @@ def _mmr_greedy(
     k=5 in the plan audit, pure compile overhead over 20-row inputs.  Each
     step here is one small query against the two checkpointed pool
     relations with literal IN-lists; the plan stays linear in k."""
-    pool = pool.localCheckpoint(eager=True)
-    pv = pool.join(
-        emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")), "n_id"
-    )
-    a = pv.select(F.col("n_id").alias("id_a"), F.col("v").alias("va"))
-    b = pv.select(F.col("n_id").alias("id_b"), F.col("v").alias("vb"))
-    pair = (
-        a.join(b, F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_expr("va", "vb") + F.lit(1e-9), 6).alias("s"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    first = pool.orderBy(F.col("cos").desc(), F.col("n_id").asc()).first()
-    if first is None:
+    # r13 (guide §5): the pool is a bounded relation (pool_k rows) and the
+    # pairwise sims are pool_k² — both plan constants, the refine-shortlist
+    # posture.  The round-12 form checkpointed them and drove the greedy
+    # with per-step Spark queries: ~2 + 2·(k−1) tiny jobs of pure scheduling
+    # overhead over ≤ 20-row inputs (37 jobs total for knn_mmr_ivfpq at
+    # sf0.1).  Land pool and pair driver-side in ONE action each — the
+    # similarity values stay Spark-computed and 6dp-rounded — and run the
+    # greedy in plain Python.  The per-step score replicates SQL ROUND
+    # half-away-from-zero via the repo's fuzzer-proven floor(|x|·10^d + 0.5)
+    # form (CLAUDE.md r10) on the same IEEE-double expression the old Spark
+    # column computed; the +1e-9 pre-nudge keeps reachable exact halves off
+    # the boundary in both engines.
+    import math
+
+    pool_rows = [(r["n_id"], r["cos"]) for r in pool.collect()]
+    if not pool_rows:
         # empty pool (tiny corpus / sparse probes): degrade to 0 picks, the
         # union-chain variant's behavior — never crash the greedy
         return pool.sparkSession.createDataFrame(
             [], "rk INT, n_id BIGINT, cos DOUBLE"
         )
-    picked = [(1, first["n_id"], first["cos"])]
+    ids = [int(i) for i, _ in pool_rows]
+    pv = emb.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")
+    )
+    a = pv.select(F.col("n_id").alias("id_a"), F.col("v").alias("va"))
+    b = pv.select(F.col("n_id").alias("id_b"), F.col("v").alias("vb"))
+    sim: dict[tuple[int, int], float] = {
+        (r["id_a"], r["id_b"]): r["s"]
+        for r in a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr("va", "vb") + F.lit(1e-9), 6).alias("s"),
+        )
+        .collect()
+    }
+    cos = dict(pool_rows)
+    first_id = min(cos, key=lambda i: (-cos[i], i))
+    picked = [(1, first_id, cos[first_id])]
+    sel = [first_id]
     for step in range(2, k + 1):
-        sel_ids = [p[1] for p in picked]
-        maxs = (
-            pair.where(F.col("id_b").isin(sel_ids))
-            .groupBy("id_a")
-            .agg(F.max("s").alias("__ms"))
-        )
-        row = (
-            pool.where(~F.col("n_id").isin(sel_ids))
-            .join(maxs, F.col("n_id") == F.col("id_a"))
-            .withColumn(
-                "__score",
-                F.round(
-                    F.lit(lam) * F.col("cos")
-                    - F.lit(lam_comp) * F.col("__ms")
-                    + F.lit(1e-9),
-                    6,
-                ),
-            )
-            .orderBy(F.col("__score").desc(), F.col("n_id").asc())
-            .first()
-        )
-        if row is None:
+        best = None
+        for i in cos:
+            if i in sel:
+                continue
+            ms = max(sim[(i, j)] for j in sel)
+            x = lam * cos[i] - lam_comp * ms + 1e-9
+            score = math.floor(abs(x) * 1e6 + 0.5) / 1e6
+            score = score if x >= 0 else -score
+            if best is None or (-score, i) < (-best[0], best[1]):
+                best = (score, i)
+        if best is None:
             # pool exhausted before k picks: return what we have
             break
-        picked.append((step, row["n_id"], row["cos"]))
+        picked.append((step, best[1], cos[best[1]]))
+        sel.append(best[1])
     return pool.sparkSession.createDataFrame(
         picked, "rk INT, n_id BIGINT, cos DOUBLE"
     )

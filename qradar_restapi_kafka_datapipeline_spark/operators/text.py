@@ -686,6 +686,49 @@ def ccnet_buckets_sql(dialect: str, source: str = "documents") -> str:
 # value-checkable cross-engine, including the approximate path.
 # ---------------------------------------------------------------------------
 
+def bigram_feats_sql(dialect: str, source: str = "documents") -> str:
+    """``(doc_id, feat)`` — one row per adjacent-word bigram occurrence,
+    via ONE windowed pass (LEAD over the shared tokenizer).  Positions are
+    consecutive per doc by construction (posexplode / generate_series), so
+    ``LEAD(word)`` is row-for-row identical to the former
+    ``b.pos = a.pos + 1`` self-join — with ONE tokenize and ONE exchange
+    instead of two of each (r13, guide §2.4: the join shuffled the token
+    relation twice on (doc_id, pos±1) and, as a CTE, re-executed the
+    tokenize on both sides).  The ``nw IS NOT NULL`` filter runs BEFORE the
+    CONCAT projection: Spark's CONCAT is NULL-propagating while DuckDB's
+    skips NULLs, so concatenating first would diverge on each doc's last
+    token."""
+    tok = token_positions_sql(dialect, source)
+    return f"""
+    SELECT doc_id, CONCAT(word, ' ', nw) AS feat
+    FROM (SELECT doc_id, word, LEAD(word) OVER (
+            PARTITION BY doc_id ORDER BY pos) AS nw FROM ({tok}) t) x
+    WHERE nw IS NOT NULL
+    """
+
+
+def ndocs_ge2_tokens_sql(
+    dialect: str, source: str = "documents", text_col: str = "text"
+) -> str:
+    """Scalar ``(n)`` — documents with >= 2 whitespace tokens, computed on
+    the SOURCE scan (no explode, no shuffle).  A doc appears in the bigram
+    tf relation iff it has >= 1 bigram iff it has >= 2 tokens, so this
+    equals ``COUNT(DISTINCT doc_id) FROM tf`` exactly — but replaces a full
+    re-execution of the tokenize→bigram→group pipeline (Spark re-runs a CTE
+    per reference) with one narrow source scan (r13, guide §2.4/§5)."""
+    if dialect == "spark":
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {source} "
+            f"WHERE size(split(trim({text_col}), '\\\\s+')) >= 2"
+        )
+    if dialect == "duckdb":
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {source} "
+            f"WHERE len(regexp_split_to_array(trim({text_col}), '\\s+')) >= 2"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
 def bigram_tf_sql(dialect: str, source: str = "documents") -> str:
     """``(doc_id, feat, c)`` — the per-doc bigram term-frequency relation
     the hashed-postings builder aggregates first.  Factored out (round 8)
@@ -693,14 +736,14 @@ def bigram_tf_sql(dialect: str, source: str = "documents") -> str:
     incremental embedding index (:func:`chunk_index_streaming` lands it
     as per-epoch parts; every global statistic downstream — df, N — is
     an aggregate OVER it, so postings from merged parts are
-    value-identical to a one-shot build)."""
-    tok = token_positions_sql(dialect, source)
+    value-identical to a one-shot build).  Bigrams come from
+    :func:`bigram_feats_sql` (windowed LEAD) since r13 — value-identical
+    to the former positional self-join, half the shuffles."""
+    feats = bigram_feats_sql(dialect, source)
     return f"""
-    SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat,
-           CAST(COUNT(*) AS BIGINT) AS c
-    FROM ({tok}) a JOIN ({tok}) b
-      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-    GROUP BY a.doc_id, CONCAT(a.word, ' ', b.word)
+    SELECT doc_id, feat, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ({feats}) f
+    GROUP BY doc_id, feat
     """
 
 
@@ -748,14 +791,9 @@ def hashed_embedding_postings_sql(
             f"FROM {tf_rel} tfr),"
         )
     else:
-        tok = token_positions_sql(dialect, source)
-        head = f"""WITH tok AS {mat}({tok}),
-    feats AS (
-      SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
-      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-    ),
-    tf AS {mat}(SELECT doc_id, feat, COUNT(*) AS c
-                FROM feats GROUP BY doc_id, feat),"""
+        feats = bigram_feats_sql(dialect, source)
+        head = f"""WITH tf AS {mat}(SELECT doc_id, feat, COUNT(*) AS c
+                FROM ({feats}) f GROUP BY doc_id, feat),"""
     # Features are word BIGRAMS, not unigrams: unigram bag-of-words
     # degenerates on small shared vocabularies (every pair looks similar —
     # measured 83% of random pairs ≥ 0.5 on the synthetic corpus), while
@@ -767,12 +805,27 @@ def hashed_embedding_postings_sql(
     # (sublinear weighting, LEAST is exact).
     if keep_rel is not None:
         keep_ctes = f"keep AS (SELECT feat FROM {keep_rel} kr),"
+        hashed_src = f"""SELECT doc_id, {h} AS h, c FROM tf
+      WHERE feat IN (SELECT feat FROM keep)"""
     else:
-        keep_ctes = """ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
-    keep AS (
-      SELECT feat FROM tf GROUP BY feat
-      HAVING COUNT(DISTINCT doc_id) * 2 <= (SELECT n FROM ndocs)
-    ),"""
+        # r13 (guide §2.4/§3): df per feat as a COUNT(*) window over the
+        # (doc, feat)-unique tf — identical to the former GROUP BY feat +
+        # COUNT(DISTINCT doc_id) + semi-join, but one exchange+sort instead
+        # of two exchanges and a big-big SortMergeJoin, and it references
+        # tf ONCE (Spark re-executes a CTE per reference, so the old keep
+        # subquery re-ran the whole tokenize pipeline).  ndocs comes from
+        # the source scan when the pipeline tokenizes inline (provably
+        # equal: a doc is in tf iff it has >= 2 tokens), and stays a scalar
+        # over the cheap maintained relation in the tf_rel path (the parts
+        # may cover a different doc set than any source table).
+        if tf_rel is not None:
+            keep_ctes = "ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),"
+        else:
+            keep_ctes = f"ndocs AS ({ndocs_ge2_tokens_sql(dialect, source)}),"
+        hashed_src = f"""SELECT doc_id, {h} AS h, c FROM (
+        SELECT doc_id, feat, c,
+               COUNT(*) OVER (PARTITION BY feat) AS df FROM tf) fd
+      WHERE df * 2 <= (SELECT n FROM ndocs)"""
     return f"""
     {head}
     {keep_ctes}
@@ -780,8 +833,7 @@ def hashed_embedding_postings_sql(
       -- hash hoisted ONCE per (doc, feat): md5 dominates the postings
       -- build, and Catalyst does not guarantee CSE between a GROUP BY key
       -- and an aggregate input (the simhash builder's precedent)
-      SELECT doc_id, {h} AS h, c FROM tf
-      WHERE feat IN (SELECT feat FROM keep)
+      {hashed_src}
     ),
     post AS (
       SELECT doc_id, CAST((h {div} 2) % {dim} AS BIGINT) AS bucket,
@@ -1116,18 +1168,15 @@ def build_text_index(
     spark.read.parquet(f"{path}/postings").groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     ).write.mode("overwrite").parquet(f"{path}/norms")
-    tok = token_positions_sql("spark", src)
+    feats = bigram_feats_sql("spark", src)
     spark.sql(
         f"""
-        WITH tok AS ({tok}),
-        feats AS (
-          SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
-          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        ),
-        tf AS (SELECT doc_id, feat FROM feats GROUP BY doc_id, feat),
-        ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf)
-        SELECT feat FROM tf GROUP BY feat
-        HAVING COUNT(DISTINCT doc_id) * 2 > (SELECT n FROM ndocs)
+        WITH tf AS (SELECT doc_id, feat FROM ({feats}) f
+                    GROUP BY doc_id, feat),
+        ndocs AS ({ndocs_ge2_tokens_sql("spark", src)})
+        SELECT DISTINCT feat FROM (
+          SELECT feat, COUNT(*) OVER (PARTITION BY feat) AS df FROM tf) x
+        WHERE df * 2 > (SELECT n FROM ndocs)
         """
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stoplist")
 
@@ -1256,16 +1305,12 @@ def append_to_text_index(
     stop_view = unique_view(
         spark.read.parquet(f"{path}/stoplist"), "__bta_stoplist"
     )
-    tok = token_positions_sql("spark", src)
+    feats = bigram_feats_sql("spark", src)
     h = portable_hash60_sql("spark", "feat")
     posts = spark.sql(
         f"""
-        WITH tok AS ({tok}),
-        feats AS (
-          SELECT a.doc_id, CONCAT(a.word, ' ', b.word) AS feat
-          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        ),
-        tf AS (SELECT doc_id, feat, COUNT(*) AS c FROM feats GROUP BY doc_id, feat),
+        WITH tf AS (SELECT doc_id, feat, COUNT(*) AS c FROM ({feats}) f
+                    GROUP BY doc_id, feat),
         hashed AS (
           SELECT doc_id, {h} AS h, c FROM tf
           WHERE feat NOT IN (SELECT feat FROM {stop_view})

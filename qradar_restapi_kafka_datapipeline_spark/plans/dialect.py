@@ -44,9 +44,32 @@ for _i, (_d, _c, _n) in enumerate(DEFAULT_NETWORKS):
         DEFAULT_NETWORKS[_i] = (1, "10.64.0.0/10", "net_dmz_d1")
 
 
+#: qevents ships precomputed int64 twins of its dotted-quad IP columns — the
+#: STRING forms are DERIVED from these longs (sources/qevents.py `_IP_STR`
+#: renders the 4 base-256 digits of a value < 2^32, and ip2long recombines
+#: exactly those digits), so reading the long directly is value-identical,
+#: row for row, in BOTH engines (the oracle's qevents carries the same
+#: columns from the same template).  r13, guide §4/§2.1: every INCIDR /
+#: FULLNETWORKNAME call was re-splitting the same string 4× per probe — the
+#: flagship AQL filter carried ~50 split-recombine chains per row, pushing
+#: the predicate past the codegen budget into interpreted evaluation.
+IPLONG_TWINS = {
+    "sourceip": "sourceIPlong",
+    "destinationip": "destinationIPlong",
+}
+
+
 def ip2long_expr(col: str) -> str:
     """Dotted-quad → int64. Valid in Spark SQL and DuckDB (split_part is 1-based
-    in both)."""
+    in both).  Columns with a precomputed long twin (:data:`IPLONG_TWINS`)
+    emit the twin column instead of the split-recombine chain."""
+    # AQL is case-insensitive on identifiers (the corpus writes `SourceIP`);
+    # the lookup matches accordingly and emits the canonical column name,
+    # which both engines resolve (Spark via the translator's identifier-case
+    # normalization pass, DuckDB natively).
+    twin = IPLONG_TWINS.get(col.strip().lower())
+    if twin is not None:
+        return twin
     p = [f"CAST(split_part({col}, '.', {i}) AS BIGINT)" for i in (1, 2, 3, 4)]
     return f"({p[0]}*16777216 + {p[1]}*65536 + {p[2]}*256 + {p[3]})"
 
