@@ -269,6 +269,18 @@ _DEFAULT_CONF: dict[str, str] = {
     # µs-precision files (the registry branches on the type it actually sees).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # r13 (guide §6/§7.3): the maintained index trees sit above Spark's
+    # default 32-path distributed-listing threshold (postings bucket_group=64,
+    # IVF/IVF-PQ list_id dirs after appends), so EVERY reader open paid a
+    # 64-task listing job before a single row was read (measured: open =
+    # 2 jobs → 1 at threshold 128).  Driver-side listing of ≤ a few hundred
+    # directories is cheaper everywhere — the §7.3 pathology is millions of
+    # files, not hundreds of dirs; trees beyond the threshold (real 100 TB
+    # layouts) still take the distributed listing.  Env-parameterized like
+    # the other scale knobs.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_PART_DISCOVERY_THRESHOLD", "128"
+    ),
     "spark.ui.enabled": "false",
 }
 

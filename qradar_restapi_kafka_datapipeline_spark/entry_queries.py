@@ -153,6 +153,15 @@ def setup(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.caseSensitive", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # r13: avoid a 64-task distributed-listing job per index-tree open
+        # (engine._DEFAULT_CONF has the measured rationale); runtime-settable,
+        # so the driver's vanilla session gets it too.
+        import os as _os
+
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            _os.environ.get("SPARK_GRAFT_PART_DISCOVERY_THRESHOLD", "128"),
+        )
         load_tables(spark, sf_dir)
         if events_partitions:
             spark.table("events").repartition(

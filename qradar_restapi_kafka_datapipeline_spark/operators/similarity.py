@@ -770,8 +770,13 @@ def knn_ivf_from_index(
     ``test_ivf_index_scan_prunes_to_probed_lists``.  Exact cosine re-rank
     over the candidates, identical to :func:`knn_ivf`.
     """
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    # r13 (guide §5): sort the bounded centroid rows driver-side — the
+    # DataFrame orderBy ran a range-partition sampling pass plus a sort
+    # stage (4 jobs measured vs 2 for the plain collect) on a relation of
+    # at most nlist rows.
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
     )
     cents = [list(r["cv"]) for r in cent_rows]
     q = _assign(queries, cents, nprobe, id_col, vec_col).select(
@@ -820,7 +825,12 @@ def append_to_ivf_index(
     the recall contract (measure with :func:`knn_ivf_recall_report` against
     the index's brute-force truth).
     """
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    # r13: driver-side sort of the bounded centroid rows (see
+    # knn_ivf_from_index — the orderBy cost a sampling pass + sort stage)
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
     cents = [list(r["cv"]) for r in cent_rows]
     _assign(new_emb, cents, 1, id_col, vec_col).write.mode("append").partitionBy(
         "list_id"
@@ -864,7 +874,12 @@ def ivf_append_streaming(
         _write_split,
     )
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    # r13: driver-side sort of the bounded centroid rows (see
+    # knn_ivf_from_index — the orderBy cost a sampling pass + sort stage)
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
     cents = [list(r["cv"]) for r in cent_rows]
     base = scratch_dir("ivf_stream_")
     landing = os.path.join(base, "landing")

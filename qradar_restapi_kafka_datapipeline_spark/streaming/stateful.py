@@ -496,8 +496,8 @@ def first_seen_streaming(spark, sf_dir: str) -> DataFrame:
     events = spark.table("events").select("event_id", "ts", "user_id", "event_type")
     # driver-side collect is bounded by the DAY count (retention horizons are
     # hundreds to thousands of rows), same bound class as compact_rollup
-    days = [r["d"] for r in events.select(
-        F.to_date("ts").alias("d")).distinct().orderBy("d").collect()]
+    days = sorted(r["d"] for r in events.select(
+        F.to_date("ts").alias("d")).distinct().collect())
 
     base = scratch_dir("first_seen_stream_")
     src = os.path.join(base, "landing")

@@ -296,3 +296,75 @@ class TestBoundedServeEquivalence:
             want.append((step, i, cos[i]))
             sel.append(i)
         assert got == want
+
+
+class TestTopmMaterializedEquivalence:
+    """r13 wave 3b: the standalone capped top-m prefix relation
+    (semantic_topm_sql) composed back via topm_rel must reproduce the
+    inline statement's pair set exactly — DuckDB carries the pin (the
+    builders emit both dialects from one template)."""
+
+    def _check(self, con):
+        con.execute(
+            "CREATE TABLE p AS "
+            + T.hashed_embedding_postings_sql("duckdb", 256)
+        )
+        con.execute(
+            "CREATE TABLE tm AS " + T.semantic_topm_sql("duckdb", 4, "auto", "p")
+        )
+        inline = T.hashed_semantic_pairs_sql(
+            "duckdb", 256, 0.5, prefix_m=4, max_bucket_docs="auto"
+        )
+        composed = T.hashed_semantic_pairs_sql(
+            "duckdb", 256, 0.5, prefix_m=4, posts_rel="p",
+            max_bucket_docs="auto", topm_rel="tm",
+        )
+        d = con.execute(
+            f"SELECT (SELECT COUNT(*) FROM (({inline}) EXCEPT ({composed}))),"
+            f" (SELECT COUNT(*) FROM (({composed}) EXCEPT ({inline})))"
+        ).fetchone()
+        assert d == (0, 0)
+
+    def test_edge_corpus(self):
+        con = _edge_con()
+        self._check(con)
+        con.close()
+
+    def test_testdata_corpus(self):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        self._check(con)
+        con.close()
+
+    def test_explicit_cap_and_uncapped(self):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        con.execute(
+            "CREATE TABLE p AS "
+            + T.hashed_embedding_postings_sql("duckdb", 256)
+        )
+        for cap in (8, None):
+            con.execute("DROP TABLE IF EXISTS tm")
+            con.execute(
+                "CREATE TABLE tm AS "
+                + T.semantic_topm_sql("duckdb", 4, cap, "p")
+            )
+            inline = T.hashed_semantic_pairs_sql(
+                "duckdb", 256, 0.5, prefix_m=4, max_bucket_docs=cap
+            )
+            composed = T.hashed_semantic_pairs_sql(
+                "duckdb", 256, 0.5, prefix_m=4, posts_rel="p",
+                max_bucket_docs=cap, topm_rel="tm",
+            )
+            d = con.execute(
+                f"SELECT (SELECT COUNT(*) FROM (({inline}) EXCEPT ({composed}))),"
+                f" (SELECT COUNT(*) FROM (({composed}) EXCEPT ({inline})))"
+            ).fetchone()
+            assert d == (0, 0), cap
+        con.close()
