@@ -441,8 +441,8 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    # Short summary LAST: any tail-capture, however aggressive, keeps the
-    # headline steady value + the load context needed to adjudicate it.
+    # Short summary second-to-last: a tail-capture that clips the final
+    # line still keeps the headline steady value + load context.
     print(
         json.dumps(
             {
@@ -458,9 +458,34 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": full["loadavg_after"],
                 "sf": sf_val,
-                "note": "summary of the full line above; per-query timings "
-                "there and in bench_full.json",
+                "note": "summary; per-query timings in the final line below "
+                "and in bench_full.json",
             }
+        )
+    )
+    # Contract line LAST (round 14, VERDICT r13 #2): the driver parses the
+    # FINAL one-line JSON and needs the per-query dict there to build its
+    # per-query speedup table and scaling map (PERF r12/r13 both had
+    # n_common: 0 because the old final line was a summary without
+    # ``queries``).  Compact separators keep the line small; the timings
+    # are the identical steady min-of-2 values as the full line above —
+    # same methodology, nothing re-measured.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "band": band,
+                "probe_sec": probe_sec,
+                "value_probe_normalized": full["value_probe_normalized"],
+                "cold_build_value": cold_build_value,
+                "cold_value": full["cold_value"],
+                "n_queries": len(timings),
+                "queries": timings,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 
