@@ -36,6 +36,34 @@ _MAT_GENERATIONS: dict[str, list[str]] = {}
 _MAT_RETAIN = 2
 
 
+#: (session id, path) → parquet schema of a maintained-index artifact
+#: (round 14, VERDICT r13 #6 / guide §5-§6): every ``spark.read.parquet``
+#: of an index artifact pays a 1-task footer job for schema inference, so
+#: a composed serve touching four indexes paid a dozen footer jobs per
+#: invocation.  The memo holds METADATA only (the StructType the artifact's
+#: own writer produced — artifact schemas are fixed shapes in this
+#: codebase); the data itself is re-read from parquet on every execution,
+#: so no result ever crosses invocations.
+_ARTIFACT_SCHEMAS: dict[tuple[int, str], object] = {}
+
+
+def read_artifact(spark, path: str, base_path: str | None = None):
+    """Open a maintained-index parquet artifact, memoizing its schema per
+    (session, path): the first open infers from footers (the unavoidable
+    1-task job), subsequent opens supply the schema explicitly and skip
+    it.  ``base_path`` preserves partition columns for partitioned trees."""
+    key = (id(spark), base_path or path)
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    schema = _ARTIFACT_SCHEMAS.get(key)
+    if schema is not None:
+        return reader.schema(schema).parquet(path)
+    df = reader.parquet(path)
+    _ARTIFACT_SCHEMAS[key] = df.schema
+    return df
+
+
 def unique_view(df, key: str) -> str:
     """Register ``df`` as a temp view under a fresh per-invocation name."""
     name = f"{key}_{next(_VIEW_SEQ)}"

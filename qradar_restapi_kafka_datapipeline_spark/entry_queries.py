@@ -3903,6 +3903,8 @@ def _north_star_entries(q: dict[str, Q]) -> None:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
         setup(spark, sf)
         key = (id(spark), sf)
         if key not in _TAKEDOWN_MEMO:
@@ -3920,16 +3922,27 @@ def _north_star_entries(q: dict[str, Q]) -> None:
             # the ones the sequential code produced.  The takedown
             # fan-out itself stays SEQUENTIAL — its crash-after-Nth-index
             # replay contract (pytest-pinned) is ordering-based.
+            # ADVICE r13: inheritable_thread_target — under pinned-thread
+            # mode (default since 3.2) plain pool threads leak py4j/JVM
+            # threads on exit and do NOT inherit thread-local properties
+            # (job group / description), which also undercounted pool-
+            # submitted jobs in the r13 profiles.  The wrapper captures the
+            # submitting thread's JVM thread-locals and cleans the JVM
+            # thread up when the Python thread exits.
             with ThreadPoolExecutor(max_workers=4) as pool:
                 for f in [
-                    pool.submit(T.build_text_index, spark,
-                                f"{base}/text", dim=4096),
-                    pool.submit(T.build_hybrid_text_index, spark,
-                                f"{base}/hybrid"),
-                    pool.submit(S.build_ivf_index, spark, emb,
-                                f"{base}/ivf"),
-                    pool.submit(S.build_ivfpq_index, spark, emb,
-                                f"{base}/ivfpq"),
+                    pool.submit(
+                        inheritable_thread_target(T.build_text_index),
+                        spark, f"{base}/text", dim=4096),
+                    pool.submit(
+                        inheritable_thread_target(T.build_hybrid_text_index),
+                        spark, f"{base}/hybrid"),
+                    pool.submit(
+                        inheritable_thread_target(S.build_ivf_index),
+                        spark, emb, f"{base}/ivf"),
+                    pool.submit(
+                        inheritable_thread_target(S.build_ivfpq_index),
+                        spark, emb, f"{base}/ivfpq"),
                 ]:
                     f.result()
             TD.takedown(
@@ -3982,8 +3995,10 @@ def _north_star_entries(q: dict[str, Q]) -> None:
         with ThreadPoolExecutor(max_workers=4) as pool:
             txt, hyb, ivf, pq = (
                 f.result()
-                for f in [pool.submit(s) for s in (
-                    _txt_serve, _hyb_serve, _ivf_serve, _pq_serve)]
+                for f in [
+                    pool.submit(inheritable_thread_target(s))
+                    for s in (_txt_serve, _hyb_serve, _ivf_serve, _pq_serve)
+                ]
             )
         fam = lambda df, name, k1, k2, v: df.select(  # noqa: E731
             F.lit(name).alias("family"),

@@ -443,6 +443,66 @@ def _verify_jaccard(
 # duplicate clusters — connected components over the verified pair graph
 # ---------------------------------------------------------------------------
 
+#: bounded-graph collect budget (edges) for the driver union-find fast path
+#: (round 14, guide §5): the verified pair relation is the near-dup SUBSET of
+#: the corpus — tiny relative to the table it dedups — so up to this many
+#: edges the components land driver-side in ONE action instead of one
+#: aggregate action PER propagation round (19 jobs measured at sf0.1 for the
+#: representatives entry).  Sized like the serve-collect caps: far above any
+#: gate corpus (hundreds of edges), far below driver-memory risk (an edge is
+#: two ids).  Larger graphs keep the distributed propagation loop below.
+_CLUSTER_COLLECT_CAP = 65536
+
+
+def _numeric_or_string(dtype) -> bool:
+    from pyspark.sql.types import NumericType, StringType
+
+    return isinstance(dtype, (NumericType, StringType))
+
+
+def _dup_clusters_driver(spark, rows, id_type) -> DataFrame:
+    """Union-find over the collected edge list; returns the identical
+    ``(doc_id, cluster_id)`` relation min-label propagation converges to.
+    Path-compressed find + union-by-attachment to the smaller label keeps
+    it O(E·α); cluster_id is the MIN member per component — for numeric ids
+    Python ``min`` is SQL ``MIN``, and for ASCII string ids Python's
+    code-point order equals Spark's binary UTF-8 order (non-ASCII ids take
+    the distributed path via :func:`_numeric_or_string` gating by the
+    caller)."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach the larger root under the smaller: the component root
+            # IS the min member at all times, no second pass needed
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out_rows = [(n, find(n)) for n in parent]
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("cluster_id", id_type, True),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -457,7 +517,17 @@ def dup_clusters(
     two independent decisions; the component view removes ``size-1`` docs per
     cluster exactly once.
 
-    Implementation is min-label propagation: each round joins labels across
+    Bounded graphs (≤ :data:`_CLUSTER_COLLECT_CAP` edges — the verified
+    near-dup pair set is tiny relative to the corpus) take the round-14
+    driver fast path (guide §5): ONE collect of the edge list, union-find in
+    plain Python, literal ``(doc_id, cluster_id)`` relation back — replacing
+    one aggregate action per propagation round with a single action, the
+    same bounded-constant posture as the MMR greedy and the IVF serve
+    collects.  The cap probe is ``limit(cap+1).collect()``: at most one
+    extra row is pulled, and an over-cap graph falls through to the
+    distributed loop untouched.
+
+    Distributed path: min-label propagation — each round joins labels across
     edges and keeps the per-node minimum, converging in O(component diameter)
     rounds — near-dup clusters are shallow (chains longer than a few hops are
     rare), so 3-4 rounds typical.  Each round is one equi-join + one groupBy,
@@ -477,6 +547,15 @@ def dup_clusters(
     from pyspark.sql.types import NumericType
 
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    id_type = e.schema["u"].dataType
+    if _numeric_or_string(id_type):
+        probe = e.limit(_CLUSTER_COLLECT_CAP + 1).collect()
+        if len(probe) <= _CLUSTER_COLLECT_CAP and not any(
+            r["u"] is None or r["v"] is None for r in probe
+        ):
+            return _dup_clusters_driver(
+                pairs.sparkSession, [(r["u"], r["v"]) for r in probe], id_type
+            )
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     labels = (
         edges.select(F.col("u").alias("node"))

@@ -701,9 +701,12 @@ def _merged_assignments(spark, path: str, probed: list[int],
     Both trees are list_id-partitioned, so the probed-lists predicate
     file-prunes each independently — the streamed log costs a query
     nothing beyond its own probed files."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import read_artifact
+
     rel = (
-        spark.read.option("basePath", f"{path}/assignments")
-        .parquet(f"{path}/assignments")
+        read_artifact(
+            spark, f"{path}/assignments", base_path=f"{path}/assignments"
+        )
         .where(F.col("list_id").isin(probed))
         .select(id_col, vec_col, "list_id")
     )
@@ -712,8 +715,7 @@ def _merged_assignments(spark, path: str, probed: list[int],
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath(stream)):
         rel = rel.unionByName(
-            spark.read.option("basePath", stream)
-            .parquet(stream)
+            read_artifact(spark, stream, base_path=stream)
             .where(F.col("list_id").isin(probed))
             .select(id_col, vec_col, "list_id")
         )
@@ -723,7 +725,7 @@ def _merged_assignments(spark, path: str, probed: list[int],
         # between rebuilds (a rebuild compacts it away), so the probe scan
         # stays file-pruned and the filter is map-side.
         dels = F.broadcast(
-            spark.read.parquet(tomb).select(id_col).distinct()
+            read_artifact(spark, tomb).select(id_col).distinct()
         )
         rel = rel.join(dels, id_col, "left_anti")
     return rel
@@ -770,12 +772,15 @@ def knn_ivf_from_index(
     ``test_ivf_index_scan_prunes_to_probed_lists``.  Exact cosine re-rank
     over the candidates, identical to :func:`knn_ivf`.
     """
+    from qradar_restapi_kafka_datapipeline_spark.engine import read_artifact
+
     # r13 (guide §5): sort the bounded centroid rows driver-side — the
     # DataFrame orderBy ran a range-partition sampling pass plus a sort
     # stage (4 jobs measured vs 2 for the plain collect) on a relation of
-    # at most nlist rows.
+    # at most nlist rows.  r14: schema supplied from the per-process memo
+    # (engine.read_artifact) so steady serves skip the footer job.
     cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
+        read_artifact(spark, f"{path}/centroids").collect(),
         key=lambda r: r["cid"],
     )
     cents = [list(r["cv"]) for r in cent_rows]
@@ -1794,9 +1799,10 @@ def _merged_codes(spark, path: str, probed: list[int]) -> DataFrame:
     — the compressed-index twin of :func:`_merged_assignments`.  Both
     trees are list_id-partitioned, so the probed-lists predicate
     file-prunes each independently."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import read_artifact
+
     rel = (
-        spark.read.option("basePath", f"{path}/codes")
-        .parquet(f"{path}/codes")
+        read_artifact(spark, f"{path}/codes", base_path=f"{path}/codes")
         .where(F.col("list_id").isin(probed))
         .select("vec_id", "mi", "j", "list_id")
     )
@@ -1805,8 +1811,7 @@ def _merged_codes(spark, path: str, probed: list[int]) -> DataFrame:
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath(stream)):
         rel = rel.unionByName(
-            spark.read.option("basePath", stream)
-            .parquet(stream)
+            read_artifact(spark, stream, base_path=stream)
             .where(F.col("list_id").isin(probed))
             .select("vec_id", "mi", "j", "list_id")
         )
@@ -1874,19 +1879,30 @@ def knn_ivfpq_from_index(
         # (delete_from_ivf_index): broadcast anti-join on the code scan,
         # so deleted vectors can neither rank nor enter a refine
         # shortlist; a rebuild compacts the log away.
+        from qradar_restapi_kafka_datapipeline_spark.engine import (
+            read_artifact,
+        )
+
         codes = codes.join(
             F.broadcast(
-                spark.read.parquet(tomb).select("vec_id").distinct()
+                read_artifact(spark, tomb).select("vec_id").distinct()
             ),
             "vec_id", "left_anti",
         )
-    codes.createOrReplaceTempView("__ivfpq_codes")
-    F.broadcast(probes).createOrReplaceTempView("__ivfpq_probes")
+    # ADVICE r13: per-invocation view names (engine.unique_view) — fixed
+    # global names were safe only while this was the sole view-registering
+    # serve in the takedown pool; unique names make it reentrant under any
+    # caller threading (two concurrent ivfpq serves can no longer clobber
+    # each other between registration and spark.sql analysis).
+    from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
+
+    codes_view = unique_view(codes, "__ivfpq_codes")
+    probes_view = unique_view(F.broadcast(probes), "__ivfpq_probes")
     lut = pq_lut_sql("spark", f"{path}/codebooks", m, dim // m, query_max,
                      source_view)
     if refine_k is not None:
-        codes_rel = "SELECT vec_id, mi, j, list_id FROM __ivfpq_codes"
-        probes_rel = "SELECT q_id, list_id FROM __ivfpq_probes"
+        codes_rel = f"SELECT vec_id, mi, j, list_id FROM {codes_view}"
+        probes_rel = f"SELECT q_id, list_id FROM {probes_view}"
         shortlist_rel = None
         n_id_in = None
         if query_max * refine_k <= 4_096:
@@ -1923,8 +1939,8 @@ def knn_ivfpq_from_index(
         )
     return spark.sql(
         "WITH " + _ivfpq_rank_sql(
-            "SELECT vec_id, mi, j, list_id FROM __ivfpq_codes",
-            "SELECT q_id, list_id FROM __ivfpq_probes",
+            f"SELECT vec_id, mi, j, list_id FROM {codes_view}",
+            f"SELECT q_id, list_id FROM {probes_view}",
             lut,
             k,
         )

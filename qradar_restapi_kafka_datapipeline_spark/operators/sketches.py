@@ -443,20 +443,45 @@ def kmv_jaccard(
     source: str = "events",
     k: int = KMV_K,
 ):
-    """Spark path: build each summary ONCE (one corpus scan per set),
-    pin the two <= k-row order statistics as literals, and run the union/
-    overlap algebra over the pins — the one-statement oracle form scans
-    each set twice (CTE re-execution)."""
+    """Spark path: build BOTH summaries in ONE corpus scan and ONE action
+    (round 14, guide §2.3/§5 — the two per-set builds each re-scanned
+    events and paid their own collect): rows fan out to the sets whose
+    predicate they satisfy (a 2-element array filter + explode, so a row
+    matching both predicates lands in both sketches), one DISTINCT over
+    (set_id, h), and the per-set bottom-k is the ROW_NUMBER ≤ k form the
+    KMV time cube already uses (Spark plans WindowGroupLimit: per-map-
+    partition partial top-k before the exchange, so the shuffle carries
+    ≤ k·partitions rows per set — the grouped twin of
+    TakeOrderedAndProject, scale-safe).  The two ≤k-row order statistics
+    are pinned as literals and the union/overlap algebra runs over the
+    pins — the one-statement oracle form scans each set twice (CTE
+    re-execution) and hash-proves the fused build equal."""
     from qradar_restapi_kafka_datapipeline_spark.engine import unique_view
 
     if key_expr is None:
         key_expr = kmv_user_day_key("spark")
+    h = _h60("spark", "src.k", "'kmv'")
+    both = spark.sql(f"""
+    SELECT set_id, h FROM (
+      SELECT set_id, h,
+             ROW_NUMBER() OVER (PARTITION BY set_id ORDER BY h ASC) AS rk
+      FROM (
+        SELECT DISTINCT src.set_id, {h} AS h
+        FROM (
+          SELECT s.set_id, {key_expr} AS k
+          FROM {source}
+          LATERAL VIEW explode(filter(array(0, 1),
+            i -> (i = 0 AND ({where_a})) OR (i = 1 AND ({where_b}))
+          )) s AS set_id
+        ) src
+      ) d
+    ) r WHERE rk <= {k}
+    """).collect()
     views = []
-    for where in (where_a, where_b):
-        rows = spark.sql(
-            kmv_sketch_sql("spark", key_expr, source, k, where=where)
-        ).collect()
-        lit = spark.createDataFrame([(r["h"],) for r in rows], "h BIGINT")
+    for sid in (0, 1):
+        lit = spark.createDataFrame(
+            [(r["h"],) for r in both if r["set_id"] == sid], "h BIGINT"
+        )
         views.append(unique_view(lit, "__kmv_sk"))
     va, vb = views
     est_u = kmv_estimate_sql("spark", "SELECT h FROM u", k)

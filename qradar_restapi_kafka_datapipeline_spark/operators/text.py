@@ -1289,8 +1289,10 @@ def text_knn_from_index(
     filter, one terminal sqrt/divide, (cos DESC, n_id) ties — so a query
     using an indexed document's own text reproduces that entry's rows
     exactly (the gate proves it)."""
+    from qradar_restapi_kafka_datapipeline_spark.engine import read_artifact
+
     stoplist = {
-        r["feat"] for r in spark.read.parquet(f"{path}/stoplist").collect()
+        r["feat"] for r in read_artifact(spark, f"{path}/stoplist").collect()
     }
     qp = _query_postings(query_text, stoplist, dim)
     if not qp:
@@ -1303,8 +1305,9 @@ def text_knn_from_index(
     )
     n2q = sum(w * w for w in qp.values())
     cand = (
-        spark.read.option("basePath", f"{path}/postings")
-        .parquet(f"{path}/postings")
+        read_artifact(
+            spark, f"{path}/postings", base_path=f"{path}/postings"
+        )
         .where(F.col("bucket_group").isin(groups))
         .where(F.col("bucket").isin([int(b) for b in qp]))
         .join(F.broadcast(qdf), "bucket")
@@ -1322,7 +1325,7 @@ def text_knn_from_index(
         .agg(F.sum(F.col("w") * F.col("qw")).cast("long").alias("d"))
         .where(F.col("d") > 0)
     )
-    norms = spark.read.parquet(f"{path}/norms")
+    norms = read_artifact(spark, f"{path}/norms")
     scored = dots.join(norms, "doc_id").select(
         F.lit(query_id).cast("long").alias("q_id"),
         F.col("doc_id").alias("n_id"),
@@ -1423,7 +1426,9 @@ def _text_index_tombstones(spark, path: str):
     tomb = f"{path}/tombstones"
     if not fs.exists(hpath(tomb)):
         return None
-    return spark.read.parquet(tomb).select("doc_id").distinct()
+    from qradar_restapi_kafka_datapipeline_spark.engine import read_artifact
+
+    return read_artifact(spark, tomb).select("doc_id").distinct()
 
 
 def recover_text_index_norms(spark, path: str) -> str:
